@@ -1,0 +1,155 @@
+"""The flagship extraction pipeline (Ray-Data-first assembly).
+
+    read docs table (column-pruned)
+      -> explode spans (vectorized Arrow fan-out; doc-level skew defense)
+      -> stateless text extraction (html strip / pdf layout / normalize)
+      -> glyph classification (actor pool, warm prototype model per actor)
+      -> [fanout mode only] groupby span-key reassembly of salted glyphs
+      -> final sort by (doc_id, order) only at the consumption edge
+
+Two classifier topologies:
+
+- ``mode="fused"`` (default): decode+segment+classify per media span in
+  one actor call. No extra shuffle; span-level parallelism from explode.
+- ``mode="fanout"``: segmentation explodes per-glyph rows (the salt),
+  classification runs on fixed-width feature rows, one
+  ``groupby(span_key)`` restores span text. Use when single media spans
+  are themselves huge (north-rule skew path).
+
+Both produce identical results (tests/test_invariant.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.storage import read_table
+from ..stages.classify import GlyphClassifierStage, GlyphFeatureClassifier, segment_glyphs
+from ..stages.explode import explode_spans
+from ..stages.extract import extract_text_spans
+from ..synth import derive_docs_batch
+
+INVARIANT_COLS = ["doc_id", "order", "kind", "text", "media_ref"]
+
+
+def derive_docs(sf_dir: str) -> rd.Dataset:
+    """Derive the interleaved docs table from the driver's documents
+    table (see synth.derive_spans for the deterministic span rules)."""
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return derive_docs_batch(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("text").to_pylist(),
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+def read_docs(path: str) -> rd.Dataset:
+    return read_table(path, columns=["doc_id", "spans"])
+
+
+def extract_spans(
+    docs: rd.Dataset,
+    *,
+    mode: str = "fused",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 1024,
+) -> rd.Dataset:
+    """docs Dataset -> flat extracted span rows (unordered; order is an
+    explicit column). Columns: doc_id, order, kind, text, media_ref,
+    confidence."""
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
+    if mode == "fused":
+        return spans.map_batches(
+            GlyphClassifierStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    if mode == "fanout":
+        glyphs = spans.map_batches(segment_glyphs, batch_format="pyarrow")
+        classified = glyphs.map_batches(
+            GlyphFeatureClassifier,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        return _reassemble_spans(classified)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _reassemble_spans(classified: rd.Dataset) -> rd.Dataset:
+    """Fan-out path reassembly: per-glyph rows -> span rows.
+
+    The one required shuffle: groupby the synthesized span key, sort
+    glyphs within the group, concat recognized letters. Explicit-order
+    restoration — never relies on executor arrival order (SURVEY.md
+    §7.7 hard part #1)."""
+
+    def _add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(
+            batch.column("doc_id"),
+            pc.cast(batch.column("order"), pa.string()),
+            "\x00",
+        )
+        return batch.append_column("span_key", key)
+
+    def _regroup(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.iloc[0]
+        if first["kind"] != "media":
+            out = g.drop(columns=["span_key", "glyph_idx", "feature"])
+            return out
+        g = g.sort_values("glyph_idx")
+        rec = g[(g["glyph_idx"] >= 0) & (g["text"] != "")]
+        text = "".join(rec["text"].tolist())
+        conf = float(rec["confidence"].mean()) if len(rec) else 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": [first["doc_id"]],
+                "order": [first["order"]],
+                "kind": [first["kind"]],
+                "text": [text],
+                "media_ref": [first["media_ref"]],
+                "confidence": [conf],
+            }
+        )
+
+    keyed = classified.map_batches(_add_key, batch_format="pyarrow")
+    return keyed.groupby("span_key").map_groups(_regroup, batch_format="pandas")
+
+
+def extract_spans_sorted(docs: rd.Dataset, **kwargs) -> rd.Dataset:
+    """Invariant-surface output: the 5 invariant columns sorted by
+    (doc_id, order)."""
+    ds = extract_spans(docs, **kwargs)
+    return ds.select_columns(INVARIANT_COLS).sort(["doc_id", "order"])
+
+
+def reassemble_docs(spans: rd.Dataset) -> rd.Dataset:
+    """Per-document reassembly (the OCRResult analog, ocr_result.py:7-22):
+    ordered concat of span texts + mean confidence, one groupby(doc_id)."""
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("order")
+        texts = [t for t in g["text"].tolist() if t]
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0]],
+                "text": [" ".join(texts)],
+                "n_spans": [len(g)],
+                "avg_confidence": [float(g["confidence"].mean()) if len(g) else 0.0],
+            }
+        )
+
+    return spans.groupby("doc_id").map_groups(_assemble, batch_format="pandas")
+
+
+def extract_from_sf(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Full flagship: derive docs from sf_dir -> extract -> sorted spans."""
+    return extract_spans_sorted(derive_docs(sf_dir), **kwargs)

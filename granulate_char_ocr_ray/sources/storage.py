@@ -1,0 +1,41 @@
+"""Storage seam: table read/write.
+
+Production target is Lance (``ray.data.read_lance`` exists in Ray 2.49);
+this sandbox has no lance package, so Parquet datasets stand in. All
+engine code goes through these two functions, so swapping the format is
+a one-file change (SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def read_table(path: str, *, columns: list[str] | None = None,
+               filter_expr: Any = None) -> rd.Dataset:
+    """Read a stored table as a Dataset with column pruning and optional
+    row-group predicate pushdown (pyarrow dataset expression)."""
+    kwargs: dict[str, Any] = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return rd.read_parquet(path, **kwargs)
+
+
+def write_table(ds: rd.Dataset, path: str, **kwargs: Any) -> None:
+    """Write a Dataset as a partitioned directory of parquet files."""
+    ds.write_parquet(path, **kwargs)
+
+
+def write_arrow(table: pa.Table, path: str) -> None:
+    """Driver-side helper for small fixture tables."""
+    pq.write_table(table, path)
+
+
+def from_arrow(table: pa.Table) -> rd.Dataset:
+    return rd.from_arrow(table)

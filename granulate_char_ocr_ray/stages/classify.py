@@ -1,0 +1,193 @@
+"""Stateful glyph-classification stages (actor pools).
+
+``GlyphClassifierStage`` is the fused path: decode -> binarize ->
+segment -> classify, per media span, inside one actor ``__call__``. The
+prototype feature matrix — the stand-in for the reference's warm CNN
+(``ocr_service.py:287-329``, loaded once per ``OCRService``; here once
+per ACTOR, fixing the reference's per-request reload inefficiency noted
+at ``ocr.py:43``) — is built in ``__init__``. Hamming classification of
+all glyphs in a batch is one vectorized XOR-popcount matmul.
+
+``SegmentGlyphsStage`` / ``GlyphFeatureClassifier`` are the fan-out
+(salted) path used for media-heavy skew: segmentation explodes each
+media span into per-glyph feature rows keyed (doc_id, order, glyph_idx),
+classification runs on the fixed-width feature rows, and a groupby
+restores span text (pipelines/extract.py:extract_spans fanout mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.classify import (
+    build_prototype_matrix,
+    classify_features,
+    glyph_feature,
+    tight_crop,
+)
+from ..functions.glyphs import decode_media_ref
+from ..functions.image import preprocess
+from ..functions.segment import segment_projection
+
+
+def _span_glyph_features(media_ref: str) -> list[np.ndarray]:
+    """decode -> preprocess -> segment -> per-glyph 64-bit features.
+
+    Blank / undecodable spans yield []; blank crops are dropped (same
+    skip semantics as oracle.classify_crops)."""
+    img = decode_media_ref(media_ref)
+    if img is None:
+        return []
+    binary = preprocess(img)
+    feats = []
+    for (x, y, w, h) in segment_projection(binary):
+        crop = tight_crop(binary[y: y + h, x: x + w])
+        if crop is not None:
+            feats.append(glyph_feature(crop))
+    return feats
+
+
+class GlyphClassifierStage:
+    """Fused actor stage: fills ``text``/``confidence`` for media rows.
+
+    Use: ``ds.map_batches(GlyphClassifierStage, batch_format="pyarrow",
+    concurrency=N, batch_size=B)``.
+    """
+
+    def __init__(self) -> None:
+        self.proto, self.letters = build_prototype_matrix()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        media_rows = [i for i, k in enumerate(kinds) if k == "media"]
+        if not media_rows:
+            return batch
+        refs = batch.column("media_ref").to_pylist()
+        texts = batch.column("text").to_pylist()
+        confs = (
+            batch.column("confidence").to_pylist()
+            if "confidence" in batch.schema.names
+            else [0.0] * len(batch)
+        )
+        # gather every glyph in the batch, classify in one vectorized call
+        feats: list[np.ndarray] = []
+        owners: list[int] = []
+        for i in media_rows:
+            fs = _span_glyph_features(refs[i] or "")
+            feats.extend(fs)
+            owners.extend([i] * len(fs))
+        if feats:
+            letters_idx, conf = classify_features(np.stack(feats), self.proto)
+        else:
+            letters_idx = np.empty(0, dtype=np.int64)
+            conf = np.empty(0, dtype=np.float64)
+        per_row_chars: dict[int, list[str]] = {i: [] for i in media_rows}
+        per_row_conf: dict[int, list[float]] = {i: [] for i in media_rows}
+        for owner, idx, cf in zip(owners, letters_idx, conf):
+            if idx >= 0:
+                per_row_chars[owner].append(self.letters[idx])
+                per_row_conf[owner].append(float(cf))
+        for i in media_rows:
+            texts[i] = "".join(per_row_chars[i])
+            confs[i] = float(np.mean(per_row_conf[i])) if per_row_conf[i] else 0.0
+        t = batch.set_column(batch.schema.get_field_index("text"), "text",
+                             pa.array(texts, type=pa.string()))
+        if "confidence" in t.schema.names:
+            t = t.set_column(t.schema.get_field_index("confidence"), "confidence",
+                             pa.array(confs, type=pa.float64()))
+        else:
+            t = t.append_column("confidence", pa.array(confs, type=pa.float64()))
+        return t
+
+
+def segment_glyphs(batch: pa.Table) -> pa.Table:
+    """Stateless fan-out: media span rows -> per-glyph feature rows.
+
+    Output: (doc_id, order, kind, media_ref, glyph_idx:int32,
+    feature:fixed_size_binary(64 bytes as uint8 bits -> packed into
+    binary), n_glyphs:int32). Text-like rows pass through with
+    glyph_idx=-1 and their already-extracted text. The per-glyph rows
+    are the SALT: a whale document's glyphs scatter across blocks and
+    classifier actors instead of pinning one worker (north-rule skew
+    requirement; SURVEY.md §4.2)."""
+    kinds = batch.column("kind").to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
+    orders = batch.column("order").to_pylist()
+    texts = batch.column("text").to_pylist()
+    refs = batch.column("media_ref").to_pylist()
+    confs = (batch.column("confidence").to_pylist()
+             if "confidence" in batch.schema.names else [0.0] * len(batch))
+
+    out = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": [],
+           "confidence": [], "glyph_idx": [], "feature": []}
+    for i, kind in enumerate(kinds):
+        if kind != "media":
+            out["doc_id"].append(doc_ids[i])
+            out["order"].append(orders[i])
+            out["kind"].append(kind)
+            out["text"].append(texts[i])
+            out["media_ref"].append(refs[i])
+            out["confidence"].append(confs[i])
+            out["glyph_idx"].append(-1)
+            out["feature"].append(b"")
+            continue
+        feats = _span_glyph_features(refs[i] or "")
+        if not feats:
+            # emit a sentinel row so the span still appears in output
+            out["doc_id"].append(doc_ids[i])
+            out["order"].append(orders[i])
+            out["kind"].append(kind)
+            out["text"].append("")
+            out["media_ref"].append(refs[i])
+            out["confidence"].append(0.0)
+            out["glyph_idx"].append(-2)
+            out["feature"].append(b"")
+            continue
+        for g, f in enumerate(feats):
+            out["doc_id"].append(doc_ids[i])
+            out["order"].append(orders[i])
+            out["kind"].append(kind)
+            out["text"].append("")
+            out["media_ref"].append(refs[i])
+            out["confidence"].append(0.0)
+            out["glyph_idx"].append(g)
+            out["feature"].append(np.packbits(f).tobytes())
+    return pa.Table.from_pydict(
+        out,
+        schema=pa.schema([
+            ("doc_id", pa.string()), ("order", pa.int32()), ("kind", pa.string()),
+            ("text", pa.string()), ("media_ref", pa.string()),
+            ("confidence", pa.float64()), ("glyph_idx", pa.int32()),
+            ("feature", pa.binary()),
+        ]),
+    )
+
+
+class GlyphFeatureClassifier:
+    """Actor stage for the fan-out path: classify packed feature rows."""
+
+    def __init__(self) -> None:
+        self.proto, self.letters = build_prototype_matrix()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        glyph_idx = batch.column("glyph_idx").to_numpy(zero_copy_only=False)
+        mask = glyph_idx >= 0
+        if not mask.any():
+            return batch
+        feats_bin = batch.column("feature").to_pylist()
+        rows = np.where(mask)[0]
+        feats = np.stack([
+            np.unpackbits(np.frombuffer(feats_bin[r], dtype=np.uint8))[:64]
+            for r in rows
+        ])
+        letters_idx, conf = classify_features(feats, self.proto)
+        texts = batch.column("text").to_pylist()
+        confs = batch.column("confidence").to_pylist()
+        for r, idx, cf in zip(rows, letters_idx, conf):
+            texts[r] = self.letters[idx] if idx >= 0 else ""
+            confs[r] = float(cf) if idx >= 0 else 0.0
+        t = batch.set_column(batch.schema.get_field_index("text"), "text",
+                             pa.array(texts, type=pa.string()))
+        return t.set_column(t.schema.get_field_index("confidence"), "confidence",
+                            pa.array(confs, type=pa.float64()))
