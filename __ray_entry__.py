@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,221 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Whitespace-normalization expression shared by the text-extraction
+# oracles (matches functions/textext.normalize_ws on ASCII payloads).
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+# The derived interleaved corpus in SQL (mirrors synth.derive_spans):
+# every doc -> text/html/pdf spans whose extracted output is the
+# normalized source text, plus (doc_id % 3 == 0) a media span whose
+# glyph word is translate(doc_id digits -> A..J).
+_EXTRACT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+         {_NORM} AS norm,
+         translate(CAST(doc_id AS VARCHAR), '0123456789', 'ABCDEFGHIJ') AS word
+  FROM documents
+), spans AS (
+  SELECT doc_key AS doc_id, CAST(0 AS INT) AS "order", 'text' AS kind,
+         norm AS text, '' AS media_ref FROM base
+  UNION ALL
+  SELECT doc_key, CAST(1 AS INT), 'html', norm, '' FROM base
+  UNION ALL
+  SELECT doc_key, CAST(2 AS INT), 'pdf', norm, '' FROM base
+  UNION ALL
+  SELECT doc_key, CAST(3 AS INT), 'media', word, 'glyph:' || word
+  FROM base WHERE id % 3 = 0
+)
+SELECT doc_id, "order", kind, text, media_ref
+FROM spans ORDER BY doc_id, "order"
+"""
+
+_NTOK = ("CASE WHEN trim(text) = '' THEN 0 "
+         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive the
+    interleaved docs table, run the full extraction engine, return the
+    sorted span table."""
+    from granulate_char_ocr_ray.pipelines.extract import extract_from_sf
+
+    return extract_from_sf("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from granulate_char_ocr_ray.pipelines import (
+        analysis,
+        dedup,
+        extract,
+        relational,
+        similarity,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_spans(sf_dir: str):
+        return extract.extract_from_sf(sf_dir)
+
+    def extract_spans_fanout(sf_dir: str):
+        return extract.extract_spans_sorted(
+            extract.derive_docs(sf_dir), mode="fanout"
+        )
+
+    def text_normalize(sf_dir: str):
+        return extract.extract_kind(extract.derive_docs(sf_dir), "text")
+
+    def html_main_extract(sf_dir: str):
+        return extract.extract_kind(extract.derive_docs(sf_dir), "html")
+
+    def pdf_layout_extract(sf_dir: str):
+        return extract.extract_kind(extract.derive_docs(sf_dir), "pdf")
+
+    def extract_docs(sf_dir: str):
+        spans = extract.extract_spans(extract.derive_docs(sf_dir))
+        return extract.reassemble_docs(spans).sort("doc_id")
+
+    return {
+        # --- extraction engine (flagship) ---
+        "extract_spans": extract_spans,
+        "extract_spans_fanout": extract_spans_fanout,
+        "text_normalize": text_normalize,
+        "html_main_extract": html_main_extract,
+        "pdf_layout_extract": pdf_layout_extract,
+        "extract_docs": extract_docs,
+        # --- dedup family ---
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, threshold=0.8),
+        "minhash_lsh_dups": lambda sf: dedup.minhash_lsh_dups(sf, threshold=0.8),
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        # --- similarity search ---
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_lsh_topk": similarity.lsh_cosine_topk,
+        # --- text analysis ---
+        "token_counts": analysis.token_counts,
+        "doc_quality": analysis.doc_quality,
+        "lang_id": analysis.lang_id_scores,
+        "fingerprints": analysis.fingerprints,
+        "docs_by_lang": analysis.docs_by_lang,
+        "length_histogram": analysis.length_histogram,
+        # --- relational / aggregate ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_event_types": relational.top_event_types,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "part_brand_stats": relational.part_brand_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_spans": _EXTRACT_ORACLE,
+        "extract_spans_fanout": _EXTRACT_ORACLE,
+        "text_normalize": (
+            "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
+            f"{_NORM} AS text FROM documents ORDER BY doc_id"
+        ),
+        "html_main_extract": (
+            "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
+            f"{_NORM} AS text FROM documents ORDER BY doc_id"
+        ),
+        "pdf_layout_extract": (
+            "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
+            f"{_NORM} AS text FROM documents ORDER BY doc_id"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_dups": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+              FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)
+              WHERE length(text) >= 3
+            ), sizes AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS DOUBLE) AS c
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT d1, d2, round(c / (s1.n + s2.n - c), 4) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = d1
+            JOIN sizes s2 ON s2.doc_id = d2
+            WHERE c / (s1.n + s2.n - c) >= 0.8
+        """,
+        "token_counts": (
+            f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST({_NTOK} AS BIGINT) AS n_tokens,
+                   round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) AS digit_ratio,
+                   round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) AS upper_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_by_lang": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(CAST(n_chars AS DOUBLE)) / count(*), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "length_histogram": """
+            SELECT (n_chars // 50) * 50 AS bucket_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+                         4) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 2) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 2) AS avg_price,
+                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_event_types": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value) / count(*), 2) AS avg_value
+            FROM events GROUP BY event_type
+            ORDER BY n_events DESC, event_type ASC
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                   round(sum(p_retailprice) / count(*), 2) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        # no oracle_sql for: extract_docs (concat semantics), lang_id /
+        # fingerprints / simhash_* / minhash_lsh_dups / ann_lsh_topk
+        # (hash-heuristic ops not expressible in ANSI SQL) -> driver
+        # records the rows-only check; pytest covers them against
+        # brute-force single-process references.
+    }

@@ -1,0 +1,162 @@
+"""Benchmark driver.
+
+    python bench.py             # one JSON line: headline + per-query secs
+    python bench.py --scaling   # same headline at num_cpus=8 and 32 in
+                                # fresh processes; reports scaling efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+CPUs:  $RAY_GRAFT_CPUS (default 32).
+
+Headline: the flagship extraction pipeline (derive interleaved docs from
+the documents table, replicated REPLICATE times with distinct doc_ids ->
+explode -> text extractors -> glyph classifier actor pool -> sorted
+parquet sink under /tmp). Reported value = wall seconds; docs/sec and
+spans/sec ride along (BASELINE.md context: the reference runs the same
+per-document work single-process at ~23.5 docs/s).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "4"))
+
+
+def derive_docs_replicated(sf_dir: str, replicate: int):
+    """derive_docs over the documents table replicated with doc_id
+    offsets of 10^7 per replica (deterministic, distinct doc ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from granulate_char_ocr_ray.synth import derive_docs_batch
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        tables = []
+        for r in range(replicate):
+            tables.append(derive_docs_batch(ids + r * 10_000_000, texts))
+        return pa.concat_tables(tables)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_derive, batch_format="pyarrow", batch_size=256)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from granulate_char_ocr_ray.pipelines import dedup, relational, similarity
+    from granulate_char_ocr_ray.pipelines.extract import extract_spans
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    derive_docs_replicated(SF_DIR, 1).count()
+
+    queries: dict[str, float] = {}
+
+    # --- headline: flagship extraction to parquet sink ---
+    out_dir = f"/tmp/bench_out/extract_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = derive_docs_replicated(SF_DIR, REPLICATE)
+    n_docs = None
+    t0 = time.time()
+    spans = extract_spans(docs, concurrency=max(2, NUM_CPUS - 4), batch_size=512)
+    spans.write_parquet(out_dir)
+    headline = time.time() - t0
+    queries["extract_spans"] = round(headline, 3)
+
+    import pyarrow.dataset as pads
+
+    out_tbl = pads.dataset(out_dir).to_table(columns=["doc_id"])
+    n_spans = out_tbl.num_rows
+    import pyarrow.compute as pc
+
+    n_docs = len(pc.unique(out_tbl.column("doc_id")))
+
+    # --- secondary pipelines ---
+    t0 = time.time()
+    relational.q1_pricing_summary(SF_DIR).to_pandas()
+    queries["q1_pricing_summary"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.top_event_types(SF_DIR).to_pandas()
+    queries["top_event_types"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.revenue_by_nation(SF_DIR).to_pandas()
+    queries["revenue_by_nation"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.exact_dedup(SF_DIR).to_pandas()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.minhash_lsh_dups(SF_DIR, threshold=0.8).to_pandas()
+    queries["minhash_lsh_dups"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.cosine_topk(SF_DIR, k=10).to_pandas()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "flagship extraction wall time (sf docs x%d replicas)" % REPLICATE,
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "spans": n_spans,
+        "docs_per_s": round(n_docs / headline, 1),
+        "spans_per_s": round(n_spans / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes
+    (the sandbox stand-in for N vs 4N cluster nodes)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[8]["value"], results[32]["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus (flagship extraction)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8cpu": t_lo,
+        "sec_32cpu": t_hi,
+        "docs_per_s_8cpu": results[8]["docs_per_s"],
+        "docs_per_s_32cpu": results[32]["docs_per_s"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_benchmarks()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

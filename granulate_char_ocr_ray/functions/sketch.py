@@ -1,0 +1,121 @@
+"""Similarity sketches: character shingles, MinHash, LSH banding,
+SimHash, exact Jaccard. Deterministic (fixed-seed hash parameters),
+vectorized NumPy; shared by the distributed pipelines and the pytest
+brute-force cross-checks.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def char_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct character k-grams of the text (as-is, no normalization)."""
+    if len(text) < k:
+        return {text} if text else set()
+    return {text[i: i + k] for i in range(len(text) - k + 1)}
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Sorted distinct uint64 base-hashes of the k-gram set (crc32-pair)."""
+    out = set()
+    for s in char_shingles(text, k):
+        b = s.encode("utf-8")
+        out.add((zlib.crc32(b) << 32) | zlib.crc32(b, 0xABCD1234))
+    return np.array(sorted(out), dtype=np.uint64)
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1729)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+_PARAM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(base_hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) over the base hash set.
+
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1); empty sets get all-max
+    sentinels (never collide with real signatures)."""
+    if num_perm not in _PARAM_CACHE:
+        _PARAM_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _PARAM_CACHE[num_perm]
+    if len(base_hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = base_hashes % _MERSENNE
+    with np.errstate(over="ignore"):
+        # (num_perm, n) universal hashing; uint64 wrap-mod then Mersenne mod
+        vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
+    """Split the signature into ``bands`` rows-per-band chunks; each
+    chunk hashes to one stable int key. Docs sharing any band key are
+    near-dup candidates (standard MinHash-LSH)."""
+    num_perm = len(signature)
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    keys = []
+    for i in range(bands):
+        chunk = signature[i * r: (i + 1) * r].tobytes()
+        keys.append((i << 32) | zlib.crc32(chunk))
+    return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    a, b = char_shingles(text_a, k), char_shingles(text_b, k)
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per (non-distinct) lowercase whitespace token."""
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [(zlib.crc32(t.encode()) << 32) | zlib.crc32(t.encode(), 0x9E3779B9)
+         for t in toks],
+        dtype=np.uint64,
+    )
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes (signed int64 for Arrow)."""
+    hs = token_hashes(text)
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_band_keys(sim: int, bands: int = 4) -> list[int]:
+    """Split the 64-bit simhash into ``bands`` chunks (Charikar-style
+    blocking): near-dups within Hamming distance bands-1 share >= 1 key."""
+    width = 64 // bands
+    u = int(sim) & ((1 << 64) - 1)
+    mask = (1 << width) - 1
+    return [(i << 56) | ((u >> (i * width)) & mask) for i in range(bands)]

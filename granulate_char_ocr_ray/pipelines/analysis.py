@@ -1,0 +1,144 @@
+"""Text-analysis pipelines over the documents table (vectorized
+map_batches + pre-aggregated groupbys). The engine-level generalization
+of the reference's evaluation statistics (G2/G3, per-doc metrics and
+grouped aggregates, ``evaluate_new_testdata.py:82-134``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.numeric import round_half_up
+from ..functions.textstats import fingerprint64, lang_id, quality_features
+from ..sources.storage import read_table
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens) — whitespace token count per document.
+
+    Arrow-native: split_pattern_regex + list_value_length; trimmed empty
+    strings count 0."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        n = pc.list_value_length(toks)
+        # empty string -> split yields [""] -> force 0
+        n = pc.if_else(pc.equal(text, ""), pa.scalar(0, pa.int32()), n)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pc.cast(n, pa.int64())],
+            names=["doc_id", "n_tokens"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_tokens, digit_ratio, upper_ratio) quality
+    signals, ratios rounded to 4 decimals (SQL-reproducible)."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id")
+        feats = [quality_features(t or "") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": doc_ids,
+                "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
+                "n_tokens": pa.array([f["n_tokens"] for f in feats], pa.int64()),
+                "digit_ratio": pa.array(
+                    [round(f["digit_ratio"], 4) for f in feats], pa.float64()),
+                "upper_ratio": pa.array(
+                    [round(f["upper_ratio"], 4) for f in feats], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(q, batch_format="pyarrow")
+
+
+def lang_id_scores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, pred_lang, score) — stopword-profile language heuristic."""
+
+    def li(batch: pa.Table) -> pa.Table:
+        preds = [lang_id(t or "") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array([p[0] for p in preds], pa.string()),
+                "score": pa.array([round(p[1], 4) for p in preds], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(li, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, fp) — stable 64-bit rolling-hash document fingerprint."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(
+                    [fingerprint64(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def docs_by_lang(sf_dir: str) -> rd.Dataset:
+    """(lang, n_docs, avg_chars) — grouped corpus stats with explicit
+    partial aggregation before the shuffle (G3 shape)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    agg = ds.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("sum_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs"),
+                "avg_chars": round_half_up(s / n, 2),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def length_histogram(sf_dir: str, bucket: int = 50) -> rd.Dataset:
+    """(bucket_lo, n_docs) histogram of document lengths — grouped agg
+    by derived key (the analyze_by_word_length analog, G3)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lo = (n_chars // bucket) * bucket
+        df = pd.DataFrame({"bucket_lo": lo}).groupby("bucket_lo", as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    ds = _docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("bucket_lo").aggregate(Sum("n", alias_name="n_docs"))

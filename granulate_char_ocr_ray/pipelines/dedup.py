@@ -1,0 +1,248 @@
+"""Deduplication pipelines over a (doc_id, text) corpus.
+
+Engine-level analog of the reference's dedup behaviors (near-dedup of
+detected circles ``extract_from_reference.py:53-70`` D1; exact set-dedup
+``create_tesseract_data.py:156`` D2) generalized to the standard
+large-corpus toolkit:
+
+- exact content dedup (hash-partitioned, keep-first)
+- exact n-gram Jaccard similarity join (inverted-index join — the
+  verifiable all-pairs path, with an exact DuckDB oracle)
+- MinHash + LSH banding near-dedup (the 100TB-scale candidate path)
+- SimHash fingerprints + banded near-dup candidates
+
+Partitioning notes (100 TB): every groupby below keys on a 64-bit hash
+(content hash / band key / gram), never on raw text, so shuffle payloads
+stay narrow. The gram inverted index caps bucket fan-out via stop-gram
+filtering (``max_doc_freq``); pair generation is quadratic per bucket by
+definition of the exact join, which is why the MinHash path exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.sketch import (
+    estimate_jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from ..functions.numeric import round_half_up
+from ..functions.textstats import crc64
+from ..sources.storage import read_table
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Keep the smallest doc_id per distinct text.
+
+    map_batches adds a 64-bit content hash; the groupby shuffles only
+    (hash, doc_id) pairs. Equivalent SQL: SELECT min(doc_id) AS doc_id
+    FROM documents GROUP BY text."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [crc64(t or "") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(hashes, type=pa.int64())],
+            names=["doc_id", "text_hash"],
+        )
+
+    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    out = ds.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
+                       max_doc_freq: int | None = None) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity join via an inverted gram index.
+
+    explode distinct (gram_hash, doc_id) -> groupby gram -> emit doc
+    pairs -> groupby pair -> intersection counts -> jaccard =
+    inter / (|A| + |B| - inter) >= threshold. Shingle-set sizes are a
+    small side table broadcast via ray.put (at scale: a hash-partitioned
+    join on d1/d2 instead). ``max_doc_freq`` drops stop-grams (buckets
+    larger than the cap); leave None for exactness (the SQL oracle).
+    Output: (d1, d2, jaccard) with d1 < d2, rounded to 4 decimals.
+    """
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        g_doc, g_gram = [], []
+        sizes_doc, sizes_n = [], []
+        for d, t in zip(doc_ids, texts):
+            hs = shingle_hashes(t or "", k)
+            g_doc.extend([d] * len(hs))
+            g_gram.extend(int(h) for h in hs.view(np.int64))
+            sizes_doc.append(d)
+            sizes_n.append(len(hs))
+        return pa.Table.from_pydict(
+            {"doc_id": g_doc, "gram": g_gram},
+            schema=pa.schema([("doc_id", pa.int64()), ("gram", pa.int64())]),
+        )
+
+    grams = _docs(sf_dir).map_batches(to_grams, batch_format="pyarrow")
+
+    # shingle-set sizes: tiny aggregate, broadcast to the jaccard stage
+    sizes_df = (
+        grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_grams"])))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        if max_doc_freq is not None and len(ids) > max_doc_freq:
+            return pd.DataFrame({"d1": [], "d2": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"d1": ids[i], "d2": ids[j]})
+
+    pairs = grams.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
+
+    def pre_count(batch: pa.Table) -> pa.Table:
+        # partial combiner: count duplicate pairs within the batch before
+        # the pair-level shuffle
+        df = batch.to_pandas().groupby(["d1", "d2"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    partial = pairs.map_batches(pre_count, batch_format="pyarrow")
+    inter = partial.groupby(["d1", "d2"]).aggregate(Sum("c", alias_name="inter"))
+
+    def to_jaccard(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        d1 = batch.column("d1").to_numpy(zero_copy_only=False)
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+        c = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = np.array([sizes[d] for d in d1], dtype=np.float64)
+        n2 = np.array([sizes[d] for d in d2], dtype=np.float64)
+        jac = c / (n1 + n2 - c)
+        keep = jac >= threshold
+        return pa.Table.from_pydict(
+            {
+                "d1": d1[keep],
+                "d2": d2[keep],
+                "jaccard": round_half_up(jac[keep], 4),
+            },
+            schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                              ("jaccard", pa.float64())]),
+        )
+
+    return inter.map_batches(to_jaccard, batch_format="pyarrow")
+
+
+def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
+                     bands: int = 32, threshold: float = 0.5) -> rd.Dataset:
+    """MinHash+LSH near-dedup: shingle -> minhash -> band -> bucket
+    groupby -> candidate pairs -> verify with signature-estimated
+    Jaccard. The 100TB-scale path: cost is linear in corpus size +
+    bucket-quadratic only where collisions occur.
+
+    Output: (d1, d2, est_jaccard) for pairs with estimate >= threshold.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_sig = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = minhash_signature(shingle_hashes(t or "", k), num_perm)
+            sig_bytes = sig.tobytes()
+            for key in lsh_band_keys(sig, bands):
+                out_doc.append(d)
+                out_band.append(key)
+                out_sig.append(sig_bytes)
+        return pa.Table.from_pydict(
+            {"doc_id": out_doc, "band": out_band, "sig": out_sig},
+            schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
+                              ("sig", pa.binary())]),
+        )
+
+    banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                                 "d2": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sigs = [np.frombuffer(b, dtype=np.uint64) for b in g["sig"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = estimate_jaccard(sigs[i], sigs[j])
+                if est >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(est, 4)))
+        return pd.DataFrame(rows, columns=["d1", "d2", "est_jaccard"]).astype(
+            {"d1": np.int64, "d2": np.int64, "est_jaccard": np.float64}
+        )
+
+    pairs = banded.groupby("band").map_groups(bucket_verify, batch_format="pandas")
+    # same pair can surface from several bands -> dedup on (d1, d2)
+    return pairs.groupby(["d1", "d2"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Per-doc 64-bit SimHash fingerprint (deterministic)."""
+
+    def to_sim(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(
+                    [simhash64(t or "") for t in batch.column("text").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(to_sim, batch_format="pyarrow")
+
+
+def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.Dataset:
+    """Banded SimHash near-dup candidates verified by Hamming distance."""
+    from ..functions.sketch import hamming64, simhash_band_keys
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sims = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+        out = {"doc_id": [], "band": [], "simhash": []}
+        for d, s in zip(doc_ids, sims):
+            for key in simhash_band_keys(s, bands):
+                out["doc_id"].append(d)
+                out["band"].append(key)
+                out["simhash"].append(s)
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
+                                   ("simhash", pa.int64())]),
+        )
+
+    banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].tolist()
+        sims = g["simhash"].tolist()
+        rows = [
+            (ids[i], ids[j], hamming64(sims[i], sims[j]))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if hamming64(sims[i], sims[j]) <= max_hamming
+        ]
+        return pd.DataFrame(rows, columns=["d1", "d2", "hamming"]).astype(np.int64)
+
+    pairs = banded.groupby("band").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["d1", "d2"]).aggregate(Min("hamming", alias_name="hamming"))

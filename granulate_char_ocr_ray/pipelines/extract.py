@@ -150,6 +150,21 @@ def reassemble_docs(spans: rd.Dataset) -> rd.Dataset:
     return spans.groupby("doc_id").map_groups(_assemble, batch_format="pandas")
 
 
+def extract_kind(docs: rd.Dataset, kind: str) -> rd.Dataset:
+    """Extract only spans of one text-like kind: filter right after the
+    explode so media decoding/classification never runs. Returns
+    (doc_id, text) sorted by doc_id."""
+    import pyarrow.compute as pc
+
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    spans = spans.map_batches(
+        lambda t, k=kind: t.filter(pc.equal(t["kind"], k)),
+        batch_format="pyarrow",
+    )
+    spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
+    return spans.select_columns(["doc_id", "text"]).sort("doc_id")
+
+
 def extract_from_sf(sf_dir: str, **kwargs) -> rd.Dataset:
     """Full flagship: derive docs from sf_dir -> extract -> sorted spans."""
     return extract_spans_sorted(derive_docs(sf_dir), **kwargs)

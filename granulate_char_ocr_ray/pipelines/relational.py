@@ -1,0 +1,183 @@
+"""Relational pipelines over the TPC-H-ish tables: grouped aggregates
+with explicit partial pre-aggregation, broadcast joins, top-k. These
+generalize the reference's evaluation aggregates (G2-G4: global stats,
+grouped stats, pair counts + top-10, ``evaluate_new_testdata.py:82-163``)
+to the standard relational shapes the engine must serve.
+
+Scale patterns demonstrated here:
+- partial aggregation inside map_batches so the groupby shuffles one
+  row per (block, key) instead of one per input row;
+- dimension tables (customer, nation) broadcast once via ray.put and
+  joined with a vectorized pandas merge per batch — no shuffle join;
+- top-k via per-block partials + tiny global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.numeric import round_half_up
+
+from ..sources.storage import read_table
+
+
+def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """TPC-H Q1 shape: filtered lineitem grouped by (returnflag,
+    linestatus) with sum/avg/count. The date filter is pushed into the
+    parquet read (row-group pruning); partial sums are computed per
+    batch so the shuffle is tiny. Money aggregates rounded to 2."""
+    cutoff_ts = np.datetime64(cutoff + "T23:59:59.999999")
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+        filter_expr=pads.field("l_shipdate") <= cutoff_ts,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= pd.Timestamp(cutoff + " 23:59:59.999999")]
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["count_order"].astype(np.float64)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": round_half_up(df["sum_qty"], 2),
+                "sum_base_price": round_half_up(df["sum_base_price"], 2),
+                "sum_disc_price": round_half_up(df["sum_disc_price"], 2),
+                "sum_charge": round_half_up(df["sum_charge"], 2),
+                "avg_qty": round_half_up(df["sum_qty"] / n, 2),
+                "avg_price": round_half_up(df["sum_base_price"] / n, 2),
+                "avg_disc": round_half_up(df["sum_disc"] / n, 4),
+                "count_order": df["count_order"],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def top_event_types(sf_dir: str) -> rd.Dataset:
+    """Event-type frequency + mean value, sorted desc — the confusion
+    pair-count + top-k shape (G4, evaluate_new_testdata.py:137-163)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["avg_value"] = round_half_up(df["sum_value"] / df["n_events"], 2)
+        return pa.Table.from_pandas(
+            df[["event_type", "n_events", "avg_value"]], preserve_index=False
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(
+        ["n_events", "event_type"], descending=[True, False]
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """Total order value per customer nation: orders joined to the
+    broadcast customer->nation dimension (no shuffle join), partial sums
+    per batch, one small groupby."""
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(lookup)
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = round_half_up(df["revenue"], 2)
+        return pa.Table.from_pandas(
+            df[["n_name", "revenue", "n_orders"]], preserve_index=False
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    """Per-brand part stats (count, avg retail price, max size)."""
+    from ray.data.aggregate import Max
+
+    ds = read_table(f"{sf_dir}/part.parquet",
+                    columns=["p_brand", "p_retailprice", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_retailprice", "size"),
+            sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("sum_price", alias_name="sum_price"),
+        Max("max_size", alias_name="max_size"),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["avg_price"] = round_half_up(df["sum_price"] / df["n_parts"], 2)
+        return pa.Table.from_pandas(
+            df[["p_brand", "n_parts", "avg_price", "max_size"]], preserve_index=False
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

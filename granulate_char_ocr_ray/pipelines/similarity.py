@@ -1,0 +1,153 @@
+"""Similarity search over the embeddings table (vec_id, embedding:
+list<float>, label).
+
+- ``cosine_topk``: exact brute-force top-k. Per batch: one NumPy
+  matmul against the broadcast query vector, then a LOCAL top-k so only
+  k rows per block reach the final global sort (partial top-k pattern —
+  the shuffle moves k*num_blocks rows, not the corpus).
+- ``lsh_cosine_topk``: random-hyperplane (SRP) LSH bucketing — the
+  scale path: only buckets matching the query's code (within 1 bit) are
+  scanned. Approximate by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_up
+from ..sources.storage import read_table
+
+
+def _embeddings(sf_dir: str) -> rd.Dataset:
+    return read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(batch)
+    mat = flat.reshape(len(batch), dim)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    return ids, mat
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    norms[norms == 0] = 1.0
+    return mat @ q / norms
+
+
+def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Deterministic query: the embedding of ``vec_id`` (float64)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") == vec_id,
+    )
+    return np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def cosine_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> rd.Dataset:
+    """Exact top-k by cosine similarity to the query vector, excluding
+    the query row. Ties broken by vec_id ascending on the ROUNDED
+    (4-decimal) similarity so results are stable and SQL-reproducible."""
+    q = query_vector(sf_dir, query_id)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        cos = round_half_up(_cosine(mat, qv), 4)
+        keep = ids != query_id
+        ids, cos = ids[keep], cos[keep]
+        if len(ids) > k:
+            # partial top-k: keep the k best rows of this block
+            idx = np.lexsort((ids, -cos))[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64), "cos_sim": cos},
+            schema=pa.schema([("vec_id", pa.int64()), ("cos_sim", pa.float64())]),
+        )
+
+    partial = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def srp_code(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection codes: int64 bucket id per row."""
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_cosine_topk(sf_dir: str, k: int = 10, query_id: int = 0,
+                    n_planes: int = 8) -> rd.Dataset:
+    """Approximate top-k: scan only rows whose SRP code is within
+    Hamming distance 1 of the query's code. Deterministic planes
+    (seeded); at scale the bucket filter is a parquet row-group
+    predicate on a precomputed code column."""
+    rng = np.random.RandomState(271828)
+    q = query_vector(sf_dir, query_id)
+    planes = rng.standard_normal((n_planes, len(q)))
+    q_code = int(srp_code(q[None, :], planes)[0])
+    near_codes = {q_code} | {q_code ^ (1 << i) for i in range(n_planes)}
+    q_ref = ray.put((q, planes, near_codes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv, pl, codes = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        row_codes = srp_code(mat, pl)
+        mask = np.isin(row_codes, np.fromiter(codes, dtype=np.int64)) & (ids != query_id)
+        ids, mat = ids[mask], mat[mask]
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": np.empty(0, dtype=np.int64),
+                 "cos_sim": np.empty(0, dtype=np.float64)})
+        cos = round_half_up(_cosine(mat, qv), 4)
+        if len(ids) > k:
+            idx = np.lexsort((ids, -cos))[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64), "cos_sim": cos},
+            schema=pa.schema([("vec_id", pa.int64()), ("cos_sim", pa.float64())]),
+        )
+
+    partial = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label centroid of embeddings (partial sums per batch -> one
+    tiny groupby). The building block for an IVF-style index."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(batch)
+        mat = flat.reshape(len(batch), dim)
+        out = {"label": [], "n": []}
+        sums = {}
+        for lab in np.unique(labels):
+            sums[int(lab)] = mat[labels == lab].sum(axis=0)
+        out["label"] = list(sums)
+        out["n"] = [int((labels == lab).sum()) for lab in sums]
+        t = {"label": out["label"], "n": out["n"]}
+        for d in range(dim):
+            t[f"s{d}"] = [sums[lab][d] for lab in sums]
+        return pa.Table.from_pydict(t)
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    dim_cols = [c for c in part.schema().names if c.startswith("s")]
+    aggs = [Sum(c, alias_name=c) for c in dim_cols] + [Sum("n", alias_name="n")]
+    return part.groupby("label").aggregate(*aggs)

@@ -1,0 +1,120 @@
+"""Analysis + relational pipelines cross-checked against DuckDB on
+sf0.001 (the same comparison the driver's correctness gate performs)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(ds, sql, con):
+    got = _canon(ds.to_pandas())
+    want = _canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_counts(con):
+    from granulate_char_ocr_ray.pipelines.analysis import token_counts
+
+    _check(token_counts(SF),
+           "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+           " AS n_tokens FROM documents", con)
+
+
+def test_docs_by_lang(con):
+    from granulate_char_ocr_ray.pipelines.analysis import docs_by_lang
+
+    _check(docs_by_lang(SF),
+           "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+           "round(sum(CAST(n_chars AS DOUBLE))/count(*), 2) AS avg_chars "
+           "FROM documents GROUP BY lang", con)
+
+
+def test_length_histogram(con):
+    from granulate_char_ocr_ray.pipelines.analysis import length_histogram
+
+    _check(length_histogram(SF),
+           "SELECT (n_chars // 50) * 50 AS bucket_lo, CAST(count(*) AS BIGINT) "
+           "AS n_docs FROM documents GROUP BY 1", con)
+
+
+def test_lang_id_heuristic_on_crafted_text():
+    from granulate_char_ocr_ray.functions.textstats import lang_id
+
+    assert lang_id("the cat sat on the mat and it was good")[0] == "en"
+    assert lang_id("der hund und die katze ist nicht da")[0] == "de"
+    assert lang_id("")[0] == "und"
+
+
+def test_fingerprints_deterministic():
+    from granulate_char_ocr_ray.functions.textstats import fingerprint64
+    from granulate_char_ocr_ray.pipelines.analysis import fingerprints
+
+    got = fingerprints(SF).to_pandas()
+    import pyarrow.dataset as pads
+
+    df = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+    merged = got.merge(df, on="doc_id")
+    for r in merged.head(50).itertuples():
+        assert r.fp == fingerprint64(r.text)
+    # normalization-invariance: extra whitespace does not change fp
+    assert fingerprint64("a  b\tc") == fingerprint64("a b c")
+
+
+def test_q1_pricing_summary(con):
+    from granulate_char_ocr_ray.pipelines.relational import q1_pricing_summary
+
+    _check(q1_pricing_summary(SF), """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1-l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1-l_discount) * (1+l_tax)), 2) AS sum_charge,
+               round(sum(l_quantity)/count(*), 2) AS avg_qty,
+               round(sum(l_extendedprice)/count(*), 2) AS avg_price,
+               round(sum(l_discount)/count(*), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'
+        GROUP BY l_returnflag, l_linestatus
+    """, con)
+
+
+def test_revenue_by_nation(con):
+    from granulate_char_ocr_ray.pipelines.relational import revenue_by_nation
+
+    _check(revenue_by_nation(SF), """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+    """, con)
+
+
+def test_top_event_types(con):
+    from granulate_char_ocr_ray.pipelines.relational import top_event_types
+
+    got = top_event_types(SF).to_pandas()
+    want = con.sql("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value)/count(*), 2) AS avg_value
+        FROM events GROUP BY event_type ORDER BY n_events DESC, event_type
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)

@@ -1,0 +1,83 @@
+"""Checkpoint / lineage / resume (FIXTURES.md §4): a killed job resumes
+from the last committed partition and produces output identical to an
+uninterrupted run."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from granulate_char_ocr_ray import oracle, synth
+from granulate_char_ocr_ray.sources.storage import write_arrow
+from granulate_char_ocr_ray.state.checkpoint import (
+    committed_partitions,
+    partition_of,
+    read_job_output,
+    run_extract_job,
+)
+
+
+@pytest.fixture()
+def docs_path(tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    write_arrow(synth.docs_interleaved(60), p)
+    return p
+
+
+def test_kill_and_resume_identical_output(docs_path, tmp_path):
+    out_killed = str(tmp_path / "out_killed")
+    out_clean = str(tmp_path / "out_clean")
+
+    # uninterrupted reference run
+    s0 = run_extract_job(docs_path, out_clean, num_partitions=4, concurrency=2)
+    assert sorted(s0["processed"]) == [0, 1, 2, 3]
+
+    # killed after 2 partitions
+    s1 = run_extract_job(docs_path, out_killed, num_partitions=4,
+                         concurrency=2, stop_after=2)
+    assert len(s1["processed"]) == 2
+    manifest = committed_partitions(out_killed)
+    assert sorted(manifest) == sorted(s1["processed"])
+
+    # resume: must skip the committed partitions and finish the rest
+    s2 = run_extract_job(docs_path, out_killed, num_partitions=4, concurrency=2)
+    assert sorted(s2["skipped"]) == sorted(s1["processed"])
+    assert sorted(s1["processed"] + s2["processed"]) == [0, 1, 2, 3]
+
+    got = read_job_output(out_killed)
+    want = read_job_output(out_clean)
+    assert got.select(["doc_id", "order", "kind", "text", "media_ref"]).equals(
+        want.select(["doc_id", "order", "kind", "text", "media_ref"])
+    )
+
+    # and both equal the oracle
+    expected = oracle.extract_spans_table(synth.docs_interleaved(60))
+    assert got.select(expected.column_names).equals(expected)
+
+
+def test_manifest_lineage_rows(docs_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_extract_job(docs_path, out, num_partitions=3, concurrency=2)
+    manifest = committed_partitions(out)
+    assert sorted(manifest) == [0, 1, 2]
+    table = oracle.extract_spans_table(synth.docs_interleaved(60))
+    doc_ids = set(table.column("doc_id").to_pylist())
+    for pid, row in manifest.items():
+        part_docs = {d for d in doc_ids if partition_of(d, 3) == pid}
+        assert row["docs"] == len(part_docs)
+        assert row["state"] == "committed"
+        assert row["wall_s"] > 0
+        assert row["spans"] > 0
+        part_file_rows = pq.read_table(os.path.join(out, f"part={pid}")).num_rows
+        assert part_file_rows == row["spans"]
+    assert sum(r["spans"] for r in manifest.values()) == table.num_rows
+
+
+def test_rerun_committed_is_idempotent(docs_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_extract_job(docs_path, out, num_partitions=2, concurrency=2)
+    before = read_job_output(out)
+    # resume=False forces reprocessing everything; output must not change
+    run_extract_job(docs_path, out, num_partitions=2, concurrency=2, resume=False)
+    after = read_job_output(out)
+    assert before.equals(after)

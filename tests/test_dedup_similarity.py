@@ -1,0 +1,126 @@
+"""Dedup + similarity pipelines cross-checked against brute-force
+single-process references on sf0.001."""
+
+import itertools
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+
+
+def test_exact_dedup_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.pipelines.dedup import exact_dedup
+
+    got = sorted(exact_dedup(SF).to_pandas()["doc_id"])
+    want = sorted(docs_df.groupby("text")["doc_id"].min())
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def exact_pairs_df():
+    from granulate_char_ocr_ray.pipelines.dedup import ngram_jaccard_dups
+
+    return ngram_jaccard_dups(SF, threshold=0.8).to_pandas()
+
+
+def test_ngram_jaccard_matches_bruteforce(docs_df, exact_pairs_df):
+    from granulate_char_ocr_ray.functions.sketch import char_shingles
+
+    threshold = 0.8
+    got = exact_pairs_df
+    got_pairs = {(r.d1, r.d2) for r in got.itertuples()}
+    shingles = {r.doc_id: char_shingles(r.text) for r in docs_df.itertuples()}
+    want_pairs = set()
+    for (da, sa), (db, sb) in itertools.combinations(shingles.items(), 2):
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= threshold:
+            d1, d2 = sorted((da, db))
+            want_pairs.add((d1, d2))
+    assert got_pairs == want_pairs
+
+
+def test_minhash_estimates_track_exact_jaccard(docs_df):
+    from granulate_char_ocr_ray.functions.sketch import (
+        exact_jaccard,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    rows = list(docs_df.itertuples())[:40]
+    sigs = {r.doc_id: minhash_signature(shingle_hashes(r.text)) for r in rows}
+    errs = []
+    for a, b in itertools.combinations(rows, 2):
+        est = float((sigs[a.doc_id] == sigs[b.doc_id]).mean())
+        errs.append(abs(est - exact_jaccard(a.text, b.text)))
+    # 128 permutations -> standard error ~0.044; mean error well under 0.1
+    assert np.mean(errs) < 0.08
+    assert np.max(errs) < 0.25
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(docs_df, exact_pairs_df):
+    """Every pair the exact join flags at >=0.8 must be caught by LSH
+    (32 bands x 4 rows: P(catch | j=0.8) ~ 1 - (1-0.41)^32 ~ 1.0)."""
+    from granulate_char_ocr_ray.pipelines.dedup import minhash_lsh_dups
+
+    exact = exact_pairs_df
+    lsh = minhash_lsh_dups(SF, threshold=0.5).to_pandas()
+    exact_pairs = {(r.d1, r.d2) for r in exact.itertuples()}
+    lsh_pairs = {(r.d1, r.d2) for r in lsh.itertuples()}
+    assert exact_pairs <= lsh_pairs
+
+
+def test_simhash_near_dups_symmetry_and_determinism(docs_df):
+    from granulate_char_ocr_ray.functions.sketch import hamming64, simhash64
+    from granulate_char_ocr_ray.pipelines.dedup import simhash_near_dups
+
+    got = simhash_near_dups(SF, max_hamming=3).to_pandas()
+    sims = {r.doc_id: simhash64(r.text) for r in docs_df.itertuples()}
+    for r in got.itertuples():
+        assert r.d1 < r.d2
+        assert hamming64(sims[r.d1], sims[r.d2]) == r.hamming <= 3
+
+
+def test_cosine_topk_matches_bruteforce():
+    from granulate_char_ocr_ray.pipelines.similarity import cosine_topk
+
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table()
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = mat[ids == 0][0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos = np.floor(cos * 10000 + 0.5) / 10000
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -cos[mask]))[:10]
+    want = list(zip(ids[mask][order].tolist(), cos[mask][order].tolist()))
+
+    got_df = cosine_topk(SF, k=10).to_pandas()
+    got = list(zip(got_df["vec_id"].tolist(), got_df["cos_sim"].tolist()))
+    assert got == want
+
+
+def test_lsh_topk_is_subset_of_corpus_with_valid_scores():
+    from granulate_char_ocr_ray.pipelines.similarity import lsh_cosine_topk
+
+    got = lsh_cosine_topk(SF, k=10).to_pandas()
+    assert len(got) <= 10
+    assert got["cos_sim"].is_monotonic_decreasing
+    assert (got["vec_id"] != 0).all()
+
+
+def test_label_centroids_counts():
+    from granulate_char_ocr_ray.pipelines.similarity import label_centroids
+
+    got = label_centroids(SF).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(columns=["label"])
+    counts = t.to_pandas()["label"].value_counts()
+    assert sorted(got["label"]) == sorted(counts.index)
+    for r in got.itertuples():
+        assert r.n == counts[r.label]
