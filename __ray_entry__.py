@@ -47,6 +47,35 @@ FROM spans ORDER BY doc_id, "order"
 _NTOK = ("CASE WHEN trim(text) = '' THEN 0 "
          "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
 
+# Per-doc OCR accuracy oracle: the evaluation corpus encodes the word
+# reversed for every 7th doc while the expected label stays forward, so
+# the (perfect-on-clean-strips) classifier's accuracy is computable in
+# closed form (pipelines/evaluate.py).
+_OCR_ACC_ORACLE = """
+            SELECT doc_id, expected, recognized,
+                   round(CAST(h AS DOUBLE) / length(expected), 4) AS char_acc,
+                   CAST(CASE WHEN expected = recognized THEN 1 ELSE 0 END
+                        AS BIGINT) AS word_acc
+            FROM (
+              SELECT any_value(doc_id) AS doc_id, expected, recognized,
+                     count(*) FILTER (WHERE substr(expected, CAST(i AS INT), 1)
+                                      = substr(recognized, CAST(i AS INT), 1)) AS h
+              FROM (
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                       translate(CAST(doc_id AS VARCHAR),
+                                 '0123456789', 'ABCDEFGHIJ') AS expected,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN reverse(translate(CAST(doc_id AS VARCHAR),
+                                                   '0123456789', 'ABCDEFGHIJ'))
+                            ELSE translate(CAST(doc_id AS VARCHAR),
+                                           '0123456789', 'ABCDEFGHIJ') END
+                         AS recognized
+                FROM documents
+              ), UNNEST(range(1, length(expected) + 1)) AS t(i)
+              GROUP BY expected, recognized, doc_id
+            )
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: derive the
@@ -61,7 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from granulate_char_ocr_ray.pipelines import (
         analysis,
         dedup,
+        evaluate,
+        events,
         extract,
+        media,
         relational,
         similarity,
     )
@@ -116,6 +148,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": relational.top_event_types,
         "revenue_by_nation": relational.revenue_by_nation,
         "part_brand_stats": relational.part_brand_stats,
+        # --- OCR evaluation harness (reference evaluate_new_testdata) ---
+        "ocr_char_accuracy": evaluate.ocr_char_accuracy,
+        "ocr_eval_stats": evaluate.ocr_eval_stats,
+        "ocr_accuracy_by_length": evaluate.ocr_accuracy_by_length,
+        "ocr_confusions": evaluate.ocr_confusions,
+        # --- event-time windows / sessions ---
+        "events_hourly": events.events_hourly,
+        "user_sessions": events.user_sessions,
+        # --- media metadata + anti-join ---
+        "media_dimensions": media.media_dimensions,
+        "docs_without_media": media.docs_without_media,
     }
 
 
@@ -225,6 +268,73 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice) / count(*), 2) AS avg_price,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "ocr_char_accuracy": _OCR_ACC_ORACLE + " ORDER BY doc_id",
+        "ocr_eval_stats": f"""
+            WITH per_doc AS ({_OCR_ACC_ORACLE})
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(char_acc) / count(*), 4) AS mean_char_acc,
+                   round(sum(CAST(word_acc AS DOUBLE)) / count(*), 4) AS mean_word_acc
+            FROM per_doc
+        """,
+        "ocr_accuracy_by_length": f"""
+            WITH per_doc AS ({_OCR_ACC_ORACLE})
+            SELECT CAST(length(expected) AS BIGINT) AS word_len,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(char_acc) / count(*), 4) AS mean_char_acc,
+                   round(sum(CAST(word_acc AS DOUBLE)) / count(*), 4) AS mean_word_acc
+            FROM per_doc GROUP BY 1
+        """,
+        "ocr_confusions": """
+            WITH calc AS (
+              SELECT translate(CAST(doc_id AS VARCHAR), '0123456789', 'ABCDEFGHIJ')
+                       AS expected,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN reverse(translate(CAST(doc_id AS VARCHAR),
+                                                 '0123456789', 'ABCDEFGHIJ'))
+                          ELSE translate(CAST(doc_id AS VARCHAR),
+                                         '0123456789', 'ABCDEFGHIJ') END AS recognized
+              FROM documents
+            ), pos AS (
+              SELECT substr(expected, CAST(i AS INT), 1) AS expected_char,
+                     substr(recognized, CAST(i AS INT), 1) AS recognized_char
+              FROM calc, UNNEST(range(1, length(expected) + 1)) AS t(i)
+            )
+            SELECT expected_char, recognized_char, CAST(count(*) AS BIGINT) AS n
+            FROM pos WHERE expected_char != recognized_char
+            GROUP BY 1, 2 ORDER BY n DESC, expected_char, recognized_char
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+            FROM o GROUP BY user_id
+        """,
+        "media_dimensions": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   'glyph:' || w AS media_ref,
+                   CAST(64 AS BIGINT) AS height,
+                   CAST(80 * length(w) + 16 AS BIGINT) AS width,
+                   CAST(length(w) AS BIGINT) AS n_glyphs
+            FROM (SELECT doc_id,
+                         translate(CAST(doc_id AS VARCHAR),
+                                   '0123456789', 'ABCDEFGHIJ') AS w
+                  FROM documents WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "docs_without_media": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id
+            FROM documents WHERE doc_id % 3 != 0 ORDER BY doc_id
         """,
         # no oracle_sql for: extract_docs (concat semantics), lang_id /
         # fingerprints / simhash_* / minhash_lsh_dups / ann_lsh_topk

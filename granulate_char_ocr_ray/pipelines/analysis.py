@@ -109,7 +109,7 @@ def docs_by_lang(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         partial, batch_format="pyarrow"
-    )
+    ).repartition(4)
     agg = ds.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )
@@ -141,4 +141,4 @@ def length_histogram(sf_dir: str, bucket: int = 50) -> rd.Dataset:
         )
 
     ds = _docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("bucket_lo").aggregate(Sum("n", alias_name="n_docs"))
+    return ds.repartition(4).groupby("bucket_lo").aggregate(Sum("n", alias_name="n_docs"))

@@ -25,7 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+
+from ..stages.hashagg import hash_groupby_agg
 
 from ..functions.sketch import (
     estimate_jaccard,
@@ -58,7 +59,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         )
 
     ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
-    out = ds.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    out = hash_groupby_agg(ds, ["text_hash"], {"doc_id": ("doc_id", "min")})
     return out.select_columns(["doc_id"])
 
 
@@ -94,30 +95,46 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     grams = _docs(sf_dir).map_batches(to_grams, batch_format="pyarrow")
 
     # shingle-set sizes: tiny aggregate, broadcast to the jaccard stage
-    sizes_df = (
-        grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
-    )
+    sizes_df = hash_groupby_agg(
+        grams, ["doc_id"], {"n_grams": ("gram", "count")}, num_parts=16
+    ).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_grams"])))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
-        if max_doc_freq is not None and len(ids) > max_doc_freq:
-            return pd.DataFrame({"d1": [], "d2": []}).astype(np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"d1": ids[i], "d2": ids[j]})
+    # "bucket the buckets": shuffle on a coarse partition of the gram key
+    # (one map_groups invocation handles MANY gram buckets via a local
+    # pandas groupby) — Ray's per-group dispatch overhead is paid 64
+    # times, not once per distinct gram.
+    NPART = 64
 
-    pairs = grams.groupby("gram").map_groups(bucket_pairs, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        gram = batch.column("gram").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "gpart", pa.array((gram % NPART).astype(np.int64)))
 
-    def pre_count(batch: pa.Table) -> pa.Table:
-        # partial combiner: count duplicate pairs within the batch before
-        # the pair-level shuffle
-        df = batch.to_pandas().groupby(["d1", "d2"], as_index=False).size()
-        return pa.Table.from_pandas(
-            df.rename(columns={"size": "c"}), preserve_index=False
-        )
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_d1, out_d2 = [], []
+        for _, g in part.groupby("gram", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            if max_doc_freq is not None and len(ids) > max_doc_freq:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            out_d1.append(ids[i])
+            out_d2.append(ids[j])
+        if not out_d1:
+            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                                 "d2": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"d1": np.concatenate(out_d1),
+                             "d2": np.concatenate(out_d2)})
 
-    partial = pairs.map_batches(pre_count, batch_format="pyarrow")
-    inter = partial.groupby(["d1", "d2"]).aggregate(Sum("c", alias_name="inter"))
+    pairs = grams.map_batches(add_part, batch_format="pyarrow").groupby(
+        "gpart").map_groups(bucket_pairs, batch_format="pandas")
+
+    # two-phase hash aggregate (partial count per batch, coarse-key
+    # shuffle, final sum) — Ray's sort-based Aggregate is pathologically
+    # slow at this key cardinality (stages/hashagg.py)
+    inter = hash_groupby_agg(pairs, ["d1", "d2"], {"inter": ("d1", "count")})
 
     def to_jaccard(batch: pa.Table) -> pa.Table:
         sizes = ray.get(sizes_ref)
@@ -170,29 +187,45 @@ def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
 
     banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    # coarse-partitioned bucket verification (see ngram_jaccard_dups):
+    # one group call handles many band buckets; per-bucket pairwise
+    # signature agreement is a vectorized (k, k, perm) comparison.
+    NPART = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bpart", pa.array((band % NPART).astype(np.int64)))
+
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        d1s, d2s, ests = [], [], []
+        for _, g in part.groupby("band", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id").drop_duplicates("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+            est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = est[iu, ju] >= threshold
+            d1s.append(ids[iu[keep]])
+            d2s.append(ids[ju[keep]])
+            ests.append(np.round(est[iu[keep], ju[keep]], 4))
+        if not d1s:
             return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
                                  "d2": pd.Series(dtype=np.int64),
                                  "est_jaccard": pd.Series(dtype=np.float64)})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sigs = [np.frombuffer(b, dtype=np.uint64) for b in g["sig"]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = estimate_jaccard(sigs[i], sigs[j])
-                if est >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(est, 4)))
-        return pd.DataFrame(rows, columns=["d1", "d2", "est_jaccard"]).astype(
-            {"d1": np.int64, "d2": np.int64, "est_jaccard": np.float64}
-        )
+        return pd.DataFrame({"d1": np.concatenate(d1s),
+                             "d2": np.concatenate(d2s),
+                             "est_jaccard": np.concatenate(ests)})
 
-    pairs = banded.groupby("band").map_groups(bucket_verify, batch_format="pandas")
+    pairs = banded.map_batches(add_part, batch_format="pyarrow").groupby(
+        "bpart").map_groups(bucket_verify, batch_format="pandas")
     # same pair can surface from several bands -> dedup on (d1, d2)
-    return pairs.groupby(["d1", "d2"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
-    )
+    return hash_groupby_agg(pairs, ["d1", "d2"],
+                            {"est_jaccard": ("est_jaccard", "min")})
 
 
 def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
@@ -232,17 +265,27 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
 
     banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        sims = g["simhash"].tolist()
-        rows = [
-            (ids[i], ids[j], hamming64(sims[i], sims[j]))
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-            if hamming64(sims[i], sims[j]) <= max_hamming
-        ]
+    NPART = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bpart", pa.array((band % NPART).astype(np.int64)))
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in part.groupby("band", sort=False):
+            g = g.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = g["doc_id"].tolist()
+            sims = g["simhash"].tolist()
+            rows.extend(
+                (ids[i], ids[j], hamming64(sims[i], sims[j]))
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+                if hamming64(sims[i], sims[j]) <= max_hamming
+            )
         return pd.DataFrame(rows, columns=["d1", "d2", "hamming"]).astype(np.int64)
 
-    pairs = banded.groupby("band").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["d1", "d2"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = banded.map_batches(add_part, batch_format="pyarrow").groupby(
+        "bpart").map_groups(verify, batch_format="pandas")
+    return hash_groupby_agg(pairs, ["d1", "d2"], {"hamming": ("hamming", "min")})

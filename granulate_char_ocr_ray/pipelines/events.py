@@ -1,0 +1,74 @@
+"""Event-stream pipelines: tumbling event-time windows and gap-based
+sessionization over the events table.
+
+Ray Data has no watermark/window primitives; the engine expresses
+windows as derived-key grouped aggregates (tumbling) and per-key
+ordered ``map_groups`` (sessions) — the documented pattern for
+stream-shaped workloads (SURVEY.md §2.9: the reference has no streaming
+constructs; these are graft additions). Partitioning assumption:
+sessionization requires all events of a user in one group — provided by
+the groupby(user_id) hash shuffle; within-group ordering is established
+by an explicit sort on ts inside the group function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.numeric import round_half_up
+from ..sources.storage import read_table
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windows per event_type: (event_type, hour,
+    n_events, sum_value). Partial aggregation per batch precedes the
+    (event_type, hour) groupby."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["sum_value"] = round_half_up(df["sum_value"], 2)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_minutes``. Output:
+    (user_id, n_events, n_sessions)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.array([len(g)], dtype=np.int64),
+                "n_sessions": np.array([1 + int(gaps.sum())], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

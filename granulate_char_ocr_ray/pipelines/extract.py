@@ -56,28 +56,41 @@ def extract_spans(
     docs: rd.Dataset,
     *,
     mode: str = "fused",
-    concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 1024,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int | None = None,
 ) -> rd.Dataset:
     """docs Dataset -> flat extracted span rows (unordered; order is an
     explicit column). Columns: doc_id, order, kind, text, media_ref,
-    confidence."""
+    confidence.
+
+    Default ``concurrency=(1, 8)`` is an AUTOSCALING actor pool: it can
+    run with a single actor when CPUs are scarce (a fixed-size pool equal
+    to the session CPU count starves the read stage and deadlocks small
+    sessions) and grows under load. Pass an explicit int for benchmarks.
+
+    ``batch_size=None`` (default) keeps block-sized batches: Ray fuses
+    the explode/extract/classify chain into one operator whose task
+    granularity then equals the INPUT block count — set block count at
+    the read (``override_num_blocks``) to control parallelism. Passing
+    an explicit batch_size re-batches the fused chain's INPUT rows
+    (docs, not spans), which can silently collapse parallelism."""
+    bs = {} if batch_size is None else {"batch_size": batch_size}
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
     if mode == "fused":
         return spans.map_batches(
             GlyphClassifierStage,
             batch_format="pyarrow",
-            batch_size=batch_size,
             concurrency=concurrency,
+            **bs,
         )
     if mode == "fanout":
         glyphs = spans.map_batches(segment_glyphs, batch_format="pyarrow")
         classified = glyphs.map_batches(
             GlyphFeatureClassifier,
             batch_format="pyarrow",
-            batch_size=batch_size,
             concurrency=concurrency,
+            **bs,
         )
         return _reassemble_spans(classified)
     raise ValueError(f"unknown mode {mode!r}")

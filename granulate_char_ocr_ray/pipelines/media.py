@@ -1,0 +1,93 @@
+"""Media-column pipelines: typed metadata over opaque media payloads,
+plus the anti-join pattern (docs lacking media).
+
+The decode step is the sandbox's deterministic ``glyph:`` renderer
+(functions/glyphs.decode_media_ref); a real image decoder slots into
+the same actor stage unchanged — the schema, batch plumbing and output
+layout here are the real, tested part (see the multimodal note in
+README.md / SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.glyphs import decode_media_ref
+from ..functions.image import preprocess
+from ..functions.segment import segment_projection
+from ..stages.explode import explode_spans
+from .extract import derive_docs
+
+
+class MediaDimensions:
+    """Actor stage: decode each media payload, emit typed metadata
+    (height, width, n_glyph_regions). Actor pool because a real decoder
+    holds codec state; here the prototype renderer is the stand-in."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        h, w, n = [], [], []
+        for ref in refs:
+            img = decode_media_ref(ref or "")
+            if img is None:
+                h.append(0)
+                w.append(0)
+                n.append(0)
+            else:
+                h.append(img.shape[0])
+                w.append(img.shape[1])
+                n.append(len(segment_projection(preprocess(img))))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": refs,
+                "height": pa.array(h, pa.int64()),
+                "width": pa.array(w, pa.int64()),
+                "n_glyphs": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def media_dimensions(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, media_ref, height, width, n_glyphs) for every media span
+    of the derived corpus. For the glyph renderer these dimensions are a
+    closed-form function of word length (H=64, W=32+64n+16(n-1)) — the
+    SQL oracle checks the decode plumbing end-to-end."""
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    return media.map_batches(
+        MediaDimensions, batch_format="pyarrow", concurrency=concurrency
+    ).sort("doc_id")
+
+
+def docs_without_media(sf_dir: str) -> rd.Dataset:
+    """Anti-join: doc_ids of derived docs having NO media span.
+
+    Pattern: the media-doc key set is small after aggregation ->
+    broadcast it via ray.put and filter inside map_batches (broadcast
+    anti-join; at scale substitute a Bloom filter of the key set,
+    same shape). Reference analog: missing-set difference D3,
+    extract_from_reference.py:509-511."""
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media_ids = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).unique("doc_id")
+    keys_ref = ray.put(set(media_ids))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array([d not in keys for d in ids], pa.bool_())
+        return batch.select(["doc_id"]).filter(mask)
+
+    docs = derive_docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")

@@ -55,7 +55,10 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    part = ds.map_batches(partial, batch_format="pyarrow")
+    # partials: one row per (block, key); coalesce before the shuffle so
+    # the sort-based aggregate does not pay per-block overhead at low key
+    # cardinality (6 groups)
+    part = ds.map_batches(partial, batch_format="pyarrow").repartition(4)
     agg = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
@@ -99,7 +102,7 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
 
@@ -137,7 +140,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
     )
 
@@ -167,7 +170,7 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("p_brand").aggregate(
         Sum("n_parts", alias_name="n_parts"),
         Sum("sum_price", alias_name="sum_price"),
         Max("max_size", alias_name="max_size"),

@@ -1,0 +1,91 @@
+"""Hash-partitioned grouped aggregation.
+
+Ray's built-in ``groupby().aggregate()`` is a sort-based exchange whose
+constants dominate at mid/high key cardinality (observed ~90 s for a
+150k-row two-key Min on this host vs <1 s for the same combine in
+pandas). This helper implements the classic two-phase hash aggregate on
+top of map_batches + a coarse-keyed shuffle:
+
+  1. partial combine inside each batch (pandas groupby — vectorized);
+  2. add ``_part = stable_hash(keys) % num_parts``;
+  3. shuffle on the SMALL key space ``_part`` (num_parts groups);
+  4. final combine per part (pandas groupby again).
+
+Associative ops only (sum / min / max / count). Deterministic: the
+partitioner uses pandas' value-based hashing, consistent across batches
+within a run. Scales: shuffle volume is the PARTIAL rows (one row per
+(batch, key)), and every shuffle key has ~equal load by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_FINAL_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_FNV = np.uint64(1099511628211)
+
+
+def _stable_partition(g: pd.DataFrame, keys: list[str], num_parts: int) -> np.ndarray:
+    """Explicitly deterministic multi-column partitioner.
+
+    NOT ``pd.util.hash_pandas_object`` — observed to disagree across Ray
+    worker processes for identical values, which silently splits keys
+    across partitions. Integer columns mix via multiply-xorshift; other
+    dtypes hash their string form with crc32."""
+    import zlib
+
+    h = np.zeros(len(g), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = g[k]
+            if np.issubdtype(col.dtype, np.integer):
+                vals = col.to_numpy().astype(np.uint64)
+            else:
+                vals = np.fromiter(
+                    (zlib.crc32(str(x).encode("utf-8")) for x in col),
+                    dtype=np.uint64, count=len(col),
+                )
+            vals = vals * _MIX
+            vals ^= vals >> np.uint64(32)
+            h = h * _FNV ^ vals
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def hash_groupby_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Grouped aggregate: ``aggs`` maps output column -> (input column,
+    op) with op in {'sum','min','max','count'}. Returns one row per
+    distinct key combination with columns keys + outputs."""
+    for out, (col, op) in aggs.items():
+        if op not in _FINAL_OP:
+            raise ValueError(f"unsupported op {op!r} for {out!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        named = {
+            out: pd.NamedAgg(column=col, aggfunc=("size" if op == "count" else op))
+            for out, (col, op) in aggs.items()
+        }
+        g = df.groupby(keys, as_index=False).agg(**named)
+        g["_part"] = _stable_partition(g, keys, num_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        named = {
+            out: pd.NamedAgg(column=out, aggfunc=_FINAL_OP[op])
+            for out, (_, op) in aggs.items()
+        }
+        out_df = part.groupby(keys, as_index=False).agg(**named)
+        return out_df
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(final, batch_format="pandas")

@@ -80,7 +80,7 @@ def run_extract_job(
     run_id: str | None = None,
     resume: bool = True,
     mode: str = "fused",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
     stop_after: int | None = None,
 ) -> dict:
     """Run the extraction pipeline partition-by-partition with commits.

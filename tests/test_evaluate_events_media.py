@@ -1,0 +1,132 @@
+"""Evaluation harness, event windows/sessions, media metadata —
+cross-checked against DuckDB / pure-python references on sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["events", "documents"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_char_acc_function():
+    from granulate_char_ocr_ray.pipelines.evaluate import _char_acc
+
+    assert _char_acc("ABC", "ABC") == 1.0
+    assert _char_acc("ABC", "ABD") == pytest.approx(2 / 3)
+    assert _char_acc("ABC", "CBA") == pytest.approx(1 / 3)
+    assert _char_acc("AB", "ABCD") == pytest.approx(2 / 4)
+    assert _char_acc("", "") == 1.0
+
+
+def test_ocr_char_accuracy_degraded_docs():
+    from granulate_char_ocr_ray.pipelines.evaluate import ocr_char_accuracy
+    from granulate_char_ocr_ray.synth import word_for_doc
+
+    df = ocr_char_accuracy(SF).to_pandas()
+    for r in df.itertuples():
+        d = int(r.doc_id[4:])
+        assert r.expected == word_for_doc(d)
+        if d % 7 == 0:
+            assert r.recognized == r.expected[::-1]
+        else:
+            assert r.recognized == r.expected
+            assert r.char_acc == 1.0 and r.word_acc == 1
+
+
+def test_ocr_eval_stats_consistent_with_per_doc():
+    from granulate_char_ocr_ray.pipelines.evaluate import (
+        ocr_char_accuracy,
+        ocr_eval_stats,
+    )
+
+    per_doc = ocr_char_accuracy(SF).to_pandas()
+    stats = ocr_eval_stats(SF).to_pandas()
+    assert len(stats) == 1
+    assert stats["n_docs"].iloc[0] == len(per_doc)
+    assert stats["mean_char_acc"].iloc[0] == pytest.approx(
+        per_doc["char_acc"].mean(), abs=1e-4)
+    assert stats["mean_word_acc"].iloc[0] == pytest.approx(
+        per_doc["word_acc"].mean(), abs=1e-4)
+
+
+def test_ocr_confusions_against_bruteforce():
+    from granulate_char_ocr_ray.pipelines.evaluate import (
+        ocr_char_accuracy,
+        ocr_confusions,
+    )
+
+    per_doc = ocr_char_accuracy(SF).to_pandas()
+    counts: dict[tuple[str, str], int] = {}
+    for r in per_doc.itertuples():
+        for a, b in zip(r.expected, r.recognized):
+            if a != b:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    got = ocr_confusions(SF).to_pandas()
+    got_counts = {(r.expected_char, r.recognized_char): r.n for r in got.itertuples()}
+    assert got_counts == counts
+    assert got["n"].is_monotonic_decreasing
+
+
+def test_events_hourly_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import events_hourly
+
+    got = events_hourly(SF).to_pandas()
+    want = con.sql("""
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """).df()
+    got = got.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_user_sessions_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import user_sessions
+
+    got = user_sessions(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = con.sql("""
+        WITH o AS (
+          SELECT user_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+        FROM o GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_media_dimensions_closed_form():
+    from granulate_char_ocr_ray.pipelines.media import media_dimensions
+
+    got = media_dimensions(SF).to_pandas()
+    assert (got["height"] == 64).all()
+    n = got["media_ref"].str.len() - len("glyph:")
+    assert (got["width"] == 80 * n + 16).all()
+    assert (got["n_glyphs"] == n).all()
+
+
+def test_docs_without_media_anti_join():
+    from granulate_char_ocr_ray.pipelines.media import docs_without_media
+
+    got = docs_without_media(SF).to_pandas()
+    ids = got["doc_id"].str[4:].astype(int)
+    assert (ids % 3 != 0).all()
+    import pyarrow.dataset as pads
+
+    all_ids = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id"]).column("doc_id").to_pylist()
+    expected_n = sum(1 for d in all_ids if d % 3 != 0)
+    assert len(got) == expected_n
