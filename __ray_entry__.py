@@ -158,7 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": events.user_sessions,
         # --- media metadata + anti-join ---
         "media_dimensions": media.media_dimensions,
+        "media_thumbnails": media.media_thumbnails,
         "docs_without_media": media.docs_without_media,
+        # --- deeper relational + IVF assignment ---
+        "q6_revenue": relational.q6_revenue,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "centroid_assign": similarity.centroid_assign,
     }
 
 
@@ -335,6 +340,45 @@ def oracle_sql() -> dict[str, str]:
         "docs_without_media": """
             SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id
             FROM documents WHERE doc_id % 3 != 0 ORDER BY doc_id
+        """,
+        "q6_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "centroid_assign": """
+            WITH dims AS (
+              SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                     generate_subscripts(embedding, 1) AS ord
+              FROM embeddings
+            ), cent AS (
+              SELECT label, ord, sum(val) / count(*) AS c
+              FROM dims GROUP BY 1, 2
+            ), dist AS (
+              SELECT d.vec_id, c.label AS clabel, sum((d.val - c.c) ^ 2) AS d2
+              FROM dims d JOIN cent c ON d.ord = c.ord GROUP BY 1, 2
+            ), best AS (
+              SELECT vec_id, clabel,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, clabel) AS rn
+              FROM dist
+            )
+            SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label
+            FROM best WHERE rn = 1 ORDER BY vec_id
         """,
         # no oracle_sql for: extract_docs (concat semantics), lang_id /
         # fingerprints / simhash_* / minhash_lsh_dups / ann_lsh_topk

@@ -61,10 +61,22 @@ def prototype_bitmap(letter: str) -> np.ndarray:
     return np.frombuffer(bits.encode(), dtype=np.uint8).reshape(8, 8) - ord("0")
 
 
+_TILE_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
 def render_letter_tile(letter: str, scale: int = SCALE) -> np.ndarray:
-    """Upscale the prototype to a (8*scale, 8*scale) uint8 {0,255} tile."""
-    bm = prototype_bitmap(letter)
-    return np.kron(bm * np.uint8(255), np.ones((scale, scale), dtype=np.uint8))
+    """Upscale the prototype to a (8*scale, 8*scale) uint8 {0,255} tile.
+
+    Tiles are cached per process (the hot path renders one per letter
+    per word; 26 x 64x64 = trivial memory)."""
+    key = (letter, scale)
+    tile = _TILE_CACHE.get(key)
+    if tile is None:
+        bm = prototype_bitmap(letter)
+        tile = np.kron(bm * np.uint8(255), np.ones((scale, scale), dtype=np.uint8))
+        tile.setflags(write=False)
+        _TILE_CACHE[key] = tile
+    return tile
 
 
 def render_strip(word: str, scale: int = SCALE, gap: int = GAP, margin: int = MARGIN) -> np.ndarray:

@@ -184,3 +184,108 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q6_revenue(sf_dir: str, year: str = "1997") -> rd.Dataset:
+    """TPC-H Q6 shape: single-row filtered aggregate with read-time
+    predicate pushdown (shipdate within ``year``, discount in
+    [0.05, 0.07], quantity < 24). Output: (revenue, n_rows)."""
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[
+            (df["l_shipdate"] >= pd.Timestamp(str(lo)))
+            & (df["l_shipdate"] < pd.Timestamp(str(hi)))
+            & (df["l_discount"] >= 0.05)
+            & (df["l_discount"] <= 0.07)
+            & (df["l_quantity"] < 24)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "key": [1],
+                "rev": [float((df["l_extendedprice"] * df["l_discount"]).sum())],
+                "n": [len(df)],
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
+        "key"
+    ).aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "revenue": round_half_up(df["rev"], 2),
+                "n_rows": df["n"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10) -> rd.Dataset:
+    """TPC-H Q3 shape: 3-table join via two broadcast semi-joins, then a
+    grouped revenue top-k.
+
+    customer (segment filter) -> broadcast custkey set -> orders filter
+    (semi-join, o_orderdate < cutoff) -> broadcast orderkey->orderdate
+    map -> lineitem filter (l_shipdate > cutoff) + revenue -> hash agg
+    by (l_orderkey, o_orderdate) -> top-k by rounded revenue
+    (tie-break l_orderkey). At 100TB the orderkey map becomes a
+    hash-partitioned join; the semi-join side stays a broadcast (or a
+    Bloom filter)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == segment,
+    )
+    custkeys = set(cust.column("c_custkey").to_pylist())
+    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < np.datetime64(cutoff, "us"),
+    ).to_pandas()
+    orders = orders[orders["o_custkey"].isin(custkeys)]
+    odate_ref = ray.put(dict(zip(orders["o_orderkey"], orders["o_orderdate"])))
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=pads.field("l_shipdate") > np.datetime64(cutoff, "us"),
+    )
+
+    def join_filter(batch: pa.Table) -> pa.Table:
+        odate = ray.get(odate_ref)
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] > cutoff_ts]
+        df["o_orderdate"] = df["l_orderkey"].map(odate)
+        df = df[df["o_orderdate"].notna()]
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "o_orderdate", "rev"]], preserve_index=False
+        )
+
+    joined = ds.map_batches(join_filter, batch_format="pyarrow")
+    agg = hash_groupby_agg(joined, ["l_orderkey", "o_orderdate"],
+                           {"rev": ("rev", "sum")}, num_parts=16)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = round_half_up(df["rev"], 2)
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "o_orderdate", "revenue"]], preserve_index=False
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(k)

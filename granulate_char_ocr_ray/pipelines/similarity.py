@@ -151,3 +151,33 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
     dim_cols = [c for c in part.schema().names if c.startswith("s")]
     aggs = [Sum(c, alias_name=c) for c in dim_cols] + [Sum("n", alias_name="n")]
     return part.groupby("label").aggregate(*aggs)
+
+
+def centroid_assign(sf_dir: str) -> rd.Dataset:
+    """IVF-style assignment: each embedding -> nearest per-label
+    centroid (euclidean; ties broken by smaller label). Centroids come
+    from the distributed partial-sum aggregate (label_centroids) and are
+    broadcast to the assignment stage — the two halves of an IVF index
+    build. Output: (vec_id, assigned_label)."""
+    cent = label_centroids(sf_dir).to_pandas().sort_values("label")
+    labels = cent["label"].to_numpy()
+    dim_cols = sorted(
+        (c for c in cent.columns if c.startswith("s")), key=lambda c: int(c[1:])
+    )
+    centroids = cent[dim_cols].to_numpy() / cent["n"].to_numpy()[:, None]
+    ref = ray.put((labels, centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, cents = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        # squared euclidean distance to every centroid, argmin
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": ids.astype(np.int64),
+                "assigned_label": labs[best].astype(np.int64),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow").sort("vec_id")

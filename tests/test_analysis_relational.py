@@ -118,3 +118,33 @@ def test_top_event_types(con):
     """).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+def test_q6_revenue(con):
+    from granulate_char_ocr_ray.pipelines.relational import q6_revenue
+
+    _check(q6_revenue(SF), """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """, con)
+
+
+def test_q3_shipping_priority(con):
+    from granulate_char_ocr_ray.pipelines.relational import q3_shipping_priority
+
+    got = q3_shipping_priority(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

@@ -124,3 +124,43 @@ def test_label_centroids_counts():
     assert sorted(got["label"]) == sorted(counts.index)
     for r in got.itertuples():
         assert r.n == counts[r.label]
+
+
+def test_centroid_assign_matches_bruteforce():
+    from granulate_char_ocr_ray.pipelines.similarity import centroid_assign
+
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table()
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    uniq = np.sort(np.unique(labels))
+    cents = np.stack([mat[labels == u].mean(axis=0) for u in uniq])
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = uniq[d2.argmin(axis=1)]
+    got = centroid_assign(SF).to_pandas().sort_values("vec_id")
+    order = np.argsort(ids)
+    assert got["assigned_label"].to_numpy().tolist() == want[order].tolist()
+
+
+def test_media_thumbnails_deterministic():
+    from granulate_char_ocr_ray.pipelines.media import MediaResize, media_thumbnails
+
+    got = media_thumbnails(SF).to_pandas()
+    assert len(got) > 0
+    import pyarrow as pa
+
+    # same payload -> same hash through the raw stage
+    stage = MediaResize()
+    batch = pa.Table.from_pydict(
+        {"doc_id": ["a", "b"], "media_ref": ["glyph:ABC", "glyph:ABC"]})
+    out = stage(batch).to_pandas()
+    assert out["thumb_hash"].iloc[0] == out["thumb_hash"].iloc[1]
+
+
+def test_frame_sample_stub_raises():
+    import pytest as _pytest
+
+    from granulate_char_ocr_ray.pipelines.media import frame_sample
+
+    with _pytest.raises(NotImplementedError):
+        frame_sample("video:xyz")
