@@ -1,0 +1,48 @@
+"""stages/hashagg.hash_groupby_agg — exactness against pandas at high
+key cardinality and across dtypes. This guards the regression where a
+nondeterministic partitioner silently split keys across partitions."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from granulate_char_ocr_ray.stages.hashagg import hash_groupby_agg
+
+
+def test_two_key_count_high_cardinality():
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "d1": rng.randint(0, 5000, 100000).astype(np.int64),
+        "d2": rng.randint(0, 7, 100000).astype(np.int64),
+    })
+    truth = df.groupby(["d1", "d2"]).size()
+    ds = rd.from_pandas(df).repartition(16)
+    got = hash_groupby_agg(ds, ["d1", "d2"], {"n": ("d1", "count")}).to_pandas()
+    assert len(got) == len(truth)
+    m = got.set_index(["d1", "d2"])["n"]
+    assert int((truth.sub(m, fill_value=0) != 0).sum()) == 0
+
+
+def test_string_keys_min_max_sum():
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame({
+        "k": rng.choice(["alpha", "beta", "gamma", "delta"], 20000),
+        "v": rng.randint(0, 1000, 20000).astype(np.int64),
+    })
+    truth = df.groupby("k")["v"].agg(["min", "max", "sum"])
+    ds = rd.from_pandas(df).repartition(8)
+    got = hash_groupby_agg(
+        ds, ["k"],
+        {"mn": ("v", "min"), "mx": ("v", "max"), "s": ("v", "sum")},
+    ).to_pandas().set_index("k").sort_index()
+    assert got["mn"].tolist() == truth["min"].tolist()
+    assert got["mx"].tolist() == truth["max"].tolist()
+    assert got["s"].tolist() == truth["sum"].tolist()
+
+
+def test_unsupported_op_raises():
+    import pytest
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    with pytest.raises(ValueError):
+        hash_groupby_agg(ds, ["k"], {"m": ("v", "median")})
