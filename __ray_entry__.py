@@ -164,6 +164,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": relational.q6_revenue,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "centroid_assign": similarity.centroid_assign,
+        # --- distinct / window-rank / quantiles / as-of ---
+        "distinct_langs": analysis.distinct_langs,
+        "top_parts_per_brand": relational.top_parts_per_brand,
+        "quantity_deciles": relational.quantity_deciles,
+        "purchases_prev_click": events.purchases_with_prev_click,
     }
 
 
@@ -359,6 +364,33 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-01-01'
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part
+            ) WHERE rn <= 2
+            ORDER BY p_brand, p_retailprice DESC, p_partkey
+        """,
+        "quantity_deciles": """
+            SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+                   unnest(quantile_disc(l_quantity,
+                          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
+            FROM lineitem
+        """,
+        "purchases_prev_click": """
+            SELECT event_id, user_id, prev_click_value FROM (
+              SELECT event_id, user_id, event_type,
+                     LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_click_value
+              FROM events
+            ) WHERE event_type = 'purchase' ORDER BY event_id
         """,
         "centroid_assign": """
             WITH dims AS (

@@ -142,3 +142,10 @@ def length_histogram(sf_dir: str, bucket: int = 50) -> rd.Dataset:
 
     ds = _docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pyarrow")
     return ds.repartition(4).groupby("bucket_lo").aggregate(Sum("n", alias_name="n_docs"))
+
+
+def distinct_langs(sf_dir: str) -> pa.Table:
+    """Distinct values of one column via Dataset.unique (shuffle-backed
+    distinct). Returned as a one-column Arrow table sorted ascending."""
+    vals = _docs(sf_dir, ["lang"]).unique("lang")
+    return pa.Table.from_pydict({"lang": sorted(v for v in vals if v is not None)})

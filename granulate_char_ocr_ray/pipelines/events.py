@@ -72,3 +72,26 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def purchases_with_prev_click(sf_dir: str) -> rd.Dataset:
+    """AS-OF join within the events stream: for every 'purchase' event,
+    the value of the same user's latest STRICTLY PRIOR 'click' event
+    (null if none). Implemented as groupby(user_id) + per-group ordered
+    forward-fill — the partitioned as-of join pattern; ordering is
+    (ts, event_id) so ties are deterministic. Output: (event_id,
+    user_id, prev_click_value)."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g["value"].where(g["event_type"] == "click")
+        prev = clicks.shift(1).ffill()
+        out = g[g["event_type"] == "purchase"].copy()
+        out["prev_click_value"] = prev[out.index]
+        return out[["event_id", "user_id", "prev_click_value"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort(
+        "event_id"
+    )

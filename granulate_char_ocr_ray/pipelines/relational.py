@@ -289,3 +289,60 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     return agg.map_batches(final, batch_format="pyarrow").sort(
         ["revenue", "l_orderkey"], descending=[True, False]
     ).limit(k)
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 2) -> rd.Dataset:
+    """Grouped top-k (window-rank shape): the k most expensive parts per
+    brand, ties broken by p_partkey. groupby(brand) -> per-group sorted
+    head inside map_groups — the distributed equivalent of
+    row_number() OVER (PARTITION BY brand ORDER BY price DESC)."""
+    ds = read_table(f"{sf_dir}/part.parquet",
+                    columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(k)
+        return g[["p_brand", "p_partkey", "p_retailprice"]]
+
+    return ds.groupby("p_brand").map_groups(top, batch_format="pandas").sort(
+        ["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False]
+    )
+
+
+def quantity_deciles(sf_dir: str) -> rd.Dataset:
+    """Exact discrete quantiles of l_quantity via a distributed value
+    histogram: per-batch value counts -> hash-aggregated global counts
+    -> rank selection (rank = ceil(q * n), DuckDB quantile_disc
+    semantics). Exact for any column with bounded distinct values; for
+    continuous columns at scale this becomes a KLL/t-digest sketch."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    hist = hash_groupby_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["l_quantity"], {"c": ("c", "sum")}, num_parts=8,
+    ).repartition(1)
+
+    def select(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("l_quantity")
+        cum = df["c"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        vals = df["l_quantity"].to_numpy()
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            idx = int(np.searchsorted(cum, rank))
+            out_q.append(q)
+            out_v.append(float(vals[idx]))
+        return pa.Table.from_pydict(
+            {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+        )
+
+    return hist.map_batches(select, batch_format="pyarrow")

@@ -148,3 +148,37 @@ def test_q3_shipping_priority(con):
         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_distinct_langs(con):
+    from granulate_char_ocr_ray.pipelines.analysis import distinct_langs
+
+    got = distinct_langs(SF).to_pandas()
+    want = con.sql("SELECT DISTINCT lang FROM documents ORDER BY lang").df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_top_parts_per_brand(con):
+    from granulate_char_ocr_ray.pipelines.relational import top_parts_per_brand
+
+    got = top_parts_per_brand(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT p_brand, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) WHERE rn <= 2
+        ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_quantity_deciles(con):
+    from granulate_char_ocr_ray.pipelines.relational import quantity_deciles
+
+    _check(quantity_deciles(SF), """
+        SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+               unnest(quantile_disc(l_quantity,
+                      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
+        FROM lineitem
+    """, con)

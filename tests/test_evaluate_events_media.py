@@ -130,3 +130,21 @@ def test_docs_without_media_anti_join():
         columns=["doc_id"]).column("doc_id").to_pylist()
     expected_n = sum(1 for d in all_ids if d % 3 != 0)
     assert len(got) == expected_n
+
+
+def test_purchases_prev_click_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import purchases_with_prev_click
+
+    got = purchases_with_prev_click(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT event_id, user_id, prev_click_value FROM (
+          SELECT event_id, user_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_click_value
+          FROM events
+        ) WHERE event_type = 'purchase' ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
