@@ -119,6 +119,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spans = extract.extract_spans(extract.derive_docs(sf_dir))
         return extract.reassemble_docs(spans).sort("doc_id")
 
+    def extract_docs_text(sf_dir: str):
+        # reassembled per-doc text only (the SQL-checkable projection of
+        # extract_docs; confidence is an engine-side float excluded here)
+        spans = extract.extract_spans(extract.derive_docs(sf_dir))
+        docs = extract.reassemble_docs(spans)
+        return docs.select_columns(["doc_id", "text", "n_spans"]).sort("doc_id")
+
     return {
         # --- extraction engine (flagship) ---
         "extract_spans": extract_spans,
@@ -127,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_extract": html_main_extract,
         "pdf_layout_extract": pdf_layout_extract,
         "extract_docs": extract_docs,
+        "extract_docs_text": extract_docs_text,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, threshold=0.8),
@@ -188,6 +196,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
             f"{_NORM} AS text FROM documents ORDER BY doc_id"
         ),
+        "extract_docs_text": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ' ||
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ' ||
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ' ||
+                     translate(CAST(doc_id AS VARCHAR), '0123456789', 'ABCDEFGHIJ')
+                   ELSE
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ' ||
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' ' ||
+                     trim(regexp_replace(text, '\s+', ' ', 'g'))
+                   END AS text,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_spans
+            FROM documents ORDER BY doc_id
+        """,
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
@@ -376,7 +399,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p_brand, p_retailprice DESC, p_partkey
         """,
         "quantity_deciles": """
-            SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+            SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+                                AS DOUBLE[])) AS q,
                    unnest(quantile_disc(l_quantity,
                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
             FROM lineitem

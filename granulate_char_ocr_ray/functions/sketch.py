@@ -2,6 +2,13 @@
 SimHash, exact Jaccard. Deterministic (fixed-seed hash parameters),
 vectorized NumPy; shared by the distributed pipelines and the pytest
 brute-force cross-checks.
+
+Algorithms follow the published formulations: MinHash resemblance
+estimation (Broder, "On the resemblance and containment of documents",
+1997), banded LSH for near-duplicate candidate generation (Indyk &
+Motwani 1998; banding analysis as in Mining of Massive Datasets ch. 3),
+and SimHash random-hyperplane fingerprints (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002).
 """
 
 from __future__ import annotations

@@ -75,3 +75,22 @@ def test_order_restoration_under_rotation():
     for _, g in got.groupby("doc_id"):
         assert g["order"].tolist() == sorted(g["order"].tolist())
         assert g["order"].tolist() == list(range(len(g)))
+
+
+def test_random_sample_and_split():
+    """O5 sampling coverage: seeded random_sample bounds + split
+    disjointness (training-only ops in the reference,
+    train_cnn_model.py:334-340)."""
+    import ray.data as rd
+
+    from granulate_char_ocr_ray import synth
+
+    ds = rd.from_arrow(synth.docs_interleaved(100))
+    sampled = ds.random_sample(0.3, seed=42)
+    n = sampled.count()
+    assert 10 <= n <= 60  # loose binomial bounds
+    train, test = ds.train_test_split(test_size=0.25, seed=7)
+    assert train.count() + test.count() == 100
+    train_ids = set(train.to_pandas()["doc_id"])
+    test_ids = set(test.to_pandas()["doc_id"])
+    assert not (train_ids & test_ids)

@@ -47,8 +47,10 @@ def main() -> int:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=16, include_dashboard=False,
-                 logging_level="ERROR")
+        import os
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("PARITY_CPUS", "16")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
