@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": relational.q6_revenue,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "centroid_assign": similarity.centroid_assign,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        "customers_per_region": relational.customers_per_region,
         # --- distinct / window-rank / quantiles / as-of ---
         "distinct_langs": analysis.distinct_langs,
         "top_parts_per_brand": relational.top_parts_per_brand,
@@ -387,6 +389,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-01-01'
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customers_per_region": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
         "top_parts_per_brand": """

@@ -346,3 +346,64 @@ def quantity_deciles(sf_dir: str) -> rd.Dataset:
         )
 
     return hist.map_batches(select, batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str) -> rd.Dataset:
+    """Supplier account balances per nation (broadcast dim join +
+    partial sums). Output: (n_name, n_suppliers, total_acctbal)."""
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = read_table(f"{sf_dir}/supplier.parquet",
+                    columns=["s_nationkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["s_nationkey"].map(lookup)
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
+        "n_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("total_acctbal", alias_name="total_acctbal"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_suppliers"] = df["n_suppliers"].astype(np.int64)
+        df["total_acctbal"] = round_half_up(df["total_acctbal"], 2)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def customers_per_region(sf_dir: str) -> rd.Dataset:
+    """Customer counts per region: two chained broadcast dimension
+    joins (customer -> nation -> region). Output: (r_name, n_customers)."""
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+    ds = read_table(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["c_nationkey"].map(lookup)
+        g = df.groupby("r_name", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_customers"}), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
+        "r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_customers"] = df["n_customers"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -182,3 +182,23 @@ def test_quantity_deciles(con):
                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
         FROM lineitem
     """, con)
+
+
+def test_supplier_balance_by_nation(con):
+    from granulate_char_ocr_ray.pipelines.relational import supplier_balance_by_nation
+
+    _check(supplier_balance_by_nation(SF), """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+    """, con)
+
+
+def test_customers_per_region(con):
+    from granulate_char_ocr_ray.pipelines.relational import customers_per_region
+
+    _check(customers_per_region(SF), """
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
+    """, con)
