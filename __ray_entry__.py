@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_assign": similarity.centroid_assign,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "customers_per_region": relational.customers_per_region,
+        "embedding_cosine_dups": similarity.embedding_cosine_dups,
+        "filter_quality": analysis.filter_quality,
+        "top_tokens": analysis.top_tokens,
         # --- distinct / window-rank / quantiles / as-of ---
         "distinct_langs": analysis.distinct_langs,
         "top_parts_per_brand": relational.top_parts_per_brand,
@@ -401,6 +404,29 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "embedding_cosine_dups": """
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "filter_quality": """
+            SELECT doc_id FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20
+              AND CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                  / length(text) <= 0.3
+              AND trim(text) != ''
+            ORDER BY doc_id
+        """,
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) != ''
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
         "top_parts_per_brand": """

@@ -149,3 +149,48 @@ def distinct_langs(sf_dir: str) -> pa.Table:
     distinct). Returned as a one-column Arrow table sorted ascending."""
     vals = _docs(sf_dir, ["lang"]).unique("lang")
     return pa.Table.from_pydict({"lang": sorted(v for v in vals if v is not None)})
+
+
+def filter_quality(sf_dir: str, min_tokens: int = 20,
+                   max_upper_ratio: float = 0.3) -> rd.Dataset:
+    """Corpus quality filter: doc_ids passing minimum-token-count and
+    maximum-uppercase-ratio gates (vectorized per-batch predicate —
+    the filter stage of a training-data pipeline)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        out = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            t = t or ""
+            toks = t.split()
+            if len(toks) < min_tokens:
+                continue
+            n = len(t)
+            if n and len(_re.findall(r"[A-Z]", t)) / n > max_upper_ratio:
+                continue
+            out.append(d)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow").sort("doc_id")
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Corpus token frequencies, top-k: explode whitespace tokens ->
+    two-phase hash aggregate -> global top-k (ties broken by token)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend((t or "").split())
+        return pa.Table.from_pydict({"token": pa.array(toks, pa.string())})
+
+    tokens = _docs(sf_dir, ["text"]).map_batches(explode_tokens,
+                                                 batch_format="pyarrow")
+    counts = hash_groupby_agg(tokens, ["token"], {"n": ("token", "count")},
+                              num_parts=16)
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)

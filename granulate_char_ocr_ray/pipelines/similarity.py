@@ -181,3 +181,47 @@ def centroid_assign(sf_dir: str) -> rd.Dataset:
         )
 
     return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs: (v1, v2, cos_sim) with
+    v1 < v2 and similarity >= threshold.
+
+    Exact path: the normalized matrix is broadcast once (ray.put) and
+    each batch computes a (batch x corpus) matmul, emitting only its
+    upper-triangle hits — O(n^2) work but O(n*d) shuffle. At 100TB the
+    broadcast side becomes SRP-LSH buckets (srp_code) so only
+    same-bucket blocks multiply; this exact form is the verification
+    oracle for that path."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    all_ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((all_ids, mat / norms[:, None]))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, normed = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        bn = np.linalg.norm(m, axis=1)
+        bn[bn == 0] = 1.0
+        cos = (m / bn[:, None]) @ normed.T
+        # threshold on the RAW similarity (matches the SQL oracle's
+        # pre-round WHERE clause); round only the emitted value
+        mask = (cos >= threshold) & (ids[:, None] < ids_all[None, :])
+        bi, cj = np.nonzero(mask)
+        cos = round_half_up(cos, 4)
+        return pa.Table.from_pydict(
+            {
+                "v1": ids[bi].astype(np.int64),
+                "v2": ids_all[cj].astype(np.int64),
+                "cos_sim": cos[bi, cj],
+            },
+            schema=pa.schema([("v1", pa.int64()), ("v2", pa.int64()),
+                              ("cos_sim", pa.float64())]),
+        )
+
+    return _embeddings(sf_dir).map_batches(pairs, batch_format="pyarrow")

@@ -202,3 +202,31 @@ def test_customers_per_region(con):
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
     """, con)
+
+
+def test_filter_quality(con):
+    from granulate_char_ocr_ray.pipelines.analysis import filter_quality
+
+    got = filter_quality(SF).to_pandas()
+    want = con.sql("""
+        SELECT doc_id FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+          AND CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+              / length(text) <= 0.3 AND trim(text) != ''
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_top_tokens(con):
+    from granulate_char_ocr_ray.pipelines.analysis import top_tokens
+
+    got = top_tokens(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE trim(text) != ''
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

@@ -164,3 +164,20 @@ def test_frame_sample_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         frame_sample("video:xyz")
+
+
+def test_embedding_cosine_dups_matches_bruteforce():
+    from granulate_char_ocr_ray.pipelines.similarity import embedding_cosine_dups
+
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table()
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = n @ n.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = cos[iu, ju] >= 0.4
+    want = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i, j in zip(iu[keep], ju[keep])}
+    got_df = embedding_cosine_dups(SF, threshold=0.4).to_pandas()
+    got = {(r.v1, r.v2) for r in got_df.itertuples()}
+    assert got == want
