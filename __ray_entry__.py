@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_assign": similarity.centroid_assign,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "customers_per_region": relational.customers_per_region,
+        "order_item_totals": relational.order_item_totals,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "filter_quality": analysis.filter_quality,
         "top_tokens": analysis.top_tokens,
@@ -404,6 +405,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "order_item_totals": """
+            SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 2) AS items_value
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_totalprice
         """,
         "embedding_cosine_dups": """
             SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -407,3 +407,64 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def order_item_totals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Large-large partitioned hash join: orders JOIN lineitem on
+    orderkey with NO broadcast side.
+
+    Both tables are tagged with ``bucket = orderkey % num_buckets`` and
+    a side marker, unioned, shuffled once on the SMALL bucket key space,
+    and joined per bucket with a vectorized pandas merge — the explicit
+    partitioned hash-join pattern for two tables that both exceed
+    broadcast size (skewed orderkeys would be salted into sub-buckets).
+    Output: (o_orderkey, o_totalprice, n_items, items_value)."""
+    import ray.data as rd_mod
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": (key % num_buckets).astype(np.int64),
+                "key": key.astype(np.int64),
+                "price": batch.column("o_totalprice"),
+                "is_order": pa.array(np.ones(len(key), dtype=bool)),
+            }
+        )
+
+    def tag_items(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": (key % num_buckets).astype(np.int64),
+                "key": key.astype(np.int64),
+                "price": batch.column("l_extendedprice"),
+                "is_order": pa.array(np.zeros(len(key), dtype=bool)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_order"]]
+        l = g[~g["is_order"]]
+        agg = l.groupby("key", as_index=False).agg(
+            n_items=("price", "size"), items_value=("price", "sum"))
+        m = o.merge(agg, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["key"].astype(np.int64),
+                "o_totalprice": m["price"],
+                "n_items": m["n_items"].astype(np.int64),
+                "items_value": round_half_up(m["items_value"], 2),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")

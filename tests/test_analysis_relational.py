@@ -230,3 +230,14 @@ def test_top_tokens(con):
         ) GROUP BY token ORDER BY n DESC, token LIMIT 20
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_order_item_totals(con):
+    from granulate_char_ocr_ray.pipelines.relational import order_item_totals
+
+    _check(order_item_totals(SF), """
+        SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice), 2) AS items_value
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_totalprice
+    """, con)
