@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": relational.top_parts_per_brand,
         "quantity_deciles": relational.quantity_deciles,
         "purchases_prev_click": events.purchases_with_prev_click,
+        "clicks_before_purchase": events.clicks_before_purchase,
     }
 
 
@@ -451,6 +452,15 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(l_quantity,
                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
             FROM lineitem
+        """,
+        "clicks_before_purchase": """
+            SELECT e.event_id, e.user_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+            FROM events e
+            LEFT JOIN events c
+              ON c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts > e.ts - INTERVAL 60 MINUTE AND c.ts <= e.ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.event_id, e.user_id ORDER BY e.event_id
         """,
         "purchases_prev_click": """
             SELECT event_id, user_id, prev_click_value FROM (

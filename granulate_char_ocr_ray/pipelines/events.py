@@ -95,3 +95,32 @@ def purchases_with_prev_click(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort(
         "event_id"
     )
+
+
+def clicks_before_purchase(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
+    """Range join within the events stream: for each 'purchase', the
+    number of the same user's 'click' events in the half-open window
+    (ts - window, ts]. Partitioned by user (groupby shuffle); inside a
+    group the range probe is two vectorized searchsorted calls on the
+    sorted click timestamps. Output: (event_id, user_id, n_clicks)."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = np.sort(g.loc[g["event_type"] == "click", "ts"].to_numpy())
+        p = g[g["event_type"] == "purchase"]
+        upper = p["ts"].to_numpy()
+        lower = upper - np.timedelta64(window_minutes, "m")
+        n = (np.searchsorted(clicks, upper, side="right")
+             - np.searchsorted(clicks, lower, side="right"))
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype(np.int64),
+                "user_id": p["user_id"].astype(np.int64),
+                "n_clicks": n.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(probe, batch_format="pandas").sort(
+        "event_id"
+    )

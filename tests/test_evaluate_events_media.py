@@ -148,3 +148,19 @@ def test_purchases_prev_click_matches_duckdb(con):
         ) WHERE event_type = 'purchase' ORDER BY event_id
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_clicks_before_purchase_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import clicks_before_purchase
+
+    got = clicks_before_purchase(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT e.event_id, e.user_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click'
+         AND c.ts > e.ts - INTERVAL 60 MINUTE AND c.ts <= e.ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.event_id, e.user_id ORDER BY e.event_id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
