@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_up
 from ..functions.textstats import fingerprint64, lang_id, quality_features

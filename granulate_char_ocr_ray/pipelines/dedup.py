@@ -29,7 +29,6 @@ import ray.data as rd
 from ..stages.hashagg import hash_groupby_agg
 
 from ..functions.sketch import (
-    estimate_jaccard,
     lsh_band_keys,
     minhash_signature,
     shingle_hashes,

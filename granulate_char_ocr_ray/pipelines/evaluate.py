@@ -17,7 +17,6 @@ oracle (the classifier is perfect on clean strips by construction).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum

@@ -419,8 +419,6 @@ def order_item_totals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     partitioned hash-join pattern for two tables that both exceed
     broadcast size (skewed orderkeys would be salted into sub-buckets).
     Output: (o_orderkey, o_totalprice, n_items, items_value)."""
-    import ray.data as rd_mod
-
     orders = read_table(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_totalprice"])
     items = read_table(f"{sf_dir}/lineitem.parquet",
