@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "filter_quality": analysis.filter_quality,
         "top_tokens": analysis.top_tokens,
+        "approx_distinct_tokens": analysis.approx_distinct_tokens,
         # --- distinct / window-rank / quantiles / as-of ---
         "distinct_langs": analysis.distinct_langs,
         "top_parts_per_brand": relational.top_parts_per_brand,

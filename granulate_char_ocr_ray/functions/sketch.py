@@ -126,3 +126,58 @@ def simhash_band_keys(sim: int, bands: int = 4) -> list[int]:
     u = int(sim) & ((1 << 64) - 1)
     mask = (1 << width) - 1
     return [(i << 56) | ((u >> (i * width)) & mask) for i in range(bands)]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 12            # 4096 registers -> ~1.6% standard error
+_HLL_M = 1 << HLL_P
+
+
+def hll_create() -> np.ndarray:
+    """Empty HLL register array (uint8[4096])."""
+    return np.zeros(_HLL_M, dtype=np.uint8)
+
+
+def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold uint64 hashes into the registers (vectorized; in place)."""
+    if len(hashes) == 0:
+        return registers
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(HLL_P)
+    # rank = leading zeros of the remaining 64-P bits, +1 (capped)
+    rank = np.zeros(len(hashes), dtype=np.uint8)
+    mask = np.ones(len(hashes), dtype=bool)
+    cur = rest.copy()
+    for _ in range(64 - HLL_P + 1):
+        top = (cur >> np.uint64(63)) & np.uint64(1)
+        stop = mask & (top == 1)
+        rank[stop] = rank[stop] + 1
+        cont = mask & (top == 0)
+        rank[cont] += 1
+        mask = cont
+        cur = cur << np.uint64(1)
+        if not mask.any():
+            break
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge two sketches (element-wise max) — the associative combine
+    that makes HLL shuffle-free: one sketch per batch, max-merged."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -194,3 +194,38 @@ def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     counts = hash_groupby_agg(tokens, ["token"], {"n": ("token", "count")},
                               num_parts=16)
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def approx_distinct_tokens(sf_dir: str) -> pa.Table:
+    """Approximate distinct-token count via a mergeable HyperLogLog
+    sketch: one 4 KiB sketch per batch, max-merged on the driver — the
+    shuffle-free cardinality pattern (vs an exact distinct's full
+    all-to-all). ~1.6% standard error at p=12. Output: one row
+    (approx_distinct, exact-checkable only in tests)."""
+    import zlib as _z
+
+    from ..functions.sketch import (
+        hll_add_hashes,
+        hll_create,
+        hll_estimate,
+        hll_merge,
+    )
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        regs = hll_create()
+        hashes = []
+        for t in batch.column("text").to_pylist():
+            for tok in (t or "").split():
+                b = tok.encode()
+                hashes.append((_z.crc32(b) << 32) | _z.crc32(b, 0x51ED2701))
+        hll_add_hashes(regs, np.array(hashes, dtype=np.uint64))
+        return pa.Table.from_pydict({"sketch": [regs.tobytes()]})
+
+    sketches = _docs(sf_dir, ["text"]).map_batches(
+        sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = hll_create()
+    for blob in sketches["sketch"]:
+        merged = hll_merge(merged, np.frombuffer(blob, dtype=np.uint8))
+    return pa.Table.from_pydict(
+        {"approx_distinct": pa.array([int(round(hll_estimate(merged)))],
+                                     pa.int64())})

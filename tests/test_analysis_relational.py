@@ -241,3 +241,42 @@ def test_order_item_totals(con):
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderkey, o_totalprice
     """, con)
+
+
+def test_approx_distinct_tokens_within_error(con):
+    from granulate_char_ocr_ray.pipelines.analysis import approx_distinct_tokens
+
+    got = approx_distinct_tokens(SF).to_pandas()["approx_distinct"].iloc[0]
+    exact = con.sql("""
+        SELECT count(DISTINCT token) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE trim(text) != '')
+    """).df().iloc[0, 0]
+    assert abs(got - exact) <= max(3, 0.1 * exact)
+
+
+def test_hll_accuracy_large_cardinality():
+    import numpy as np
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        hll_add_hashes,
+        hll_create,
+        hll_estimate,
+        hll_merge,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 50000
+    # full 64-bit hashes (two 32-bit halves); a 63-bit space would leave
+    # half the HLL index range empty
+    hashes = (rng.randint(0, 2**32, size=n, dtype=np.uint64) << np.uint64(32)) \
+        | rng.randint(0, 2**32, size=n, dtype=np.uint64)
+    distinct = len(np.unique(hashes))
+    # split across 10 "batches" and merge
+    merged = hll_create()
+    for chunk in np.array_split(hashes, 10):
+        r = hll_create()
+        hll_add_hashes(r, chunk)
+        merged = hll_merge(merged, r)
+    est = hll_estimate(merged)
+    assert abs(est - distinct) / distinct < 0.05
