@@ -111,6 +111,8 @@ def decode_media_ref(media_ref: str) -> np.ndarray | None:
     imaging library in this environment; this function is the seam where
     it plugs in.
     """
+    if not media_ref:
+        return None   # empty/null payload -> empty result, never a crash
     if media_ref.startswith(MEDIA_PREFIX):
         word = media_ref[len(MEDIA_PREFIX):]
         if all(c in PROTOTYPE_HASHES for c in word):

@@ -28,11 +28,15 @@ def char_shingles(text: str, k: int = 3) -> set[str]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Sorted distinct uint64 base-hashes of the k-gram set (crc32-pair)."""
+    """Sorted distinct uint64 base-hashes of the k-gram set (blake2b;
+    a crc32-pair construction only carries 32 bits per length class —
+    crc is affine in its init — so it is not used here)."""
+    import hashlib
+
     out = set()
     for s in char_shingles(text, k):
-        b = s.encode("utf-8")
-        out.add((zlib.crc32(b) << 32) | zlib.crc32(b, 0xABCD1234))
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+        out.add(int.from_bytes(d, "little"))
     return np.array(sorted(out), dtype=np.uint64)
 
 
@@ -90,12 +94,16 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def token_hashes(text: str) -> np.ndarray:
-    """uint64 hash per (non-distinct) lowercase whitespace token."""
+    """uint64 hash per (non-distinct) lowercase whitespace token
+    (blake2b — see shingle_hashes for why not a crc32 pair)."""
+    import hashlib
+
     toks = text.lower().split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
     return np.array(
-        [(zlib.crc32(t.encode()) << 32) | zlib.crc32(t.encode(), 0x9E3779B9)
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little")
          for t in toks],
         dtype=np.uint64,
     )

@@ -97,8 +97,13 @@ def fingerprint64(text: str) -> int:
 
 
 def crc64(text: str) -> int:
-    """Fast stable 64-bit content hash (two independent crc32 halves)."""
-    data = text.encode("utf-8")
-    hi = zlib.crc32(data)
-    lo = zlib.crc32(data, 0xDEADBEEF)
-    return int(np.uint64(np.uint64(hi) << np.uint64(32) | np.uint64(lo)).astype(np.int64))
+    """Stable 64-bit content hash (blake2b, 8-byte digest).
+
+    NOT a pair of crc32s: crc32(d) ^ crc32(d, alt_init) is CONSTANT for
+    same-length inputs (crc is affine in the init), so a crc32-pair
+    "64-bit" hash carries only 32 bits of entropy per length class —
+    found in review; blake2b gives genuine 64-bit collision behavior."""
+    import hashlib
+
+    digest = hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest()
+    return int(np.frombuffer(digest, dtype=np.uint64)[0].view(np.int64))

@@ -54,9 +54,11 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
                 "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
                 "n_tokens": pa.array([f["n_tokens"] for f in feats], pa.int64()),
                 "digit_ratio": pa.array(
-                    [round(f["digit_ratio"], 4) for f in feats], pa.float64()),
+                    [float(round_half_up(f["digit_ratio"], 4)) for f in feats],
+                    pa.float64()),
                 "upper_ratio": pa.array(
-                    [round(f["upper_ratio"], 4) for f in feats], pa.float64()),
+                    [float(round_half_up(f["upper_ratio"], 4)) for f in feats],
+                    pa.float64()),
             }
         )
 
@@ -72,7 +74,8 @@ def lang_id_scores(sf_dir: str) -> rd.Dataset:
             {
                 "doc_id": batch.column("doc_id"),
                 "pred_lang": pa.array([p[0] for p in preds], pa.string()),
-                "score": pa.array([round(p[1], 4) for p in preds], pa.float64()),
+                "score": pa.array([float(round_half_up(p[1], 4)) for p in preds],
+                                  pa.float64()),
             }
         )
 
@@ -158,17 +161,11 @@ def filter_quality(sf_dir: str, min_tokens: int = 20,
     the filter stage of a training-data pipeline)."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        import re as _re
-
         out = []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            t = t or ""
-            toks = t.split()
-            if len(toks) < min_tokens:
-                continue
-            n = len(t)
-            if n and len(_re.findall(r"[A-Z]", t)) / n > max_upper_ratio:
+            f = quality_features(t or "")
+            if f["n_tokens"] < min_tokens or f["upper_ratio"] > max_upper_ratio:
                 continue
             out.append(d)
         return pa.Table.from_pydict(

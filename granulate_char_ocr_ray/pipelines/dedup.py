@@ -79,13 +79,15 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         g_doc, g_gram = [], []
-        sizes_doc, sizes_n = [], []
         for d, t in zip(doc_ids, texts):
-            hs = shingle_hashes(t or "", k)
+            t = t or ""
+            if len(t) < k:
+                # docs shorter than the shingle width have no k-grams —
+                # matches the SQL oracle's length(text) >= k filter
+                continue
+            hs = shingle_hashes(t, k)
             g_doc.extend([d] * len(hs))
             g_gram.extend(int(h) for h in hs.view(np.int64))
-            sizes_doc.append(d)
-            sizes_n.append(len(hs))
         return pa.Table.from_pydict(
             {"doc_id": g_doc, "gram": g_gram},
             schema=pa.schema([("doc_id", pa.int64()), ("gram", pa.int64())]),

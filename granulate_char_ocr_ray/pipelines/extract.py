@@ -16,7 +16,11 @@ Two classifier topologies:
   ``groupby(span_key)`` restores span text. Use when single media spans
   are themselves huge (north-rule skew path).
 
-Both produce identical results (tests/test_invariant.py).
+Both produce identical results (tests/test_invariant.py) under the
+schema precondition that span ``offset`` values are unique within a
+document (fanout reassembly keys on (doc_id, order); two MEDIA spans
+sharing an offset would merge there while fused mode keeps them
+separate — duplicate offsets are malformed input).
 """
 
 from __future__ import annotations

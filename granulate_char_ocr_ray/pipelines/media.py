@@ -88,8 +88,13 @@ class MediaResize:
                 continue
             thumb = resize_area(img, self.out_h, self.out_w)
             bits = (thumb > thumb.mean()).astype(np.uint8).ravel()
-            packed = np.packbits(bits[:64])
-            hashes.append(int(np.frombuffer(packed.tobytes(), dtype=np.uint64)[0]
+            # hash ALL thumbnail bits (review: a bits[:64] slice threw
+            # away 15/16 of the thumbnail)
+            import hashlib
+
+            digest = hashlib.blake2b(np.packbits(bits).tobytes(),
+                                     digest_size=8).digest()
+            hashes.append(int(np.frombuffer(digest, dtype=np.uint64)[0]
                               .view(np.int64)))
         return pa.Table.from_pydict(
             {

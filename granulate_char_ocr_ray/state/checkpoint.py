@@ -93,6 +93,17 @@ def run_extract_job(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_partitions(out_dir) if resume else {}
+    # a manifest written under a different partition count denotes
+    # DIFFERENT document subsets per pid — resuming across it would
+    # silently skip/duplicate documents
+    for pid, row in done.items():
+        prev = json.loads(row["stage_metrics"]).get("num_partitions")
+        if prev is not None and prev != num_partitions:
+            raise ValueError(
+                f"manifest partition {pid} was committed with "
+                f"num_partitions={prev}; resuming with {num_partitions} "
+                "would mix incompatible partitionings — use a fresh "
+                "out_dir or resume=False")
     processed, skipped = [], []
 
     for pid in range(num_partitions):
@@ -111,6 +122,11 @@ def run_extract_job(
             )
             return batch.filter(mask)
 
+        # NOTE: the input is re-scanned once per partition (O(P) reads).
+        # This keeps each partition an independent, individually
+        # committable pipeline; when input scans dominate, stage the
+        # corpus once into a partition_id-partitioned layout and point
+        # each iteration at its slice (same commit protocol).
         docs = read_docs(input_path).map_batches(in_partition, batch_format="pyarrow")
         spans = extract_spans(docs, mode=mode, concurrency=concurrency)
 

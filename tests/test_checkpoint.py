@@ -81,3 +81,10 @@ def test_rerun_committed_is_idempotent(docs_path, tmp_path):
     run_extract_job(docs_path, out, num_partitions=2, concurrency=2, resume=False)
     after = read_job_output(out)
     assert before.equals(after)
+
+
+def test_resume_with_different_partition_count_rejected(docs_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_extract_job(docs_path, out, num_partitions=4, concurrency=2, stop_after=2)
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_extract_job(docs_path, out, num_partitions=8, concurrency=2)

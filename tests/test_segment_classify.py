@@ -88,3 +88,16 @@ def test_word_pipeline_end_to_end_single_process():
         text, conf = extract_media_text("glyph:" + word)
         assert text == word
         assert 0.8 < conf <= 1.0
+
+
+def test_decode_empty_and_bad_media_refs():
+    from granulate_char_ocr_ray.functions.glyphs import decode_media_ref
+    from granulate_char_ocr_ray.oracle import extract_media_text
+
+    assert decode_media_ref("") is None
+    assert decode_media_ref("glyph:a?z") is None
+    assert extract_media_text("") == ("", 0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media_ref("png:deadbeef")
