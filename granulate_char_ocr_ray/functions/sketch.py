@@ -189,3 +189,43 @@ def hll_estimate(registers: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable membership sketch for semi/anti joins
+# ---------------------------------------------------------------------------
+
+def bloom_create(n_items: int, fp_rate: float = 0.01) -> np.ndarray:
+    """Sized bit array (uint8-packed) for n items at the target false
+    positive rate (m = -n ln p / ln2^2)."""
+    m = max(64, int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+    return np.zeros((m + 7) // 8, dtype=np.uint8)
+
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k positions per item via double hashing h1 + i*h2 (Kirsch &
+    Mitzenmacher 2006)."""
+    h1 = hashes
+    h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_add(filt: np.ndarray, hashes: np.ndarray, k: int = 7) -> np.ndarray:
+    """Fold uint64 item hashes into the filter (in place)."""
+    if len(hashes) == 0:
+        return filt
+    pos = _bloom_positions(hashes, len(filt) * 8, k).ravel()
+    np.bitwise_or.at(filt, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return filt
+
+
+def bloom_contains(filt: np.ndarray, hashes: np.ndarray, k: int = 7) -> np.ndarray:
+    """Vectorized membership test -> bool[n] (no false negatives)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(hashes, len(filt) * 8, k)
+    bits = (filt[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)

@@ -14,14 +14,16 @@ import pyarrow as pa
 from .functions.classify import classify_crops, prototype_matrix
 from .functions.glyphs import decode_media_ref
 from .functions.image import preprocess
-from .functions.segment import segment_projection
+from .functions.segment import segment_components, segment_projection
 from .functions.textext import extract_html_main, extract_pdf_layout, extract_text
 from .schema import SPANS_OUT_SCHEMA
 
 
-def extract_media_text(media_ref: str, proto=None) -> tuple[str, float]:
+def extract_media_text(media_ref: str, proto=None,
+                       segmenter: str = "projection") -> tuple[str, float]:
     """Glyph pipeline for one media payload: decode -> binarize ->
-    projection-segment -> classify each crop -> ordered concat.
+    segment (projection M4 or connected-components M5) -> classify each
+    crop -> ordered concat.
 
     Mirrors ocr_service.py:92-162 (process_image) with the deterministic
     classifier. Undecodable payloads yield ("", 0.0) — the reference's
@@ -33,15 +35,17 @@ def extract_media_text(media_ref: str, proto=None) -> tuple[str, float]:
     if img is None:
         return "", 0.0
     binary = preprocess(img)
-    regions = segment_projection(binary)
+    seg = segment_components if segmenter == "cc" else segment_projection
+    regions = seg(binary)
     crops = [binary[y: y + h, x: x + w] for (x, y, w, h) in regions]
     return classify_crops(crops, proto)
 
 
-def extract_span(kind: str, text: str, media_ref: str, proto=None) -> tuple[str, float]:
+def extract_span(kind: str, text: str, media_ref: str, proto=None,
+                 segmenter: str = "projection") -> tuple[str, float]:
     """Extract one span -> (output text, confidence)."""
     if kind == "media":
-        return extract_media_text(media_ref, proto)
+        return extract_media_text(media_ref, proto, segmenter)
     if kind == "html":
         return extract_html_main(text), 1.0
     if kind == "pdf":
@@ -49,7 +53,7 @@ def extract_span(kind: str, text: str, media_ref: str, proto=None) -> tuple[str,
     return extract_text(text), 1.0
 
 
-def extract_spans_table(docs: pa.Table) -> pa.Table:
+def extract_spans_table(docs: pa.Table, segmenter: str = "projection") -> pa.Table:
     """docs (DOCS_SCHEMA) -> flat extracted spans, sorted (doc_id, order)."""
     proto, _ = prototype_matrix()
     out = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": []}
@@ -58,7 +62,7 @@ def extract_spans_table(docs: pa.Table) -> pa.Table:
     for doc_id, spans in zip(doc_ids, spans_col):
         for span in sorted(spans or [], key=lambda s: s["offset"]):
             text, _conf = extract_span(span["kind"], span["text"],
-                                       span["media_ref"], proto)
+                                       span["media_ref"], proto, segmenter)
             out["doc_id"].append(doc_id)
             out["order"].append(span["offset"])
             out["kind"].append(span["kind"])

@@ -62,6 +62,7 @@ def extract_spans(
     mode: str = "fused",
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int | None = None,
+    segmenter: str = "projection",
 ) -> rd.Dataset:
     """docs Dataset -> flat extracted span rows (unordered; order is an
     explicit column). Columns: doc_id, order, kind, text, media_ref,
@@ -86,6 +87,7 @@ def extract_spans(
             GlyphClassifierStage,
             batch_format="pyarrow",
             concurrency=concurrency,
+            fn_constructor_kwargs={"segmenter": segmenter},
             **bs,
         )
     if mode == "fanout":

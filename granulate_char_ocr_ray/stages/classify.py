@@ -28,10 +28,11 @@ from ..functions.classify import (
 )
 from ..functions.glyphs import decode_media_ref
 from ..functions.image import preprocess
-from ..functions.segment import segment_projection
+from ..functions.segment import segment_components, segment_projection
 
 
-def _span_glyph_features(media_ref: str) -> list[np.ndarray]:
+def _span_glyph_features(media_ref: str,
+                         segmenter: str = "projection") -> list[np.ndarray]:
     """decode -> preprocess -> segment -> per-glyph 64-bit features.
 
     Blank / undecodable spans yield []; blank crops are dropped (same
@@ -40,8 +41,9 @@ def _span_glyph_features(media_ref: str) -> list[np.ndarray]:
     if img is None:
         return []
     binary = preprocess(img)
+    seg = segment_components if segmenter == "cc" else segment_projection
     feats = []
-    for (x, y, w, h) in segment_projection(binary):
+    for (x, y, w, h) in seg(binary):
         crop = tight_crop(binary[y: y + h, x: x + w])
         if crop is not None:
             feats.append(glyph_feature(crop))
@@ -55,8 +57,9 @@ class GlyphClassifierStage:
     concurrency=N, batch_size=B)``.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, segmenter: str = "projection") -> None:
         self.proto, self.letters = build_prototype_matrix()
+        self.segmenter = segmenter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -74,7 +77,7 @@ class GlyphClassifierStage:
         feats: list[np.ndarray] = []
         owners: list[int] = []
         for i in media_rows:
-            fs = _span_glyph_features(refs[i] or "")
+            fs = _span_glyph_features(refs[i] or "", self.segmenter)
             feats.extend(fs)
             owners.extend([i] * len(fs))
         if feats:

@@ -181,3 +181,23 @@ def test_embedding_cosine_dups_matches_bruteforce():
     got_df = embedding_cosine_dups(SF, threshold=0.4).to_pandas()
     got = {(r.v1, r.v2) for r in got_df.itertuples()}
     assert got == want
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from granulate_char_ocr_ray.functions.sketch import (
+        bloom_add,
+        bloom_contains,
+        bloom_create,
+    )
+
+    rng = np.random.RandomState(9)
+    members = (rng.randint(0, 2**32, 20000, dtype=np.uint64) << np.uint64(32)) \
+        | rng.randint(0, 2**32, 20000, dtype=np.uint64)
+    others = (rng.randint(0, 2**32, 20000, dtype=np.uint64) << np.uint64(32)) \
+        | rng.randint(0, 2**32, 20000, dtype=np.uint64)
+    others = np.setdiff1d(others, members)
+    f = bloom_create(len(members), fp_rate=0.01)
+    bloom_add(f, members)
+    assert bloom_contains(f, members).all()          # no false negatives
+    fp = bloom_contains(f, others).mean()
+    assert fp < 0.03                                  # ~1% target

@@ -94,3 +94,17 @@ def test_random_sample_and_split():
     train_ids = set(train.to_pandas()["doc_id"])
     test_ids = set(test.to_pandas()["doc_id"])
     assert not (train_ids & test_ids)
+
+
+def test_cc_segmenter_engine_matches_oracle():
+    """Connected-component segmentation (M5) as the serving-path
+    segmenter: engine output equals the oracle with the same config."""
+    table = synth.docs_words()
+    ds = rd.from_arrow(table)
+    got = (
+        extract_spans_sorted(ds, concurrency=2, segmenter="cc")
+        .to_pandas().reset_index(drop=True)
+    )
+    want = oracle.extract_spans_table(table, segmenter="cc").to_pandas().reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got, want)
