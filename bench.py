@@ -154,7 +154,10 @@ def run_scaling() -> dict:
     # throughput ratio, the sandbox stand-in for N vs 4N nodes
     scaling_replicate = str(max(REPLICATE, 64))
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    for ncpu in (8, 32):
+    lo_cpu, hi_cpu = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    for ncpu in (lo_cpu, hi_cpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPLICATE=scaling_replicate)
@@ -171,16 +174,16 @@ def run_scaling() -> dict:
             if best is None or r["value"] < best["value"]:
                 best = r
         results[ncpu] = best
-    t_lo, t_hi = results[8]["value"], results[32]["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    t_lo, t_hi = results[lo_cpu]["value"], results[hi_cpu]["value"]
+    eff = (t_lo / t_hi) / (hi_cpu / lo_cpu)
     return {
-        "metric": "scaling efficiency 8->32 cpus (flagship extraction)",
+        "metric": f"scaling efficiency {lo_cpu}->{hi_cpu} cpus (flagship extraction)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8cpu": t_lo,
-        "sec_32cpu": t_hi,
-        "docs_per_s_8cpu": results[8]["docs_per_s"],
-        "docs_per_s_32cpu": results[32]["docs_per_s"],
+        f"sec_{lo_cpu}cpu": t_lo,
+        f"sec_{hi_cpu}cpu": t_hi,
+        f"docs_per_s_{lo_cpu}cpu": results[lo_cpu]["docs_per_s"],
+        f"docs_per_s_{hi_cpu}cpu": results[hi_cpu]["docs_per_s"],
         "sf": SF_DIR,
     }
 
