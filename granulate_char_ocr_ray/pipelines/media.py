@@ -128,6 +128,17 @@ def frame_sample(media_ref: str, every_n: int = 8) -> list[np.ndarray]:
     )
 
 
+def audio_features(media_ref: str, frame_ms: int = 25) -> np.ndarray:
+    """Audio feature-extraction seam — NOT implementable in this sandbox
+    (no audio codec). The production shape is the MediaResize actor
+    stage: decode samples -> frame windows of ``frame_ms`` -> per-frame
+    energy/spectral features. Raises until a codec is plugged in."""
+    raise NotImplementedError(
+        "audio decoding requires a codec library; plug a decoder into "
+        "this seam and reuse the MediaResize actor-stage shape"
+    )
+
+
 def docs_without_media(sf_dir: str) -> rd.Dataset:
     """Anti-join: doc_ids of derived docs having NO media span.
 

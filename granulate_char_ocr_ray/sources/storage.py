@@ -18,10 +18,24 @@ import ray.data as rd
 def read_table(path: str, *, columns: list[str] | None = None,
                filter_expr: Any = None) -> rd.Dataset:
     """Read a stored table as a Dataset with column pruning and optional
-    row-group predicate pushdown (pyarrow dataset expression)."""
+    row-group predicate pushdown (pyarrow dataset expression).
+
+    A ``.lance`` path routes to ``ray.data.read_lance`` when the lance
+    package is installed (the production target); everything else reads
+    as Parquet. One function — swapping the storage format never touches
+    pipeline code."""
     kwargs: dict[str, Any] = {}
     if columns is not None:
         kwargs["columns"] = columns
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401 — presence check only
+
+            return rd.read_lance(path, **kwargs)
+        except ImportError as exc:
+            raise ImportError(
+                "lance is not installed in this environment; store the "
+                "table as parquet or install pylance") from exc
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
     return rd.read_parquet(path, **kwargs)
