@@ -81,19 +81,180 @@ def lang_id(text: str) -> tuple[str, float]:
 
 
 _FP_BASE = np.uint64(1099511628211)       # FNV prime, used as rolling base
-_FP_OFFSET = np.uint64(14695981039346656037)
+
+# splitmix64 finalizer constants (Steele/Lea/Flajolet PRNG finalizer —
+# public mixing function; spreads the polynomial hash's weak low bits)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (z + _SM_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def hash64(data: bytes) -> int:
+    """Scalar reference for :func:`hash64_flat`: rolling polynomial hash
+    of the byte string mod 2^64 (base = FNV prime), length-mixed, then
+    splitmix64-finalized. Returns uint64 as a Python int."""
+    n = len(data)
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for b in data:
+            h = h * _FP_BASE + np.uint64(b)
+        h = h ^ np.uint64(n)
+    return int(_splitmix64(np.array([h], dtype=np.uint64))[0])
+
+
+def string_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of an Arrow string array as (flat uint8 bytes,
+    int64 absolute offsets[n+1] into the flat buffer)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):        # cast may re-chunk
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else \
+        np.empty(0, dtype=np.uint8)
+    return data, offsets
+
+
+def hash64_flat(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`hash64` over N byte strings stored flat.
+
+    h_k = (sum_i b_i * BASE^(len_k-1-i)) mod 2^64, xor len_k, splitmix64.
+    One pass: gathered powers, wrap-mod cumsum, per-segment difference
+    (uint64 subtraction is exact mod 2^64) — no per-row Python."""
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    with np.errstate(over="ignore"):
+        if hi > lo:
+            maxlen = int(lens.max())
+            powers = np.full(maxlen, _FP_BASE, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            powers = np.cumprod(powers)          # BASE^k mod 2^64
+            idx = np.arange(lo, hi, dtype=np.int64)
+            ends = np.repeat(offsets[1:], lens)   # end offset per byte
+            exp = ends - 1 - idx
+            vals = data[lo:hi].astype(np.uint64) * powers[exp]
+            cum = np.concatenate(
+                [np.zeros(1, dtype=np.uint64), np.cumsum(vals, dtype=np.uint64)])
+            sums = cum[offsets[1:] - lo] - cum[offsets[:-1] - lo]
+        else:
+            sums = np.zeros(n, dtype=np.uint64)
+        return _splitmix64(sums ^ lens.astype(np.uint64))
+
+
+def hash64_batch(arr) -> np.ndarray:
+    """uint64 hash per string of an Arrow string array (vectorized)."""
+    data, offsets = string_bytes(arr)
+    return hash64_flat(data, offsets)
 
 
 def fingerprint64(text: str) -> int:
     """Deterministic 64-bit rolling-polynomial fingerprint of the
     whitespace-normalized text (stable across processes; unlike
-    ``hash()``). Returned as a signed int64 for Arrow friendliness."""
+    ``hash()``). Signed int64 for Arrow friendliness. The batch form is
+    :func:`fingerprint64_batch` (bit-identical; tested)."""
     data = " ".join(tokenize(text)).encode("utf-8")
-    h = _FP_OFFSET
-    with np.errstate(over="ignore"):
-        for b in np.frombuffer(data, dtype=np.uint8):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-    return int(h.view(np.int64)) if isinstance(h, np.uint64) else int(np.uint64(h).astype(np.int64))
+    return int(np.uint64(hash64(data)).view(np.int64))
+
+
+def fingerprint64_batch(arr) -> np.ndarray:
+    """Vectorized fingerprint64 over an Arrow string array -> int64[n]."""
+    import pyarrow.compute as pc
+
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(arr), r"\s+", " ")
+    return hash64_batch(norm).view(np.int64)
+
+
+def quality_features_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized :func:`quality_features` over an Arrow string array.
+
+    Arrow kernels only (utf8_length / count_substring_regex /
+    split+list_value_length); ratios are float64 with 0.0 for empty
+    text, matching the scalar form (tested bit-identical)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.list_value_length(
+        pc.split_pattern_regex(trimmed, r"\s+")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    toks[empty] = 0
+    digits = pc.count_substring_regex(texts, "[0-9]").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    upper = pc.count_substring_regex(texts, "[A-Z]").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(
+        texts, r"[!-/:-@\[-`{-~]").to_numpy(zero_copy_only=False).astype(np.float64)
+    ws = pc.count_substring_regex(texts, r"\s").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    nf = n.astype(np.float64)
+    safe_n = np.where(n == 0, 1.0, nf)
+    safe_t = np.where(toks == 0, 1.0, toks.astype(np.float64))
+    return {
+        "n_chars": n,
+        "n_tokens": toks,
+        "digit_ratio": np.where(n == 0, 0.0, digits / safe_n),
+        "upper_ratio": np.where(n == 0, 0.0, upper / safe_n),
+        "punct_ratio": np.where(n == 0, 0.0, punct / safe_n),
+        # sum of token lengths == non-whitespace chars
+        "mean_token_len": np.where(toks == 0, 0.0, (nf - ws) / safe_t),
+    }
+
+
+def lang_id_batch(texts) -> tuple[list[str], np.ndarray]:
+    """Vectorized :func:`lang_id` over an Arrow string array ->
+    (pred_lang[n], score[n]). Flattened token membership per stopword
+    profile, segment-summed with bincount — no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(texts)), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n_toks = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_toks[n_toks == 0] = 1.0                    # only empty docs; score 0
+    langs = sorted(STOPWORDS)
+    scores = np.zeros((n_docs, len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        member = pc.is_in(
+            flat, value_set=pa.array(sorted(STOPWORDS[lang]))
+        ).to_numpy(zero_copy_only=False)
+        if len(parent):
+            hits = np.bincount(parent, weights=member.astype(np.float64),
+                               minlength=n_docs)
+        else:
+            hits = np.zeros(n_docs)
+        scores[:, j] = hits / n_toks
+    best = scores.argmax(axis=1)                 # first max = sorted order,
+    best_score = scores[np.arange(n_docs), best]  # same tie rule as scalar
+    pred = [langs[b] if s > 0 else "und" for b, s in zip(best, best_score)]
+    return pred, best_score
 
 
 def crc64(text: str) -> int:

@@ -13,7 +13,12 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_up
-from ..functions.textstats import fingerprint64, lang_id, quality_features
+from ..functions.textstats import (
+    fingerprint64_batch,
+    hash64_batch,
+    lang_id_batch,
+    quality_features_batch,
+)
 from ..sources.storage import read_table
 
 
@@ -46,19 +51,14 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
     signals, ratios rounded to 4 decimals (SQL-reproducible)."""
 
     def q(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id")
-        feats = [quality_features(t or "") for t in batch.column("text").to_pylist()]
+        f = quality_features_batch(batch.column("text"))
         return pa.Table.from_pydict(
             {
-                "doc_id": doc_ids,
-                "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
-                "n_tokens": pa.array([f["n_tokens"] for f in feats], pa.int64()),
-                "digit_ratio": pa.array(
-                    [float(round_half_up(f["digit_ratio"], 4)) for f in feats],
-                    pa.float64()),
-                "upper_ratio": pa.array(
-                    [float(round_half_up(f["upper_ratio"], 4)) for f in feats],
-                    pa.float64()),
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(f["n_chars"], pa.int64()),
+                "n_tokens": pa.array(f["n_tokens"], pa.int64()),
+                "digit_ratio": pa.array(round_half_up(f["digit_ratio"], 4)),
+                "upper_ratio": pa.array(round_half_up(f["upper_ratio"], 4)),
             }
         )
 
@@ -69,13 +69,12 @@ def lang_id_scores(sf_dir: str) -> rd.Dataset:
     """(doc_id, pred_lang, score) — stopword-profile language heuristic."""
 
     def li(batch: pa.Table) -> pa.Table:
-        preds = [lang_id(t or "") for t in batch.column("text").to_pylist()]
+        pred, score = lang_id_batch(batch.column("text"))
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array([p[0] for p in preds], pa.string()),
-                "score": pa.array([float(round_half_up(p[1], 4)) for p in preds],
-                                  pa.float64()),
+                "pred_lang": pa.array(pred, pa.string()),
+                "score": pa.array(round_half_up(score, 4)),
             }
         )
 
@@ -89,10 +88,8 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "fp": pa.array(
-                    [fingerprint64(t or "") for t in batch.column("text").to_pylist()],
-                    pa.int64(),
-                ),
+                "fp": pa.array(fingerprint64_batch(batch.column("text")),
+                               pa.int64()),
             }
         )
 
@@ -161,15 +158,9 @@ def filter_quality(sf_dir: str, min_tokens: int = 20,
     the filter stage of a training-data pipeline)."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        out = []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            f = quality_features(t or "")
-            if f["n_tokens"] < min_tokens or f["upper_ratio"] > max_upper_ratio:
-                continue
-            out.append(d)
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(out, pa.int64())})
+        f = quality_features_batch(batch.column("text"))
+        mask = (f["n_tokens"] >= min_tokens) & (f["upper_ratio"] <= max_upper_ratio)
+        return batch.select(["doc_id"]).filter(pa.array(mask))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         keep, batch_format="pyarrow").sort("doc_id")
@@ -181,10 +172,10 @@ def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        toks = []
-        for t in batch.column("text").to_pylist():
-            toks.extend((t or "").split())
-        return pa.Table.from_pydict({"token": pa.array(toks, pa.string())})
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"token": flat})
 
     tokens = _docs(sf_dir, ["text"]).map_batches(explode_tokens,
                                                  batch_format="pyarrow")
@@ -198,9 +189,13 @@ def approx_distinct_tokens(sf_dir: str) -> pa.Table:
     sketch: one 4 KiB sketch per batch, max-merged on the driver — the
     shuffle-free cardinality pattern (vs an exact distinct's full
     all-to-all). ~1.6% standard error at p=12. Output: one row
-    (approx_distinct, exact-checkable only in tests)."""
-    import zlib as _z
+    (approx_distinct, exact-checkable only in tests).
 
+    Token hashing is the splitmix64-finalized polynomial hash
+    (textstats.hash64_batch) — a crc32-pair is NOT a 64-bit hash (crc is
+    affine in its init: ~32 bits of entropy per length class, which
+    biases HLL rank bits; see textstats.hash64 docs and the 10^6-token
+    accuracy pytest)."""
     from ..functions.sketch import (
         hll_add_hashes,
         hll_create,
@@ -209,13 +204,11 @@ def approx_distinct_tokens(sf_dir: str) -> pa.Table:
     )
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         regs = hll_create()
-        hashes = []
-        for t in batch.column("text").to_pylist():
-            for tok in (t or "").split():
-                b = tok.encode()
-                hashes.append((_z.crc32(b) << 32) | _z.crc32(b, 0x51ED2701))
-        hll_add_hashes(regs, np.array(hashes, dtype=np.uint64))
+        hll_add_hashes(regs, hash64_batch(flat))
         return pa.Table.from_pydict({"sketch": [regs.tobytes()]})
 
     sketches = _docs(sf_dir, ["text"]).map_batches(

@@ -91,7 +91,12 @@ def extract_spans(
             **bs,
         )
     if mode == "fanout":
-        glyphs = spans.map_batches(segment_glyphs, batch_format="pyarrow")
+        # thread the segmenter choice through (ADVICE r01: fanout used to
+        # silently ignore segmenter="cc")
+        glyphs = spans.map_batches(
+            segment_glyphs, batch_format="pyarrow",
+            fn_kwargs={"segmenter": segmenter},
+        )
         classified = glyphs.map_batches(
             GlyphFeatureClassifier,
             batch_format="pyarrow",

@@ -28,6 +28,15 @@ def read_table(path: str, *, columns: list[str] | None = None,
     if columns is not None:
         kwargs["columns"] = columns
     if path.endswith(".lance"):
+        if filter_expr is not None:
+            # read_lance takes a SQL-string filter, not a pyarrow dataset
+            # expression; silently dropping the predicate would return
+            # correct-but-unpruned scans only if callers re-filter. Fail
+            # loudly instead (ADVICE r01).
+            raise NotImplementedError(
+                "filter_expr pushdown is not translated for .lance paths; "
+                "pass columns only, or add an expression->SQL translation "
+                "here before enabling predicates on lance reads")
         try:
             import lance  # noqa: F401 — presence check only
 

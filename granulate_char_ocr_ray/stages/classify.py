@@ -104,7 +104,7 @@ class GlyphClassifierStage:
         return t
 
 
-def segment_glyphs(batch: pa.Table) -> pa.Table:
+def segment_glyphs(batch: pa.Table, segmenter: str = "projection") -> pa.Table:
     """Stateless fan-out: media span rows -> per-glyph feature rows.
 
     Output: (doc_id, order, kind, media_ref, glyph_idx:int32,
@@ -135,7 +135,7 @@ def segment_glyphs(batch: pa.Table) -> pa.Table:
             out["glyph_idx"].append(-1)
             out["feature"].append(b"")
             continue
-        feats = _span_glyph_features(refs[i] or "")
+        feats = _span_glyph_features(refs[i] or "", segmenter)
         if not feats:
             # emit a sentinel row so the span still appears in output
             out["doc_id"].append(doc_ids[i])

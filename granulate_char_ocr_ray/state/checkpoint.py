@@ -92,6 +92,14 @@ def run_extract_job(
     from ..pipelines.extract import extract_spans, read_docs
 
     run_id = run_id or uuid.uuid4().hex[:12]
+    if not resume and os.path.isdir(out_dir):
+        # fresh run into an existing out_dir: stale part=*/manifest
+        # entries from a previous (possibly differently-partitioned) run
+        # would otherwise survive and be silently concatenated by
+        # read_job_output (ADVICE r01) — remove them up front
+        for d in os.listdir(out_dir):
+            if d.startswith("part=") or d == "_manifest" or d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     done = committed_partitions(out_dir) if resume else {}
     # a manifest written under a different partition count denotes
     # DIFFERENT document subsets per pid — resuming across it would
@@ -178,11 +186,14 @@ def run_extract_job(
 
 
 def read_job_output(out_dir: str) -> pa.Table:
-    """All committed partition outputs, sorted by (doc_id, order)."""
-    parts = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
-    ]
+    """All COMMITTED partition outputs, sorted by (doc_id, order).
+
+    Reads only partitions present in the manifest — a stale ``part=``
+    directory left by an older run under a different partitioning is
+    never silently included (ADVICE r01)."""
+    done = committed_partitions(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no committed partitions in {out_dir}")
+    parts = [os.path.join(out_dir, f"part={pid}") for pid in sorted(done)]
     table = pa.concat_tables([pads.dataset(p).to_table() for p in parts])
     return table.sort_by([("doc_id", "ascending"), ("order", "ascending")])
