@@ -67,6 +67,126 @@ def minhash_signature(base_hashes: np.ndarray, num_perm: int = 128) -> np.ndarra
     return vals.min(axis=1)
 
 
+def gram_hashes(text: str, k: int = 3) -> np.ndarray:
+    """uint64 hash64 per (non-distinct) character k-gram; texts shorter
+    than ``k`` hash as one whole-text gram (matching char_shingles'
+    short-text rule). Scalar reference for
+    :func:`minhash_signatures_batch` — min over the multiset equals min
+    over the set, so distinctness is irrelevant for MinHash."""
+    from .textstats import hash64
+
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    if len(text) < k:
+        return np.array([hash64(text.encode("utf-8"))], dtype=np.uint64)
+    return np.array(
+        [hash64(text[i: i + k].encode("utf-8"))
+         for i in range(len(text) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signatures_batch(texts, k: int = 3,
+                             num_perm: int = 128) -> np.ndarray:
+    """Vectorized MinHash signatures for an Arrow string array ->
+    uint64[(n, num_perm)]. One windowed polynomial-hash pass over the
+    flat UTF-8 buffer produces every k-gram hash; permutations apply as
+    a chunked (perm x grams) universal-hash matrix min-reduced per doc
+    segment. No per-document Python. Matches
+    ``minhash_signature(gram_hashes(t, k), num_perm)`` exactly (tested).
+    """
+    from .textstats import _splitmix64, string_bytes, _FP_BASE
+
+    if num_perm not in _PARAM_CACHE:
+        _PARAM_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _PARAM_CACHE[num_perm]
+    data, off = string_bytes(texts)
+    n = len(off) - 1
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = off[1:] - off[:-1]
+    lo = int(off[0])
+
+    # ---- k-gram hashes for docs with len >= k: windowed poly hash ----
+    long_mask = lens >= k
+    gram_vals_parts: list[np.ndarray] = []
+    gram_doc_parts: list[np.ndarray] = []
+    if long_mask.any():
+        flat = data[lo:int(off[-1])].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # value at flat position p (relative): poly over bytes p..p+k-1
+            win = np.zeros(len(flat) - k + 1 if len(flat) >= k else 0,
+                           dtype=np.uint64)
+            for j in range(k):
+                win = win * _FP_BASE + flat[j: len(flat) - k + 1 + j]
+            win = _splitmix64(win ^ np.uint64(k))
+        # valid gram start positions: within a doc, start <= end-k
+        starts = np.repeat(off[:-1][long_mask] - lo,
+                           (lens[long_mask] - k + 1))
+        # per-gram offset within its doc
+        within = np.concatenate(
+            [np.arange(m) for m in (lens[long_mask] - k + 1)]
+        ) if long_mask.any() else np.empty(0, dtype=np.int64)
+        pos = starts + within
+        gram_vals_parts.append(win[pos])
+        gram_doc_parts.append(
+            np.repeat(np.nonzero(long_mask)[0], (lens[long_mask] - k + 1)))
+
+    # ---- short non-empty docs hash as one whole-text gram ----
+    short_mask = (lens > 0) & (lens < k)
+    if short_mask.any():
+        from .textstats import hash64_flat
+
+        idxs = np.nonzero(short_mask)[0]
+        # build a compact offsets array for just the short docs
+        short_lens = lens[idxs]
+        s_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                                np.cumsum(short_lens)])
+        s_data = np.concatenate(
+            [data[int(off[i]): int(off[i + 1])] for i in idxs])
+        gram_vals_parts.append(hash64_flat(s_data, s_off))
+        gram_doc_parts.append(idxs)
+
+    if not gram_vals_parts:
+        return out
+    grams = np.concatenate(gram_vals_parts)
+    owners = np.concatenate(gram_doc_parts)
+    order = np.argsort(owners, kind="stable")
+    grams, owners = grams[order], owners[order]
+    seg_docs, seg_starts = np.unique(owners, return_index=True)
+
+    x = grams % _MERSENNE
+    CHUNK = 16       # perms per pass: bounds the (chunk x grams) matrix
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_perm, CHUNK):
+            ac, bc = a[c0: c0 + CHUNK], b[c0: c0 + CHUNK]
+            vals = (ac[:, None] * x[None, :] + bc[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            out[seg_docs, c0: c0 + len(ac)] = mins.T
+    return out
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized LSH band keys: uint64[(n, perm)] -> int64[(n, bands)].
+
+    Each band's rows-per-band chunk folds through splitmix64 with the
+    band index mixed in, so identical chunks in DIFFERENT bands never
+    share a key (the banding requirement). Scalar parity is trivial:
+    this IS the definition (no separate scalar form needed)."""
+    from .textstats import _splitmix64
+
+    n, num_perm = sigs.shape
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    chunks = sigs.reshape(n, bands, r)
+    h = np.broadcast_to(
+        np.arange(bands, dtype=np.uint64)[None, :], (n, bands)).copy()
+    for j in range(r):
+        h = _splitmix64(h ^ chunks[:, :, j])
+    return h.view(np.int64)
+
+
 def lsh_band_keys(signature: np.ndarray, bands: int) -> list[int]:
     """Split the signature into ``bands`` rows-per-band chunks; each
     chunk hashes to one stable int key. Docs sharing any band key are
@@ -95,18 +215,15 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def token_hashes(text: str) -> np.ndarray:
     """uint64 hash per (non-distinct) lowercase whitespace token
-    (blake2b — see shingle_hashes for why not a crc32 pair)."""
-    import hashlib
+    (textstats.hash64 — splitmix64-finalized polynomial; a crc32 pair
+    is not a 64-bit hash, see shingle_hashes)."""
+    from .textstats import hash64
 
     toks = text.lower().split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "little")
-         for t in toks],
-        dtype=np.uint64,
-    )
+    return np.array([hash64(t.encode("utf-8")) for t in toks],
+                    dtype=np.uint64)
 
 
 def simhash64(text: str) -> int:
@@ -123,8 +240,67 @@ def simhash64(text: str) -> int:
     return int(out.astype(np.int64))
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized :func:`simhash64` over an Arrow string array ->
+    int64[n]. Flat token hashing (hash64_batch), bit expansion over ALL
+    tokens at once, scatter-add votes per document — no per-doc Python.
+    Bit-identical to the scalar form on ASCII-whitespace text (tested).
+    """
+    import pyarrow.compute as pc
+
+    from .textstats import hash64_batch
+
+    n_docs = len(texts)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(texts)), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    hs = hash64_batch(flat)[nonempty]
+    parent = parent[nonempty]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(hs):
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(votes, parent, 2 * bits - 1)
+        out = ((votes > 0).astype(np.uint64)
+               * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+            axis=1, dtype=np.uint64)
+        # docs with zero tokens must stay 0 (scalar rule)
+        has_tok = np.zeros(n_docs, dtype=bool)
+        has_tok[parent] = True
+        out[~has_tok] = np.uint64(0)
+    return out.view(np.int64)
+
+
+def simhash_band_keys_batch(sims: np.ndarray, bands: int = 4) -> np.ndarray:
+    """Vectorized :func:`simhash_band_keys`: int64[n] -> int64[(n, bands)]."""
+    width = 64 // bands
+    u = sims.view(np.uint64) if sims.dtype == np.int64 else sims.astype(np.uint64)
+    i = np.arange(bands, dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    with np.errstate(over="ignore"):
+        keys = (i[None, :] << np.uint64(56)) | (
+            (u[:, None] >> (i[None, :] * np.uint64(width))) & mask)
+    return keys.view(np.int64)
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized pairwise Hamming distance of two uint64 arrays
+    (XOR + byte-table popcount; one pass per pair)."""
+    x = a.astype(np.uint64) ^ b.astype(np.uint64)
+    out = np.zeros(len(x), dtype=np.int64)
+    for s in range(0, 64, 8):
+        out += _POPCNT8[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.int64)]
+    return out
 
 
 def simhash_band_keys(sim: int, bands: int = 4) -> list[int]:

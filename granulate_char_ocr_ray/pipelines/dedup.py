@@ -28,9 +28,9 @@ import ray.data as rd
 
 from ..stages.hashagg import hash_groupby_agg
 
+import pyarrow.compute as pc
+
 from ..functions.sketch import (
-    lsh_band_keys,
-    minhash_signature,
     shingle_hashes,
     simhash64,
 )
@@ -95,11 +95,15 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     grams = _docs(sf_dir).map_batches(to_grams, batch_format="pyarrow")
 
-    # shingle-set sizes: tiny aggregate, broadcast to the jaccard stage
-    sizes_df = hash_groupby_agg(
-        grams, ["doc_id"], {"n_grams": ("gram", "count")}, num_parts=16
-    ).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_grams"])))
+    # shingle-set sizes: distributed aggregate kept as a DATASET and
+    # hash-partition-joined onto the pair set below — one row per doc
+    # never touches the driver (VERDICT r01 next-steps #2a; the old
+    # ray.put dict was a driver OOM at corpus scale). The gram explode
+    # runs twice (sizes + index) — both passes stream; at 100 TB the
+    # gram table would be staged to parquet once instead.
+    sizes = hash_groupby_agg(
+        grams, ["doc_id"], {"n_grams": ("gram", "count")},
+        num_parts=16).materialize()    # one small row per doc; two consumers
 
     # "bucket the buckets": shuffle on a coarse partition of the gram key
     # (one map_groups invocation handles MANY gram buckets via a local
@@ -137,60 +141,90 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     # slow at this key cardinality (stages/hashagg.py)
     inter = hash_groupby_agg(pairs, ["d1", "d2"], {"inter": ("d1", "count")})
 
-    def to_jaccard(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        d1 = batch.column("d1").to_numpy(zero_copy_only=False)
-        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
-        c = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        n1 = np.array([sizes[d] for d in d1], dtype=np.float64)
-        n2 = np.array([sizes[d] for d in d2], dtype=np.float64)
-        jac = c / (n1 + n2 - c)
-        keep = jac >= threshold
-        return pa.Table.from_pydict(
-            {
-                "d1": d1[keep],
-                "d2": d2[keep],
-                "jaccard": round_half_up(jac[keep], 4),
-            },
-            schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
-                              ("jaccard", pa.float64())]),
-        )
+    from ..stages.join import partitioned_join
 
-    return inter.map_batches(to_jaccard, batch_format="pyarrow")
+    def attach_n1(pairs_df: pd.DataFrame, size_df: pd.DataFrame) -> pd.DataFrame:
+        m = pairs_df.merge(
+            size_df.rename(columns={"doc_id": "d1", "n_grams": "n1"}),
+            on="d1", how="inner")
+        return m[["d1", "d2", "inter", "n1"]]
+
+    def attach_n2_score(pairs_df: pd.DataFrame,
+                        size_df: pd.DataFrame) -> pd.DataFrame:
+        m = pairs_df.merge(
+            size_df.rename(columns={"doc_id": "d2", "n_grams": "n2"}),
+            on="d2", how="inner")
+        c = m["inter"].to_numpy(dtype=np.float64)
+        jac = c / (m["n1"].to_numpy(dtype=np.float64)
+                   + m["n2"].to_numpy(dtype=np.float64) - c)
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "d1": m["d1"].to_numpy(dtype=np.int64)[keep],
+            "d2": m["d2"].to_numpy(dtype=np.int64)[keep],
+            "jaccard": round_half_up(jac[keep], 4),
+        })
+
+    size_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
+    with_n1 = partitioned_join(
+        inter, sizes, "d1", "doc_id", attach_n1,
+        left_schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                               ("inter", pa.int64())]),
+        right_schema=size_schema)
+    return partitioned_join(
+        with_n1, sizes, "d2", "doc_id", attach_n2_score,
+        left_schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                               ("inter", pa.int64()), ("n1", pa.int64())]),
+        right_schema=size_schema)
 
 
 def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
-                     bands: int = 32, threshold: float = 0.5) -> rd.Dataset:
+                     bands: int = 16, threshold: float = 0.5) -> rd.Dataset:
     """MinHash+LSH near-dedup: shingle -> minhash -> band -> bucket
-    groupby -> candidate pairs -> verify with signature-estimated
-    Jaccard. The 100TB-scale path: cost is linear in corpus size +
-    bucket-quadratic only where collisions occur.
+    groupby -> in-bucket verify -> distinct pairs. The 100TB-scale
+    path: cost is linear in corpus size + bucket-quadratic only where
+    collisions occur.
+
+    Round-2 shape (VERDICT r01 next-steps #3):
+
+    - signatures come from the fully-vectorized windowed-hash pass
+      (sketch.minhash_signatures_batch) — no per-doc Python loop;
+    - the banding shuffle carries a 128-BYTE quantized signature (the
+      low byte of each min-hash) per band row, not the 1 KiB uint64
+      signature: 16 x 128 B = 2 KiB/doc total vs 32 KiB before. The
+      quantized agreement estimator adds (1-j)/256 < 0.004 upward bias
+      — below the 1/num_perm resolution of the signature itself;
+    - default banding is 16 bands x 8 rows: the corpus' background
+      similarity is high (tiny token vocabulary -> char-3-gram Jaccard
+      ~0.5 between RANDOM docs), and r=8 drops a j=0.5 pair's per-band
+      collision odds to 0.004 while true dups (j >= 0.9) still collide
+      with P(miss) < 2e-5 — the S-curve tuning step any production
+      MinHash deployment performs.
 
     Output: (d1, d2, est_jaccard) for pairs with estimate >= threshold.
     """
+    from ..functions.sketch import band_keys_batch, minhash_signatures_batch
 
-    def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_sig = [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = minhash_signature(shingle_hashes(t or "", k), num_perm)
-            sig_bytes = sig.tobytes()
-            for key in lsh_band_keys(sig, bands):
-                out_doc.append(d)
-                out_band.append(key)
-                out_sig.append(sig_bytes)
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures_batch(batch.column("text"), k, num_perm)
+        keys = band_keys_batch(sigs, bands)          # (n, bands) int64
+        qsig = (sigs & np.uint64(0xFF)).astype(np.uint8)   # (n, num_perm)
+        qbytes = np.array([q.tobytes() for q in qsig], dtype=object)
         return pa.Table.from_pydict(
-            {"doc_id": out_doc, "band": out_band, "sig": out_sig},
+            {
+                "doc_id": np.repeat(ids, bands).astype(np.int64),
+                "band": keys.ravel(),
+                "qsig": pa.array(np.repeat(qbytes, bands), type=pa.binary()),
+            },
             schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
-                              ("sig", pa.binary())]),
+                              ("qsig", pa.binary())]),
         )
 
-    banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
+    banded = _docs(sf_dir).map_batches(to_band_rows, batch_format="pyarrow")
 
-    # coarse-partitioned bucket verification (see ngram_jaccard_dups):
-    # one group call handles many band buckets; per-bucket pairwise
-    # signature agreement is a vectorized (k, k, perm) comparison.
+    # coarse-partitioned bucket verification: one group call handles
+    # MANY band buckets (local pandas groupby) — per-group dispatch is
+    # paid 64 times, not once per distinct band key
     NPART = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -207,7 +241,8 @@ def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
             if len(g) < 2:
                 continue
             ids = g["doc_id"].to_numpy(dtype=np.int64)
-            sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+            sigs = np.frombuffer(b"".join(g["qsig"]), dtype=np.uint8).reshape(
+                len(g), num_perm)
             est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(len(ids), k=1)
             keep = est[iu, ju] >= threshold
@@ -230,16 +265,15 @@ def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
 
 
 def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
-    """Per-doc 64-bit SimHash fingerprint (deterministic)."""
+    """Per-doc 64-bit SimHash fingerprint (deterministic, vectorized)."""
+    from ..functions.sketch import simhash64_batch
 
     def to_sim(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(
-                    [simhash64(t or "") for t in batch.column("text").to_pylist()],
-                    type=pa.int64(),
-                ),
+                "simhash": pa.array(simhash64_batch(batch.column("text")),
+                                    type=pa.int64()),
             }
         )
 
@@ -248,20 +282,24 @@ def simhash_fingerprints(sf_dir: str) -> rd.Dataset:
 
 def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.Dataset:
     """Banded SimHash near-dup candidates verified by Hamming distance."""
-    from ..functions.sketch import hamming64, simhash_band_keys
+    from ..functions.sketch import (
+        hamming64_batch,
+        simhash64_batch,
+        simhash_band_keys_batch,
+    )
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sims = [simhash64(t or "") for t in batch.column("text").to_pylist()]
-        out = {"doc_id": [], "band": [], "simhash": []}
-        for d, s in zip(doc_ids, sims):
-            for key in simhash_band_keys(s, bands):
-                out["doc_id"].append(d)
-                out["band"].append(key)
-                out["simhash"].append(s)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = simhash64_batch(batch.column("text"))
+        keys = simhash_band_keys_batch(sims, bands)      # (n, bands)
         return pa.Table.from_pydict(
-            out, schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
-                                   ("simhash", pa.int64())]),
+            {
+                "doc_id": np.repeat(ids, bands).astype(np.int64),
+                "band": keys.ravel(),
+                "simhash": np.repeat(sims, bands),
+            },
+            schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
+                              ("simhash", pa.int64())]),
         )
 
     banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
@@ -274,18 +312,27 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
             "bpart", pa.array((band % NPART).astype(np.int64)))
 
     def verify(part: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        d1s, d2s, hams = [], [], []
         for _, g in part.groupby("band", sort=False):
             g = g.sort_values("doc_id").drop_duplicates("doc_id")
-            ids = g["doc_id"].tolist()
-            sims = g["simhash"].tolist()
-            rows.extend(
-                (ids[i], ids[j], hamming64(sims[i], sims[j]))
-                for i in range(len(ids))
-                for j in range(i + 1, len(ids))
-                if hamming64(sims[i], sims[j]) <= max_hamming
-            )
-        return pd.DataFrame(rows, columns=["d1", "d2", "hamming"]).astype(np.int64)
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            sims = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            i, j = np.triu_indices(len(ids), k=1)
+            # vectorized XOR + popcount (one pass, not 2x per pair)
+            ham = hamming64_batch(sims[i], sims[j])
+            keep = ham <= max_hamming
+            d1s.append(ids[i[keep]])
+            d2s.append(ids[j[keep]])
+            hams.append(ham[keep])
+        if not d1s:
+            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                                 "d2": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"d1": np.concatenate(d1s),
+                             "d2": np.concatenate(d2s),
+                             "hamming": np.concatenate(hams)})
 
     pairs = banded.map_batches(add_part, batch_format="pyarrow").groupby(
         "bpart").map_groups(verify, batch_format="pandas")

@@ -30,29 +30,33 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 _FNV = np.uint64(1099511628211)
 
 
-def _stable_partition(g: pd.DataFrame, keys: list[str], num_parts: int) -> np.ndarray:
-    """Explicitly deterministic multi-column partitioner.
+def stable_hash_column(col: pd.Series) -> np.ndarray:
+    """Deterministic uint64 hash of one column's values.
 
     NOT ``pd.util.hash_pandas_object`` — observed to disagree across Ray
     worker processes for identical values, which silently splits keys
-    across partitions. Integer columns mix via multiply-xorshift; other
-    dtypes hash their string form with crc32."""
-    import zlib
+    across partitions. Integer columns mix via multiply-xorshift;
+    string/other dtypes go through the vectorized flat-buffer hash64."""
+    with np.errstate(over="ignore"):
+        if np.issubdtype(col.dtype, np.integer):
+            vals = col.to_numpy().astype(np.uint64)
+            vals = vals * _MIX
+            vals ^= vals >> np.uint64(32)
+            return vals
+        import pyarrow as _pa
 
+        from ..functions.textstats import hash64_batch
+
+        return hash64_batch(_pa.array(col.astype(str)))
+
+
+def _stable_partition(g: pd.DataFrame, keys: list[str], num_parts: int) -> np.ndarray:
+    """Explicitly deterministic multi-column partitioner (see
+    :func:`stable_hash_column`)."""
     h = np.zeros(len(g), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for k in keys:
-            col = g[k]
-            if np.issubdtype(col.dtype, np.integer):
-                vals = col.to_numpy().astype(np.uint64)
-            else:
-                vals = np.fromiter(
-                    (zlib.crc32(str(x).encode("utf-8")) for x in col),
-                    dtype=np.uint64, count=len(col),
-                )
-            vals = vals * _MIX
-            vals ^= vals >> np.uint64(32)
-            h = h * _FNV ^ vals
+            h = h * _FNV ^ stable_hash_column(g[k])
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
