@@ -139,28 +139,70 @@ def audio_features(media_ref: str, frame_ms: int = 25) -> np.ndarray:
     )
 
 
-def docs_without_media(sf_dir: str) -> rd.Dataset:
-    """Anti-join: doc_ids of derived docs having NO media span.
+def docs_without_media(sf_dir: str, bloom_fp: float = 0.01) -> rd.Dataset:
+    """Anti-join: doc_ids of derived docs having NO media span. EXACT.
 
-    Pattern: the media-doc key set is small after aggregation ->
-    broadcast it via ray.put and filter inside map_batches (broadcast
-    anti-join; at scale substitute a Bloom filter of the key set,
-    same shape). Reference analog: missing-set difference D3,
-    extract_from_reference.py:509-511."""
+    Round-2 shape (VERDICT r01 next-steps #2d): the media-doc key set is
+    folded into a BLOOM FILTER distributedly (one partial filter per
+    block, OR-merged on the driver — the filter is a few KiB regardless
+    of corpus size) and broadcast. Docs the filter reports ABSENT are
+    definitively media-free (no false negatives) and stream straight to
+    the output; only the bloom-POSITIVE minority takes the exact
+    hash-partitioned anti-join that removes false positives. No Python
+    ``set`` of doc_ids on the driver, no per-row ``in`` loop — the
+    membership probe is the vectorized sketch kernel. Reference analog:
+    missing-set difference D3, extract_from_reference.py:509-511."""
+    from ..functions.sketch import bloom_add, bloom_contains, bloom_create
+    from ..functions.textstats import hash64_batch
+    from ..stages.join import partitioned_join
+
     spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
     media_ids = spans.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "media")).select(["doc_id"]),
         batch_format="pyarrow",
-    ).unique("doc_id")
-    keys_ref = ray.put(set(media_ids))
+    )
 
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        ids = batch.column("doc_id").to_pylist()
-        mask = pa.array([d not in keys for d in ids], pa.bool_())
-        return batch.select(["doc_id"]).filter(mask)
+    # distributed Bloom build: fixed-size partial filter per block
+    # (sized for 1M keys at the target fp; resize upstream if the media
+    # corpus exceeds that), OR-merge on the driver
+    n_capacity = 1_000_000
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        filt = bloom_create(n_capacity, bloom_fp)
+        bloom_add(filt, hash64_batch(batch.column("doc_id")))
+        return pa.Table.from_pydict({"filt": [filt.tobytes()]})
+
+    parts = media_ids.map_batches(
+        partial_bloom, batch_format="pyarrow").to_pandas()
+    merged = bloom_create(n_capacity, bloom_fp)
+    for blob in parts["filt"]:
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
 
     docs = derive_docs(sf_dir).map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     )
-    return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")
+
+    def split_by_bloom(batch: pa.Table) -> pa.Table:
+        filt = ray.get(bloom_ref)
+        maybe = bloom_contains(filt, hash64_batch(batch.column("doc_id")))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "maybe": pa.array(maybe, pa.bool_())})
+
+    flagged = docs.map_batches(split_by_bloom, batch_format="pyarrow")
+    definite = flagged.map_batches(
+        lambda t: t.filter(pc.invert(t["maybe"])).select(["doc_id"]),
+        batch_format="pyarrow")
+    candidates = flagged.map_batches(
+        lambda t: t.filter(t["maybe"]).select(["doc_id"]),
+        batch_format="pyarrow")
+
+    def anti(doc_df, media_df):
+        keep = ~doc_df["doc_id"].isin(set(media_df["doc_id"]))
+        return doc_df[keep][["doc_id"]]
+
+    sch = pa.schema([("doc_id", pa.string())])
+    confirmed = partitioned_join(candidates, media_ids, "doc_id", "doc_id",
+                                 anti, left_schema=sch, right_schema=sch)
+    return definite.union(confirmed).sort("doc_id")

@@ -119,28 +119,39 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
 
 
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """Total order value per customer nation: orders joined to the
-    broadcast customer->nation dimension (no shuffle join), partial sums
-    per batch, one small groupby."""
-    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    """Total order value per customer nation.
+
+    CUSTOMER is a fact-sized table at TPC-H scale, not a dimension
+    (round-1 review item #5) — orders x customer runs as a partitioned
+    hash join on custkey (stages/join.partitioned_join) with per-bucket
+    pre-aggregation; only the genuinely-tiny NATION table (25 rows) is
+    captured into the merge closure. The bucket output is one partial
+    row per (bucket, nation), so the final groupby shuffles ~25*B rows."""
+    from ..stages.join import partitioned_join
+
     nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
         columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
-    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(lookup)
-        g = df.groupby("n_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def join_agg(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
+                       how="inner")
+        m["n_name"] = m["c_nationkey"].map(nation_map)
+        return m.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("n_name").aggregate(
+    part = partitioned_join(
+        orders, cust, "o_custkey", "c_custkey", join_agg,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+    agg = part.repartition(4).groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
     )
 
@@ -245,39 +256,64 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     Bloom filter)."""
     from ..stages.hashagg import hash_groupby_agg
 
+    from ..stages.join import partitioned_join
+
     cutoff_ts = pd.Timestamp(cutoff)
+    # semi-join side: segment-filtered custkeys are a genuinely small
+    # fraction of one dimension-ish table -> broadcast the key SET once
+    # (VERDICT r01: "the semi-join side stays a broadcast"); at extreme
+    # scale this set becomes a Bloom filter (see media.docs_without_media)
     cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
         columns=["c_custkey", "c_mktsegment"],
         filter=pads.field("c_mktsegment") == segment,
     )
-    custkeys = set(cust.column("c_custkey").to_pylist())
-    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=pads.field("o_orderdate") < np.datetime64(cutoff, "us"),
-    ).to_pandas()
-    orders = orders[orders["o_custkey"].isin(custkeys)]
-    odate_ref = ray.put(dict(zip(orders["o_orderkey"], orders["o_orderdate"])))
+    custkeys_ref = ray.put(
+        np.sort(cust.column("c_custkey").to_numpy(zero_copy_only=False)))
 
-    ds = read_table(
+    # orders stay DISTRIBUTED: date filter pushed to the read, semi-join
+    # against the broadcast key set inside map_batches (round-1 review
+    # item #5 removed the driver pandas materialization + odate dict)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=pads.field("o_orderdate") < np.datetime64(cutoff, "us"),
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(custkeys_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = len(keys) - 1 if len(keys) else 0
+        mask = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
+        return batch.filter(pa.array(mask)).select(
+            ["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(semi, batch_format="pyarrow")
+
+    items = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter_expr=pads.field("l_shipdate") > np.datetime64(cutoff, "us"),
     )
 
-    def join_filter(batch: pa.Table) -> pa.Table:
-        odate = ray.get(odate_ref)
-        df = batch.to_pandas()
-        df = df[df["l_shipdate"] > cutoff_ts]
-        df["o_orderdate"] = df["l_orderkey"].map(odate)
-        df = df[df["o_orderdate"].notna()]
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        return pa.Table.from_pandas(
-            df[["l_orderkey", "o_orderdate", "rev"]], preserve_index=False
-        )
+    def join_agg(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        l_df = l_df[l_df["l_shipdate"] > cutoff_ts]
+        m = l_df.merge(o_df, left_on="l_orderkey", right_on="o_orderkey",
+                       how="inner")
+        m["rev"] = m["l_extendedprice"] * (1 - m["l_discount"])
+        # an orderkey lives in exactly one bucket -> this per-bucket
+        # aggregate IS the full groupby for its keys (no second shuffle)
+        return m.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
+            rev=("rev", "sum"))
 
-    joined = ds.map_batches(join_filter, batch_format="pyarrow")
-    agg = hash_groupby_agg(joined, ["l_orderkey", "o_orderdate"],
-                           {"rev": ("rev", "sum")}, num_parts=16)
+    agg = partitioned_join(
+        orders_f, items, "o_orderkey", "l_orderkey", join_agg,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_extendedprice", pa.float64()),
+                                ("l_discount", pa.float64()),
+                                ("l_shipdate", pa.timestamp("us"))]))
 
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -183,16 +183,112 @@ def centroid_assign(sf_dir: str) -> rd.Dataset:
     return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow").sort("vec_id")
 
 
-def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4,
+                          num_blocks: int = 8) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs: (v1, v2, cos_sim) with
-    v1 < v2 and similarity >= threshold.
+    v1 < v2 and similarity >= threshold. EXACT (recall 1.0 by
+    construction) and fully distributed.
 
-    Exact path: the normalized matrix is broadcast once (ray.put) and
-    each batch computes a (batch x corpus) matmul, emitting only its
-    upper-triangle hits — O(n^2) work but O(n*d) shuffle. At 100TB the
-    broadcast side becomes SRP-LSH buckets (srp_code) so only
-    same-bucket blocks multiply; this exact form is the verification
-    oracle for that path."""
+    Plan (block-pair join, the scale-safe exact shape): each vector is
+    assigned ``block = vec_id % num_blocks`` and emitted once per
+    unordered block pair it participates in (replication factor = B).
+    One shuffle on the tiny B(B+1)/2 pair-key space, then each group
+    runs a vectorized (block x block) matmul and emits only its
+    threshold hits. No driver materialization and no full-matrix
+    broadcast (round-1 review item); work is O(n^2/B^2) per task,
+    shuffle O(n * B * d); B scales with cluster size.
+
+    Why not SRP-LSH bucketing here (VERDICT r01 next-steps #1 suggested
+    it): measured on this corpus, threshold-0.4 pairs sit at cos
+    0.40-0.51 (~66 degrees) — qualifying pairs span SRP code Hamming
+    distance up to 6 of 8 planes and are mostly CROSS-cluster (5/59
+    share a label at sf0.01), so any bucketing with recall 1.0 on this
+    geometry degenerates to all-pairs: the multi-probe radius needed to
+    cover distance-6 codes touches ~all 2^8 buckets. cos 0.4 is simply
+    below the LSH-prunable regime; ``lsh_cosine_topk`` (srp_code) stays
+    the approximate path for genuinely-close neighbors. The old
+    broadcast form survives as the pytest brute-force oracle
+    (tests/test_dedup_similarity.py)."""
+
+    def to_block_pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        n = len(ids)
+        blk = (ids % num_blocks).astype(np.int64)
+        # unordered pair keys (i, j), i <= j, for this vector's block
+        others = np.arange(num_blocks, dtype=np.int64)
+        lo = np.minimum(blk[:, None], others[None, :])
+        hi = np.maximum(blk[:, None], others[None, :])
+        pairkey = (lo * num_blocks + hi).ravel()
+        rep_ids = np.repeat(ids.astype(np.int64), num_blocks)
+        rep_blk = np.repeat(blk, num_blocks)
+        rep_mat = np.repeat(mat, num_blocks, axis=0)
+        return pa.Table.from_pydict(
+            {
+                "pairkey": pairkey,
+                "vec_id": rep_ids,
+                "block": rep_blk,
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_mat.ravel(), pa.float64()), mat.shape[1]),
+            }
+        )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = g.column("block").to_numpy(zero_copy_only=False)
+        col = g.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(ids), -1)
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        normed = mat / nn[:, None]
+        key = int(g.column("pairkey")[0].as_py())
+        bi, bj = key // num_blocks, key % num_blocks
+        empty = pa.Table.from_pydict(
+            {"v1": np.empty(0, np.int64), "v2": np.empty(0, np.int64),
+             "cos_sim": np.empty(0, np.float64)},
+            schema=pa.schema([("v1", pa.int64()), ("v2", pa.int64()),
+                              ("cos_sim", pa.float64())]))
+        if bi == bj:
+            # a vector appears num_blocks times under its own diagonal
+            # key exactly once per distinct partner block -> dedup rows
+            ids, keep_idx = np.unique(ids, return_index=True)
+            normed = normed[keep_idx]
+            if len(ids) < 2:
+                return empty
+            cos = normed @ normed.T
+            mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            v1, v2 = ids[r], ids[c]
+            vals = cos[r, c]
+        else:
+            mi, mj = blk == bi, blk == bj
+            if not mi.any() or not mj.any():
+                return empty
+            ia, ma = ids[mi], normed[mi]
+            ib, mb = ids[mj], normed[mj]
+            cos = ma @ mb.T
+            mask = cos >= threshold
+            r, c = np.nonzero(mask)
+            v1 = np.minimum(ia[r], ib[c])
+            v2 = np.maximum(ia[r], ib[c])
+            vals = cos[r, c]
+        return pa.Table.from_pydict(
+            {"v1": v1.astype(np.int64), "v2": v2.astype(np.int64),
+             "cos_sim": round_half_up(vals, 4)},
+            schema=pa.schema([("v1", pa.int64()), ("v2", pa.int64()),
+                              ("cos_sim", pa.float64())]))
+
+    ds = _embeddings(sf_dir).map_batches(to_block_pairs, batch_format="pyarrow")
+    return ds.groupby("pairkey").map_groups(group_pairs, batch_format="pyarrow")
+
+
+def embedding_cosine_dups_bruteforce(sf_dir: str,
+                                     threshold: float = 0.4) -> rd.Dataset:
+    """Round-1 broadcast all-pairs form, kept ONLY as the pytest oracle
+    for :func:`embedding_cosine_dups` (driver materialization + full
+    broadcast — not scale-safe; never registered as a query)."""
     import pyarrow.dataset as pads
 
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
@@ -209,8 +305,6 @@ def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
         bn = np.linalg.norm(m, axis=1)
         bn[bn == 0] = 1.0
         cos = (m / bn[:, None]) @ normed.T
-        # threshold on the RAW similarity (matches the SQL oracle's
-        # pre-round WHERE clause); round only the emitted value
         mask = (cos >= threshold) & (ids[:, None] < ids_all[None, :])
         bi, cj = np.nonzero(mask)
         cos = round_half_up(cos, 4)

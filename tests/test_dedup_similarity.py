@@ -201,3 +201,18 @@ def test_bloom_filter_no_false_negatives_and_low_fp():
     assert bloom_contains(f, members).all()          # no false negatives
     fp = bloom_contains(f, others).mean()
     assert fp < 0.03                                  # ~1% target
+
+
+def test_embedding_cosine_dups_blockpair_matches_bruteforce():
+    """The distributed block-pair exact join equals the broadcast
+    all-pairs oracle row-for-row (round 2: scale-safe plan swap)."""
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        embedding_cosine_dups, embedding_cosine_dups_bruteforce)
+
+    got = embedding_cosine_dups(SF).to_pandas().sort_values(
+        ["v1", "v2"]).reset_index(drop=True)
+    want = embedding_cosine_dups_bruteforce(SF).to_pandas().sort_values(
+        ["v1", "v2"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[["v1", "v2", "cos_sim"]],
+                                  want[["v1", "v2", "cos_sim"]])
