@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_deciles": relational.quantity_deciles,
         "purchases_prev_click": events.purchases_with_prev_click,
         "clicks_before_purchase": events.clicks_before_purchase,
+        # --- mode aggregate (G5) + deterministic sampling (O5) ---
+        "modal_event_type_per_user": relational.modal_event_type_per_user,
+        "sample_docs": relational.sample_docs,
     }
 
 
@@ -493,6 +496,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label
             FROM best WHERE rn = 1 ORDER BY vec_id
+        """,
+        "modal_event_type_per_user": """
+            SELECT user_id, event_type AS modal_event_type,
+                   CAST(n AS BIGINT) AS modal_event_type_count
+            FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type)
+                       AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
+            ORDER BY doc_id
         """,
         # no oracle_sql for: extract_docs (concat semantics), lang_id /
         # fingerprints / simhash_* / minhash_lsh_dups / ann_lsh_topk

@@ -25,6 +25,7 @@ separate — duplicate offsets are malformed input).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -107,28 +108,41 @@ def extract_spans(
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def _reassemble_spans(classified: rd.Dataset) -> rd.Dataset:
+def _reassemble_spans(classified: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     """Fan-out path reassembly: per-glyph rows -> span rows.
 
-    The one required shuffle: groupby the synthesized span key, sort
+    The one required shuffle: group by the synthesized span key, sort
     glyphs within the group, concat recognized letters. Explicit-order
     restoration — never relies on executor arrival order (SURVEY.md
-    §7.7 hard part #1)."""
+    §7.7 hard part #1).
 
-    def _add_key(batch: pa.Table) -> pa.Table:
+    The shuffle keys on ``stable_hash(span_key) % num_buckets`` — a
+    COARSE bucket, with a local pandas groupby over the real span keys
+    inside each bucket — because Ray's per-group dispatch overhead at
+    span-count cardinality dominates wall time (the repo's own hashagg
+    lesson; VERDICT r01 next-steps #6). Per-span glyph order still
+    restores exactly; bucket count only bounds task granularity."""
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+
+        from ..functions.textstats import hash64_batch
+
+        # separator \x1f (unit separator): NEVER \x00 — pandas' object
+        # hashtable hashes strings through a C string and silently MERGES
+        # keys that differ only after an embedded NUL (two spans of one
+        # doc would concatenate; caught by the invariant suite)
         key = pc.binary_join_element_wise(
             batch.column("doc_id"),
             pc.cast(batch.column("order"), pa.string()),
-            "\x00",
+            "\x1f",
         )
-        return batch.append_column("span_key", key)
+        bucket = (hash64_batch(key) % np.uint64(num_buckets)).astype(np.int64)
+        t = batch.append_column("span_key", key)
+        return t.append_column("span_bucket", pa.array(bucket))
 
-    def _regroup(g: pd.DataFrame) -> pd.DataFrame:
+    def _regroup_one(g: pd.DataFrame) -> pd.DataFrame:
         first = g.iloc[0]
-        if first["kind"] != "media":
-            out = g.drop(columns=["span_key", "glyph_idx", "feature"])
-            return out
         g = g.sort_values("glyph_idx")
         rec = g[(g["glyph_idx"] >= 0) & (g["text"] != "")]
         text = "".join(rec["text"].tolist())
@@ -144,8 +158,20 @@ def _reassemble_spans(classified: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    keyed = classified.map_batches(_add_key, batch_format="pyarrow")
-    return keyed.groupby("span_key").map_groups(_regroup, batch_format="pandas")
+    def _regroup_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        drop = ["span_key", "span_bucket", "glyph_idx", "feature"]
+        passthrough = part[part["kind"] != "media"].drop(columns=drop)
+        media = part[part["kind"] == "media"]
+        if len(media) == 0:
+            return passthrough
+        spans = [
+            _regroup_one(g) for _, g in media.groupby("span_key", sort=False)
+        ]
+        return pd.concat([passthrough] + spans, ignore_index=True)
+
+    keyed = classified.map_batches(_add_bucket, batch_format="pyarrow")
+    return keyed.groupby("span_bucket").map_groups(_regroup_bucket,
+                                                  batch_format="pandas")
 
 
 def extract_spans_sorted(docs: rd.Dataset, **kwargs) -> rd.Dataset:

@@ -327,6 +327,61 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     ).limit(k)
 
 
+def modal_event_type_per_user(sf_dir: str) -> rd.Dataset:
+    """Per-user modal (most frequent) event type — the per-group
+    majority-vote aggregate (G5; reference analog: per-circle color
+    vote, extract_from_reference.py:352-356). Ties break to the
+    alphabetically-first event type; output (user_id,
+    modal_event_type, modal_event_type_count)."""
+    from ..stages.hashagg import hash_groupby_mode
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+    return hash_groupby_mode(ds, ["user_id"], "event_type",
+                             out_col="modal_event_type").sort("user_id")
+
+
+def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
+    """Deterministic random sample (O5): keep a doc iff
+    ``(doc_id * 2654435761) mod 2^32 mod 100 < pct`` — Knuth's
+    multiplicative hash, closed-form reproducible in ANSI SQL so the
+    sample is hash-verifiable (a seeded RNG sample would be
+    order-dependent). Reference analog: train/test random_split,
+    train_cnn_model.py:334-340; ``train_test_split`` below derives both
+    halves from the same hash so they partition the corpus exactly."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32) % np.uint64(100)
+        return batch.filter(pa.array(h < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def train_test_split(sf_dir: str, test_pct: int = 20
+                     ) -> tuple[rd.Dataset, rd.Dataset]:
+    """Deterministic (train, test) split by the sample_docs hash: the
+    two halves partition the corpus exactly (tested)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def part(batch: pa.Table, want_test: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32) % np.uint64(100)
+        mask = (h < test_pct) if want_test else (h >= test_pct)
+        return batch.filter(pa.array(mask))
+
+    train = ds.map_batches(part, batch_format="pyarrow",
+                           fn_kwargs={"want_test": False})
+    test = ds.map_batches(part, batch_format="pyarrow",
+                          fn_kwargs={"want_test": True})
+    return train, test
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 2) -> rd.Dataset:
     """Grouped top-k (window-rank shape): the k most expensive parts per
     brand, ties broken by p_partkey. groupby(brand) -> per-group sorted

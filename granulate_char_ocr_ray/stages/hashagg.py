@@ -93,3 +93,44 @@ def hash_groupby_agg(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("_part").map_groups(final, batch_format="pandas")
+
+
+def hash_groupby_mode(
+    ds: rd.Dataset,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "mode",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Per-group MODE (majority vote): the most frequent ``value_col``
+    per distinct key combination, ties broken by the SMALLEST value —
+    deterministic and SQL-reproducible (row_number() OVER (ORDER BY
+    count DESC, value ASC)).
+
+    Mode is not associative, but its two-phase decomposition is: the
+    partial combine counts (keys, value) pairs inside each batch, the
+    shuffle keys on the coarse key-hash (every value of a key lands in
+    one part), and the final combine sums counts then argmaxes per key.
+    Shuffle volume is one row per (batch, key, DISTINCT value) — for
+    low-cardinality vote domains (the reference's per-circle color vote,
+    extract_from_reference.py:352-356) that is ~|values| per key.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys + [value_col], as_index=False).agg(
+            _n=(value_col, "size"))
+        g["_part"] = _stable_partition(g, keys, num_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        c = part.groupby(keys + [value_col], as_index=False).agg(
+            _n=("_n", "sum"))
+        c = c.sort_values(keys + ["_n", value_col],
+                          ascending=[True] * len(keys) + [False, True])
+        out = c.groupby(keys, as_index=False).first()
+        return out.rename(columns={value_col: out_col})[keys + [out_col, "_n"]] \
+            .rename(columns={"_n": f"{out_col}_count"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(final, batch_format="pandas")

@@ -329,3 +329,42 @@ def test_hll_token_hash_accuracy_1m_distinct():
         merged = hll_merge(merged, r)
     est = hll_estimate(merged)
     assert abs(est - n) / n <= 0.03
+
+
+def test_modal_event_type_per_user(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        modal_event_type_per_user)
+
+    _check(modal_event_type_per_user(SF), """
+        SELECT user_id, event_type AS modal_event_type,
+               CAST(n AS BIGINT) AS modal_event_type_count
+        FROM (
+          SELECT user_id, event_type, count(*) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """, con)
+
+
+def test_sample_docs_matches_closed_form(con):
+    from granulate_char_ocr_ray.pipelines.relational import sample_docs
+
+    _check(sample_docs(SF), """
+        SELECT doc_id FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
+    """, con)
+
+
+def test_train_test_split_partitions_corpus():
+    from granulate_char_ocr_ray.pipelines.relational import train_test_split
+
+    train, test = train_test_split(SF)
+    tr = set(train.to_pandas()["doc_id"])
+    te = set(test.to_pandas()["doc_id"])
+    import pyarrow.dataset as pads
+    allids = set(pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id"]).column("doc_id").to_pylist())
+    assert tr | te == allids
+    assert tr & te == set()
+    assert 0 < len(te) < len(allids)
