@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": events.user_sessions,
         # --- media metadata + anti-join ---
         "media_dimensions": media.media_dimensions,
+        "media_dimensions_png": media.media_dimensions_png,
         "media_thumbnails": media.media_thumbnails,
         "docs_without_media": media.docs_without_media,
         # --- deeper relational + IVF assignment ---
@@ -367,6 +368,17 @@ def oracle_sql() -> dict[str, str]:
         "media_dimensions": """
             SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
                    'glyph:' || w AS media_ref,
+                   CAST(64 AS BIGINT) AS height,
+                   CAST(80 * length(w) + 16 AS BIGINT) AS width,
+                   CAST(length(w) AS BIGINT) AS n_glyphs
+            FROM (SELECT doc_id,
+                         translate(CAST(doc_id AS VARCHAR),
+                                   '0123456789', 'ABCDEFGHIJ') AS w
+                  FROM documents WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "media_dimensions_png": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
                    CAST(64 AS BIGINT) AS height,
                    CAST(80 * length(w) + 16 AS BIGINT) AS width,
                    CAST(length(w) AS BIGINT) AS n_glyphs

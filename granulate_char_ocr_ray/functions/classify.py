@@ -109,6 +109,56 @@ def classify_crops(crops: list[np.ndarray], proto: np.ndarray) -> tuple[str, flo
     return "".join(chars), float(np.mean(confs))
 
 
+DEFAULT_CASCADE = (("exact", 1.0), ("hamming", 1.0 - HAMMING_THRESHOLD / 64.0))
+
+
+def classify_cascade(
+    features: np.ndarray,
+    proto: np.ndarray,
+    stages: tuple[tuple[str, float], ...] = DEFAULT_CASCADE,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ordered recognizer cascade with threshold-based fallback — the
+    engine form of the reference's CNN -> Tesseract -> hash confidence
+    fusion (ocr_service.py:112-147): each glyph takes the FIRST stage
+    whose confidence clears that stage's threshold; glyphs no stage
+    accepts are unrecognized.
+
+    In-sandbox members: ``"exact"`` (64-bit hash equality, confidence
+    1.0 — J1) and ``"hamming"`` (nearest-prototype, confidence
+    1 - d/64 — J2). A CNN or Tesseract recognizer drops in as another
+    (name, min_conf) entry computing its own confidence vector.
+
+    Returns (letter indices with -1 = unrecognized, confidence, stage
+    index with -1 = unrecognized). Vectorized: each stage scores the
+    still-unassigned glyphs only.
+    """
+    n = len(features)
+    letters = np.full(n, -1, dtype=np.int64)
+    conf = np.zeros(n, dtype=np.float64)
+    stage_idx = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return letters, conf, stage_idx
+    pending = np.ones(n, dtype=bool)
+    dists = (features[:, None, :] != proto[None, :, :]).sum(axis=2)
+    best = dists.argmin(axis=1)
+    best_d = dists[np.arange(n), best]
+    for si, (name, min_conf) in enumerate(stages):
+        if not pending.any():
+            break
+        if name == "exact":
+            score = np.where(best_d == 0, 1.0, 0.0)
+        elif name == "hamming":
+            score = 1.0 - best_d / 64.0
+        else:
+            raise ValueError(f"unknown cascade recognizer {name!r}")
+        take = pending & (score >= min_conf) & (score > 0)
+        letters[take] = best[take]
+        conf[take] = score[take]
+        stage_idx[take] = si
+        pending &= ~take
+    return letters, conf, stage_idx
+
+
 def exact_hash_lookup(bitstring: str) -> str | None:
     """Exact 64-bit hash -> letter (J1). Uses raw prototype hashes."""
     from .glyphs import PROTOTYPE_HASHES

@@ -1,0 +1,175 @@
+"""Pure-NumPy binary image codecs: 8-bit grayscale PNG and PGM (P5).
+
+Realizes the reference's real image-decode step (S3,
+``backend/application/services/ocr_service.py:97-99`` decodes PNG/JPEG
+bytes to arrays) without an imaging library: a standards-conforming
+subset of PNG — 8-bit grayscale, non-interlaced, all five scanline
+filters (RFC 2083 §6) — plus binary PGM. The base64 transport wrapper
+(``pngb64:`` / ``pgmb64:`` media refs, functions/glyphs.decode_media_ref)
+realizes the payload-decode seam (S2,
+``backend/interface/api/routes/ocr.py`` base64 uploads).
+
+Decode cost notes: filter types 0/1/2 defilter fully vectorized (type 1
+is a mod-256 cumsum); types 3/4 (Average/Paeth) carry a true sequential
+dependency on the left-neighbor RECONSTRUCTED byte, so those rows pay a
+per-column loop — unavoidable without a compiled kernel, and only paid
+for externally-produced PNGs that chose those filters.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def encode_png_gray(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale PNG.
+
+    ``filter_type`` selects the scanline filter for EVERY row (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) — useful for exercising every
+    decode path in tests; 0 is the fast default."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    prev = np.zeros(w, dtype=np.int64)
+    rows = []
+    for y in range(h):
+        raw = img[y].astype(np.int64)
+        left = np.concatenate([[0], raw[:-1]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:
+            filt = raw - left
+        elif filter_type == 2:
+            filt = raw - prev
+        elif filter_type == 3:
+            filt = raw - (left + prev) // 2
+        elif filter_type == 4:
+            ul = np.concatenate([[0], prev[:-1]])
+            filt = raw - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        rows.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale non-interlaced PNG -> (h, w) uint8.
+
+    Raises ValueError for non-PNG bytes or unsupported PNG variants
+    (palette/color/16-bit/interlaced)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        tag = data[pos + 4: pos + 8]
+        payload = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or color != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={color}, "
+                    f"interlace={interlace}); this decoder handles 8-bit "
+                    "grayscale non-interlaced only")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    ftypes = rows[:, 0]
+    scan = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        raw_row = scan[y]
+        if f == 0:
+            rec = raw_row
+        elif f == 1:
+            rec = np.cumsum(raw_row, dtype=np.int64) % 256
+        elif f == 2:
+            rec = (raw_row + prev) % 256
+        elif f == 3:
+            rec = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (raw_row[x] + (left + prev[x]) // 2) % 256
+                rec[x] = left
+        elif f == 4:
+            rec = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                ul = prev[x - 1] if x else 0
+                a, b, c = left, prev[x], ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                left = (raw_row[x] + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as binary PGM (P5, maxval 255)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Decode a binary PGM (P5) -> (h, w) uint8."""
+    if not data.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5)")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos: pos + 1].isspace():
+            pos += 1
+        if data[pos: pos + 1] == b"#":
+            while pos < len(data) and data[pos: pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos: pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start: pos])
+    pos += 1          # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only maxval 255 PGM supported")
+    img = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos)
+    return img.reshape(h, w).copy()

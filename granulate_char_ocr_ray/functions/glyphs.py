@@ -105,11 +105,20 @@ def render_strip(word: str, scale: int = SCALE, gap: int = GAP, margin: int = MA
 def decode_media_ref(media_ref: str) -> np.ndarray | None:
     """Decode a media payload to a grayscale uint8 image.
 
-    Sandbox implementation: only the deterministic ``glyph:<WORD>``
-    encoding is supported. Real image decoding (PNG/JPEG bytes -> array,
-    ocr_service.py:97-99) is intentionally NOT implemented here — no
-    imaging library in this environment; this function is the seam where
-    it plugs in.
+    Supported encodings:
+
+    - ``glyph:<WORD>`` — the deterministic prototype-strip renderer
+      (synthetic corpus path);
+    - ``pngb64:<base64>`` — REAL binary image decode: base64 payload ->
+      8-bit grayscale PNG bytes -> array via the pure-NumPy decoder
+      (functions/codecs.decode_png_gray; S2+S3,
+      ocr_service.py:97-99 / the API's base64 upload path);
+    - ``pgmb64:<base64>`` — same for binary PGM (P5).
+
+    Undecodable payloads (bad base64 / corrupt image) yield ``None`` —
+    the reference's swallow-into-empty-result policy
+    (ocr_service.py:164-171). JPEG stays out of scope (a DCT decoder is
+    a library, not a seam); a real codec drops in beside the PNG branch.
     """
     if not media_ref:
         return None   # empty/null payload -> empty result, never a crash
@@ -118,7 +127,18 @@ def decode_media_ref(media_ref: str) -> np.ndarray | None:
         if all(c in PROTOTYPE_HASHES for c in word):
             return render_strip(word)
         return None
+    if media_ref.startswith("pngb64:") or media_ref.startswith("pgmb64:"):
+        import base64 as _b64
+
+        from .codecs import decode_pgm, decode_png_gray
+
+        decoder = decode_png_gray if media_ref.startswith("pngb64:") else decode_pgm
+        try:
+            return decoder(_b64.b64decode(media_ref[7:], validate=True))
+        except Exception:
+            return None
     raise NotImplementedError(
-        "binary image decoding requires an imaging library; only the "
-        "deterministic 'glyph:<WORD>' encoding is available in-sandbox"
+        "unrecognized media encoding; supported: 'glyph:<WORD>', "
+        "'pngb64:<b64 png>', 'pgmb64:<b64 pgm>' — plug additional codecs "
+        "into functions/codecs and route them here"
     )

@@ -87,14 +87,175 @@ def morph_close_2x2(binary: np.ndarray) -> np.ndarray:
     return np.where(erode(dilate(b)), 255, 0).astype(np.uint8)
 
 
-def preprocess(gray: np.ndarray, binarizer: str = "fixed") -> np.ndarray:
+def _sep_filter(img: np.ndarray, k1d: np.ndarray) -> np.ndarray:
+    """Separable 2D filter with replicate borders (cv2 BORDER_REPLICATE
+    — unlike reflect it supports windows larger than the image, which
+    background-estimation-sized adaptive blocks need), float64 out;
+    vectorized tap loop (k taps, whole-image adds)."""
+    r = len(k1d) // 2
+    f = img.astype(np.float64)
+    p = np.pad(f, ((r, r), (0, 0)), mode="edge")
+    out = np.zeros_like(f)
+    for i, w in enumerate(k1d):
+        out += w * p[i: i + f.shape[0], :]
+    p = np.pad(out, ((0, 0), (r, r)), mode="edge")
+    out = np.zeros_like(f)
+    for i, w in enumerate(k1d):
+        out += w * p[:, i: i + f.shape[1]]
+    return out
+
+
+def _gauss_kernel(ksize: int, sigma: float | None = None) -> np.ndarray:
+    if sigma is None or sigma <= 0:
+        # cv2's derived sigma for getGaussianKernel
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return k / k.sum()
+
+
+def gaussian_blur(img: np.ndarray, ksize: int = 3,
+                  sigma: float | None = None) -> np.ndarray:
+    """Separable Gaussian blur (cv2.GaussianBlur semantics: derived
+    sigma, reflect-101 borders), uint8 in -> uint8 out (rounded)."""
+    out = _sep_filter(img, _gauss_kernel(ksize, sigma))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def threshold_adaptive(gray: np.ndarray, block: int = 11, c: float = 2.0,
+                       method: str = "gaussian") -> np.ndarray:
+    """Local-adaptive binarization (M3;
+    optimize_preprocessing.py:41-57's cv2.adaptiveThreshold
+    ADAPTIVE_THRESH_GAUSSIAN_C/MEAN_C, block 11, C=2 — re-expressed in
+    NumPy for this engine's white-glyph-on-black convention).
+
+    A pixel is GLYPH iff it is brighter than its blockxblock local
+    (gaussian- or box-weighted) mean by more than ``c`` — the
+    sign-flipped form of cv2's dark-text rule, so flat background stays
+    background and output stays {0, 255} white-on-black. Robust to
+    slowly-varying illumination that defeats any single global
+    threshold; strokes must be thinner than ~block/2 (the standard
+    adaptive-threshold regime; see the degraded-strip fixture test)."""
+    f = gray.astype(np.float64)
+    if method == "mean":
+        local = _sep_filter(f, np.full(block, 1.0 / block))
+    else:
+        local = _sep_filter(f, _gauss_kernel(block))
+    return np.where(f > local + c, 255, 0).astype(np.uint8)
+
+
+def dilate3_cross(binary: np.ndarray) -> np.ndarray:
+    """Dilation by the 3x3 cross (cv2 MORPH_ELLIPSE (3,3)),
+    ocr_service.py:344-346."""
+    m = binary > 0
+    out = m.copy()
+    out[1:, :] |= m[:-1, :]
+    out[:-1, :] |= m[1:, :]
+    out[:, 1:] |= m[:, :-1]
+    out[:, :-1] |= m[:, 1:]
+    return np.where(out, 255, 0).astype(np.uint8)
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (stands in for cv2 INTER_CUBIC on binary
+    glyphs — cubic ringing would need re-thresholding anyway)."""
+    h, w = img.shape
+    ys = np.minimum((np.arange(out_h) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(out_w) * w / out_w).astype(np.int64), w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def normalize_glyph(crop: np.ndarray, target: int = 64) -> np.ndarray:
+    """CNN-input glyph normalization chain (M6,
+    ocr_service.py:337-376): dilate (3x3 cross) -> re-threshold 128 ->
+    upscale so min side >= 48 -> pad square (centered) -> 3x3 gaussian
+    blur -> re-threshold 128 -> resize to target x target. uint8
+    {0,255} in and out."""
+    img = threshold_fixed(dilate3_cross(crop), 128)
+    h, w = img.shape
+    if h < 48 or w < 48:
+        scale = max(48 / h, 48 / w)
+        img = resize_nn(img, max(1, int(h * scale)), max(1, int(w * scale)))
+    h, w = img.shape
+    if h != w:
+        size = max(h, w)
+        padded = np.zeros((size, size), dtype=np.uint8)
+        y0, x0 = (size - h) // 2, (size - w) // 2
+        padded[y0: y0 + h, x0: x0 + w] = img
+        img = padded
+    img = threshold_fixed(gaussian_blur(img, 3), 128)
+    return resize_nn(img, target, target)
+
+
+def estimate_skew_deg(binary: np.ndarray) -> float:
+    """Skew estimate (M8, optimize_preprocessing.py:102-128's
+    minAreaRect deskew): principal-axis angle of the glyph-pixel cloud
+    (PCA of (x, y) coordinates), clamped to (-45, 45] degrees. 0.0 for
+    blank or degenerate images."""
+    ys, xs = np.nonzero(binary)
+    if len(ys) < 2:
+        return 0.0
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    cov_xx, cov_yy, cov_xy = (x * x).mean(), (y * y).mean(), (x * y).mean()
+    if abs(cov_xy) < 1e-12 and abs(cov_xx - cov_yy) < 1e-12:
+        return 0.0
+    angle = 0.5 * np.degrees(np.arctan2(2 * cov_xy, cov_xx - cov_yy))
+    if angle > 45:
+        angle -= 90
+    elif angle <= -45:
+        angle += 90
+    return float(angle)
+
+
+def rotate_nn(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate about the center by ``angle_deg`` (counter-clockwise in
+    image coordinates), nearest-neighbor inverse mapping, same output
+    shape, zeros outside."""
+    if abs(angle_deg) < 1e-9:
+        return img.copy()
+    h, w = img.shape
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    t = np.radians(angle_deg)
+    cos_t, sin_t = np.cos(t), np.sin(t)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # inverse map: output (y, x) pulls from input rotated by -angle
+    sx = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
+    sy = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
+    sxi = np.round(sx).astype(np.int64)
+    syi = np.round(sy).astype(np.int64)
+    ok = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+    out = np.zeros_like(img)
+    out[ok] = img[syi[ok], sxi[ok]]
+    return out
+
+
+def deskew(binary: np.ndarray) -> np.ndarray:
+    """Orientation correction (M8): estimate skew, rotate it out."""
+    return rotate_nn(binary, -estimate_skew_deg(binary))
+
+
+def preprocess(gray: np.ndarray, binarizer: str = "fixed",
+               adaptive_block: int = 11, adaptive_c: float = 2.0,
+               adaptive_method: str = "gaussian") -> np.ndarray:
     """Production preprocessing path (ocr_service.py:173-201, minus the
     cv2-only denoise/CLAHE steps which are identity on already-binary
-    synthetic strips): polarity normalize -> threshold -> 2x2 close.
+    synthetic strips): polarity normalize -> threshold (fixed M1 /
+    otsu M2 / adaptive M3) -> 2x2 close. The adaptive branch blurs 3x3
+    first (optimize_preprocessing.py:48-56's denoise step); its defaults
+    are the reference's (gaussian, block 11, C=2 — the thin-stroke
+    camera regime). For the synthetic glyph strips, whose marks are
+    FILLED blobs rather than strokes, pass a background-estimation-sized
+    block (>= ~3x the blob width) with ``adaptive_method="mean"`` — the
+    Sauvola-style large-window setting; see the degraded-strip fixture
+    test for both regimes.
     """
     g = normalize_polarity(gray)
     if binarizer == "otsu":
         b = threshold_otsu(g)
+    elif binarizer == "adaptive":
+        b = threshold_adaptive(gaussian_blur(g, 3), block=adaptive_block,
+                               c=adaptive_c, method=adaptive_method)
     else:
         b = threshold_fixed(g)
     return morph_close_2x2(b)

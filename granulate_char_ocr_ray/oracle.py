@@ -20,10 +20,13 @@ from .schema import SPANS_OUT_SCHEMA
 
 
 def extract_media_text(media_ref: str, proto=None,
-                       segmenter: str = "projection") -> tuple[str, float]:
-    """Glyph pipeline for one media payload: decode -> binarize ->
-    segment (projection M4 or connected-components M5) -> classify each
-    crop -> ordered concat.
+                       segmenter: str = "projection",
+                       binarizer: str = "fixed",
+                       cascade: bool = False) -> tuple[str, float]:
+    """Glyph pipeline for one media payload: decode -> binarize (fixed
+    M1 / otsu M2 / adaptive M3) -> segment (projection M4 or
+    connected-components M5) -> classify each crop (flat rule or
+    ordered cascade) -> ordered concat.
 
     Mirrors ocr_service.py:92-162 (process_image) with the deterministic
     classifier. Undecodable payloads yield ("", 0.0) — the reference's
@@ -34,18 +37,40 @@ def extract_media_text(media_ref: str, proto=None,
     img = decode_media_ref(media_ref)
     if img is None:
         return "", 0.0
-    binary = preprocess(img)
+    binary = preprocess(img, binarizer=binarizer)
     seg = segment_components if segmenter == "cc" else segment_projection
     regions = seg(binary)
     crops = [binary[y: y + h, x: x + w] for (x, y, w, h) in regions]
+    if cascade:
+        import numpy as np
+
+        from .functions.classify import (
+            LETTERS,
+            classify_cascade,
+            glyph_feature,
+            tight_crop,
+        )
+
+        feats = [glyph_feature(tc) for tc in
+                 (tight_crop(c) for c in crops) if tc is not None]
+        if not feats:
+            return "", 0.0
+        letters, conf, _ = classify_cascade(np.stack(feats), proto)
+        chars = [LETTERS[i] for i in letters if i >= 0]
+        confs = conf[letters >= 0]
+        if not chars:
+            return "", 0.0
+        return "".join(chars), float(confs.mean())
     return classify_crops(crops, proto)
 
 
 def extract_span(kind: str, text: str, media_ref: str, proto=None,
-                 segmenter: str = "projection") -> tuple[str, float]:
+                 segmenter: str = "projection", binarizer: str = "fixed",
+                 cascade: bool = False) -> tuple[str, float]:
     """Extract one span -> (output text, confidence)."""
     if kind == "media":
-        return extract_media_text(media_ref, proto, segmenter)
+        return extract_media_text(media_ref, proto, segmenter, binarizer,
+                                  cascade)
     if kind == "html":
         return extract_html_main(text), 1.0
     if kind == "pdf":
@@ -53,7 +78,9 @@ def extract_span(kind: str, text: str, media_ref: str, proto=None,
     return extract_text(text), 1.0
 
 
-def extract_spans_table(docs: pa.Table, segmenter: str = "projection") -> pa.Table:
+def extract_spans_table(docs: pa.Table, segmenter: str = "projection",
+                        binarizer: str = "fixed",
+                        cascade: bool = False) -> pa.Table:
     """docs (DOCS_SCHEMA) -> flat extracted spans, sorted (doc_id, order)."""
     proto, _ = prototype_matrix()
     out = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": []}
@@ -62,7 +89,8 @@ def extract_spans_table(docs: pa.Table, segmenter: str = "projection") -> pa.Tab
     for doc_id, spans in zip(doc_ids, spans_col):
         for span in sorted(spans or [], key=lambda s: s["offset"]):
             text, _conf = extract_span(span["kind"], span["text"],
-                                       span["media_ref"], proto, segmenter)
+                                       span["media_ref"], proto, segmenter,
+                                       binarizer, cascade)
             out["doc_id"].append(doc_id)
             out["order"].append(span["offset"])
             out["kind"].append(span["kind"])

@@ -64,6 +64,8 @@ def extract_spans(
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int | None = None,
     segmenter: str = "projection",
+    binarizer: str = "fixed",
+    cascade: bool = False,
 ) -> rd.Dataset:
     """docs Dataset -> flat extracted span rows (unordered; order is an
     explicit column). Columns: doc_id, order, kind, text, media_ref,
@@ -88,7 +90,9 @@ def extract_spans(
             GlyphClassifierStage,
             batch_format="pyarrow",
             concurrency=concurrency,
-            fn_constructor_kwargs={"segmenter": segmenter},
+            fn_constructor_kwargs={"segmenter": segmenter,
+                                   "binarizer": binarizer,
+                                   "cascade": cascade},
             **bs,
         )
     if mode == "fanout":
@@ -96,7 +100,7 @@ def extract_spans(
         # silently ignore segmenter="cc")
         glyphs = spans.map_batches(
             segment_glyphs, batch_format="pyarrow",
-            fn_kwargs={"segmenter": segmenter},
+            fn_kwargs={"segmenter": segmenter, "binarizer": binarizer},
         )
         classified = glyphs.map_batches(
             GlyphFeatureClassifier,

@@ -66,6 +66,44 @@ def media_dimensions(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
     ).sort("doc_id")
 
 
+def media_dimensions_png(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, height, width, n_glyphs) where every media payload
+    travels as REAL binary: the glyph strip is encoded to 8-bit
+    grayscale PNG, base64-wrapped into a ``pngb64:`` ref, then decoded
+    by the pure-NumPy PNG decoder (functions/codecs) inside the
+    MediaDimensions actor — the full S2+S3 binary path, hash-verified
+    against the same closed-form SQL oracle as media_dimensions."""
+    import base64
+
+    from ..functions.codecs import encode_png_gray
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+
+    def reencode(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            img = decode_media_ref(ref or "")
+            if img is None:
+                out.append("")
+            else:
+                out.append("pngb64:"
+                           + base64.b64encode(encode_png_gray(img)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    png_spans = media.map_batches(reencode, batch_format="pyarrow")
+    dims = png_spans.map_batches(
+        MediaDimensions, batch_format="pyarrow", concurrency=concurrency)
+    return dims.map_batches(
+        lambda t: t.select(["doc_id", "height", "width", "n_glyphs"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 class MediaResize:
     """Actor stage: decode + area-resize each media payload to a fixed
     thumbnail, emit the thumbnail's 64-bit mean-threshold hash. The

@@ -32,7 +32,8 @@ from ..functions.segment import segment_components, segment_projection
 
 
 def _span_glyph_features(media_ref: str,
-                         segmenter: str = "projection") -> list[np.ndarray]:
+                         segmenter: str = "projection",
+                         binarizer: str = "fixed") -> list[np.ndarray]:
     """decode -> preprocess -> segment -> per-glyph 64-bit features.
 
     Blank / undecodable spans yield []; blank crops are dropped (same
@@ -40,7 +41,7 @@ def _span_glyph_features(media_ref: str,
     img = decode_media_ref(media_ref)
     if img is None:
         return []
-    binary = preprocess(img)
+    binary = preprocess(img, binarizer=binarizer)
     seg = segment_components if segmenter == "cc" else segment_projection
     feats = []
     for (x, y, w, h) in seg(binary):
@@ -57,9 +58,12 @@ class GlyphClassifierStage:
     concurrency=N, batch_size=B)``.
     """
 
-    def __init__(self, segmenter: str = "projection") -> None:
+    def __init__(self, segmenter: str = "projection",
+                 binarizer: str = "fixed", cascade: bool = False) -> None:
         self.proto, self.letters = build_prototype_matrix()
         self.segmenter = segmenter
+        self.binarizer = binarizer
+        self.cascade = cascade
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -77,11 +81,19 @@ class GlyphClassifierStage:
         feats: list[np.ndarray] = []
         owners: list[int] = []
         for i in media_rows:
-            fs = _span_glyph_features(refs[i] or "", self.segmenter)
+            fs = _span_glyph_features(refs[i] or "", self.segmenter,
+                                      self.binarizer)
             feats.extend(fs)
             owners.extend([i] * len(fs))
         if feats:
-            letters_idx, conf = classify_features(np.stack(feats), self.proto)
+            if self.cascade:
+                from ..functions.classify import classify_cascade
+
+                letters_idx, conf, _ = classify_cascade(np.stack(feats),
+                                                        self.proto)
+            else:
+                letters_idx, conf = classify_features(np.stack(feats),
+                                                      self.proto)
         else:
             letters_idx = np.empty(0, dtype=np.int64)
             conf = np.empty(0, dtype=np.float64)
@@ -104,7 +116,8 @@ class GlyphClassifierStage:
         return t
 
 
-def segment_glyphs(batch: pa.Table, segmenter: str = "projection") -> pa.Table:
+def segment_glyphs(batch: pa.Table, segmenter: str = "projection",
+                   binarizer: str = "fixed") -> pa.Table:
     """Stateless fan-out: media span rows -> per-glyph feature rows.
 
     Output: (doc_id, order, kind, media_ref, glyph_idx:int32,
@@ -135,7 +148,7 @@ def segment_glyphs(batch: pa.Table, segmenter: str = "projection") -> pa.Table:
             out["glyph_idx"].append(-1)
             out["feature"].append(b"")
             continue
-        feats = _span_glyph_features(refs[i] or "", segmenter)
+        feats = _span_glyph_features(refs[i] or "", segmenter, binarizer)
         if not feats:
             # emit a sentinel row so the span still appears in output
             out["doc_id"].append(doc_ids[i])

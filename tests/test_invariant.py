@@ -108,3 +108,26 @@ def test_cc_segmenter_engine_matches_oracle():
     want = oracle.extract_spans_table(table, segmenter="cc").to_pandas().reset_index(
         drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("binarizer", ["fixed", "otsu", "adaptive"])
+def test_engine_matches_oracle_all_binarizers(binarizer):
+    """Engine == oracle row-for-row under every binarizer config (M1,
+    M2, M3) — parity holds whatever the preprocessing choice."""
+    table = FIXTURES["interleaved"]()
+    got = _run(table, binarizer=binarizer)
+    want = oracle.extract_spans_table(
+        table, binarizer=binarizer).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_engine_matches_oracle_cascade():
+    """Engine == oracle with the recognizer cascade on, and the cascade
+    output equals the flat rule on clean strips (exact tier fires)."""
+    table = FIXTURES["interleaved"]()
+    got = _run(table, cascade=True)
+    want = oracle.extract_spans_table(
+        table, cascade=True).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    flat = _run(table)
+    pd.testing.assert_frame_equal(got, flat)
