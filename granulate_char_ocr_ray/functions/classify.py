@@ -31,12 +31,22 @@ def tight_crop(binary: np.ndarray) -> np.ndarray | None:
     return binary[ys.min(): ys.max() + 1, xs.min(): xs.max() + 1]
 
 
-def glyph_feature(crop: np.ndarray) -> np.ndarray:
-    """uint8[64] hash bits of a glyph crop (M7 semantics)."""
+def glyph_feature(crop: np.ndarray, chain: bool = False) -> np.ndarray:
+    """uint8[64] hash bits of a glyph crop (M7 semantics).
+
+    ``chain=True`` routes the crop through the M6 CNN-input
+    normalization chain (image.normalize_glyph: dilate -> re-threshold
+    -> upscale -> pad square -> blur -> 64x64) before hashing — the
+    robust path for non-synthetic glyphs; prototypes featurize through
+    the SAME path so clean glyphs still match at distance 0."""
+    if chain:
+        from .image import normalize_glyph
+
+        crop = normalize_glyph(crop)
     return hash8x8_bits(crop)
 
 
-def build_prototype_matrix() -> tuple[np.ndarray, str]:
+def build_prototype_matrix(chain: bool = False) -> tuple[np.ndarray, str]:
     """(26, 64) uint8 bit matrix of prototype features + letter string.
 
     Each prototype is featurized through the same render->crop->hash
@@ -47,19 +57,19 @@ def build_prototype_matrix() -> tuple[np.ndarray, str]:
         tile = render_letter_tile(letter)
         crop = tight_crop(tile)
         assert crop is not None
-        rows.append(glyph_feature(crop))
+        rows.append(glyph_feature(crop, chain))
     return np.stack(rows).astype(np.uint8), LETTERS
 
 
-_PROTO_MATRIX: np.ndarray | None = None
+_PROTO_CACHE: dict[bool, np.ndarray] = {}
 
 
-def prototype_matrix() -> tuple[np.ndarray, str]:
-    """Module-cached prototype matrix (cheap; built once per process)."""
-    global _PROTO_MATRIX
-    if _PROTO_MATRIX is None:
-        _PROTO_MATRIX = build_prototype_matrix()[0]
-    return _PROTO_MATRIX, LETTERS
+def prototype_matrix(chain: bool = False) -> tuple[np.ndarray, str]:
+    """Module-cached prototype matrix (cheap; built once per process
+    per feature path)."""
+    if chain not in _PROTO_CACHE:
+        _PROTO_CACHE[chain] = build_prototype_matrix(chain)[0]
+    return _PROTO_CACHE[chain], LETTERS
 
 
 def classify_features(features: np.ndarray, proto: np.ndarray,
@@ -83,7 +93,8 @@ def classify_features(features: np.ndarray, proto: np.ndarray,
     return letters, conf
 
 
-def classify_crops(crops: list[np.ndarray], proto: np.ndarray) -> tuple[str, float]:
+def classify_crops(crops: list[np.ndarray], proto: np.ndarray,
+                   chain: bool = False) -> tuple[str, float]:
     """Classify an ordered list of glyph crops -> (text, mean confidence).
 
     Unrecognized glyphs (blank or beyond threshold) are skipped, matching
@@ -93,7 +104,7 @@ def classify_crops(crops: list[np.ndarray], proto: np.ndarray) -> tuple[str, flo
     feats = []
     for c in crops:
         tc = tight_crop(c)
-        feats.append(glyph_feature(tc) if tc is not None else None)
+        feats.append(glyph_feature(tc, chain) if tc is not None else None)
     live = [f for f in feats if f is not None]
     if not live:
         return "", 0.0

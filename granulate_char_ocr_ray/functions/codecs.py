@@ -72,15 +72,60 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_png_gray(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale non-interlaced PNG -> (h, w) uint8.
+def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """PNG scanline defilter -> (h, w*bpp) int64 reconstructed bytes.
+    The "left" neighbor is ``bpp`` bytes back (RFC 2083 §6.2)."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    scan = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        raw_row = scan[y]
+        if f == 0:
+            rec = raw_row
+        elif f == 1:
+            # per-channel mod-256 cumsum (left neighbor is bpp back)
+            rec = (np.cumsum(raw_row.reshape(w, bpp), axis=0,
+                             dtype=np.int64) % 256).reshape(stride)
+        elif f == 2:
+            rec = (raw_row + prev) % 256
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                rec[x] = (raw_row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
 
-    Raises ValueError for non-PNG bytes or unsupported PNG variants
-    (palette/color/16-bit/interlaced)."""
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG -> (h, w) uint8 grayscale.
+
+    Grayscale (color type 0) decodes directly; truecolor RGB (type 2)
+    decodes then converts via BT.601 luma — the color-aware entry (M9).
+    Raises ValueError for non-PNG bytes or unsupported variants
+    (palette/alpha/16-bit/interlaced)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
-    w = h = None
+    w = h = color = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos: pos + 4])
@@ -90,11 +135,11 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            if depth != 8 or color != 0 or interlace != 0:
+            if depth != 8 or color not in (0, 2) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth}, color={color}, "
                     f"interlace={interlace}); this decoder handles 8-bit "
-                    "grayscale non-interlaced only")
+                    "grayscale/truecolor non-interlaced only")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -102,44 +147,37 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
-        raise ValueError("PNG data length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    ftypes = rows[:, 0]
-    scan = rows[:, 1:].astype(np.int64)
-    out = np.zeros((h, w), dtype=np.int64)
-    prev = np.zeros(w, dtype=np.int64)
+    bpp = 3 if color == 2 else 1
+    out = _defilter(raw, h, w, bpp)
+    if bpp == 1:
+        return out.astype(np.uint8)
+    from .image import rgb_to_gray
+
+    return rgb_to_gray(out.reshape(h, w, 3).astype(np.uint8))
+
+
+def encode_png_rgb(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w, 3) uint8 array as an 8-bit truecolor PNG
+    (filter 0 or 2 rows — enough to exercise the RGB decode path)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    flat = img.reshape(h, w * 3).astype(np.int64)
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.int64)
     for y in range(h):
-        f = int(ftypes[y])
-        raw_row = scan[y]
-        if f == 0:
-            rec = raw_row
-        elif f == 1:
-            rec = np.cumsum(raw_row, dtype=np.int64) % 256
-        elif f == 2:
-            rec = (raw_row + prev) % 256
-        elif f == 3:
-            rec = np.empty(w, dtype=np.int64)
-            left = 0
-            for x in range(w):
-                left = (raw_row[x] + (left + prev[x]) // 2) % 256
-                rec[x] = left
-        elif f == 4:
-            rec = np.empty(w, dtype=np.int64)
-            left = 0
-            for x in range(w):
-                ul = prev[x - 1] if x else 0
-                a, b, c = left, prev[x], ul
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                left = (raw_row[x] + pred) % 256
-                rec[x] = left
+        if filter_type == 0:
+            filt = flat[y]
+        elif filter_type == 2:
+            filt = flat[y] - prev
         else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = rec
-        prev = rec
-    return out.astype(np.uint8)
+            raise ValueError("encode_png_rgb supports filters 0 and 2")
+        rows.append(bytes([filter_type])
+                    + (filt % 256).astype(np.uint8).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
 
 
 def encode_pgm(img: np.ndarray) -> bytes:

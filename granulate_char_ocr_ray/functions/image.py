@@ -235,9 +235,20 @@ def deskew(binary: np.ndarray) -> np.ndarray:
     return rotate_nn(binary, -estimate_skew_deg(binary))
 
 
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB -> (h, w) uint8 gray, BT.601 luma weights — the
+    color-aware preprocessing entry (M9; the reference's cv2.cvtColor
+    BGR2GRAY step in every preprocessing variant,
+    optimize_preprocessing.py:32-35)."""
+    f = img.astype(np.float64)
+    gray = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    return np.clip(np.round(gray), 0, 255).astype(np.uint8)
+
+
 def preprocess(gray: np.ndarray, binarizer: str = "fixed",
                adaptive_block: int = 11, adaptive_c: float = 2.0,
-               adaptive_method: str = "gaussian") -> np.ndarray:
+               adaptive_method: str = "gaussian",
+               orient: bool = False) -> np.ndarray:
     """Production preprocessing path (ocr_service.py:173-201, minus the
     cv2-only denoise/CLAHE steps which are identity on already-binary
     synthetic strips): polarity normalize -> threshold (fixed M1 /
@@ -248,8 +259,12 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
     FILLED blobs rather than strokes, pass a background-estimation-sized
     block (>= ~3x the blob width) with ``adaptive_method="mean"`` — the
     Sauvola-style large-window setting; see the degraded-strip fixture
-    test for both regimes.
+    test for both regimes. ``orient=True`` inserts the M8 orientation
+    correction (deskew) after binarization, before the close; a 3-channel
+    input takes the color-aware gray conversion first (M9).
     """
+    if gray.ndim == 3:
+        gray = rgb_to_gray(gray)          # color-aware entry (M9)
     g = normalize_polarity(gray)
     if binarizer == "otsu":
         b = threshold_otsu(g)
@@ -258,6 +273,8 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
                                c=adaptive_c, method=adaptive_method)
     else:
         b = threshold_fixed(g)
+    if orient:
+        b = deskew(b)
     return morph_close_2x2(b)
 
 

@@ -22,7 +22,8 @@ from .schema import SPANS_OUT_SCHEMA
 def extract_media_text(media_ref: str, proto=None,
                        segmenter: str = "projection",
                        binarizer: str = "fixed",
-                       cascade: bool = False) -> tuple[str, float]:
+                       cascade: bool = False,
+                       chain: bool = False) -> tuple[str, float]:
     """Glyph pipeline for one media payload: decode -> binarize (fixed
     M1 / otsu M2 / adaptive M3) -> segment (projection M4 or
     connected-components M5) -> classify each crop (flat rule or
@@ -33,7 +34,7 @@ def extract_media_text(media_ref: str, proto=None,
     swallow-into-empty-result policy (ocr_service.py:164-171).
     """
     if proto is None:
-        proto, _ = prototype_matrix()
+        proto, _ = prototype_matrix(chain)
     img = decode_media_ref(media_ref)
     if img is None:
         return "", 0.0
@@ -51,7 +52,7 @@ def extract_media_text(media_ref: str, proto=None,
             tight_crop,
         )
 
-        feats = [glyph_feature(tc) for tc in
+        feats = [glyph_feature(tc, chain) for tc in
                  (tight_crop(c) for c in crops) if tc is not None]
         if not feats:
             return "", 0.0
@@ -61,16 +62,16 @@ def extract_media_text(media_ref: str, proto=None,
         if not chars:
             return "", 0.0
         return "".join(chars), float(confs.mean())
-    return classify_crops(crops, proto)
+    return classify_crops(crops, proto, chain)
 
 
 def extract_span(kind: str, text: str, media_ref: str, proto=None,
                  segmenter: str = "projection", binarizer: str = "fixed",
-                 cascade: bool = False) -> tuple[str, float]:
+                 cascade: bool = False, chain: bool = False) -> tuple[str, float]:
     """Extract one span -> (output text, confidence)."""
     if kind == "media":
         return extract_media_text(media_ref, proto, segmenter, binarizer,
-                                  cascade)
+                                  cascade, chain)
     if kind == "html":
         return extract_html_main(text), 1.0
     if kind == "pdf":
@@ -79,10 +80,10 @@ def extract_span(kind: str, text: str, media_ref: str, proto=None,
 
 
 def extract_spans_table(docs: pa.Table, segmenter: str = "projection",
-                        binarizer: str = "fixed",
-                        cascade: bool = False) -> pa.Table:
+                        binarizer: str = "fixed", cascade: bool = False,
+                        normalize_chain: bool = False) -> pa.Table:
     """docs (DOCS_SCHEMA) -> flat extracted spans, sorted (doc_id, order)."""
-    proto, _ = prototype_matrix()
+    proto, _ = prototype_matrix(normalize_chain)
     out = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": []}
     doc_ids = docs.column("doc_id").to_pylist()
     spans_col = docs.column("spans").to_pylist()
@@ -90,7 +91,7 @@ def extract_spans_table(docs: pa.Table, segmenter: str = "projection",
         for span in sorted(spans or [], key=lambda s: s["offset"]):
             text, _conf = extract_span(span["kind"], span["text"],
                                        span["media_ref"], proto, segmenter,
-                                       binarizer, cascade)
+                                       binarizer, cascade, normalize_chain)
             out["doc_id"].append(doc_id)
             out["order"].append(span["offset"])
             out["kind"].append(span["kind"])

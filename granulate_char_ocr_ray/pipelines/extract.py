@@ -66,6 +66,7 @@ def extract_spans(
     segmenter: str = "projection",
     binarizer: str = "fixed",
     cascade: bool = False,
+    normalize_chain: bool = False,
 ) -> rd.Dataset:
     """docs Dataset -> flat extracted span rows (unordered; order is an
     explicit column). Columns: doc_id, order, kind, text, media_ref,
@@ -92,7 +93,8 @@ def extract_spans(
             concurrency=concurrency,
             fn_constructor_kwargs={"segmenter": segmenter,
                                    "binarizer": binarizer,
-                                   "cascade": cascade},
+                                   "cascade": cascade,
+                                   "normalize_chain": normalize_chain},
             **bs,
         )
     if mode == "fanout":

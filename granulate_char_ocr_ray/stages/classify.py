@@ -33,7 +33,8 @@ from ..functions.segment import segment_components, segment_projection
 
 def _span_glyph_features(media_ref: str,
                          segmenter: str = "projection",
-                         binarizer: str = "fixed") -> list[np.ndarray]:
+                         binarizer: str = "fixed",
+                         chain: bool = False) -> list[np.ndarray]:
     """decode -> preprocess -> segment -> per-glyph 64-bit features.
 
     Blank / undecodable spans yield []; blank crops are dropped (same
@@ -47,7 +48,7 @@ def _span_glyph_features(media_ref: str,
     for (x, y, w, h) in seg(binary):
         crop = tight_crop(binary[y: y + h, x: x + w])
         if crop is not None:
-            feats.append(glyph_feature(crop))
+            feats.append(glyph_feature(crop, chain))
     return feats
 
 
@@ -59,11 +60,15 @@ class GlyphClassifierStage:
     """
 
     def __init__(self, segmenter: str = "projection",
-                 binarizer: str = "fixed", cascade: bool = False) -> None:
-        self.proto, self.letters = build_prototype_matrix()
+                 binarizer: str = "fixed", cascade: bool = False,
+                 normalize_chain: bool = False) -> None:
+        # prototypes featurize through the SAME path as live glyphs
+        # (with the M6 chain when enabled) so clean glyphs match at 0
+        self.proto, self.letters = build_prototype_matrix(normalize_chain)
         self.segmenter = segmenter
         self.binarizer = binarizer
         self.cascade = cascade
+        self.normalize_chain = normalize_chain
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -82,7 +87,7 @@ class GlyphClassifierStage:
         owners: list[int] = []
         for i in media_rows:
             fs = _span_glyph_features(refs[i] or "", self.segmenter,
-                                      self.binarizer)
+                                      self.binarizer, self.normalize_chain)
             feats.extend(fs)
             owners.extend([i] * len(fs))
         if feats:

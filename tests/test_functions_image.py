@@ -228,3 +228,34 @@ def test_cascade_fusion_rule():
     assert idx[1] == letters.index("A") and stage[1] == 1
     assert abs(conf[1] - (1 - 5 / 64)) < 1e-12
     assert idx[2] == -1 and stage[2] == -1 and conf[2] == 0.0
+
+
+def test_png_rgb_decode_luma():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.codecs import (
+        decode_png_gray, encode_png_rgb)
+    from granulate_char_ocr_ray.functions.image import rgb_to_gray
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(21, 17, 3), dtype=np.uint8)
+    for f in (0, 2):
+        got = decode_png_gray(encode_png_rgb(rgb, filter_type=f))
+        assert np.array_equal(got, rgb_to_gray(rgb)), f"filter {f}"
+
+
+def test_preprocess_color_and_orient_paths():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import preprocess, rotate_nn
+
+    strip = render_strip("CAT")
+    rgb = np.stack([strip, strip, strip], axis=-1)
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    assert _classify_binary(preprocess(rgb)) == "CAT"
+    # orient=True recovers a skewed strip that the plain path loses
+    h, w = strip.shape
+    canvas = np.zeros((h * 3, w + 2 * h), dtype=np.uint8)
+    canvas[h: 2 * h, h: h + w] = strip
+    rot = rotate_nn(canvas, 5.0)
+    assert _classify_binary(preprocess(rot, orient=True)) == "CAT"

@@ -131,3 +131,16 @@ def test_engine_matches_oracle_cascade():
     pd.testing.assert_frame_equal(got, want)
     flat = _run(table)
     pd.testing.assert_frame_equal(got, flat)
+
+
+def test_engine_matches_oracle_normalize_chain():
+    """Engine == oracle with the M6 glyph-normalization chain on, and
+    clean strips still classify identically (prototypes travel the same
+    chain, so clean glyphs match at distance 0)."""
+    table = FIXTURES["interleaved"]()
+    got = _run(table, normalize_chain=True)
+    want = oracle.extract_spans_table(
+        table, normalize_chain=True).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    flat = _run(table)
+    pd.testing.assert_frame_equal(got, flat)
