@@ -131,6 +131,28 @@ def run_benchmarks() -> dict:
     similarity.cosine_topk(SF_DIR, k=10).to_pandas()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dedup.simhash_near_dups(SF_DIR).to_pandas()
+    queries["simhash_near_dups"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.embedding_cosine_dups(SF_DIR).to_pandas()
+    queries["embedding_cosine_dups"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.q3_shipping_priority(SF_DIR).to_pandas()
+    queries["q3_shipping_priority"] = round(time.time() - t0, 3)
+
+    from granulate_char_ocr_ray.pipelines import analysis, media
+
+    t0 = time.time()
+    analysis.doc_quality(SF_DIR).to_pandas()
+    queries["doc_quality"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    media.docs_without_media(SF_DIR).to_pandas()
+    queries["docs_without_media"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall time (sf docs x%d replicas)" % REPLICATE,
         "value": round(headline, 3),

@@ -177,28 +177,58 @@ def audio_features(media_ref: str, frame_ms: int = 25) -> np.ndarray:
     )
 
 
-def docs_without_media(sf_dir: str, bloom_fp: float = 0.01) -> rd.Dataset:
+def docs_without_media(sf_dir: str, bloom_fp: float = 0.01,
+                       broadcast_threshold: int = 1_000_000) -> rd.Dataset:
     """Anti-join: doc_ids of derived docs having NO media span. EXACT.
 
-    Round-2 shape (VERDICT r01 next-steps #2d): the media-doc key set is
-    folded into a BLOOM FILTER distributedly (one partial filter per
-    block, OR-merged on the driver — the filter is a few KiB regardless
-    of corpus size) and broadcast. Docs the filter reports ABSENT are
-    definitively media-free (no false negatives) and stream straight to
-    the output; only the bloom-POSITIVE minority takes the exact
-    hash-partitioned anti-join that removes false positives. No Python
-    ``set`` of doc_ids on the driver, no per-row ``in`` loop — the
-    membership probe is the vectorized sketch kernel. Reference analog:
+    Round-2 shape (VERDICT r01 next-steps #2d), dispatched on the media
+    key count:
+
+    - at or below ``broadcast_threshold`` keys: broadcast the SORTED key
+      array once (ray.put) and anti-filter each batch with a vectorized
+      searchsorted probe — no Python ``set``, no per-row ``in`` loop;
+    - above it: fold the key set into a BLOOM FILTER distributedly (one
+      partial filter per block, OR-merged on the driver — a fixed few
+      hundred KiB regardless of corpus size) and broadcast. Docs the
+      filter reports ABSENT are definitively media-free (no false
+      negatives) and stream straight to the output; only the
+      bloom-POSITIVE minority takes the exact hash-partitioned anti-join
+      that removes false positives.
+
+    Both plans are hash-identical (tested). Reference analog:
     missing-set difference D3, extract_from_reference.py:509-511."""
     from ..functions.sketch import bloom_add, bloom_contains, bloom_create
     from ..functions.textstats import hash64_batch
     from ..stages.join import partitioned_join
 
     spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    # media_ids feeds the bloom build AND the exact join; docs feeds the
+    # bloom split twice (definite/candidate streams). Both are tiny
+    # one-column projections — pin them instead of re-deriving the
+    # corpus once per consumer (at 100 TB these would stage to parquet)
     media_ids = spans.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "media")).select(["doc_id"]),
         batch_format="pyarrow",
+    ).materialize()
+
+    docs = derive_docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     )
+
+    if media_ids.count() <= broadcast_threshold:
+        keys = np.sort(np.unique(
+            media_ids.to_pandas()["doc_id"].to_numpy(dtype=object)))
+        keys_ref = ray.put(keys)
+
+        def anti_bc(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, ids)
+            pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            hit = (ks[pos] == ids) if len(ks) else np.zeros(len(ids), bool)
+            return batch.filter(pa.array(~hit))
+
+        return docs.map_batches(anti_bc, batch_format="pyarrow").sort("doc_id")
 
     # distributed Bloom build: fixed-size partial filter per block
     # (sized for 1M keys at the target fp; resize upstream if the media
@@ -217,10 +247,6 @@ def docs_without_media(sf_dir: str, bloom_fp: float = 0.01) -> rd.Dataset:
         merged |= np.frombuffer(blob, dtype=np.uint8)
     bloom_ref = ray.put(merged)
 
-    docs = derive_docs(sf_dir).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    )
-
     def split_by_bloom(batch: pa.Table) -> pa.Table:
         filt = ray.get(bloom_ref)
         maybe = bloom_contains(filt, hash64_batch(batch.column("doc_id")))
@@ -228,7 +254,8 @@ def docs_without_media(sf_dir: str, bloom_fp: float = 0.01) -> rd.Dataset:
             {"doc_id": batch.column("doc_id"),
              "maybe": pa.array(maybe, pa.bool_())})
 
-    flagged = docs.map_batches(split_by_bloom, batch_format="pyarrow")
+    flagged = docs.map_batches(split_by_bloom,
+                               batch_format="pyarrow").materialize()
     definite = flagged.map_batches(
         lambda t: t.filter(pc.invert(t["maybe"])).select(["doc_id"]),
         batch_format="pyarrow")
@@ -241,6 +268,9 @@ def docs_without_media(sf_dir: str, bloom_fp: float = 0.01) -> rd.Dataset:
         return doc_df[keep][["doc_id"]]
 
     sch = pa.schema([("doc_id", pa.string())])
+    # bloom-positive candidates are a small minority -> few buckets
+    # bound the fixed per-task overhead; raise with the candidate volume
     confirmed = partitioned_join(candidates, media_ids, "doc_id", "doc_id",
-                                 anti, left_schema=sch, right_schema=sch)
-    return definite.union(confirmed).sort("doc_id")
+                                 anti, num_buckets=8,
+                                 left_schema=sch, right_schema=sch)
+    return definite.union(confirmed).repartition(4).sort("doc_id")

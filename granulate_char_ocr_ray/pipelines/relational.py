@@ -118,15 +118,34 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
     )
 
 
-def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in pads.dataset(path).files)
+
+
+# build sides below this row count broadcast (the
+# autoBroadcastJoinThreshold pattern); larger sides take the
+# partitioned hash join. Both plans are hash-identical (tested).
+BROADCAST_ROW_THRESHOLD = 1_000_000
+
+
+def revenue_by_nation(sf_dir: str,
+                      broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                      ) -> rd.Dataset:
     """Total order value per customer nation.
 
     CUSTOMER is a fact-sized table at TPC-H scale, not a dimension
-    (round-1 review item #5) — orders x customer runs as a partitioned
-    hash join on custkey (stages/join.partitioned_join) with per-bucket
-    pre-aggregation; only the genuinely-tiny NATION table (25 rows) is
-    captured into the merge closure. The bucket output is one partial
-    row per (bucket, nation), so the final groupby shuffles ~25*B rows."""
+    (round-1 review item #5). The plan dispatches on the build side's
+    parquet-metadata row count: below ``broadcast_threshold`` the
+    custkey->nationkey map broadcasts once via ray.put (cheap constant);
+    above it, orders x customer runs as a partitioned hash join
+    (stages/join.partitioned_join) with per-bucket pre-aggregation —
+    never a driver-side pandas frame either way. Only the genuinely-tiny
+    NATION table (25 rows) rides in the closure. Both plans produce
+    hash-identical output (tested at sf0.001)."""
     from ..stages.join import partitioned_join
 
     nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
@@ -135,22 +154,42 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
 
     orders = read_table(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey", "o_totalprice"])
-    cust = read_table(f"{sf_dir}/customer.parquet",
-                      columns=["c_custkey", "c_nationkey"])
 
-    def join_agg(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
-        m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
-                       how="inner")
-        m["n_name"] = m["c_nationkey"].map(nation_map)
-        return m.groupby("n_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+    if _parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust_t = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey", "c_nationkey"])
+        lookup_ref = ray.put(dict(zip(
+            cust_t.column("c_custkey").to_pylist(),
+            (nation_map[k] for k in cust_t.column("c_nationkey").to_pylist()))))
 
-    part = partitioned_join(
-        orders, cust, "o_custkey", "c_custkey", join_agg,
-        left_schema=pa.schema([("o_custkey", pa.int64()),
-                               ("o_totalprice", pa.float64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_nationkey", pa.int64())]))
+        def partial(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(lookup_ref)
+            df = batch.to_pandas()
+            df["n_name"] = df["o_custkey"].map(lookup)
+            g = df.groupby("n_name", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        part = orders.map_batches(partial, batch_format="pyarrow")
+    else:
+        cust = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+
+        def join_agg(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+            m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
+                           how="inner")
+            m["n_name"] = m["c_nationkey"].map(nation_map)
+            return m.groupby("n_name", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"))
+
+        part = partitioned_join(
+            orders, cust, "o_custkey", "c_custkey", join_agg,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("o_totalprice", pa.float64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
     agg = part.repartition(4).groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
     )
@@ -243,7 +282,9 @@ def q6_revenue(sf_dir: str, year: str = "1997") -> rd.Dataset:
 
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
-                         cutoff: str = "1998-01-01", k: int = 10) -> rd.Dataset:
+                         cutoff: str = "1998-01-01", k: int = 10,
+                         broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                         ) -> rd.Dataset:
     """TPC-H Q3 shape: 3-table join via two broadcast semi-joins, then a
     grouped revenue top-k.
 
@@ -296,24 +337,54 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         filter_expr=pads.field("l_shipdate") > np.datetime64(cutoff, "us"),
     )
 
-    def join_agg(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
-        l_df = l_df[l_df["l_shipdate"] > cutoff_ts]
-        m = l_df.merge(o_df, left_on="l_orderkey", right_on="o_orderkey",
-                       how="inner")
-        m["rev"] = m["l_extendedprice"] * (1 - m["l_discount"])
-        # an orderkey lives in exactly one bucket -> this per-bucket
-        # aggregate IS the full groupby for its keys (no second shuffle)
-        return m.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
-            rev=("rev", "sum"))
+    if _parquet_num_rows(f"{sf_dir}/orders.parquet") <= broadcast_threshold:
+        # small-orders plan: collect the (already distributed-filtered)
+        # orderkey->orderdate pairs, broadcast once, vectorized probe
+        # per lineitem batch. Bounded by the threshold — never an
+        # unconditional driver materialization (round-1 review item).
+        o_df = orders_f.to_pandas()
+        keys = o_df["o_orderkey"].to_numpy(dtype=np.int64)
+        order_sort = np.argsort(keys)
+        odate_ref = ray.put((keys[order_sort],
+                             o_df["o_orderdate"].to_numpy()[order_sort]))
 
-    agg = partitioned_join(
-        orders_f, items, "o_orderkey", "l_orderkey", join_agg,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_orderdate", pa.timestamp("us"))]),
-        right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("l_extendedprice", pa.float64()),
-                                ("l_discount", pa.float64()),
-                                ("l_shipdate", pa.timestamp("us"))]))
+        def join_probe(batch: pa.Table) -> pa.Table:
+            ks, dates = ray.get(odate_ref)
+            df = batch.to_pandas()
+            df = df[df["l_shipdate"] > cutoff_ts]
+            lk = df["l_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(ks, lk)
+            pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            hit = (ks[pos] == lk) if len(ks) else np.zeros(len(lk), bool)
+            df = df[hit]
+            df["o_orderdate"] = dates[pos[hit]]
+            df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
+                rev=("rev", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partial = items.map_batches(join_probe, batch_format="pyarrow")
+        agg = hash_groupby_agg(partial, ["l_orderkey", "o_orderdate"],
+                               {"rev": ("rev", "sum")}, num_parts=16)
+    else:
+        def join_agg(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+            l_df = l_df[l_df["l_shipdate"] > cutoff_ts]
+            m = l_df.merge(o_df, left_on="l_orderkey", right_on="o_orderkey",
+                           how="inner")
+            m["rev"] = m["l_extendedprice"] * (1 - m["l_discount"])
+            # an orderkey lives in exactly one bucket -> this per-bucket
+            # aggregate IS the full groupby for its keys (no 2nd shuffle)
+            return m.groupby(["l_orderkey", "o_orderdate"],
+                             as_index=False).agg(rev=("rev", "sum"))
+
+        agg = partitioned_join(
+            orders_f, items, "o_orderkey", "l_orderkey", join_agg,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_orderdate", pa.timestamp("us"))]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("l_extendedprice", pa.float64()),
+                                    ("l_discount", pa.float64()),
+                                    ("l_shipdate", pa.timestamp("us"))]))
 
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -132,57 +132,70 @@ def segment_glyphs(batch: pa.Table, segmenter: str = "projection",
     are the SALT: a whale document's glyphs scatter across blocks and
     classifier actors instead of pinning one worker (north-rule skew
     requirement; SURVEY.md §4.2)."""
-    kinds = batch.column("kind").to_pylist()
-    doc_ids = batch.column("doc_id").to_pylist()
-    orders = batch.column("order").to_pylist()
-    texts = batch.column("text").to_pylist()
-    refs = batch.column("media_ref").to_pylist()
-    confs = (batch.column("confidence").to_pylist()
-             if "confidence" in batch.schema.names else [0.0] * len(batch))
+    import pyarrow.compute as pc
 
-    out = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": [],
-           "confidence": [], "glyph_idx": [], "feature": []}
-    for i, kind in enumerate(kinds):
-        if kind != "media":
-            out["doc_id"].append(doc_ids[i])
-            out["order"].append(orders[i])
-            out["kind"].append(kind)
-            out["text"].append(texts[i])
-            out["media_ref"].append(refs[i])
-            out["confidence"].append(confs[i])
-            out["glyph_idx"].append(-1)
-            out["feature"].append(b"")
-            continue
-        feats = _span_glyph_features(refs[i] or "", segmenter, binarizer)
-        if not feats:
-            # emit a sentinel row so the span still appears in output
-            out["doc_id"].append(doc_ids[i])
-            out["order"].append(orders[i])
-            out["kind"].append(kind)
-            out["text"].append("")
-            out["media_ref"].append(refs[i])
-            out["confidence"].append(0.0)
-            out["glyph_idx"].append(-2)
-            out["feature"].append(b"")
-            continue
-        for g, f in enumerate(feats):
-            out["doc_id"].append(doc_ids[i])
-            out["order"].append(orders[i])
-            out["kind"].append(kind)
-            out["text"].append("")
-            out["media_ref"].append(refs[i])
-            out["confidence"].append(0.0)
-            out["glyph_idx"].append(g)
-            out["feature"].append(np.packbits(f).tobytes())
-    return pa.Table.from_pydict(
-        out,
-        schema=pa.schema([
-            ("doc_id", pa.string()), ("order", pa.int32()), ("kind", pa.string()),
-            ("text", pa.string()), ("media_ref", pa.string()),
-            ("confidence", pa.float64()), ("glyph_idx", pa.int32()),
-            ("feature", pa.binary()),
-        ]),
-    )
+    schema = pa.schema([
+        ("doc_id", pa.string()), ("order", pa.int32()), ("kind", pa.string()),
+        ("text", pa.string()), ("media_ref", pa.string()),
+        ("confidence", pa.float64()), ("glyph_idx", pa.int32()),
+        ("feature", pa.binary()),
+    ])
+    is_media = pc.equal(batch.column("kind"), "media")
+    if "confidence" not in batch.schema.names:
+        batch = batch.append_column(
+            "confidence", pa.array(np.zeros(len(batch)), pa.float64()))
+
+    # text-like rows pass through VECTORIZED (constant salt columns)
+    passthrough = batch.filter(pc.invert(is_media))
+    n_pt = len(passthrough)
+    pt = pa.Table.from_arrays(
+        [pc.cast(passthrough.column("doc_id"), pa.string()),
+         pc.cast(passthrough.column("order"), pa.int32()),
+         passthrough.column("kind"),
+         passthrough.column("text"),
+         passthrough.column("media_ref"),
+         pc.cast(passthrough.column("confidence"), pa.float64()),
+         pa.array(np.full(n_pt, -1, np.int32)),
+         pa.array([b""] * n_pt, pa.binary())],
+        schema=schema)
+
+    media = batch.filter(is_media)
+    if len(media) == 0:
+        return pt
+    # media spans: per-span decode+segment is inherently per-image; the
+    # emitted rows assemble via numpy repeats, not per-row appends
+    doc_ids = media.column("doc_id").to_pylist()
+    orders = media.column("order").to_numpy(zero_copy_only=False)
+    refs = media.column("media_ref").to_pylist()
+    feat_lists = [
+        _span_glyph_features(r or "", segmenter, binarizer) for r in refs
+    ]
+    counts = np.array([max(1, len(f)) for f in feat_lists], dtype=np.int64)
+    glyph_idx = np.concatenate([
+        np.arange(len(f), dtype=np.int32) if f else
+        np.array([-2], dtype=np.int32)          # sentinel: span stays in output
+        for f in feat_lists])
+    # features in emission order, empty bytes for sentinel rows
+    feat_col: list[bytes] = []
+    for fl in feat_lists:
+        if fl:
+            feat_col.extend(np.packbits(f).tobytes() for f in fl)
+        else:
+            feat_col.append(b"")
+    md = pa.Table.from_arrays(
+        [pa.array(np.repeat(np.array(doc_ids, dtype=object), counts),
+                  pa.string()),
+         pa.array(np.repeat(orders, counts).astype(np.int32)),
+         pa.array(np.repeat(np.array(["media"], dtype=object),
+                            int(counts.sum())), pa.string()),
+         pa.array([""] * int(counts.sum()), pa.string()),
+         pa.array(np.repeat(np.array(refs, dtype=object), counts),
+                  pa.string()),
+         pa.array(np.zeros(int(counts.sum())), pa.float64()),
+         pa.array(glyph_idx),
+         pa.array(feat_col, pa.binary())],
+        schema=schema)
+    return pa.concat_tables([pt, md])
 
 
 class GlyphFeatureClassifier:

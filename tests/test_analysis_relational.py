@@ -368,3 +368,22 @@ def test_train_test_split_partitions_corpus():
     assert tr | te == allids
     assert tr & te == set()
     assert 0 < len(te) < len(allids)
+
+
+def test_revenue_by_nation_both_plans_identical():
+    """Broadcast and partitioned-join plans for revenue_by_nation are
+    hash-identical (the size-threshold dispatch is a pure physical
+    choice)."""
+    from granulate_char_ocr_ray.pipelines.relational import revenue_by_nation
+
+    bc = _canon(revenue_by_nation(SF, broadcast_threshold=10**9).to_pandas())
+    pj = _canon(revenue_by_nation(SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, pj, check_dtype=False)
+
+
+def test_q3_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q3_shipping_priority
+
+    bc = _canon(q3_shipping_priority(SF, broadcast_threshold=10**9).to_pandas())
+    pj = _canon(q3_shipping_priority(SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, pj, check_dtype=False)

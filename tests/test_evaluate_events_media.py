@@ -164,3 +164,16 @@ def test_clicks_before_purchase_matches_duckdb(con):
         GROUP BY e.event_id, e.user_id ORDER BY e.event_id
     """).df()
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_docs_without_media_both_plans_identical():
+    """Broadcast-searchsorted and Bloom+partitioned-join plans are
+    hash-identical (size-threshold dispatch is a physical choice)."""
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.media import docs_without_media
+
+    bc = docs_without_media(SF, broadcast_threshold=10**9).to_pandas()
+    bl = docs_without_media(SF, broadcast_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                  bl.reset_index(drop=True))
