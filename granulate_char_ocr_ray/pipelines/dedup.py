@@ -36,7 +36,7 @@ from ..functions.sketch import (
 )
 from ..functions.numeric import round_half_up
 from ..functions.textstats import crc64
-from ..sources.storage import read_table
+from ..sources.storage import parquet_num_rows, read_table
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -63,7 +63,8 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
 
 def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
-                       max_doc_freq: int | None = None) -> rd.Dataset:
+                       max_doc_freq: int | None = None,
+                       broadcast_threshold: int = 1_000_000) -> rd.Dataset:
     """EXACT n-gram Jaccard similarity join via an inverted gram index.
 
     explode distinct (gram_hash, doc_id) -> groupby gram -> emit doc
@@ -140,6 +141,31 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     # shuffle, final sum) — Ray's sort-based Aggregate is pathologically
     # slow at this key cardinality (stages/hashagg.py)
     inter = hash_groupby_agg(pairs, ["d1", "d2"], {"inter": ("d1", "count")})
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") <= broadcast_threshold:
+        # size-threshold dispatch (same pattern as relational joins):
+        # the DISTRIBUTED size aggregate collects to a bounded dict and
+        # broadcasts — one map over the pair set instead of two joins
+        sizes_df = sizes.to_pandas()
+        sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_grams"])))
+
+        def to_jaccard(batch: pa.Table) -> pa.Table:
+            lut = ray.get(sizes_ref)
+            d1 = batch.column("d1").to_numpy(zero_copy_only=False)
+            d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+            c = batch.column("inter").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            n1 = np.array([lut[d] for d in d1], dtype=np.float64)
+            n2 = np.array([lut[d] for d in d2], dtype=np.float64)
+            jac = c / (n1 + n2 - c)
+            keep = jac >= threshold
+            return pa.Table.from_pydict(
+                {"d1": d1[keep], "d2": d2[keep],
+                 "jaccard": round_half_up(jac[keep], 4)},
+                schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                                  ("jaccard", pa.float64())]))
+
+        return inter.map_batches(to_jaccard, batch_format="pyarrow")
 
     from ..stages.join import partitioned_join
 
@@ -337,3 +363,83 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
     pairs = banded.map_batches(add_part, batch_format="pyarrow").groupby(
         "bpart").map_groups(verify, batch_format="pandas")
     return hash_groupby_agg(pairs, ["d1", "d2"], {"hamming": ("hamming", "min")})
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.8,
+                 max_iters: int = 50) -> rd.Dataset:
+    """Duplicate-cluster resolution: connected components of the
+    near-duplicate pair graph, labeled by the component's smallest
+    doc_id — the canonical final step of a dedup pipeline (every doc in
+    a cluster except its canonical representative gets dropped).
+
+    Distributed iterative min-label propagation ("hash-to-min" shape):
+    edges are the symmetric closure of the exact n-gram Jaccard pairs
+    plus self-loops; each round joins labels onto edge sources
+    (stages/join.partitioned_join), takes the min label per destination
+    (two-phase hash aggregate), and stops when no label changed.
+    Rounds needed = graph diameter (near-dup clusters are clique-ish,
+    so 2-3 in practice). The label table is bounded by the number of
+    docs that HAVE a duplicate — a small fraction of the corpus — and
+    is pinned per round (at 100 TB: staged to parquet per round, the
+    standard iterative-graph checkpoint).
+
+    Output: (doc_id, cluster_id) for every doc in the pair graph.
+    """
+    from ..stages.join import partitioned_join
+
+    pairs = ngram_jaccard_dups(sf_dir, threshold=threshold)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d1 = batch.column("d1").to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetric + self-loops (self ensures a node keeps its own label)
+        src = np.concatenate([d1, d2, d1, d2])
+        dst = np.concatenate([d2, d1, d1, d2])
+        return pa.Table.from_pydict(
+            {"src": src, "dst": dst},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow").materialize()
+
+    labels = hash_groupby_agg(
+        edges, ["src"], {"label": ("src", "min")}, num_parts=16
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": t.column("src"), "label": t.column("src")},
+            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())])),
+        batch_format="pyarrow").materialize()
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def attach(e_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        m = e_df.merge(l_df, left_on="src", right_on="node", how="inner")
+        return m[["dst", "label"]]
+
+    # labels decrease monotonically (min-propagation), so the label SUM
+    # strictly decreases until the fixpoint: a scalar aggregate per
+    # round replaces a full old-vs-new join as the convergence check
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        prop = partitioned_join(edges, labels, "src", "node", attach,
+                                num_buckets=8, left_schema=edge_schema,
+                                right_schema=label_schema)
+        labels = hash_groupby_agg(
+            prop, ["dst"], {"label": ("label", "min")}, num_parts=8
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t.column("dst"), "label": t.column("label")},
+                schema=label_schema),
+            batch_format="pyarrow").materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64())])),
+        batch_format="pyarrow").sort("doc_id")

@@ -118,12 +118,7 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _parquet_num_rows(path: str) -> int:
-    """Row count from parquet footer metadata — no data read."""
-    import pyarrow.parquet as pq
-
-    return sum(pq.ParquetFile(f).metadata.num_rows
-               for f in pads.dataset(path).files)
+from ..sources.storage import parquet_num_rows as _parquet_num_rows
 
 
 # build sides below this row count broadcast (the

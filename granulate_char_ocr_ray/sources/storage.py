@@ -50,6 +50,16 @@ def read_table(path: str, *, columns: list[str] | None = None,
     return rd.read_parquet(path, **kwargs)
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no data read. The input
+    to size-threshold physical-plan dispatch (broadcast vs partitioned
+    join)."""
+    import pyarrow.dataset as pads
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in pads.dataset(path).files)
+
+
 def write_table(ds: rd.Dataset, path: str, **kwargs: Any) -> None:
     """Write a Dataset as a partitioned directory of parquet files."""
     ds.write_parquet(path, **kwargs)

@@ -216,3 +216,25 @@ def test_embedding_cosine_dups_blockpair_matches_bruteforce():
     import pandas as pd
     pd.testing.assert_frame_equal(got[["v1", "v2", "cos_sim"]],
                                   want[["v1", "v2", "cos_sim"]])
+
+
+def test_dup_clusters_matches_union_find(docs_df, exact_pairs_df):
+    """Distributed min-label propagation equals single-process
+    union-find over the same pair graph."""
+    from granulate_char_ocr_ray.pipelines.dedup import dup_clusters
+
+    got = dup_clusters(SF, threshold=0.8).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in exact_pairs_df.itertuples():
+        ra, rb = find(r.d1), find(r.d2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
