@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": relational.sample_docs,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
+        # --- mergeable sketches (shuffle-free scale paths) ---
+        "approx_quantity_deciles": relational.approx_quantity_deciles,
+        "approx_top_tokens": analysis.approx_top_tokens,
     }
 
 

@@ -405,3 +405,160 @@ def bloom_contains(filt: np.ndarray, hashes: np.ndarray, k: int = 7) -> np.ndarr
     pos = _bloom_positions(hashes, len(filt) * 8, k)
     bits = (filt[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return bits.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch (Karnin-Lang-Liberty 2016, deterministic
+# compaction variant) — mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+
+KLL_K = 256     # buffer capacity per level; rank error ~ O(1/k) of n
+
+
+def kll_create() -> list[np.ndarray]:
+    """Empty sketch: list of per-level float64 buffers. An item at
+    level L represents 2^L original items."""
+    return [np.empty(0, dtype=np.float64)]
+
+
+def _kll_compact(levels: list[np.ndarray]) -> None:
+    """Compact any over-full level: sort, keep every other element
+    (even indices — DETERMINISTIC, unlike the coin-flip in the paper;
+    trades a provably-unbiased estimator for run-to-run reproducibility,
+    the property the test gate needs), push survivors one level up."""
+    for li in range(len(levels)):
+        if len(levels[li]) <= KLL_K:
+            continue
+        buf = np.sort(levels[li])
+        keep = buf[::2]
+        levels[li] = np.empty(0, dtype=np.float64)
+        if li + 1 == len(levels):
+            levels.append(np.empty(0, dtype=np.float64))
+        levels[li + 1] = np.concatenate([levels[li + 1], keep])
+
+
+def kll_add(levels: list[np.ndarray], values: np.ndarray) -> list[np.ndarray]:
+    """Fold raw values into level 0 (vectorized; compacts as needed)."""
+    values = np.asarray(values, dtype=np.float64)
+    for lo in range(0, len(values), KLL_K):
+        levels[0] = np.concatenate([levels[0], values[lo: lo + KLL_K]])
+        _kll_compact(levels)
+    return levels
+
+
+def kll_merge(a: list[np.ndarray], b: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge two sketches level-wise then compact — the associative
+    combine that makes distributed quantiles shuffle-free."""
+    out = []
+    for li in range(max(len(a), len(b))):
+        va = a[li] if li < len(a) else np.empty(0, dtype=np.float64)
+        vb = b[li] if li < len(b) else np.empty(0, dtype=np.float64)
+        out.append(np.concatenate([va, vb]))
+    _kll_compact(out)
+    return out
+
+
+def kll_serialize(levels: list[np.ndarray]) -> bytes:
+    import struct as _s
+
+    parts = [_s.pack("<I", len(levels))]
+    for buf in levels:
+        parts.append(_s.pack("<I", len(buf)))
+        parts.append(np.ascontiguousarray(buf).tobytes())
+    return b"".join(parts)
+
+
+def kll_deserialize(data: bytes) -> list[np.ndarray]:
+    import struct as _s
+
+    (n_levels,) = _s.unpack_from("<I", data, 0)
+    pos = 4
+    out = []
+    for _ in range(n_levels):
+        (n,) = _s.unpack_from("<I", data, pos)
+        pos += 4
+        out.append(np.frombuffer(data, dtype=np.float64, count=n,
+                                 offset=pos).copy())
+        pos += 8 * n
+    return out
+
+
+def kll_quantiles(levels: list[np.ndarray], qs: list[float]) -> np.ndarray:
+    """Approximate quantiles: weighted rank selection over all levels
+    (item at level L weighs 2^L)."""
+    vals = np.concatenate([b for b in levels if len(b)]) \
+        if any(len(b) for b in levels) else np.empty(0)
+    if len(vals) == 0:
+        return np.full(len(qs), np.nan)
+    wts = np.concatenate([
+        np.full(len(b), float(1 << li))
+        for li, b in enumerate(levels) if len(b)])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = np.empty(len(qs))
+    for i, q in enumerate(qs):
+        rank = q * total
+        out[i] = vals[min(int(np.searchsorted(cum, rank)), len(vals) - 1)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitters sketch — mergeable top-k candidate counters
+# ---------------------------------------------------------------------------
+
+def mg_create() -> dict[str, int]:
+    return {}
+
+
+def mg_add(counters: dict[str, int], items: list[str],
+           k: int = 256) -> dict[str, int]:
+    """Fold items into at most ``k`` counters (Misra-Gries 1982): every
+    kept count undercounts the true frequency by at most n/(k+1), so any
+    item with true count > n/(k+1) is guaranteed present."""
+    for it in items:
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def mg_add_counts(counters: dict[str, int], items: list[str],
+                  counts: np.ndarray, k: int = 256) -> dict[str, int]:
+    """Weighted fold (pre-aggregated (item, count) pairs — the partial
+    combine path: one local pandas value_counts per batch, then MG over
+    the distinct items)."""
+    for it, c in zip(items, counts):
+        counters[it] = counters.get(it, 0) + int(c)
+    if len(counters) > k:
+        # subtract the (k+1)-th largest count from everything and drop
+        # non-positives: keeps <= k counters and preserves the
+        # undercount-bounded guarantee (the weighted MG decrement)
+        vals = sorted(counters.values(), reverse=True)
+        sub = vals[k]
+        trimmed = {key: v - sub for key, v in counters.items() if v > sub}
+        counters.clear()
+        counters.update(trimmed)
+    return counters
+
+
+def mg_merge(a: dict[str, int], b: dict[str, int],
+             k: int = 256) -> dict[str, int]:
+    """Merge two MG sketches (add counts, re-trim to k) — associative
+    up to the undercount bound (Agarwal et al., mergeable summaries)."""
+    out = dict(a)
+    for key, v in b.items():
+        out[key] = out.get(key, 0) + v
+    if len(out) > k:
+        vals = sorted(out.values(), reverse=True)
+        sub = vals[k]
+        out = {key: v - sub for key, v in out.items() if v > sub}
+    return out

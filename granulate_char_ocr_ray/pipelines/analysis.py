@@ -219,3 +219,38 @@ def approx_distinct_tokens(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict(
         {"approx_distinct": pa.array([int(round(hll_estimate(merged)))],
                                      pa.int64())})
+
+
+def approx_top_tokens(sf_dir: str, k: int = 20,
+                      sketch_k: int = 256) -> pa.Table:
+    """Approximate token top-k via mergeable Misra-Gries heavy-hitter
+    sketches: each batch pre-aggregates locally (Arrow split + pandas
+    value_counts) and folds into a bounded counter set; the driver
+    merges the small sketches — shuffle-free, vs `top_tokens`' exact
+    explode + hash-aggregate. Every token with true count > n/(k+1) is
+    guaranteed present; reported counts are lower bounds (accuracy
+    pytest bounds the undercount). Output: (token, approx_count) —
+    rows-only under the driver gate (approximate by design)."""
+    import json as _json
+
+    from ..functions.sketch import mg_add_counts, mg_create, mg_merge
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        vc = pd.Series(flat.to_pylist()).value_counts()
+        counters = mg_create()
+        mg_add_counts(counters, vc.index.tolist(),
+                      vc.to_numpy(), k=sketch_k)
+        return pa.Table.from_pydict({"sketch": [_json.dumps(counters)]})
+
+    parts = _docs(sf_dir, ["text"]).map_batches(
+        sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = mg_create()
+    for blob in parts["sketch"]:
+        merged = mg_merge(merged, _json.loads(blob), k=sketch_k)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.Table.from_pydict(
+        {"token": pa.array([t for t, _ in top], pa.string()),
+         "approx_count": pa.array([c for _, c in top], pa.int64())})

@@ -623,3 +623,38 @@ def order_item_totals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         )
 
     return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def approx_quantity_deciles(sf_dir: str) -> pa.Table:
+    """Approximate deciles of l_quantity via a mergeable KLL-style
+    quantile sketch: one bounded sketch per batch, merged on the driver
+    — the shuffle-free scale path that `quantity_deciles` (exact
+    histogram) names for continuous columns. Rank error is O(1/k) of n
+    (accuracy pytest asserts <= 1% rank error vs the exact deciles).
+    Output: (q, value) — rows-only under the driver gate (approximate
+    by design)."""
+    from ..functions.sketch import (
+        kll_add,
+        kll_create,
+        kll_deserialize,
+        kll_merge,
+        kll_quantiles,
+        kll_serialize,
+    )
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = kll_create()
+        kll_add(sk, batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"sketch": [kll_serialize(sk)]})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = kll_create()
+    for blob in parts["sketch"]:
+        merged = kll_merge(merged, kll_deserialize(blob))
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    vals = kll_quantiles(merged, qs)
+    return pa.Table.from_pydict(
+        {"q": pa.array(qs, pa.float64()),
+         "value": pa.array(vals, pa.float64())})

@@ -387,3 +387,77 @@ def test_q3_both_plans_identical():
     bc = _canon(q3_shipping_priority(SF, broadcast_threshold=10**9).to_pandas())
     pj = _canon(q3_shipping_priority(SF, broadcast_threshold=0).to_pandas())
     pd.testing.assert_frame_equal(bc, pj, check_dtype=False)
+
+
+def test_kll_sketch_accuracy_vs_exact_deciles(con):
+    """KLL-style sketch deciles are within 1% RANK error of the exact
+    distribution (the mergeable scale path for continuous quantiles)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        approx_quantity_deciles)
+
+    got = approx_quantity_deciles(SF).to_pandas()
+    vals = con.sql("SELECT l_quantity FROM lineitem").df()[
+        "l_quantity"].to_numpy()
+    vals.sort()
+    n = len(vals)
+    for r in got.itertuples():
+        # rank of the reported value vs the target rank
+        lo = np.searchsorted(vals, r.value, side="left")
+        hi = np.searchsorted(vals, r.value, side="right")
+        target = r.q * n
+        err = min(abs(lo - target), abs(hi - target)) / n
+        assert err <= 0.01, (r.q, r.value, err)
+
+
+def test_kll_merge_associativity_and_determinism():
+    import numpy as np
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        kll_add, kll_create, kll_deserialize, kll_merge, kll_quantiles,
+        kll_serialize)
+
+    rng = np.random.RandomState(11)
+    data = rng.gamma(2.0, 10.0, size=200_000)
+    chunks = np.array_split(data, 7)
+    merged = kll_create()
+    for c in chunks:
+        sk = kll_create()
+        kll_add(sk, c)
+        merged = kll_merge(merged, kll_deserialize(kll_serialize(sk)))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = kll_quantiles(merged, qs)
+    exact = np.quantile(data, qs)
+    data.sort()
+    for q, e in zip(qs, est):
+        rank_err = abs(np.searchsorted(data, e) - q * len(data)) / len(data)
+        assert rank_err <= 0.01, (q, e, rank_err)
+    # determinism: same input -> same sketch bytes
+    sk1, sk2 = kll_create(), kll_create()
+    kll_add(sk1, data[:50_000]); kll_add(sk2, data[:50_000])
+    assert kll_serialize(sk1) == kll_serialize(sk2)
+
+
+def test_misra_gries_guarantees(con):
+    """True heavy hitters are guaranteed present in the MG candidates;
+    reported counts are lower bounds within n/(k+1) of the truth."""
+    from granulate_char_ocr_ray.pipelines.analysis import approx_top_tokens
+
+    got = approx_top_tokens(SF, k=20).to_pandas()
+    exact = con.sql("""
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE trim(text) != ''
+        ) GROUP BY token ORDER BY n DESC, token
+    """).df()
+    n_total = int(exact["n"].sum())
+    bound = n_total / (256 + 1)
+    exact_counts = dict(zip(exact["token"], exact["n"]))
+    approx = dict(zip(got["token"], got["approx_count"]))
+    # the true top-10 all have counts far above the bound -> present
+    for tok, cnt in list(exact_counts.items())[:10]:
+        assert cnt > bound
+        assert tok in approx, tok
+        assert approx[tok] <= cnt
+        assert cnt - approx[tok] <= bound
