@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
+        "ann_ivf_topk": similarity.ivf_cosine_topk,
         # --- text analysis ---
         "token_counts": analysis.token_counts,
         "doc_quality": analysis.doc_quality,

@@ -319,3 +319,46 @@ def embedding_cosine_dups_bruteforce(sf_dir: str,
         )
 
     return _embeddings(sf_dir).map_batches(pairs, batch_format="pyarrow")
+
+
+def ivf_cosine_topk(sf_dir: str, k: int = 10, query_id: int = 0,
+                    nprobe: int = 3) -> rd.Dataset:
+    """IVF-probed approximate top-k: scan only rows whose nearest
+    centroid is among the query's ``nprobe`` closest centroids — the
+    inverted-file ANN pattern (coarse quantizer = the distributed
+    per-label centroid build, label_centroids). At full nprobe this
+    equals the exact scan (tested); at scale the assignment is a
+    precomputed column and the probe set prunes parquet partitions."""
+    cent = label_centroids(sf_dir).to_pandas().sort_values("label")
+    labels = cent["label"].to_numpy()
+    dim_cols = sorted(
+        (c for c in cent.columns if c.startswith("s")), key=lambda c: int(c[1:]))
+    centroids = cent[dim_cols].to_numpy() / cent["n"].to_numpy()[:, None]
+    q = query_vector(sf_dir, query_id)
+    d2q = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(labels[np.argsort(d2q)[:nprobe]].tolist())
+    ref = ray.put((q, labels, centroids, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv, labs, cents, pr = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assigned = labs[d2.argmin(axis=1)]
+        mask = np.isin(assigned, np.fromiter(pr, dtype=np.int64)) & (
+            ids != query_id)
+        ids, mat = ids[mask], mat[mask]
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": np.empty(0, dtype=np.int64),
+                 "cos_sim": np.empty(0, dtype=np.float64)})
+        cos = round_half_up(_cosine(mat, qv), 4)
+        if len(ids) > k:
+            idx = np.lexsort((ids, -cos))[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64), "cos_sim": cos},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("cos_sim", pa.float64())]))
+
+    partial = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)

@@ -45,6 +45,19 @@ def read_table(path: str, *, columns: list[str] | None = None,
             raise ImportError(
                 "lance is not installed in this environment; store the "
                 "table as parquet or install pylance") from exc
+    if path.endswith((".jsonl", ".json")):
+        # line-delimited JSON source (the reference persists results as
+        # JSON, evaluate_new_testdata.py output); column pruning applies
+        # after parse, predicates after materialization of each block
+        ds = rd.read_json(path)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
+    if path.endswith(".csv"):
+        ds = rd.read_csv(path)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
     return rd.read_parquet(path, **kwargs)

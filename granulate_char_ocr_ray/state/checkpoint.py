@@ -82,12 +82,21 @@ def run_extract_job(
     mode: str = "fused",
     concurrency: int | tuple[int, int] = (1, 8),
     stop_after: int | None = None,
+    stage_input: bool = False,
 ) -> dict:
     """Run the extraction pipeline partition-by-partition with commits.
 
     ``stop_after`` processes at most that many (uncommitted) partitions
     then returns — the test hook simulating a killed job. Returns a
     summary dict {run_id, processed, skipped, partitions}.
+
+    ``stage_input=True`` removes the O(P) input rescans (round-1 review
+    note): the corpus is read ONCE, tagged with its partition id, and
+    written to ``out_dir/_staged/pid=<p>/``; each partition iteration
+    then reads only its own slice (hive-partition pruning). The staged
+    layout is itself resumable state: a resumed run reuses it when the
+    partition count matches (the num_partitions guard already rejects
+    mismatches), and a fresh run rebuilds it.
     """
     from ..pipelines.extract import extract_spans, read_docs
 
@@ -114,6 +123,27 @@ def run_extract_job(
                 "out_dir or resume=False")
     processed, skipped = [], []
 
+    staged_dir = os.path.join(out_dir, "_staged")
+    if stage_input:
+        if not (resume and os.path.isdir(staged_dir)):
+            def tag_pid(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_pylist()
+                pid_col = pa.array(
+                    [partition_of(d, num_partitions) for d in ids],
+                    type=pa.int64())
+                return batch.append_column("pid", pid_col)
+
+            from ..pipelines.extract import read_docs as _read_docs
+
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            tmp_staged = os.path.join(out_dir, f".tmp-staged-{run_id}")
+            shutil.rmtree(tmp_staged, ignore_errors=True)
+            _read_docs(input_path).map_batches(
+                tag_pid, batch_format="pyarrow"
+            ).write_parquet(tmp_staged, partition_cols=["pid"])
+            os.makedirs(out_dir, exist_ok=True)
+            os.replace(tmp_staged, staged_dir)
+
     for pid in range(num_partitions):
         if pid in done:
             skipped.append(pid)
@@ -130,12 +160,25 @@ def run_extract_job(
             )
             return batch.filter(mask)
 
-        # NOTE: the input is re-scanned once per partition (O(P) reads).
-        # This keeps each partition an independent, individually
-        # committable pipeline; when input scans dominate, stage the
-        # corpus once into a partition_id-partitioned layout and point
-        # each iteration at its slice (same commit protocol).
-        docs = read_docs(input_path).map_batches(in_partition, batch_format="pyarrow")
+        if stage_input:
+            # staged layout: read ONLY this partition's slice (hive
+            # pruning on pid) — input bytes are scanned once per job
+            pid_dir = os.path.join(staged_dir, f"pid={pid}")
+            if os.path.isdir(pid_dir):
+                docs = read_docs(pid_dir)
+            else:
+                # no docs hashed into this partition: empty slice
+                import ray.data as rd
+
+                from ..schema import DOCS_SCHEMA
+
+                docs = rd.from_arrow(DOCS_SCHEMA.empty_table())
+        else:
+            # unstaged: the input is re-scanned once per partition
+            # (O(P) reads) — fine while P is small and scans are cheap;
+            # pass stage_input=True when input scans dominate
+            docs = read_docs(input_path).map_batches(
+                in_partition, batch_format="pyarrow")
         spans = extract_spans(docs, mode=mode, concurrency=concurrency)
 
         part_dir = os.path.join(out_dir, f"part={pid}")

@@ -88,3 +88,26 @@ def test_resume_with_different_partition_count_rejected(docs_path, tmp_path):
     run_extract_job(docs_path, out, num_partitions=4, concurrency=2, stop_after=2)
     with pytest.raises(ValueError, match="num_partitions"):
         run_extract_job(docs_path, out, num_partitions=8, concurrency=2)
+
+
+def test_staged_input_matches_unstaged_and_resumes(tmp_path, docs_path):
+    """stage_input=True (single input scan, hive-pruned slices) yields
+    byte-identical output to the O(P)-rescan path, and a killed staged
+    run resumes correctly reusing the staged layout."""
+    out_a = str(tmp_path / "unstaged")
+    out_b = str(tmp_path / "staged")
+    out_c = str(tmp_path / "staged_killed")
+    run_extract_job(docs_path, out_a, num_partitions=4, concurrency=2)
+    run_extract_job(docs_path, out_b, num_partitions=4, concurrency=2,
+                    stage_input=True)
+    assert read_job_output(out_b).equals(read_job_output(out_a))
+    import os
+    assert os.path.isdir(os.path.join(out_b, "_staged"))
+
+    s1 = run_extract_job(docs_path, out_c, num_partitions=4, concurrency=2,
+                         stage_input=True, stop_after=2)
+    assert len(s1["processed"]) == 2
+    s2 = run_extract_job(docs_path, out_c, num_partitions=4, concurrency=2,
+                         stage_input=True)
+    assert sorted(s2["skipped"]) == sorted(s1["processed"])
+    assert read_job_output(out_c).equals(read_job_output(out_a))

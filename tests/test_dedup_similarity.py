@@ -238,3 +238,17 @@ def test_dup_clusters_matches_union_find(docs_df, exact_pairs_df):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_ivf_topk_full_probe_equals_exact_and_partial_is_subset():
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        cosine_topk, ivf_cosine_topk)
+
+    exact = cosine_topk(SF, k=10).to_pandas()
+    full = ivf_cosine_topk(SF, k=10, nprobe=10).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(full, exact)
+    part = ivf_cosine_topk(SF, k=10, nprobe=2).to_pandas()
+    assert len(part) <= 10
+    assert part["cos_sim"].is_monotonic_decreasing
+    assert (part["vec_id"] != 0).all()

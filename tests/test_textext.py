@@ -59,3 +59,23 @@ def test_pdf_malformed_lines_skipped():
 
 def test_extract_text_is_normalize():
     assert extract_text("  a  b ") == "a b"
+
+
+def test_storage_seam_routes_jsonl_and_csv(tmp_path):
+    """The storage seam reads line-JSON and CSV sources through the
+    same read_table entry (S5 analog: the reference persists JSON)."""
+    import pandas as pd
+
+    from granulate_char_ocr_ray.sources.storage import read_table
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"],
+                       "extra": [9, 8, 7]})
+    jp = str(tmp_path / "docs.jsonl")
+    cp = str(tmp_path / "docs.csv")
+    df.to_json(jp, orient="records", lines=True)
+    df.to_csv(cp, index=False)
+    for p in (jp, cp):
+        got = read_table(p, columns=["doc_id", "text"]).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, df[["doc_id", "text"]], check_dtype=False)
