@@ -198,6 +198,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle() -> str:
+    """SQL form of the stopword-profile language heuristic: per-lang
+    token-hit counts, argmax with alphabetical tie-break, 'und' at
+    score 0. Stopword literals come from the SAME table the engine
+    uses (functions/textstats.STOPWORDS)."""
+    from granulate_char_ocr_ray.functions.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hit_cols = ",\n".join(
+        "count(*) FILTER (WHERE tok IN ({})) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])), lang)
+        for lang in langs
+    )
+    gm = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    pred_case = "CASE WHEN {gm} = 0 THEN 'und' {whens} END".format(
+        gm=gm,
+        whens=" ".join(
+            f"WHEN c_{lang} = {gm} THEN '{lang}'" for lang in langs),
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tok
+          FROM base WHERE t != ''
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n, {hit_cols}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce({pred_case}, 'und') AS pred_lang,
+               coalesce(round(CAST({gm} AS DOUBLE) / cnt.n, 4), 0.0) AS score
+        FROM base b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
+        ORDER BY b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _EXTRACT_ORACLE,
@@ -459,6 +496,25 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "lang_id": _lang_id_oracle(),
+        "extract_docs": """
+            WITH spans AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body,
+                     doc_id % 3 = 0 AS has_media,
+                     translate(CAST(doc_id AS VARCHAR),
+                               '0123456789', 'ABCDEFGHIJ') AS word
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN has_media THEN
+                     body || ' ' || body || ' ' || body || ' ' || word
+                   ELSE body || ' ' || body || ' ' || body END AS text,
+                   CAST(CASE WHEN has_media THEN 4 ELSE 3 END AS BIGINT)
+                     AS n_spans,
+                   CAST(1.0 AS DOUBLE) AS avg_confidence
+            FROM spans ORDER BY doc_id
+        """,
         "top_parts_per_brand": """
             SELECT p_brand, p_partkey, p_retailprice FROM (
               SELECT p_brand, p_partkey, p_retailprice,
@@ -559,9 +615,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
         """,
-        # no oracle_sql for: extract_docs (concat semantics), lang_id /
-        # fingerprints / simhash_* / minhash_lsh_dups / ann_lsh_topk
-        # (hash-heuristic ops not expressible in ANSI SQL) -> driver
-        # records the rows-only check; pytest covers them against
-        # brute-force single-process references.
+        # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
+        # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /
+        # approx_distinct_tokens / approx_quantity_deciles /
+        # approx_top_tokens (hash-heuristic or approximate-by-design ops
+        # not reproducible in ANSI SQL) -> driver records the rows-only
+        # check; pytest covers each against a brute-force single-process
+        # reference or a published accuracy bound.
     }
