@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_confusions": evaluate.ocr_confusions,
         # --- event-time windows / sessions ---
         "events_hourly": events.events_hourly,
+        "events_sliding": events.events_sliding,
         "user_sessions": events.user_sessions,
         # --- media metadata + anti-join ---
         "media_dimensions": media.media_dimensions,
@@ -195,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- mergeable sketches (shuffle-free scale paths) ---
         "approx_quantity_deciles": relational.approx_quantity_deciles,
         "approx_top_tokens": analysis.approx_top_tokens,
+        # --- iterative ML primitive ---
+        "kmeans_assign": similarity.kmeans_assign,
     }
 
 
@@ -397,6 +400,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR * i
+                     AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, UNNEST([0, 1]) AS t(i)
+            GROUP BY 1, 2
         """,
         "user_sessions": """
             WITH o AS (

@@ -235,6 +235,67 @@ def deskew(binary: np.ndarray) -> np.ndarray:
     return rotate_nn(binary, -estimate_skew_deg(binary))
 
 
+def clahe(gray: np.ndarray, clip_limit: float = 2.0,
+          tiles: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization (the cv2
+    createCLAHE step of the reference's edge-preserving / combined
+    preprocessing variants, optimize_preprocessing.py:104-108 — the M1
+    enhancement previously omitted). Pure NumPy: per-tile clipped
+    histograms -> per-tile equalization LUTs -> bilinear interpolation
+    of the four surrounding tile LUTs per pixel (the standard CLAHE
+    formulation, Zuiderveld 1994)."""
+    h, w = gray.shape
+    ty, tx = tiles
+    # tile edges (cover the image exactly; last tile absorbs remainder)
+    ys = np.linspace(0, h, ty + 1).astype(np.int64)
+    xs = np.linspace(0, w, tx + 1).astype(np.int64)
+    luts = np.zeros((ty, tx, 256), dtype=np.float64)
+    for i in range(ty):
+        for j in range(tx):
+            tile = gray[ys[i]: ys[i + 1], xs[j]: xs[j + 1]]
+            n = tile.size
+            if n == 0:
+                luts[i, j] = np.arange(256)
+                continue
+            hist = np.bincount(tile.ravel().astype(np.int64),
+                               minlength=256).astype(np.float64)
+            clip = max(clip_limit * n / 256.0, 1.0)
+            excess = np.maximum(hist - clip, 0.0).sum()
+            hist = np.minimum(hist, clip) + excess / 256.0
+            cdf = np.cumsum(hist)
+            luts[i, j] = np.clip(cdf / n * 255.0, 0, 255)
+    # per-pixel bilinear interpolation between the 4 nearest tile LUTs
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    py = np.arange(h, dtype=np.float64)
+    px = np.arange(w, dtype=np.float64)
+    iy = np.clip(np.searchsorted(cy, py) - 1, 0, ty - 2) if ty > 1 else \
+        np.zeros(h, dtype=np.int64)
+    ix = np.clip(np.searchsorted(cx, px) - 1, 0, tx - 2) if tx > 1 else \
+        np.zeros(w, dtype=np.int64)
+    if ty > 1:
+        fy = np.clip((py - cy[iy]) / (cy[iy + 1] - cy[iy]), 0.0, 1.0)
+    else:
+        fy = np.zeros(h)
+    if tx > 1:
+        fx = np.clip((px - cx[ix]) / (cx[ix + 1] - cx[ix]), 0.0, 1.0)
+    else:
+        fx = np.zeros(w)
+    g = gray.astype(np.int64)
+    iy2 = np.minimum(iy + 1, ty - 1)
+    ix2 = np.minimum(ix + 1, tx - 1)
+    IY, IX = iy[:, None], ix[None, :]
+    IY2, IX2 = iy2[:, None], ix2[None, :]
+    v00 = luts[IY, IX, g]
+    v01 = luts[IY, IX2, g]
+    v10 = luts[IY2, IX, g]
+    v11 = luts[IY2, IX2, g]
+    FY, FX = fy[:, None], fx[None, :]
+    out = ((1 - FY) * ((1 - FX) * v00 + FX * v01)
+           + FY * ((1 - FX) * v10 + FX * v11))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     """(h, w, 3) RGB -> (h, w) uint8 gray, BT.601 luma weights — the
     color-aware preprocessing entry (M9; the reference's cv2.cvtColor
@@ -248,7 +309,8 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
 def preprocess(gray: np.ndarray, binarizer: str = "fixed",
                adaptive_block: int = 11, adaptive_c: float = 2.0,
                adaptive_method: str = "gaussian",
-               orient: bool = False) -> np.ndarray:
+               orient: bool = False, enhance: str | None = None,
+               clahe_clip: float = 2.0) -> np.ndarray:
     """Production preprocessing path (ocr_service.py:173-201, minus the
     cv2-only denoise/CLAHE steps which are identity on already-binary
     synthetic strips): polarity normalize -> threshold (fixed M1 /
@@ -265,6 +327,13 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
     """
     if gray.ndim == 3:
         gray = rgb_to_gray(gray)          # color-aware entry (M9)
+    if enhance == "clahe":
+        # contrast enhancement BEFORE polarity/threshold (the reference's
+        # CLAHE step in its enhanced preprocessing variants). Note the
+        # clip limit CAPS equalization strength: near-two-level images
+        # need a high clip (clipping redistributes their whole histogram
+        # mass, flattening the mapping back to identity at low clips)
+        gray = clahe(gray, clip_limit=clahe_clip)
     g = normalize_polarity(gray)
     if binarizer == "otsu":
         b = threshold_otsu(g)

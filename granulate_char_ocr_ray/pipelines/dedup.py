@@ -35,7 +35,7 @@ from ..functions.sketch import (
     simhash64,
 )
 from ..functions.numeric import round_half_up
-from ..functions.textstats import crc64
+from ..functions.textstats import hash64_batch
 from ..sources.storage import parquet_num_rows, read_table
 
 
@@ -51,7 +51,12 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     FROM documents GROUP BY text."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [crc64(t or "") for t in batch.column("text").to_pylist()]
+        # vectorized flat-buffer content hash (splitmix64-finalized
+        # polynomial). 64-bit birthday collisions are equally present
+        # for ANY 64-bit hash at >=10^10 docs — dedup keyed on a 64-bit
+        # hash accepts that at every choice of function; go to 128 bits
+        # (two independent hashes) when that risk matters.
+        hashes = hash64_batch(batch.column("text")).view(np.int64)
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(hashes, type=pa.int64())],
             names=["doc_id", "text_hash"],

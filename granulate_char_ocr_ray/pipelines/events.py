@@ -124,3 +124,46 @@ def clicks_before_purchase(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(probe, batch_format="pandas").sort(
         "event_id"
     )
+
+
+def events_sliding(sf_dir: str, window_hours: int = 2,
+                   step_hours: int = 1) -> rd.Dataset:
+    """Sliding (hopping) event-time windows per event_type: every event
+    contributes to the ``window_hours / step_hours`` windows covering
+    it. Expressed as a vectorized window-explode (one row per (event,
+    covering window)) + partial aggregation + the usual derived-key
+    groupby — the streaming-window shape on a batch engine. Output:
+    (event_type, window_start, n_events, sum_value)."""
+    assert window_hours % step_hours == 0
+    n_win = window_hours // step_hours
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor(f"{step_hours}h")
+        parts = []
+        for i in range(n_win):
+            p = pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": base - pd.Timedelta(hours=i * step_hours),
+                "value": df["value"],
+            })
+            parts.append(p)
+        ex = pd.concat(parts, ignore_index=True)
+        g = ex.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(
+        4).groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["sum_value"] = round_half_up(df["sum_value"], 2)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -362,3 +362,61 @@ def ivf_cosine_topk(sf_dir: str, k: int = 10, query_id: int = 0,
 
     partial = _embeddings(sf_dir).map_batches(local_topk, batch_format="pyarrow")
     return partial.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Distributed Lloyd's k-means over the embeddings, returning the
+    final assignment (vec_id, cluster). Deterministic: centroids
+    initialize from vec_ids 0..k-1; each E-step is a map_batches pass
+    emitting per-batch partial sums per nearest centroid (one tiny row
+    set per block — shuffle-free); the M-step reduces the k x (d+1)
+    partials on the driver and broadcasts the new centroids. Empty
+    clusters keep their previous centroid. Bit-identical to the
+    single-process reference loop (tested)."""
+    import pyarrow.dataset as pads
+
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k)
+    order = np.argsort(init.column("vec_id").to_numpy())
+    cents = np.array(init.column("embedding").to_pylist(),
+                     dtype=np.float64)[order]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, _k: int = k) -> pa.Table:
+            c = ray.get(ref)
+            ids, mat = _batch_matrix(batch)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            sums = np.zeros((_k, mat.shape[1]))
+            np.add.at(sums, best, mat)
+            counts = np.bincount(best, minlength=_k).astype(np.int64)
+            cols = {"cluster": np.arange(_k, dtype=np.int64), "n": counts}
+            for d in range(mat.shape[1]):
+                cols[f"s{d}"] = sums[:, d]
+            return pa.Table.from_pydict(cols)
+
+        parts = _embeddings(sf_dir).map_batches(
+            partial_sums, batch_format="pyarrow").to_pandas()
+        g = parts.groupby("cluster").sum()
+        n = g["n"].to_numpy()
+        sums = g[[f"s{d}" for d in range(cents.shape[1])]].to_numpy()
+        new = cents.copy()
+        nz = n > 0
+        new[nz] = sums[nz] / n[nz, None]
+        cents = new
+
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64),
+             "cluster": d2.argmin(axis=1).astype(np.int64)})
+
+    return _embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow").sort("vec_id")

@@ -209,12 +209,15 @@ class GlyphFeatureClassifier:
         mask = glyph_idx >= 0
         if not mask.any():
             return batch
-        feats_bin = batch.column("feature").to_pylist()
         rows = np.where(mask)[0]
-        feats = np.stack([
-            np.unpackbits(np.frombuffer(feats_bin[r], dtype=np.uint8))[:64]
-            for r in rows
-        ])
+        feat_col = batch.column("feature")
+        if isinstance(feat_col, pa.ChunkedArray):
+            feat_col = feat_col.combine_chunks()
+        # one buffer concat + one unpackbits for the whole batch
+        packed = np.frombuffer(
+            b"".join(feat_col.take(pa.array(rows)).to_pylist()),
+            dtype=np.uint8).reshape(len(rows), 8)
+        feats = np.unpackbits(packed, axis=1)[:, :64]
         letters_idx, conf = classify_features(feats, self.proto)
         texts = batch.column("text").to_pylist()
         confs = batch.column("confidence").to_pylist()

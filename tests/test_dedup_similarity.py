@@ -252,3 +252,34 @@ def test_ivf_topk_full_probe_equals_exact_and_partial_is_subset():
     assert len(part) <= 10
     assert part["cos_sim"].is_monotonic_decreasing
     assert (part["vec_id"] != 0).all()
+
+
+def test_kmeans_matches_local_reference():
+    """Distributed Lloyd's == the same algorithm run single-process
+    (deterministic init, argmin ties to lowest cluster)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.similarity import kmeans_assign
+
+    k, iters = 8, 5
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cents = mat[np.isin(ids, np.arange(k))][np.argsort(ids[np.isin(ids, np.arange(k))])]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            if (best == c).any():
+                new[c] = mat[best == c].mean(axis=0)
+        cents = new
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+
+    got = kmeans_assign(SF, k=k, iters=iters).to_pandas()
+    assert dict(zip(got["vec_id"], got["cluster"])) == want

@@ -259,3 +259,34 @@ def test_preprocess_color_and_orient_paths():
     canvas[h: 2 * h, h: h + w] = strip
     rot = rotate_nn(canvas, 5.0)
     assert _classify_binary(preprocess(rot, orient=True)) == "CAT"
+
+
+def test_clahe_recovers_low_contrast_strip():
+    """CLAHE stretches a low-contrast strip (glyph 95 on background 78
+    — both far below threshold 128) so the standard pipeline recovers
+    the word; without enhancement the fixed threshold sees nothing."""
+    import numpy as np
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import preprocess
+
+    strip = render_strip("CONTRAST")
+    img = np.where(strip > 0, 95, 78).astype(np.uint8)
+    assert _classify_binary(preprocess(img)) != "CONTRAST"
+    # near-two-level histograms need a high clip limit: low clips
+    # redistribute the whole histogram mass and flatten the mapping
+    assert _classify_binary(
+        preprocess(img, enhance="clahe", clahe_clip=40)) == "CONTRAST"
+
+
+def test_clahe_properties():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.image import clahe
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(90, 110, size=(64, 96), dtype=np.uint8)
+    out = clahe(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # equalization widens the dynamic range of a narrow-band image
+    assert (int(out.max()) - int(out.min())) > (int(img.max()) - int(img.min()))
+    # deterministic
+    assert np.array_equal(out, clahe(img))
