@@ -106,6 +106,18 @@ def run_benchmarks() -> dict:
             "spans_per_s": round(n_spans / headline, 1),
         }
 
+    # --- fanout (salted) topology on the same corpus: the skew path.
+    # VERDICT r01 #6 done-criterion: within 2x of fused after the
+    # coarse-bucketed reassembly ---
+    out_dir_f = f"/tmp/bench_out/extract_fanout_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir_f, ignore_errors=True)
+    docs = derive_docs_replicated(SF_DIR, REPLICATE)
+    t0 = time.time()
+    spans_f = extract_spans(docs, mode="fanout",
+                            concurrency=max(2, NUM_CPUS - 4))
+    spans_f.write_parquet(out_dir_f)
+    queries["extract_spans_fanout"] = round(time.time() - t0, 3)
+
     # --- secondary pipelines ---
     t0 = time.time()
     relational.q1_pricing_summary(SF_DIR).to_pandas()
