@@ -235,6 +235,33 @@ def deskew(binary: np.ndarray) -> np.ndarray:
     return rotate_nn(binary, -estimate_skew_deg(binary))
 
 
+def median_blur3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter (the cv2.medianBlur denoise step of the
+    reference's morphological preprocessing variant,
+    optimize_preprocessing.py:66-67), replicate borders. Vectorized:
+    median over the 9 stacked shifted views."""
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    stack = np.stack([p[dy: dy + h, dx: dx + w]
+                      for dy in range(3) for dx in range(3)])
+    return np.median(stack, axis=0).astype(np.uint8)
+
+
+def sharpen3(img: np.ndarray) -> np.ndarray:
+    """3x3 sharpening convolution (kernel center 9, neighbors -1 — the
+    reference's combined-preprocessing step,
+    optimize_preprocessing.py:127-131), replicate borders, clipped."""
+    p = np.pad(img.astype(np.float64), 1, mode="edge")
+    h, w = img.shape
+    out = 9.0 * p[1: 1 + h, 1: 1 + w]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            out -= p[dy: dy + h, dx: dx + w]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def clahe(gray: np.ndarray, clip_limit: float = 2.0,
           tiles: tuple[int, int] = (8, 8)) -> np.ndarray:
     """Contrast-limited adaptive histogram equalization (the cv2
@@ -334,6 +361,10 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
         # need a high clip (clipping redistributes their whole histogram
         # mass, flattening the mapping back to identity at low clips)
         gray = clahe(gray, clip_limit=clahe_clip)
+    elif enhance == "median":
+        gray = median_blur3(gray)         # denoise variant (M1 family)
+    elif enhance == "sharpen":
+        gray = sharpen3(gray)             # combined-preprocess variant
     g = normalize_polarity(gray)
     if binarizer == "otsu":
         b = threshold_otsu(g)

@@ -290,3 +290,33 @@ def test_clahe_properties():
     assert (int(out.max()) - int(out.min())) > (int(img.max()) - int(img.min()))
     # deterministic
     assert np.array_equal(out, clahe(img))
+
+
+def test_median_blur_removes_salt_noise():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import preprocess
+
+    strip = render_strip("NOISE")
+    rng = np.random.RandomState(2)
+    img = strip.copy()
+    # salt noise: isolated bright pixels in the background break
+    # projection segmentation without a denoise step
+    ys = rng.randint(0, img.shape[0], 200)
+    xs = rng.randint(0, img.shape[1], 200)
+    img[ys, xs] = 255
+    assert _classify_binary(preprocess(img)) != "NOISE"
+    assert _classify_binary(preprocess(img, enhance="median")) == "NOISE"
+
+
+def test_sharpen_is_identity_direction_on_flat_regions():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.image import sharpen3
+
+    flat = np.full((16, 16), 90, dtype=np.uint8)
+    assert np.array_equal(sharpen3(flat), flat)   # 9-8=1 x value
+    edge = np.zeros((8, 8), dtype=np.uint8)
+    edge[:, 4:] = 100
+    out = sharpen3(edge)
+    # overshoot on both sides of the edge (contrast increased)
+    assert out[:, 3].max() == 0 and out[:, 4].min() >= 100
