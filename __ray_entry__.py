@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dimensions": media.media_dimensions,
         "media_dimensions_png": media.media_dimensions_png,
         "media_thumbnails": media.media_thumbnails,
+        "media_frame_sample": media.media_frame_sample,
+        "media_audio_energy": media.media_audio_energy,
         "docs_without_media": media.docs_without_media,
         # --- deeper relational + IVF assignment ---
         "q6_revenue": relational.q6_revenue,
@@ -441,6 +443,24 @@ def oracle_sql() -> dict[str, str]:
                          translate(CAST(doc_id AS VARCHAR),
                                    '0123456789', 'ABCDEFGHIJ') AS w
                   FROM documents WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "media_frame_sample": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   CAST(length(w) AS BIGINT) AS n_frames,
+                   CAST((length(w) + 1) // 2 AS BIGINT) AS n_sampled
+            FROM (SELECT doc_id,
+                         translate(CAST(doc_id AS VARCHAR),
+                                   '0123456789', 'ABCDEFGHIJ') AS w
+                  FROM documents WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "media_audio_energy": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   CAST(8 AS BIGINT) AS n_frames,
+                   CAST(500 + 100 * length(translate(CAST(doc_id AS VARCHAR),
+                        '0123456789', 'ABCDEFGHIJ')) AS DOUBLE) AS mean_rms
+            FROM documents WHERE doc_id % 3 = 0
             ORDER BY doc_id
         """,
         "docs_without_media": """

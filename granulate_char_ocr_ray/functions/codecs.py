@@ -211,3 +211,94 @@ def decode_pgm(data: bytes) -> np.ndarray:
         raise ValueError("only maxval 255 PGM supported")
     img = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos)
     return img.reshape(h, w).copy()
+
+
+# ---------------------------------------------------------------------------
+# PCM WAV (RIFF) — audio needs no codec library for uncompressed PCM
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV (RIFF) byte string."""
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    data = samples.tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV (RIFF, 16-bit mono/stereo->mono) ->
+    (int16 samples, sample_rate). Raises ValueError for non-RIFF or
+    compressed formats (a real codec plugs in beside this branch)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    rate = None
+    channels = 1
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos: pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4: pos + 8])
+        body = data[pos + 8: pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt_code}, bits={bits}); "
+                    "PCM 16-bit only — compressed audio needs a codec")
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(
+            axis=1).astype(np.int16)
+    return samples, rate
+
+
+def audio_frame_features(samples: np.ndarray, sample_rate: int,
+                         frame_ms: int = 25) -> np.ndarray:
+    """Per-frame audio features -> float64[(n_frames, 2)]:
+    (RMS energy, zero-crossing rate). Vectorized frame windows —
+    the standard first stage of any audio pipeline."""
+    win = max(1, sample_rate * frame_ms // 1000)
+    n = len(samples) // win
+    if n == 0:
+        return np.empty((0, 2))
+    f = samples[: n * win].astype(np.float64).reshape(n, win)
+    rms = np.sqrt((f ** 2).mean(axis=1))
+    zc = (np.diff(np.signbit(f), axis=1) != 0).mean(axis=1)
+    return np.stack([rms, zc], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame container: length-prefixed concatenated PGM frames.
+# Compressed video needs a codec library; an UNCOMPRESSED container
+# does not — this makes the frame-sampling plumbing fully real.
+# ---------------------------------------------------------------------------
+
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """Pack grayscale frames as length-prefixed PGMs."""
+    parts = [struct.pack("<I", len(frames))]
+    for fr in frames:
+        p = encode_pgm(fr)
+        parts.append(struct.pack("<I", len(p)))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def decode_frames(data: bytes) -> list[np.ndarray]:
+    """Unpack a length-prefixed PGM container -> list of (h, w) uint8."""
+    (n,) = struct.unpack_from("<I", data, 0)
+    pos = 4
+    out = []
+    for _ in range(n):
+        (length,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        out.append(decode_pgm(data[pos: pos + length]))
+        pos += length
+    return out

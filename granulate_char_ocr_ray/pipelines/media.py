@@ -156,25 +156,151 @@ def media_thumbnails(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
 
 
 def frame_sample(media_ref: str, every_n: int = 8) -> list[np.ndarray]:
-    """Video frame sampling seam — NOT implementable in this sandbox
-    (no video codec available). The actor-stage plumbing mirrors
-    MediaResize: decode container -> take every ``every_n``-th frame ->
-    per-frame feature. Raises until a codec is plugged in."""
-    raise NotImplementedError(
-        "video decoding requires a codec library; plug a decoder into "
-        "this seam and reuse the MediaResize actor-stage shape"
-    )
+    """Video frame sampling over an UNCOMPRESSED container
+    (``framesb64:`` = base64 of length-prefixed PGM frames,
+    functions/codecs.decode_frames): decode -> take every
+    ``every_n``-th frame. COMPRESSED codecs (H.264 etc.) remain out of
+    sandbox scope — a real demuxer plugs in beside this branch; the
+    sampling/feature plumbing downstream is identical."""
+    import base64
+
+    from ..functions.codecs import decode_frames
+
+    if not media_ref.startswith("framesb64:"):
+        raise NotImplementedError(
+            "compressed video needs a codec library; supported here: "
+            "'framesb64:<b64 length-prefixed PGM frames>'")
+    frames = decode_frames(base64.b64decode(media_ref[10:]))
+    return frames[::every_n]
 
 
 def audio_features(media_ref: str, frame_ms: int = 25) -> np.ndarray:
-    """Audio feature-extraction seam — NOT implementable in this sandbox
-    (no audio codec). The production shape is the MediaResize actor
-    stage: decode samples -> frame windows of ``frame_ms`` -> per-frame
-    energy/spectral features. Raises until a codec is plugged in."""
-    raise NotImplementedError(
-        "audio decoding requires a codec library; plug a decoder into "
-        "this seam and reuse the MediaResize actor-stage shape"
+    """Audio feature extraction over PCM WAV (``wavb64:`` = base64 RIFF
+    bytes — PCM needs no codec library): decode samples -> ``frame_ms``
+    windows -> per-frame (RMS energy, zero-crossing rate). Compressed
+    audio (MP3/AAC) remains a seam beside the PCM branch."""
+    import base64
+
+    from ..functions.codecs import audio_frame_features, decode_wav_pcm16
+
+    if not media_ref.startswith("wavb64:"):
+        raise NotImplementedError(
+            "compressed audio needs a codec library; supported here: "
+            "'wavb64:<b64 PCM WAV>'")
+    samples, rate = decode_wav_pcm16(base64.b64decode(media_ref[7:]))
+    return audio_frame_features(samples, rate, frame_ms)
+
+
+class FrameSampleStage:
+    """Actor stage: decode each frame container, sample every n-th
+    frame, emit counts — the video-column map_batches shape."""
+
+    def __init__(self, every_n: int = 2) -> None:
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_sampled = [], []
+        for ref in batch.column("media_ref").to_pylist():
+            import base64
+
+            from ..functions.codecs import decode_frames
+
+            frames = decode_frames(base64.b64decode((ref or "")[10:]))
+            n_frames.append(len(frames))
+            n_sampled.append(len(frames[:: self.every_n]))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "n_frames": pa.array(n_frames, pa.int64()),
+             "n_sampled": pa.array(n_sampled, pa.int64())})
+
+
+def media_frame_sample(sf_dir: str, every_n: int = 2,
+                       concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_frames, n_sampled) for every media doc, with the
+    payload traveling as a REAL binary frame container: one PGM frame
+    per glyph tile, packed and base64-wrapped, decoded and sampled by
+    the actor stage. Frame counts have a closed form (word length /
+    ceil-division) so the whole decode->sample path is SQL-verified."""
+    import base64
+
+    from ..functions.codecs import encode_frames
+    from ..functions.glyphs import MEDIA_PREFIX, render_letter_tile
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
     )
+
+    def to_container(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            word = (ref or "")[len(MEDIA_PREFIX):]
+            frames = [render_letter_tile(c) for c in word]
+            out.append("framesb64:"
+                       + base64.b64encode(encode_frames(frames)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    packed = media.map_batches(to_container, batch_format="pyarrow")
+    return packed.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"every_n": every_n}).sort("doc_id")
+
+
+class AudioFeatureStage:
+    """Actor stage: decode each WAV payload, window it, emit frame
+    count + mean RMS — the audio-column map_batches shape."""
+
+    def __init__(self, frame_ms: int = 25) -> None:
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, mean_rms = [], []
+        for ref in batch.column("media_ref").to_pylist():
+            feats = audio_features(ref or "", self.frame_ms)
+            n_frames.append(len(feats))
+            mean_rms.append(float(feats[:, 0].mean()) if len(feats) else 0.0)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "n_frames": pa.array(n_frames, pa.int64()),
+             "mean_rms": pa.array(np.round(mean_rms, 4), pa.float64())})
+
+
+def media_audio_energy(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_frames, mean_rms) with each media doc carrying a
+    deterministic PCM WAV payload (constant amplitude 500 + 100 *
+    word_length, 0.2 s @ 16 kHz -> 8 frames of 25 ms, RMS == amplitude)
+    through the REAL RIFF encode -> decode -> framing path — closed
+    form, so the audio plumbing is SQL-verified end-to-end."""
+    import base64
+
+    from ..functions.codecs import encode_wav_pcm16
+    from ..functions.glyphs import MEDIA_PREFIX
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            word = (ref or "")[len(MEDIA_PREFIX):]
+            amp = 500 + 100 * len(word)
+            samples = np.full(3200, amp, dtype=np.int16)
+            out.append("wavb64:"
+                       + base64.b64encode(encode_wav_pcm16(samples)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    packed = media.map_batches(to_wav, batch_format="pyarrow")
+    return packed.map_batches(
+        AudioFeatureStage, batch_format="pyarrow",
+        concurrency=concurrency).sort("doc_id")
 
 
 def docs_without_media(sf_dir: str, bloom_fp: float = 0.01,

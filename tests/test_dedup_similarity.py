@@ -157,13 +157,36 @@ def test_media_thumbnails_deterministic():
     assert out["thumb_hash"].iloc[0] == out["thumb_hash"].iloc[1]
 
 
-def test_frame_sample_stub_raises():
+def test_frame_sample_and_audio_features_real_paths():
+    """The video/audio seams are REAL for uncompressed containers:
+    length-prefixed PGM frames and PCM WAV; compressed formats still
+    raise (a codec plugs in beside those branches)."""
+    import base64
+
+    import numpy as np
     import pytest as _pytest
 
-    from granulate_char_ocr_ray.pipelines.media import frame_sample
+    from granulate_char_ocr_ray.functions.codecs import (
+        encode_frames, encode_wav_pcm16)
+    from granulate_char_ocr_ray.pipelines.media import (
+        audio_features, frame_sample)
 
+    frames = [np.full((4, 5), i, dtype=np.uint8) for i in range(7)]
+    ref = "framesb64:" + base64.b64encode(encode_frames(frames)).decode()
+    got = frame_sample(ref, every_n=3)
+    assert len(got) == 3
+    assert all(np.array_equal(g, frames[i * 3]) for i, g in enumerate(got))
     with _pytest.raises(NotImplementedError):
         frame_sample("video:xyz")
+
+    samples = np.full(16000, 700, dtype=np.int16)     # 1s constant tone
+    wref = "wavb64:" + base64.b64encode(encode_wav_pcm16(samples)).decode()
+    feats = audio_features(wref, frame_ms=25)
+    assert feats.shape == (40, 2)
+    assert np.allclose(feats[:, 0], 700.0)            # RMS of constant
+    assert np.allclose(feats[:, 1], 0.0)              # no zero crossings
+    with _pytest.raises(NotImplementedError):
+        audio_features("mp3:xyz")
 
 
 def test_embedding_cosine_dups_matches_bruteforce():
