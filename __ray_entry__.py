@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_tokens": analysis.approx_top_tokens,
         # --- iterative ML primitive ---
         "kmeans_assign": similarity.kmeans_assign,
+        # --- grouped distinct count (exact counterpart of the HLL path) ---
+        "distinct_users_per_event_type": relational.distinct_users_per_event_type,
     }
 
 
@@ -528,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "distinct_users_per_event_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "lang_id": _lang_id_oracle(),
         "extract_docs": """
             WITH spans AS (

@@ -658,3 +658,30 @@ def approx_quantity_deciles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict(
         {"q": pa.array(qs, pa.float64()),
          "value": pa.array(vals, pa.float64())})
+
+
+def distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """Exact grouped distinct count: distinct users per event type.
+    Two-phase: the (event_type, user_id) pair set dedups through the
+    hash aggregate (narrow shuffle — one row per distinct pair per
+    batch), then a per-type count. The exact counterpart of the HLL
+    sketch path (approx_distinct_tokens) for grouped cardinality."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = hash_groupby_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], {"_n": ("user_id", "count")},
+        num_parts=16)
+    counts = hash_groupby_agg(
+        pairs, ["event_type"], {"n_users": ("user_id", "count")},
+        num_parts=4)
+    return counts.map_batches(
+        lambda t: t.select(["event_type", "n_users"]),
+        batch_format="pyarrow").sort("event_type")
