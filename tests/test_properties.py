@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the pure kernels: codecs
+round-trip on arbitrary inputs, batch hashes equal scalar hashes on
+arbitrary strings, sketches respect their published bounds."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+    max_size=200,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=0, max_size=20))
+def test_hash64_batch_equals_scalar(texts):
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.textstats import hash64, hash64_batch
+
+    got = hash64_batch(pa.array(texts, pa.string()))
+    for t, h in zip(texts, got):
+        assert hash64(t.encode("utf-8")) == int(h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_minhash_batch_equals_scalar(texts):
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        gram_hashes,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    sigs = minhash_signatures_batch(pa.array(texts, pa.string()),
+                                    k=3, num_perm=32)
+    for i, t in enumerate(texts):
+        ref = minhash_signature(gram_hashes(t, 3), 32)
+        assert np.array_equal(sigs[i], ref), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 4),
+       st.integers(0, 2**32 - 1))
+def test_png_gray_roundtrip_random(h, w, filt, seed):
+    from granulate_char_ocr_ray.functions.codecs import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png_gray(encode_png_gray(img, filt)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_random(n, seed):
+    from granulate_char_ocr_ray.functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32768, size=n).astype(np.int16)
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 8000))
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                max_size=2000))
+def test_kll_quantiles_within_rank_bound(values):
+    from granulate_char_ocr_ray.functions.sketch import (
+        kll_add,
+        kll_create,
+        kll_quantiles,
+    )
+
+    vals = np.array(values, dtype=np.float64)
+    sk = kll_create()
+    kll_add(sk, vals)
+    vals.sort()
+    n = len(vals)
+    for q in (0.25, 0.5, 0.75):
+        est = kll_quantiles(sk, [q])[0]
+        lo = np.searchsorted(vals, est, side="left")
+        hi = np.searchsorted(vals, est, side="right")
+        target = q * n
+        # the estimate's rank INTERVAL is [lo, hi] (duplicates widen
+        # it); error is the distance from the target to that interval,
+        # and rank error is quantized to 1/n at tiny n
+        err = (0.0 if lo <= target <= hi
+               else min(abs(lo - target), abs(hi - target)) / n)
+        assert err <= max(0.05, 1.0 / n), (q, est, err)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, min_size=0, max_size=15))
+def test_simhash_batch_equals_scalar_ascii_ws(texts):
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        simhash64,
+        simhash64_batch,
+    )
+
+    # restrict to inputs whose whitespace is the RE2 \s set (the batch
+    # form splits on ASCII \s; Python str.split additionally treats
+    # \x1c-\x1f, \x85 and unicode spaces as separators — the documented
+    # ASCII-whitespace scope of the batch kernels)
+    re2_ws = set("\t\n\x0c\r ")     # RE2 \s excludes \x0b (vertical tab)
+    texts = ["".join(c for c in t if (not c.isspace()) or c in re2_ws)
+             for t in texts]
+    got = simhash64_batch(pa.array(texts, pa.string()))
+    for t, s in zip(texts, got):
+        assert simhash64(t) == int(s), repr(t)
