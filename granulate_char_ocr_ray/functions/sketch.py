@@ -68,20 +68,23 @@ def minhash_signature(base_hashes: np.ndarray, num_perm: int = 128) -> np.ndarra
 
 
 def gram_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hash64 per (non-distinct) character k-gram; texts shorter
-    than ``k`` hash as one whole-text gram (matching char_shingles'
-    short-text rule). Scalar reference for
+    """uint64 hash64 per (non-distinct) UTF-8 BYTE k-gram; texts whose
+    encoding is shorter than ``k`` bytes hash as one whole gram. Byte
+    shingling (not codepoint shingling) is deliberate: it is what the
+    vectorized flat-buffer pass computes, so scalar == batch for ALL
+    input including multibyte text (hypothesis-tested), and it is the
+    standard choice for content-defined dedup. Scalar reference for
     :func:`minhash_signatures_batch` — min over the multiset equals min
     over the set, so distinctness is irrelevant for MinHash."""
     from .textstats import hash64
 
-    if not text:
+    data = text.encode("utf-8")
+    if not data:
         return np.empty(0, dtype=np.uint64)
-    if len(text) < k:
-        return np.array([hash64(text.encode("utf-8"))], dtype=np.uint64)
+    if len(data) < k:
+        return np.array([hash64(data)], dtype=np.uint64)
     return np.array(
-        [hash64(text[i: i + k].encode("utf-8"))
-         for i in range(len(text) - k + 1)],
+        [hash64(data[i: i + k]) for i in range(len(data) - k + 1)],
         dtype=np.uint64,
     )
 

@@ -99,9 +99,19 @@ def test_kll_quantiles_within_rank_bound(values):
         assert err <= max(0.05, 1.0 / n), (q, est, err)
 
 
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x7F),
+    max_size=200,
+)
+
+
 @settings(max_examples=40, deadline=None)
-@given(st.lists(TEXT, min_size=0, max_size=15))
+@given(st.lists(ASCII_TEXT, min_size=0, max_size=15))
 def test_simhash_batch_equals_scalar_ascii_ws(texts):
+    # ASCII alphabet: beyond it, Arrow utf8_lower and Python str.lower
+    # disagree on special-casing codepoints (e.g. U+0130 'İ'), and
+    # str.split treats more codepoints as whitespace than RE2 \s —
+    # the documented ASCII scope of the batch tokenizer kernels
     import pyarrow as pa
 
     from granulate_char_ocr_ray.functions.sketch import (
