@@ -119,6 +119,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spans = extract.extract_spans(extract.derive_docs(sf_dir))
         return extract.reassemble_docs(spans).sort("doc_id")
 
+    def _order_item_totals_native(sf_dir: str):
+        # the native join spawns one aggregator ACTOR per partition;
+        # size to the session so a small CPU budget cannot deadlock
+        import ray as _ray
+
+        n = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+        return relational.order_item_totals_native(sf_dir,
+                                                   num_partitions=n)
+
     def extract_docs_text(sf_dir: str):
         # reassembled per-doc text only (the SQL-checkable projection of
         # extract_docs; confidence is an engine-side float excluded here)
@@ -180,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "customers_per_region": relational.customers_per_region,
         "order_item_totals": relational.order_item_totals,
+        "order_item_totals_native": _order_item_totals_native,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "filter_quality": analysis.filter_quality,
         "top_tokens": analysis.top_tokens,
@@ -501,6 +511,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "order_item_totals": """
+            SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 2) AS items_value
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_totalprice
+        """,
+        "order_item_totals_native": """
             SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS n_items,
                    round(sum(l_extendedprice), 2) AS items_value
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -685,3 +685,48 @@ def distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
     return counts.map_batches(
         lambda t: t.select(["event_type", "n_users"]),
         batch_format="pyarrow").sort("event_type")
+
+
+def order_item_totals_native(sf_dir: str, num_partitions: int = 32
+                             ) -> rd.Dataset:
+    """`order_item_totals` on Ray Data's built-in hash join
+    (``Dataset.join``, Ray 2.49) instead of the explicit bucket join —
+    kept as the API-native alternative and asserted output-identical in
+    tests. Tradeoff (from the API contract): the native join requires
+    ALL inputs materialized in the object store before executing, while
+    the explicit union-bucket form streams; at 100 TB that
+    materialization is the difference between spill-bounded and
+    OOM-bounded, so the explicit form stays the default."""
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"])
+    joined = orders.join(items, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["o_orderkey", "o_totalprice"], as_index=False).agg(
+            n_items=("l_extendedprice", "size"),
+            items_value=("l_extendedprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    agg = hash_groupby_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey", "o_totalprice"],
+        {"n_items": ("n_items", "sum"), "items_value": ("items_value", "sum")},
+        num_parts=16)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pydict({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_totalprice": df["o_totalprice"],
+            "n_items": df["n_items"].astype(np.int64),
+            "items_value": round_half_up(df["items_value"], 2),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")

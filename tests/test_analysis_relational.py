@@ -461,3 +461,17 @@ def test_misra_gries_guarantees(con):
         assert tok in approx, tok
         assert approx[tok] <= cnt
         assert cnt - approx[tok] <= bound
+
+
+def test_native_join_matches_bucket_join():
+    """Ray's built-in Dataset.join produces the same order_item_totals
+    as the explicit union-bucket join (the streaming default)."""
+    from granulate_char_ocr_ray.pipelines.relational import (
+        order_item_totals, order_item_totals_native)
+
+    a = _canon(order_item_totals(SF).to_pandas())
+    # num_partitions=2: the native join spawns one aggregator ACTOR per
+    # partition — 32 of them deadlock the 4-CPU test session (the
+    # fixed-pool starvation gotcha); size to the session
+    b = _canon(order_item_totals_native(SF, num_partitions=2).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
