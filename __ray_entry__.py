@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": similarity.kmeans_assign,
         # --- grouped distinct count (exact counterpart of the HLL path) ---
         "distinct_users_per_event_type": relational.distinct_users_per_event_type,
+        # --- window frames / pivot / outer join / Q5 / percentile_cont ---
+        "user_event_windows": events.user_event_windows,
+        "events_pivot": events.events_pivot,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "customer_order_counts": relational.customer_order_counts,
+        "quantity_percentiles_cont": relational.quantity_percentiles_cont,
     }
 
 
@@ -669,6 +675,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "user_event_windows": """
+            SELECT event_id, user_id, prev_value, cum_value_cents,
+                   movavg3_value FROM (
+              SELECT event_id, user_id,
+                     lag(value) OVER w AS prev_value,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_value_cents,
+                     round(SUM(CAST(round(value * 100) AS BIGINT))
+                       OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       / (100.0 * least(row_number() OVER w, 3)), 2)
+                       AS movavg3_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) ORDER BY event_id
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "quantity_percentiles_cont": """
+            SELECT unnest(CAST([0.1,0.2,0.25,0.3,0.4,0.5,0.6,0.7,0.75,
+                                0.8,0.9,0.99] AS DOUBLE[])) AS q,
+                   unnest(list_transform(
+                     quantile_cont(l_quantity,
+                       [0.1,0.2,0.25,0.3,0.4,0.5,0.6,0.7,0.75,
+                        0.8,0.9,0.99]),
+                     x -> round(x, 4))) AS value
+            FROM lineitem
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

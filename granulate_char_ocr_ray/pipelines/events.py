@@ -126,6 +126,90 @@ def clicks_before_purchase(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
     )
 
 
+# pivot requires a DECLARED value domain on a distributed engine (the
+# Spark rule: pivot without values = an extra distinct pass); the synth
+# events table has exactly these five types.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str,
+                 event_types: tuple[str, ...] = EVENT_TYPES) -> rd.Dataset:
+    """PIVOT: one row per user with one count column per event type
+    (n_click, n_error, ...). Each batch lowers the pivot to vectorized
+    indicator columns (one comparison per declared type), then the
+    two-phase hash aggregate sums them per user — shuffle volume is one
+    row per (batch, user), never the raw events. Output: (user_id,
+    n_<type>...)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas()
+        cols = {"user_id": batch.column("user_id")}
+        for t in event_types:
+            cols[f"n_{t}"] = pa.array(
+                (et == t).to_numpy().astype(np.int64), pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    agg = hash_groupby_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        ["user_id"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in event_types},
+        num_parts=16)
+
+    def final(df: pa.Table) -> pa.Table:
+        pdf = df.to_pandas()
+        out = {"user_id": pdf["user_id"].astype(np.int64)}
+        for t in event_types:
+            out[f"n_{t}"] = pdf[f"n_{t}"].astype(np.int64)
+        return pa.Table.from_pydict(out)
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("user_id")
+
+
+def user_event_windows(sf_dir: str) -> rd.Dataset:
+    """Per-row window FRAME aggregates over the event stream — the
+    lag / running-total / moving-average family (SQL ``OVER (PARTITION
+    BY user_id ORDER BY ts, event_id ROWS ...)``), which Ray Data has
+    no primitive for. Partitioned by user (one groupby shuffle); inside
+    a group everything is a vectorized ordered scan: ``shift`` for lag,
+    ``cumsum`` for the running frame, a rolling sum for the 3-row
+    moving average.
+
+    Float policy: running/moving sums are computed on CENTS (int64,
+    ``round(value*100)``) so the result is exact under ANY summation
+    order — a windowed double sum would expose the fp-association
+    difference between this scan and DuckDB's segment-tree window
+    aggregator. Output: (event_id, user_id, prev_value,
+    cum_value_cents, movavg3_value).
+    """
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = pd.Series(
+            round_half_up(g["value"].to_numpy() * 100.0, 0)
+        ).astype(np.int64)
+        msum = cents.rolling(3, min_periods=1).sum().to_numpy()
+        n = np.minimum(np.arange(len(g)) + 1, 3)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_value": g["value"].shift(1).to_numpy(),
+                "cum_value_cents": cents.cumsum().to_numpy(),
+                "movavg3_value": round_half_up(msum / (100.0 * n), 2),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas").sort(
+        "event_id"
+    )
+
+
 def events_sliding(sf_dir: str, window_hours: int = 2,
                    step_hours: int = 1) -> rd.Dataset:
     """Sliding (hopping) event-time windows per event_type: every event

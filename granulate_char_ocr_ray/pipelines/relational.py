@@ -730,3 +730,208 @@ def order_item_totals_native(sf_dir: str, num_partitions: int = 32
         })
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             year: str = "1996") -> rd.Dataset:
+    """TPC-H Q5 shape: revenue per nation from lineitems whose customer
+    AND supplier share a nation inside ``region`` — a 6-table join.
+
+    Plan (one broadcast tier + two partitioned shuffles, never a
+    driver-side fact frame):
+
+    - nation x region (25 x 5 rows) reduce to an in-closure
+      nationkey->name map for the region;
+    - customer filters to those nations DISTRIBUTED and joins orders
+      (date-filtered at the read) on custkey via the partitioned hash
+      join -> (o_orderkey, c_nationkey);
+    - lineitem joins that on orderkey (second partitioned join); inside
+      each bucket the supplier side rides as a broadcast sorted
+      (suppkey, nationkey) pair of arrays — supplier is the smallest
+      fact table (10k rows/SF); above ~1M suppliers this tier becomes a
+      third partitioned join on l_suppkey, same merge body;
+    - the c_nationkey == s_nationkey equality ("local" supplier) is a
+      vectorized mask, then a per-bucket partial sum by nation feeds
+      the tiny final groupby.
+
+    Output: (n_name, revenue) sorted by revenue desc.
+    """
+    from ..stages.join import partitioned_join
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table().to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_map = dict(zip(nation["n_nationkey"].astype(int),
+                          nation["n_name"]))
+    region_nkeys = np.sort(np.fromiter(nation_map, dtype=np.int64))
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def keep_region(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(nk, region_nkeys)))
+
+    cust_f = cust.map_batches(keep_region, batch_format="pyarrow")
+
+    def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
+                       how="inner")
+        return m[["o_orderkey", "c_nationkey"]]
+
+    oc = partitioned_join(
+        orders, cust_f, "o_custkey", "c_custkey", oc_merge,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((
+        sk[order_s].astype(np.int64),
+        supp.column("s_nationkey").to_numpy(
+            zero_copy_only=False)[order_s].astype(np.int64)))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_merge(oc_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        skeys, snation = ray.get(supp_ref)
+        m = l_df.merge(oc_df, left_on="l_orderkey", right_on="o_orderkey",
+                       how="inner")
+        if not len(m):
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "revenue": pd.Series([], dtype=np.float64)})
+        lk = m["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(skeys, lk)
+        pos[pos >= len(skeys)] = len(skeys) - 1 if len(skeys) else 0
+        hit = (skeys[pos] == lk) if len(skeys) else np.zeros(len(lk), bool)
+        local = hit & (snation[pos] == m["c_nationkey"].to_numpy())
+        m = m[local]
+        m["revenue"] = m["l_extendedprice"] * (1 - m["l_discount"])
+        m["n_name"] = m["c_nationkey"].map(nation_map)
+        return m.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    part = partitioned_join(
+        oc, items, "o_orderkey", "l_orderkey", li_merge,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("c_nationkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_suppkey", pa.int64()),
+                                ("l_extendedprice", pa.float64()),
+                                ("l_discount", pa.float64())]))
+
+    agg = part.repartition(2).groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = round_half_up(df["revenue"], 2)
+        return pa.Table.from_pandas(df[["n_name", "revenue"]],
+                                    preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False])
+
+
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join exposure: per-customer order count and total
+    spend INCLUDING customers with zero orders. Orders pre-aggregate to
+    one row per custkey (two-phase hash agg — the narrow-shuffle
+    combiner), then customer left-joins that reduced side through the
+    partitioned hash join; the outer rows materialize as fillna(0) in
+    the per-bucket merge. Output: (c_custkey, n_orders, total_spent)."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    per_cust = hash_groupby_agg(
+        orders, ["o_custkey"],
+        {"n_orders": ("o_totalprice", "count"),
+         "total_spent": ("o_totalprice", "sum")},
+        num_parts=32)
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def left_merge(c_df: pd.DataFrame, o_df: pd.DataFrame) -> pd.DataFrame:
+        m = c_df.merge(o_df, left_on="c_custkey", right_on="o_custkey",
+                       how="left")
+        return pd.DataFrame({
+            "c_custkey": m["c_custkey"].astype(np.int64),
+            "n_orders": m["n_orders"].fillna(0).astype(np.int64),
+            "total_spent": round_half_up(
+                m["total_spent"].fillna(0.0).to_numpy(), 2),
+        })
+
+    out = partitioned_join(
+        cust, per_cust, "c_custkey", "o_custkey", left_merge,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_orders", pa.int64()),
+                                ("total_spent", pa.float64())]))
+    return out.sort("c_custkey")
+
+
+def quantity_percentiles_cont(sf_dir: str) -> rd.Dataset:
+    """INTERPOLATED (continuous) quantiles of l_quantity — the
+    percentile_cont counterpart of `quantity_deciles` (quantile_disc).
+    Same distributed value-histogram plan; the selection step linearly
+    interpolates at fractional rank p = q*(n-1) between the two
+    enclosing order statistics (DuckDB quantile_cont semantics).
+    Output: (q, value)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    qs = [round(0.1 * i, 1) for i in range(1, 10)] + [0.25, 0.75, 0.99]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    hist = hash_groupby_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["l_quantity"], {"c": ("c", "sum")}, num_parts=8,
+    ).repartition(1)
+
+    def select(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("l_quantity")
+        cum = df["c"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        vals = df["l_quantity"].to_numpy(dtype=np.float64)
+
+        def at(rank0: int) -> float:
+            # value at 0-based order statistic `rank0`
+            return float(vals[int(np.searchsorted(cum, rank0 + 1))])
+
+        out_q, out_v = [], []
+        for q in sorted(qs):
+            p = q * (n - 1)
+            k = int(np.floor(p))
+            lo_v = at(k)
+            hi_v = at(min(k + 1, n - 1))
+            out_q.append(q)
+            out_v.append(lo_v + (p - k) * (hi_v - lo_v))
+        return pa.Table.from_pydict(
+            {"q": pa.array(out_q, pa.float64()),
+             "value": pa.array(round_half_up(out_v, 4), pa.float64())})
+
+    return hist.map_batches(select, batch_format="pyarrow")

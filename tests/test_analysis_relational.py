@@ -475,3 +475,80 @@ def test_native_join_matches_bucket_join():
     # fixed-pool starvation gotcha); size to the session
     b = _canon(order_item_totals_native(SF, num_partitions=2).to_pandas())
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_q5_local_supplier_volume(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q5_local_supplier_volume,
+    )
+
+    _check(q5_local_supplier_volume(SF), """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """, con)
+
+
+def test_customer_order_counts_includes_zero_order_customers(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        customer_order_counts,
+    )
+
+    got = customer_order_counts(SF).to_pandas()
+    want = con.sql("""
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    # the LEFT join is load-bearing: every customer appears even when
+    # its orders vanish (sf0.001 gives every customer orders, so build
+    # a fixture dir with one customer's orders removed)
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert len(got) == n_cust
+    import os
+    import tempfile
+
+    victim = int(got["c_custkey"].iloc[0])
+    with tempfile.TemporaryDirectory() as td:
+        for t in ["customer", "orders"]:
+            src = f"{SF}/{t}.parquet"
+            dst = os.path.join(td, f"{t}.parquet")
+            if t == "orders":
+                duckdb.sql(f"COPY (SELECT * FROM '{src}' WHERE o_custkey"
+                           f" != {victim}) TO '{dst}' (FORMAT PARQUET)")
+            else:
+                duckdb.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}'"
+                           " (FORMAT PARQUET)")
+        cut = customer_order_counts(td).to_pandas()
+        row = cut[cut["c_custkey"] == victim]
+        assert len(cut) == n_cust
+        assert row["n_orders"].iloc[0] == 0
+        assert row["total_spent"].iloc[0] == 0.0
+
+
+def test_quantity_percentiles_cont(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        quantity_percentiles_cont,
+    )
+
+    _check(quantity_percentiles_cont(SF), """
+        SELECT unnest(CAST([0.1,0.2,0.25,0.3,0.4,0.5,0.6,0.7,0.75,
+                            0.8,0.9,0.99] AS DOUBLE[])) AS q,
+               unnest(list_transform(
+                 quantile_cont(l_quantity,
+                   [0.1,0.2,0.25,0.3,0.4,0.5,0.6,0.7,0.75,0.8,0.9,0.99]),
+                 x -> round(x, 4))) AS value
+        FROM lineitem
+    """, con)

@@ -177,3 +177,58 @@ def test_docs_without_media_both_plans_identical():
     bl = docs_without_media(SF, broadcast_threshold=0).to_pandas()
     pd.testing.assert_frame_equal(bc.reset_index(drop=True),
                                   bl.reset_index(drop=True))
+
+
+def test_user_event_windows_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import user_event_windows
+
+    got = user_event_windows(SF).to_pandas()
+    want = con.sql("""
+        SELECT event_id, user_id, prev_value, cum_value_cents,
+               movavg3_value FROM (
+          SELECT event_id, user_id,
+                 lag(value) OVER w AS prev_value,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum_value_cents,
+                 round(SUM(CAST(round(value * 100) AS BIGINT))
+                   OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   / (100.0 * least(row_number() OVER w, 3)), 2)
+                   AS movavg3_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    # a user's first event has no lag value
+    first = got.groupby("user_id").head(1)
+    assert first["prev_value"].isna().all()
+
+
+def test_events_pivot_matches_duckdb(con):
+    from granulate_char_ocr_ray.pipelines.events import events_pivot
+
+    got = events_pivot(SF).to_pandas()
+    want = con.sql("""
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                 AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                 AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                 AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+                 AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                 AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    # pivot columns jointly account for every event
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert int(got[[c for c in got.columns if c.startswith("n_")]]
+               .to_numpy().sum()) == n_events
