@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         relational,
         similarity,
+        training,
     )
 
     def extract_spans(sf_dir: str):
@@ -218,6 +219,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "customer_order_counts": relational.customer_order_counts,
         "quantity_percentiles_cont": relational.quantity_percentiles_cont,
+        # --- training-data preparation (chunk / scrub / filter / pack) ---
+        "chunk_docs": training.chunk_docs,
+        "pii_redact": training.pii_redact,
+        "repetition_stats": training.repetition_stats,
+        "pack_sequences": training.pack_sequences,
     }
 
 
@@ -738,6 +744,80 @@ def oracle_sql() -> dict[str, str]:
                         0.8,0.9,0.99]),
                      x -> round(x, 4))) AS value
             FROM lineitem
+        """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start,
+                   substr(text, CAST(s AS INT) + 1, 200) AS chunk_text
+            FROM documents,
+                 UNNEST(range(0, greatest(length(text), 1), 150)) AS t(s)
+            ORDER BY doc_id, chunk_id
+        """,
+        "pii_redact": """
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || rpad(substr(CAST(doc_id AS VARCHAR), 1, 4), 4, '0')
+                       AS text
+              FROM documents
+            ), emails AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS after_email,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails
+              FROM pii
+            )
+            SELECT doc_id,
+                   regexp_replace(after_email, '\\+1-555-[0-9]{4}',
+                                  '[PHONE]', 'g') AS clean_text,
+                   n_emails,
+                   CAST(len(regexp_extract_all(after_email,
+                     '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+            FROM emails ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, trim(text) AS t FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(t, '\\s+')) AS tok
+              FROM base WHERE t != ''
+            ), cnt AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     max(c) AS top
+              FROM cnt GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(n_distinct, 0) AS n_distinct,
+                   coalesce(round(1 - CAST(n_distinct AS DOUBLE) / n_tokens,
+                                  4), 0.0) AS dup_ratio,
+                   coalesce(round(CAST(top AS DOUBLE) / n_tokens, 4), 0.0)
+                     AS top_ratio
+            FROM base b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id
+        """,
+        "pack_sequences": f"""
+            WITH n AS (
+              SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_offset
+              FROM n
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+                   CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
+            FROM o ORDER BY doc_id
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

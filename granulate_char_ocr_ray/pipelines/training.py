@@ -1,0 +1,225 @@
+"""Training-data preparation pipelines: chunking, PII scrubbing,
+repetition signals, and sequence packing over the documents table.
+
+These are the LLM-pretraining-corpus operators a 100 TB pipeline runs
+between raw extraction and tokenizer ingestion (graft additions; the
+reference stops at per-image OCR). Everything is expressed as Arrow
+kernels inside ``map_batches`` plus the repo's two-phase hash aggregate
+— the only global coordination is the O(num_partitions) prefix-sum
+exchange in :func:`pack_sequences`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_up
+from ..sources.storage import read_table
+
+# RE2 syntax, identical semantics in Arrow's and DuckDB's regex engines
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def chunk_docs(sf_dir: str, size: int = 200, step: int = 150) -> rd.Dataset:
+    """Overlapping fixed-window chunking: one output row per (doc,
+    window) with starts 0, step, 2*step, ... < len(text) — the standard
+    pre-tokenization split for long documents (window ``size`` chars,
+    overlap ``size - step``).
+
+    Vectorized as a loop over CHUNK INDICES (bounded by the longest doc
+    in the batch), each iteration one ``utf8_slice_codeunits`` over the
+    still-alive docs — never a per-row Python loop. Chunking is
+    embarrassingly parallel; no shuffle. Output: (doc_id, chunk_id,
+    start, chunk_text).
+    """
+    assert 0 < step <= size
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        out_doc, out_cid, out_start, out_text = [], [], [], []
+        i = 0
+        while True:
+            start = i * step
+            alive = np.flatnonzero((n > start) | ((n == 0) & (start == 0)))
+            if not len(alive):
+                break
+            idx = pa.array(alive)
+            sliced = pc.utf8_slice_codeunits(
+                pc.take(text, idx), start, start + size)
+            out_doc.append(doc_id[alive])
+            out_cid.append(np.full(len(alive), i, dtype=np.int64))
+            out_start.append(np.full(len(alive), start, dtype=np.int64))
+            out_text.append(sliced)
+            i += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "chunk_id": pa.array(np.concatenate(out_cid)),
+                "start": pa.array(np.concatenate(out_start)),
+                "chunk_text": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_text]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+
+
+def _with_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically inject synthetic PII derived from doc_id (the
+    synth documents corpus is digit-free word salad, so the scrub path
+    would otherwise never fire). Reproduced verbatim in the SQL oracle."""
+    doc_id = batch.column("doc_id")
+    ids = pc.cast(doc_id, pa.string())
+    phone4 = pc.utf8_rpad(pc.utf8_slice_codeunits(ids, 0, 4), 4, "0")
+    pii = pc.binary_join_element_wise(
+        pa.array(["contact user"] * len(batch)), ids,
+        pa.array(["@example.com or +1-555-"] * len(batch)), phone4, "")
+    text2 = pc.binary_join_element_wise(batch.column("text"), pii, " ")
+    return pa.Table.from_arrays([doc_id, text2], names=["doc_id", "text"])
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII scrub: replace email addresses and phone numbers with typed
+    placeholder tokens, counting each. Pure Arrow RE2 kernels
+    (count_substring_regex + replace_substring_regex) — per-batch,
+    shuffle-free, and byte-identical to DuckDB's RE2 regexp_replace.
+    Output: (doc_id, clean_text, n_emails, n_phones)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        batch = _with_pii(batch)
+        text = batch.column("text")
+        n_email = pc.count_substring_regex(text, EMAIL_RE)
+        cleaned = pc.replace_substring_regex(text, EMAIL_RE, "[EMAIL]")
+        n_phone = pc.count_substring_regex(cleaned, PHONE_RE)
+        cleaned = pc.replace_substring_regex(cleaned, PHONE_RE, "[PHONE]")
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), cleaned,
+             pc.cast(n_email, pa.int64()), pc.cast(n_phone, pa.int64())],
+            names=["doc_id", "clean_text", "n_emails", "n_phones"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, duplicate-token fraction and top-token
+    fraction (the "fraction of tokens in the most common token" filter
+    from the Gopher corpus rules, arXiv:2112.11446 A1.1). Per-batch
+    explode + pandas grouped kernels — each doc lives in one batch, so
+    no shuffle. Output: (doc_id, n_tokens, n_distinct, dup_ratio,
+    top_ratio)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        raw_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
+        counts = np.where(empty, 0, raw_counts)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # flatten aligns with RAW list lengths (an empty text splits to
+        # [""]); drop the empty-row sentinel tokens afterwards
+        flat = pc.list_flatten(toks).to_pandas()
+        rep = np.repeat(np.arange(len(batch)), raw_counts)
+        keep = ~np.repeat(empty, raw_counts)
+        df = pd.DataFrame({"row": rep[keep], "tok": flat[keep]})
+        per_pair = df.groupby(["row", "tok"], sort=False).size()
+        per_row = per_pair.groupby(level="row")
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        top = np.zeros(len(batch), dtype=np.int64)
+        idx = per_row.size().index.to_numpy()
+        n_distinct[idx] = per_row.size().to_numpy()
+        top[idx] = per_row.max().to_numpy()
+        n_tok = counts.astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(n_tok > 0, 1.0 - n_distinct / n_tok, 0.0)
+            topr = np.where(n_tok > 0, top / n_tok, 0.0)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc_id),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_distinct),
+            "dup_ratio": pa.array(round_half_up(dup, 4)),
+            "top_ratio": pa.array(round_half_up(topr, 4)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").sort("doc_id")
+
+
+def pack_sequences(sf_dir: str, capacity: int = 512,
+                   block: int = 4096) -> rd.Dataset:
+    """GPT-style sequence packing: concatenate all documents in doc_id
+    order and cut the token stream into fixed ``capacity`` windows;
+    each doc reports the global token offset it starts at and the
+    sequence window containing that offset.
+
+    This is a distributed PREFIX SUM (ordered scan) — the one shape a
+    shuffle cannot express. Two passes:
+
+    1. per-range partials: docs group by the CONTIGUOUS range key
+       ``doc_id // block``; each range's token sum flows to the driver
+       (O(n_docs / block) rows — bounded, not the corpus);
+    2. the driver computes exclusive range prefixes, broadcasts the
+       small offset table, and a per-range ordered cumsum places every
+       doc.
+
+    Output: (doc_id, n_tokens, tok_offset, seq_id, offset_in_seq).
+    """
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        n = pc.list_value_length(toks)
+        n = pc.if_else(pc.equal(text, ""), pa.scalar(0, pa.int32()), n)
+        rng = pc.divide(batch.column("doc_id"), pa.scalar(block, pa.int64()))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pc.cast(n, pa.int64()),
+             pc.cast(rng, pa.int64())],
+            names=["doc_id", "n_tokens", "rng"])
+
+    with_n = ds.map_batches(tokens, batch_format="pyarrow")
+    # pass 1: O(ranges) rows to the driver — the prefix exchange
+    range_sums = hash_groupby_agg(
+        with_n, ["rng"], {"rng_tokens": ("n_tokens", "sum")}, num_parts=4
+    ).to_pandas().sort_values("rng")
+    prefix = dict(zip(
+        range_sums["rng"].astype(np.int64),
+        np.concatenate([[0], range_sums["rng_tokens"].cumsum().to_numpy()[:-1]])
+        .astype(np.int64)))
+    prefix_ref = ray.put(prefix)
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(prefix_ref)
+        g = g.sort_values("doc_id")
+        base = np.int64(offs[int(g["rng"].iloc[0])])
+        cum = g["n_tokens"].cumsum().shift(1, fill_value=0).to_numpy(
+            dtype=np.int64) + base
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "tok_offset": cum,
+            "seq_id": cum // capacity,
+            "offset_in_seq": cum % capacity,
+        })
+
+    return with_n.groupby("rng").map_groups(
+        place, batch_format="pandas").sort("doc_id")
