@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": training.pii_redact,
         "repetition_stats": training.repetition_stats,
         "pack_sequences": training.pack_sequences,
+        # --- training-corpus writer (S7) + augmentation maps (M11) ---
+        "training_corpus_stats": training.training_corpus_stats,
+        "augmented_corpus_stats": training.augmented_corpus_stats,
     }
 
 
@@ -818,6 +821,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tok_offset // 512 AS BIGINT) AS seq_id,
                    CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
             FROM o ORDER BY doc_id
+        """,
+        "training_corpus_stats": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n_glyphs FROM (
+              SELECT substr(w, CAST(i AS INT), 1) AS label
+              FROM (SELECT translate(CAST(doc_id AS VARCHAR),
+                                     '0123456789', 'ABCDEFGHIJ') AS w
+                    FROM documents WHERE doc_id % 3 = 0),
+                   UNNEST(range(1, length(w) + 1)) AS t(i)
+            ) GROUP BY label ORDER BY label
+        """,
+        "augmented_corpus_stats": """
+            SELECT label, CAST(3 * count(*) AS BIGINT) AS n_images FROM (
+              SELECT substr(w, CAST(i AS INT), 1) AS label
+              FROM (SELECT translate(CAST(doc_id AS VARCHAR),
+                                     '0123456789', 'ABCDEFGHIJ') AS w
+                    FROM documents WHERE doc_id % 3 = 0),
+                   UNNEST(range(1, length(w) + 1)) AS t(i)
+            ) GROUP BY label ORDER BY label
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -429,3 +429,41 @@ def hash8x8_bits(img: np.ndarray) -> np.ndarray:
     small = resize_area(img, 8, 8)
     avg = small.mean()
     return (small > avg).astype(np.uint8).ravel()
+
+
+def augment_glyph(img: np.ndarray, seed: int, max_shift: int = 2,
+                  max_angle: float = 3.0, brightness: tuple = (0.9, 1.1),
+                  noise_p: float = 0.0) -> np.ndarray:
+    """Deterministic training-data augmentation for one glyph image —
+    the M11 augmentation map (reference
+    training_data/scripts/augment_simple.py:17-83: random rotate /
+    translate / brightness / noise), made reproducible for a
+    distributed engine by seeding a PCG64 stream per glyph: the same
+    (image, seed) always yields the same augmented image on any worker,
+    so augmented corpora are resumable and hash-stable.
+
+    Order matches the reference: rotate -> translate -> brightness ->
+    salt noise. Pure NumPy (rotate_nn); uint8 in/out.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    out = img
+    angle = float(rng.uniform(-max_angle, max_angle))
+    if abs(angle) > 1e-9:
+        out = rotate_nn(out, angle)
+    dy, dx = (int(rng.integers(-max_shift, max_shift + 1)),
+              int(rng.integers(-max_shift, max_shift + 1)))
+    if dy or dx:
+        shifted = np.zeros_like(out)
+        h, w = out.shape
+        ys = slice(max(dy, 0), h + min(dy, 0))
+        xs = slice(max(dx, 0), w + min(dx, 0))
+        ys_src = slice(max(-dy, 0), h + min(-dy, 0))
+        xs_src = slice(max(-dx, 0), w + min(-dx, 0))
+        shifted[ys, xs] = out[ys_src, xs_src]
+        out = shifted
+    gain = float(rng.uniform(*brightness))
+    out = np.clip(out.astype(np.float64) * gain, 0, 255).astype(np.uint8)
+    if noise_p > 0:
+        flips = rng.random(out.shape) < noise_p
+        out = np.where(flips, 255 - out, out).astype(np.uint8)
+    return out

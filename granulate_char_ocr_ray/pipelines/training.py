@@ -223,3 +223,172 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
 
     return with_n.groupby("rng").map_groups(
         place, batch_format="pandas").sort("doc_id")
+
+
+class TrainingCorpusStage:
+    """Actor stage (S7, re-expressed for a table engine): decode each
+    media payload, segment it, normalize every glyph through the M6
+    chain target geometry, and emit one labeled PNG-encoded training
+    example per glyph with its bounding box — the reference's Tesseract
+    training-corpus writer (create_tesseract_data.py:45-107 writes
+    multi-page TIFF + BOX files; here each row IS the (image, box,
+    label) record and the sink is partitioned parquet).
+
+    Label provenance: the derived corpus encodes the ground-truth word
+    in the media ref itself, mirroring the reference's filename-label
+    extractor (M12)."""
+
+    def __init__(self) -> None:
+        # warm per-actor state: codec + normalizer imports resolved once
+        from ..functions.codecs import encode_png_gray
+        from ..functions.glyphs import MEDIA_PREFIX, decode_media_ref
+        from ..functions.image import normalize_glyph, preprocess
+        from ..functions.segment import segment_projection
+
+        self._encode = encode_png_gray
+        self._decode = decode_media_ref
+        self._prefix = MEDIA_PREFIX
+        self._preprocess = preprocess
+        self._segment = segment_projection
+        self._normalize = normalize_glyph
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        out = {"doc_id": [], "glyph_idx": [], "label": [],
+               "x": [], "y": [], "w": [], "h": [], "png": []}
+        for doc_id, ref in zip(doc_ids, refs):
+            img = self._decode(ref or "")
+            if img is None:
+                continue
+            word = (ref or "")[len(self._prefix):]
+            binary = self._preprocess(img)
+            boxes = self._segment(binary)
+            for i, (x, y, w, h) in enumerate(boxes):
+                if i >= len(word):
+                    break
+                glyph = self._normalize(binary[y:y + h, x:x + w])
+                out["doc_id"].append(doc_id)
+                out["glyph_idx"].append(i)
+                out["label"].append(word[i])
+                out["x"].append(x)
+                out["y"].append(y)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["png"].append(self._encode(glyph))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "glyph_idx": pa.array(out["glyph_idx"], pa.int64()),
+            "label": pa.array(out["label"], pa.string()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "w": pa.array(out["w"], pa.int64()),
+            "h": pa.array(out["h"], pa.int64()),
+            "png": pa.array(out["png"], pa.binary()),
+        })
+
+
+def build_training_corpus(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
+    """Labeled per-glyph training corpus from the derived media spans:
+    (doc_id, glyph_idx, label, x, y, w, h, png)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.explode import explode_spans
+    from .extract import derive_docs
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans,
+                                            batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(_pc.equal(t["kind"], "media")),
+        batch_format="pyarrow")
+    return media.map_batches(TrainingCorpusStage, batch_format="pyarrow",
+                             concurrency=concurrency)
+
+
+def write_training_corpus(sf_dir: str, out_dir: str,
+                          concurrency=(1, 8)) -> None:
+    """Write the training corpus as label-partitioned parquet (one
+    directory per class — the resumable, per-key layout; reference
+    analog: the per-glyph PNG writer S6 + training writer S7)."""
+    build_training_corpus(sf_dir, concurrency).write_parquet(
+        out_dir, partition_cols=["label"])
+
+
+def training_corpus_stats(sf_dir: str) -> rd.Dataset:
+    """(label, n_glyphs) class distribution of the training corpus —
+    the closed-form SQL check that the decode -> segment -> label path
+    found every glyph exactly once."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    corpus = build_training_corpus(sf_dir)
+    agg = hash_groupby_agg(corpus.map_batches(
+        lambda t: t.select(["label", "glyph_idx"]), batch_format="pyarrow"),
+        ["label"], {"n_glyphs": ("glyph_idx", "count")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"label": df["label"],
+                             "n_glyphs": df["n_glyphs"].astype(np.int64)})
+
+    return agg.map_batches(final, batch_format="pandas").sort("label")
+
+
+def augment_corpus(sf_dir: str, variants: int = 2,
+                   concurrency=(1, 8), **aug_kwargs) -> rd.Dataset:
+    """M11 augmentation maps over the training corpus: every glyph row
+    expands to (variants + 1) rows — the original (variant 0) plus
+    ``variants`` deterministic augmentations, seeded per
+    (doc_id, glyph_idx, variant) so the expansion is reproducible and
+    resumable on any worker. Output: corpus schema + variant."""
+    from ..functions.codecs import decode_png_gray, encode_png_gray
+    from ..functions.image import augment_glyph
+    from ..functions.textstats import hash64
+
+    corpus = build_training_corpus(sf_dir, concurrency)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        gidx = batch.column("glyph_idx").to_pylist()
+        labels = batch.column("label").to_pylist()
+        pngs = batch.column("png").to_pylist()
+        out = {"doc_id": [], "glyph_idx": [], "variant": [],
+               "label": [], "png": []}
+        for d, g, lab, png in zip(doc_ids, gidx, labels, pngs):
+            img = decode_png_gray(png)
+            for v in range(variants + 1):
+                if v == 0:
+                    blob = png
+                else:
+                    seed = int(hash64(f"{d}/{g}/{v}".encode()) & 0x7FFFFFFF)
+                    blob = encode_png_gray(
+                        augment_glyph(img, seed, **aug_kwargs))
+                out["doc_id"].append(d)
+                out["glyph_idx"].append(g)
+                out["variant"].append(v)
+                out["label"].append(lab)
+                out["png"].append(blob)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "glyph_idx": pa.array(out["glyph_idx"], pa.int64()),
+            "variant": pa.array(out["variant"], pa.int64()),
+            "label": pa.array(out["label"], pa.string()),
+            "png": pa.array(out["png"], pa.binary()),
+        })
+
+    return corpus.map_batches(expand, batch_format="pyarrow")
+
+
+def augmented_corpus_stats(sf_dir: str, variants: int = 2) -> rd.Dataset:
+    """(label, n_images) of the augmented corpus — closed form
+    (n_glyphs * (variants + 1)), SQL-verified."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    aug = augment_corpus(sf_dir, variants)
+    agg = hash_groupby_agg(aug.map_batches(
+        lambda t: t.select(["label", "variant"]), batch_format="pyarrow"),
+        ["label"], {"n_images": ("variant", "count")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"label": df["label"],
+                             "n_images": df["n_images"].astype(np.int64)})
+
+    return agg.map_batches(final, batch_format="pandas").sort("label")

@@ -78,3 +78,73 @@ def test_pack_sequences_offsets_and_block_invariance():
     b = pack_sequences(SF, capacity=512, block=7).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_training_corpus_writer_roundtrip(tmp_path):
+    from granulate_char_ocr_ray.functions.classify import prototype_matrix
+    from granulate_char_ocr_ray.functions.codecs import decode_png_gray
+    from granulate_char_ocr_ray.functions.image import hash8x8_bits
+    from granulate_char_ocr_ray.pipelines.training import (
+        write_training_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_training_corpus(SF, out)
+    df = pd.read_parquet(out)
+    assert len(df) > 0
+    assert set(df.columns) >= {"doc_id", "glyph_idx", "label",
+                               "x", "y", "w", "h", "png"}
+    # label-partitioned layout: one directory per class
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("label=")}
+    assert parts == {f"label={c}" for c in df["label"].unique()}
+    # every stored glyph decodes to 64x64 and classifies back to its
+    # label at Hamming distance 0 (prototypes share the M6 chain)
+    proto, letters = prototype_matrix(chain=True)
+    sample = df.head(50)
+    for _, row in sample.iterrows():
+        img = decode_png_gray(row["png"])
+        assert img.shape == (64, 64)
+        bits = hash8x8_bits(img)
+        d = (bits[None, :] != proto).sum(axis=1)
+        assert letters[int(d.argmin())] == row["label"]
+        assert int(d.min()) == 0
+
+
+def test_augment_corpus_deterministic_and_label_preserving():
+    from granulate_char_ocr_ray.functions.classify import (
+        classify_features,
+        prototype_matrix,
+    )
+    from granulate_char_ocr_ray.functions.codecs import decode_png_gray
+    from granulate_char_ocr_ray.functions.image import hash8x8_bits
+    from granulate_char_ocr_ray.pipelines.training import augment_corpus
+
+    kw = dict(max_shift=2, max_angle=0.0, brightness=(0.95, 1.05),
+              noise_p=0.0)
+    a = augment_corpus(SF, variants=2, **kw).to_pandas().sort_values(
+        ["doc_id", "glyph_idx", "variant"]).reset_index(drop=True)
+    b = augment_corpus(SF, variants=2, **kw).to_pandas().sort_values(
+        ["doc_id", "glyph_idx", "variant"]).reset_index(drop=True)
+    assert (a["png"] == b["png"]).all()
+    aug = a[a["variant"] > 0]
+    assert len(aug) == 2 * len(a[a["variant"] == 0])
+    # augmented variants actually differ from the original
+    orig = a[a["variant"] == 0].set_index(["doc_id", "glyph_idx"])["png"]
+    changed = [
+        row["png"] != orig.loc[(row["doc_id"], row["glyph_idx"])]
+        for _, row in aug.head(50).iterrows()
+    ]
+    assert np.mean(changed) > 0.5
+    # mild augmentation preserves the label through the SERVING path
+    # (tight_crop absorbs the translation before hashing)
+    from granulate_char_ocr_ray.functions.classify import tight_crop
+
+    proto, letters = prototype_matrix(chain=False)
+    feats = np.stack([hash8x8_bits(tight_crop(decode_png_gray(p)))
+                      for p in aug["png"].head(200)])
+    idx, _conf = classify_features(feats, proto)
+    labels = aug["label"].head(200).to_numpy()
+    got = np.array([letters[i] if i >= 0 else "?" for i in idx])
+    assert (got == labels).mean() >= 0.95
