@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-corpus writer (S7) + augmentation maps (M11) ---
         "training_corpus_stats": training.training_corpus_stats,
         "augmented_corpus_stats": training.augmented_corpus_stats,
+        # --- HAVING join (Q18 shape) + ROLLUP ---
+        "large_orders": relational.large_orders,
+        "events_rollup": relational.events_rollup,
     }
 
 
@@ -839,6 +842,21 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents WHERE doc_id % 3 = 0),
                    UNNEST(range(1, length(w) + 1)) AS t(i)
             ) GROUP BY label ORDER BY label
+        """,
+        "large_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM orders JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250
+            ) ON o_orderkey = l_orderkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 50
+        """,
+        "events_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY ROLLUP(event_type, day)
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -935,3 +935,100 @@ def quantity_percentiles_cont(sf_dir: str) -> rd.Dataset:
              "value": pa.array(round_half_up(out_v, 4), pa.float64())})
 
     return hist.map_batches(select, batch_format="pyarrow")
+
+
+def large_orders(sf_dir: str, min_qty: float = 250.0,
+                 k: int = 50) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds ``min_qty`` — a grouped HAVING filter
+    followed by a join back to the order header.
+
+    Plan: lineitem pre-aggregates to one row per orderkey through the
+    two-phase hash aggregate (narrow shuffle), the HAVING predicate
+    prunes INSIDE the final combine (the reduced side shrinks before
+    the join), and the surviving minority joins orders via the
+    partitioned hash join. Output: (o_orderkey, o_custkey,
+    o_totalprice, sum_qty) top-k by sum_qty desc (tie-break orderkey).
+    """
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_quantity"])
+    per_order = hash_groupby_agg(
+        items, ["l_orderkey"], {"sum_qty": ("l_quantity", "sum")},
+        num_parts=32)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["sum_qty"] > min_qty]
+
+    big = per_order.map_batches(having, batch_format="pandas")
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def merge(o_df: pd.DataFrame, b_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(b_df, left_on="o_orderkey", right_on="l_orderkey",
+                       how="inner")
+        return pd.DataFrame({
+            "o_orderkey": m["o_orderkey"].astype(np.int64),
+            "o_custkey": m["o_custkey"].astype(np.int64),
+            "o_totalprice": m["o_totalprice"],
+            "sum_qty": round_half_up(m["sum_qty"].to_numpy(), 2),
+        })
+
+    out = partitioned_join(
+        orders, big, "o_orderkey", "l_orderkey", merge,
+        num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("sum_qty", pa.float64())]))
+    return out.sort(["sum_qty", "o_orderkey"],
+                    descending=[True, False]).limit(k)
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP aggregate: event counts at three grouping levels —
+    (event_type, day), (event_type), and grand total — with NULL
+    markers for the rolled-up columns (SQL ``GROUP BY ROLLUP``).
+
+    Scale shape: the raw stream reduces ONCE through the two-phase
+    hash aggregate at the finest level; the coarser levels re-aggregate
+    the already-reduced table (|types| x |days| rows), so the rollup
+    adds no second pass over the input. Output: (event_type, day,
+    n_events)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df[["event_type", "day", "one"]],
+                                    preserve_index=False)
+
+    base = hash_groupby_agg(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        ["event_type", "day"], {"n_events": ("one", "sum")},
+        num_parts=16)
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        # runs once on the reduced table (repartition(1) below)
+        fine = df[["event_type", "day", "n_events"]].copy()
+        by_type = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"))
+        by_type["day"] = pd.NaT
+        total = pd.DataFrame({"event_type": [None],
+                              "day": [pd.NaT],
+                              "n_events": [df["n_events"].sum()]})
+        out = pd.concat(
+            [fine, by_type[["event_type", "day", "n_events"]], total],
+            ignore_index=True)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return base.repartition(1).map_batches(levels, batch_format="pandas")

@@ -552,3 +552,38 @@ def test_quantity_percentiles_cont(con):
                  x -> round(x, 4))) AS value
         FROM lineitem
     """, con)
+
+
+def test_large_orders_having_join(con):
+    from granulate_char_ocr_ray.pipelines.relational import large_orders
+
+    got = large_orders(SF, min_qty=150.0, k=50).to_pandas()
+    want = con.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150
+        ) ON o_orderkey = l_orderkey
+        ORDER BY sum_qty DESC, o_orderkey LIMIT 50
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_events_rollup_levels(con):
+    from granulate_char_ocr_ray.pipelines.relational import events_rollup
+
+    _check(events_rollup(SF), """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY ROLLUP(event_type, day)
+    """, con)
+    got = events_rollup(SF).to_pandas()
+    total = got[got["event_type"].isna()]
+    fine = got[got["event_type"].notna() & got["day"].notna()]
+    assert len(total) == 1
+    assert total["n_events"].iloc[0] == fine["n_events"].sum()
