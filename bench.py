@@ -165,6 +165,28 @@ def run_benchmarks() -> dict:
     media.docs_without_media(SF_DIR).to_pandas()
     queries["docs_without_media"] = round(time.time() - t0, 3)
 
+    from granulate_char_ocr_ray.pipelines import training
+
+    t0 = time.time()
+    training.chunk_docs(SF_DIR).count()
+    queries["chunk_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    training.pii_redact(SF_DIR).count()
+    queries["pii_redact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    training.pack_sequences(SF_DIR).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.q5_local_supplier_volume(SF_DIR).to_pandas()
+    queries["q5_local_supplier_volume"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.large_orders(SF_DIR).to_pandas()
+    queries["large_orders"] = round(time.time() - t0, 3)
+
     return {
         "metric": "flagship extraction wall time (sf docs x%d replicas)" % REPLICATE,
         "value": round(headline, 3),

@@ -937,8 +937,9 @@ def quantity_percentiles_cont(sf_dir: str) -> rd.Dataset:
     return hist.map_batches(select, batch_format="pyarrow")
 
 
-def large_orders(sf_dir: str, min_qty: float = 250.0,
-                 k: int = 50) -> rd.Dataset:
+def large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 50,
+                 broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                 ) -> rd.Dataset:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     lineitem quantity exceeds ``min_qty`` — a grouped HAVING filter
     followed by a join back to the order header.
@@ -962,29 +963,55 @@ def large_orders(sf_dir: str, min_qty: float = 250.0,
     def having(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["sum_qty"] > min_qty]
 
-    big = per_order.map_batches(having, batch_format="pandas")
+    # the HAVING survivors are a tiny fraction of the already-reduced
+    # per-order table -> materialize the REDUCED survivors (never the
+    # input) and dispatch on their actual size, like revenue_by_nation
+    big = per_order.map_batches(having, batch_format="pandas").materialize()
 
     orders = read_table(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def merge(o_df: pd.DataFrame, b_df: pd.DataFrame) -> pd.DataFrame:
-        m = o_df.merge(b_df, left_on="o_orderkey", right_on="l_orderkey",
-                       how="inner")
-        return pd.DataFrame({
-            "o_orderkey": m["o_orderkey"].astype(np.int64),
-            "o_custkey": m["o_custkey"].astype(np.int64),
-            "o_totalprice": m["o_totalprice"],
-            "sum_qty": round_half_up(m["sum_qty"].to_numpy(), 2),
-        })
+    if big.count() <= broadcast_threshold:
+        b_df = big.to_pandas()
+        keys = b_df["l_orderkey"].to_numpy(dtype=np.int64)
+        order_s = np.argsort(keys)
+        big_ref = ray.put((keys[order_s],
+                           b_df["sum_qty"].to_numpy()[order_s]))
 
-    out = partitioned_join(
-        orders, big, "o_orderkey", "l_orderkey", merge,
-        num_buckets=16,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64()),
-                               ("o_totalprice", pa.float64())]),
-        right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("sum_qty", pa.float64())]))
+        def probe(batch: pa.Table) -> pa.Table:
+            ks, qty = ray.get(big_ref)
+            ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, ok)
+            pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            hit = (ks[pos] == ok) if len(ks) else np.zeros(len(ok), bool)
+            m = batch.filter(pa.array(hit))
+            return pa.Table.from_pydict({
+                "o_orderkey": m.column("o_orderkey"),
+                "o_custkey": m.column("o_custkey"),
+                "o_totalprice": m.column("o_totalprice"),
+                "sum_qty": pa.array(round_half_up(qty[pos[hit]], 2)),
+            })
+
+        out = orders.map_batches(probe, batch_format="pyarrow")
+    else:
+        def merge(o_df: pd.DataFrame, b_df: pd.DataFrame) -> pd.DataFrame:
+            m = o_df.merge(b_df, left_on="o_orderkey",
+                           right_on="l_orderkey", how="inner")
+            return pd.DataFrame({
+                "o_orderkey": m["o_orderkey"].astype(np.int64),
+                "o_custkey": m["o_custkey"].astype(np.int64),
+                "o_totalprice": m["o_totalprice"],
+                "sum_qty": round_half_up(m["sum_qty"].to_numpy(), 2),
+            })
+
+        out = partitioned_join(
+            orders, big, "o_orderkey", "l_orderkey", merge,
+            num_buckets=16,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_totalprice", pa.float64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("sum_qty", pa.float64())]))
     return out.sort(["sum_qty", "o_orderkey"],
                     descending=[True, False]).limit(k)
 

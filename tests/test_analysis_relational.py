@@ -587,3 +587,13 @@ def test_events_rollup_levels(con):
     fine = got[got["event_type"].notna() & got["day"].notna()]
     assert len(total) == 1
     assert total["n_events"].iloc[0] == fine["n_events"].sum()
+
+
+def test_large_orders_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import large_orders
+
+    bc = large_orders(SF, min_qty=150.0).to_pandas().reset_index(drop=True)
+    pj = large_orders(SF, min_qty=150.0,
+                      broadcast_threshold=0).to_pandas().reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
