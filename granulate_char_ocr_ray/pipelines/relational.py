@@ -733,26 +733,32 @@ def order_item_totals_native(sf_dir: str, num_partitions: int = 32
 
 
 def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
-                             year: str = "1996") -> rd.Dataset:
+                             year: str = "1996",
+                             broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                             ) -> rd.Dataset:
     """TPC-H Q5 shape: revenue per nation from lineitems whose customer
     AND supplier share a nation inside ``region`` — a 6-table join.
 
-    Plan (one broadcast tier + two partitioned shuffles, never a
-    driver-side fact frame):
+    Plan, with each join tier dispatched on its build side's size (the
+    same rule as revenue_by_nation; both plans hash-identical, tested):
 
     - nation x region (25 x 5 rows) reduce to an in-closure
       nationkey->name map for the region;
-    - customer filters to those nations DISTRIBUTED and joins orders
-      (date-filtered at the read) on custkey via the partitioned hash
-      join -> (o_orderkey, c_nationkey);
-    - lineitem joins that on orderkey (second partitioned join); inside
-      each bucket the supplier side rides as a broadcast sorted
-      (suppkey, nationkey) pair of arrays — supplier is the smallest
-      fact table (10k rows/SF); above ~1M suppliers this tier becomes a
-      third partitioned join on l_suppkey, same merge body;
+    - customer tier: below the threshold the region-filtered
+      custkey->nationkey pairs broadcast once as sorted arrays and
+      orders (date-filtered at the read) probe them vectorized; above
+      it, customer stays distributed and joins orders through the
+      partitioned hash join -> (o_orderkey, c_nationkey);
+    - lineitem tier: the (orderkey, nationkey) build side is already
+      date+region-pruned, so it is materialized (REDUCED table only)
+      and counted — small builds broadcast, large ones take a second
+      partitioned join; inside either, the supplier side rides as a
+      broadcast sorted (suppkey, nationkey) array pair — supplier is
+      the smallest fact table (10k rows/SF); above ~1M suppliers it
+      becomes a third partitioned join, same merge body;
     - the c_nationkey == s_nationkey equality ("local" supplier) is a
-      vectorized mask, then a per-bucket partial sum by nation feeds
-      the tiny final groupby.
+      vectorized mask, then a per-task partial sum by nation feeds the
+      tiny final groupby.
 
     Output: (n_name, revenue) sorted by revenue desc.
     """
@@ -776,27 +782,53 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         & (pads.field("o_orderdate") < hi),
     )
 
-    cust = read_table(f"{sf_dir}/customer.parquet",
-                      columns=["c_custkey", "c_nationkey"])
+    if _parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust_t = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey", "c_nationkey"],
+            filter=pads.field("c_nationkey").isin(
+                [int(k) for k in region_nkeys]))
+        ck = cust_t.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cn = cust_t.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.argsort(ck)
+        cust_ref = ray.put((ck[cs], cn[cs]))
 
-    def keep_region(batch: pa.Table) -> pa.Table:
-        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(nk, region_nkeys)))
+        def oc_probe(batch: pa.Table) -> pa.Table:
+            cks, cns = ray.get(cust_ref)
+            ok = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(cks, ok)
+            pos[pos >= len(cks)] = len(cks) - 1 if len(cks) else 0
+            hit = (cks[pos] == ok) if len(cks) else np.zeros(len(ok), bool)
+            m = batch.filter(pa.array(hit))
+            return pa.Table.from_pydict({
+                "o_orderkey": m.column("o_orderkey"),
+                "c_nationkey": pa.array(cns[pos[hit]], pa.int64()),
+            })
 
-    cust_f = cust.map_batches(keep_region, batch_format="pyarrow")
+        oc = orders.map_batches(oc_probe, batch_format="pyarrow")
+    else:
+        cust = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
 
-    def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
-        m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
-                       how="inner")
-        return m[["o_orderkey", "c_nationkey"]]
+        def keep_region(batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(nk, region_nkeys)))
 
-    oc = partitioned_join(
-        orders, cust_f, "o_custkey", "c_custkey", oc_merge,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64()),
-                               ("o_orderdate", pa.timestamp("us"))]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_nationkey", pa.int64())]))
+        cust_f = cust.map_batches(keep_region, batch_format="pyarrow")
+
+        def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+            m = o_df.merge(c_df, left_on="o_custkey", right_on="c_custkey",
+                           how="inner")
+            return m[["o_orderkey", "c_nationkey"]]
+
+        oc = partitioned_join(
+            orders, cust_f, "o_custkey", "c_custkey", oc_merge,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_orderdate", pa.timestamp("us"))]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
 
     supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
         columns=["s_suppkey", "s_nationkey"])
@@ -811,10 +843,10 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def li_merge(oc_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+    def local_partial(m: pd.DataFrame) -> pd.DataFrame:
+        """Rows joined with their customer nation -> per-nation partial
+        revenue over the 'local supplier' mask (shared by both plans)."""
         skeys, snation = ray.get(supp_ref)
-        m = l_df.merge(oc_df, left_on="l_orderkey", right_on="o_orderkey",
-                       how="inner")
         if not len(m):
             return pd.DataFrame({"n_name": pd.Series([], dtype=object),
                                  "revenue": pd.Series([], dtype=np.float64)})
@@ -823,20 +855,52 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         pos[pos >= len(skeys)] = len(skeys) - 1 if len(skeys) else 0
         hit = (skeys[pos] == lk) if len(skeys) else np.zeros(len(lk), bool)
         local = hit & (snation[pos] == m["c_nationkey"].to_numpy())
-        m = m[local]
+        m = m[local].copy()
         m["revenue"] = m["l_extendedprice"] * (1 - m["l_discount"])
         m["n_name"] = m["c_nationkey"].map(nation_map)
         return m.groupby("n_name", as_index=False).agg(
             revenue=("revenue", "sum"))
 
-    part = partitioned_join(
-        oc, items, "o_orderkey", "l_orderkey", li_merge,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("c_nationkey", pa.int64())]),
-        right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("l_suppkey", pa.int64()),
-                                ("l_extendedprice", pa.float64()),
-                                ("l_discount", pa.float64())]))
+    # the build side is date+region-pruned — a small fraction of orders;
+    # materialize the REDUCED pairs and dispatch on the actual count
+    oc_m = oc.materialize()
+    if oc_m.count() <= broadcast_threshold:
+        oc_df = oc_m.to_pandas()
+        oks = oc_df["o_orderkey"].to_numpy(dtype=np.int64)
+        os_ = np.argsort(oks)
+        oc_ref = ray.put((oks[os_],
+                          oc_df["c_nationkey"].to_numpy(dtype=np.int64)[os_]))
+
+        def li_probe(batch: pa.Table) -> pa.Table:
+            oks2, onat = ray.get(oc_ref)
+            lk = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(oks2, lk)
+            pos[pos >= len(oks2)] = len(oks2) - 1 if len(oks2) else 0
+            hit = (oks2[pos] == lk) if len(oks2) else np.zeros(len(lk), bool)
+            m = batch.filter(pa.array(hit)).to_pandas()
+            m["c_nationkey"] = onat[pos[hit]]
+            return pa.Table.from_pandas(
+                local_partial(m),
+                schema=pa.schema([("n_name", pa.string()),
+                                  ("revenue", pa.float64())]),
+                preserve_index=False)
+
+        part = items.map_batches(li_probe, batch_format="pyarrow")
+    else:
+        def li_merge(oc_df: pd.DataFrame,
+                     l_df: pd.DataFrame) -> pd.DataFrame:
+            m = l_df.merge(oc_df, left_on="l_orderkey",
+                           right_on="o_orderkey", how="inner")
+            return local_partial(m)
+
+        part = partitioned_join(
+            oc_m, items, "o_orderkey", "l_orderkey", li_merge,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("c_nationkey", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("l_suppkey", pa.int64()),
+                                    ("l_extendedprice", pa.float64()),
+                                    ("l_discount", pa.float64())]))
 
     agg = part.repartition(2).groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"))

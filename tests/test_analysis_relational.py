@@ -597,3 +597,14 @@ def test_large_orders_both_plans_identical():
                       broadcast_threshold=0).to_pandas().reset_index(
         drop=True)
     pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_q5_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q5_local_supplier_volume,
+    )
+
+    bc = q5_local_supplier_volume(SF).to_pandas().reset_index(drop=True)
+    pj = q5_local_supplier_volume(
+        SF, broadcast_threshold=0).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
