@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- HAVING join (Q18 shape) + ROLLUP ---
         "large_orders": relational.large_orders,
         "events_rollup": relational.events_rollup,
+        # --- set operations + grouped quantiles ---
+        "orderkeys_intersect": relational.orderkeys_intersect,
+        "orderkeys_except": relational.orderkeys_except,
+        "quantity_deciles_by_flag": relational.quantity_deciles_by_flag,
     }
 
 
@@ -857,6 +861,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS day,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY ROLLUP(event_type, day)
+        """,
+        "orderkeys_intersect": """
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            INTERSECT
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+            ORDER BY l_orderkey
+        """,
+        "orderkeys_except": """
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            EXCEPT
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+            ORDER BY l_orderkey
+        """,
+        "quantity_deciles_by_flag": """
+            SELECT l_returnflag,
+                   unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+                               AS DOUBLE[])) AS q,
+                   unnest(quantile_disc(l_quantity,
+                          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag, q
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -1123,3 +1123,100 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
         return out
 
     return base.repartition(1).map_batches(levels, batch_format="pandas")
+
+
+def _orderkey_flag_presence(sf_dir: str, flags: tuple[str, str]):
+    """Per-orderkey presence indicators for two returnflag values,
+    reduced through the two-phase hash aggregate (shuffle volume: one
+    row per (batch, orderkey)). The scale-right lowering of INTERSECT /
+    EXCEPT over a fact stream — grouped boolean aggregation instead of
+    materialized distinct-set unions."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    a, b = flags
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def ind(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_pandas()
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "has_a": pa.array((rf == a).to_numpy().astype(np.int64)),
+            "has_b": pa.array((rf == b).to_numpy().astype(np.int64)),
+        })
+
+    return hash_groupby_agg(
+        ds.map_batches(ind, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"has_a": ("has_a", "max"), "has_b": ("has_b", "max")},
+        num_parts=16)
+
+
+def orderkeys_intersect(sf_dir: str, flag_a: str = "R",
+                        flag_b: str = "A") -> rd.Dataset:
+    """INTERSECT: orderkeys having BOTH a returned ('R') and an
+    accepted ('A') lineitem. Output: (l_orderkey)."""
+    agg = _orderkey_flag_presence(sf_dir, (flag_a, flag_b))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["has_a"] > 0) & (df["has_b"] > 0)]
+        return pd.DataFrame({"l_orderkey": out["l_orderkey"].astype(np.int64)})
+
+    return agg.map_batches(keep, batch_format="pandas").sort("l_orderkey")
+
+
+def orderkeys_except(sf_dir: str, flag_a: str = "R",
+                     flag_b: str = "A") -> rd.Dataset:
+    """EXCEPT: orderkeys with a returned lineitem but NO accepted one.
+    Output: (l_orderkey)."""
+    agg = _orderkey_flag_presence(sf_dir, (flag_a, flag_b))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["has_a"] > 0) & (df["has_b"] == 0)]
+        return pd.DataFrame({"l_orderkey": out["l_orderkey"].astype(np.int64)})
+
+    return agg.map_batches(keep, batch_format="pandas").sort("l_orderkey")
+
+
+def quantity_deciles_by_flag(sf_dir: str) -> rd.Dataset:
+    """GROUPED exact quantiles: per-returnflag deciles of l_quantity
+    via the same distributed value-histogram plan as quantity_deciles,
+    keyed by (flag, value); rank selection runs per flag on the reduced
+    histogram. Output: (l_returnflag, q, value)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["l_returnflag", "l_quantity"],
+                                       as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    hist = hash_groupby_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["l_returnflag", "l_quantity"], {"c": ("c", "sum")}, num_parts=8,
+    ).repartition(1)
+
+    def select(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_f, out_q, out_v = [], [], []
+        for flag, g in df.groupby("l_returnflag"):
+            g = g.sort_values("l_quantity")
+            cum = g["c"].cumsum().to_numpy()
+            n = int(cum[-1]) if len(cum) else 0
+            vals = g["l_quantity"].to_numpy()
+            for q in qs:
+                rank = int(np.ceil(q * n))
+                out_f.append(flag)
+                out_q.append(q)
+                out_v.append(float(vals[int(np.searchsorted(cum, rank))]))
+        return pa.Table.from_pydict(
+            {"l_returnflag": pa.array(out_f, pa.string()),
+             "q": pa.array(out_q, pa.float64()),
+             "value": pa.array(out_v, pa.float64())})
+
+    return hist.map_batches(select, batch_format="pyarrow").sort(
+        ["l_returnflag", "q"])

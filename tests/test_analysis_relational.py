@@ -608,3 +608,43 @@ def test_q5_both_plans_identical():
     pj = q5_local_supplier_volume(
         SF, broadcast_threshold=0).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_orderkey_set_operations(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        orderkeys_except,
+        orderkeys_intersect,
+    )
+
+    inter = orderkeys_intersect(SF).to_pandas()
+    exc = orderkeys_except(SF).to_pandas()
+    want_i = con.sql("""
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        ORDER BY l_orderkey""").df()
+    want_e = con.sql("""
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        ORDER BY l_orderkey""").df()
+    assert len(want_i) > 0 and len(want_e) > 0
+    pd.testing.assert_frame_equal(inter.reset_index(drop=True), want_i,
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(exc.reset_index(drop=True), want_e,
+                                  check_dtype=False)
+    # INTERSECT and EXCEPT partition the 'R' orderkey set
+    assert not set(inter["l_orderkey"]) & set(exc["l_orderkey"])
+
+
+def test_quantity_deciles_by_flag(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        quantity_deciles_by_flag,
+    )
+
+    _check(quantity_deciles_by_flag(SF), """
+        SELECT l_returnflag,
+               unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+                           AS DOUBLE[])) AS q,
+               unnest(quantile_disc(l_quantity,
+                      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
+        FROM lineitem GROUP BY l_returnflag
+    """, con)
