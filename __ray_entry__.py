@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkeys_intersect": relational.orderkeys_intersect,
         "orderkeys_except": relational.orderkeys_except,
         "quantity_deciles_by_flag": relational.quantity_deciles_by_flag,
+        # --- collect/string-agg + scalar-subquery filter ---
+        "event_types_per_user": relational.event_types_per_user,
+        "orders_above_avg": relational.orders_above_avg,
     }
 
 
@@ -882,6 +885,17 @@ def oracle_sql() -> dict[str, str]:
                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag, q
+        """,
+        "event_types_per_user": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_above_avg": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            ORDER BY o_orderkey
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -1220,3 +1220,71 @@ def quantity_deciles_by_flag(sf_dir: str) -> rd.Dataset:
 
     return hist.map_batches(select, batch_format="pyarrow").sort(
         ["l_returnflag", "q"])
+
+
+def event_types_per_user(sf_dir: str) -> rd.Dataset:
+    """Grouped string-concat aggregate (SQL string_agg / collect_list):
+    each user's DISTINCT event types, sorted and comma-joined. Two
+    narrow phases: the (user, type) pair set dedups through the hash
+    aggregate (one row per distinct pair per batch), then a per-part
+    pandas groupby joins the handful of types per user — the
+    collect-list shuffle never carries more than |distinct pairs|.
+    Output: (user_id, types)."""
+    from ..stages.hashagg import hash_groupby_agg, stable_hash_column
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = hash_groupby_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"_n": ("event_type", "count")},
+        num_parts=16)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_upart"] = (stable_hash_column(df["user_id"])
+                        % np.uint64(16)).astype(np.int64)
+        return pa.Table.from_pandas(df[["user_id", "event_type", "_upart"]],
+                                    preserve_index=False)
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["user_id", "event_type"]).groupby(
+            "user_id", as_index=False).agg(
+            types=("event_type", lambda s: ",".join(s)))
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return pairs.map_batches(tag, batch_format="pyarrow").groupby(
+        "_upart").map_groups(concat, batch_format="pandas").sort("user_id")
+
+
+def orders_above_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-scalar-subquery shape: orders priced above the GLOBAL
+    average order price. Pass 1 reduces (sum, count) per batch to a
+    driver scalar (O(blocks) rows — never the table); pass 2 filters
+    with the broadcast scalar. Output: (o_orderkey, o_totalprice)."""
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "s": pa.array([float(v.sum())]),
+            "n": pa.array([len(v)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # single-scalar exchange; summation order fixed by block index is
+    # irrelevant at the 2-decimal comparison boundary (prices sit far
+    # from the mean relative to double rounding)
+    avg = float(parts["s"].sum() / parts["n"].sum())
+
+    def above(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch.column("o_totalprice"), avg))
+
+    return ds.map_batches(above, batch_format="pyarrow").sort("o_orderkey")

@@ -30,6 +30,42 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def chunk_batch(batch: pa.Table, size: int, step: int) -> pa.Table:
+    """Pure chunking kernel over one Arrow batch (see
+    :func:`chunk_docs`); module-level so property tests can drive it
+    without a Ray session."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    out_doc, out_cid, out_start, out_text = [], [], [], []
+    i = 0
+    while True:
+        start = i * step
+        alive = np.flatnonzero((n > start) | ((n == 0) & (start == 0)))
+        if not len(alive):
+            break
+        idx = pa.array(alive)
+        sliced = pc.utf8_slice_codeunits(
+            pc.take(text, idx), start, start + size)
+        out_doc.append(doc_id[alive])
+        out_cid.append(np.full(len(alive), i, dtype=np.int64))
+        out_start.append(np.full(len(alive), start, dtype=np.int64))
+        out_text.append(sliced)
+        i += 1
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "chunk_id": pa.array(np.concatenate(out_cid)),
+            "start": pa.array(np.concatenate(out_start)),
+            "chunk_text": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_text]),
+        }
+    )
+
+
 def chunk_docs(sf_dir: str, size: int = 200, step: int = 150) -> rd.Dataset:
     """Overlapping fixed-window chunking: one output row per (doc,
     window) with starts 0, step, 2*step, ... < len(text) — the standard
@@ -43,41 +79,11 @@ def chunk_docs(sf_dir: str, size: int = 200, step: int = 150) -> rd.Dataset:
     start, chunk_text).
     """
     assert 0 < step <= size
-
-    def chunks(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        out_doc, out_cid, out_start, out_text = [], [], [], []
-        i = 0
-        while True:
-            start = i * step
-            alive = np.flatnonzero((n > start) | ((n == 0) & (start == 0)))
-            if not len(alive):
-                break
-            idx = pa.array(alive)
-            sliced = pc.utf8_slice_codeunits(
-                pc.take(text, idx), start, start + size)
-            out_doc.append(doc_id[alive])
-            out_cid.append(np.full(len(alive), i, dtype=np.int64))
-            out_start.append(np.full(len(alive), start, dtype=np.int64))
-            out_text.append(sliced)
-            i += 1
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(np.concatenate(out_doc)),
-                "chunk_id": pa.array(np.concatenate(out_cid)),
-                "start": pa.array(np.concatenate(out_start)),
-                "chunk_text": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                     else a for a in out_text]),
-            }
-        )
+    import functools
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        chunks, batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+        functools.partial(chunk_batch, size=size, step=step),
+        batch_format="pyarrow").sort(["doc_id", "chunk_id"])
 
 
 def _with_pii(batch: pa.Table) -> pa.Table:

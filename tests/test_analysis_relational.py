@@ -648,3 +648,30 @@ def test_quantity_deciles_by_flag(con):
                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS value
         FROM lineitem GROUP BY l_returnflag
     """, con)
+
+
+def test_event_types_per_user_string_agg(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        event_types_per_user,
+    )
+
+    got = event_types_per_user(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT user_id, string_agg(DISTINCT event_type, ','
+                                   ORDER BY event_type) AS types
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_orders_above_avg_scalar_subquery(con):
+    from granulate_char_ocr_ray.pipelines.relational import orders_above_avg
+
+    got = orders_above_avg(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+    """).df()
+    assert 0 < len(want) < con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -129,3 +129,28 @@ def test_simhash_batch_equals_scalar_ascii_ws(texts):
     got = simhash64_batch(pa.array(texts, pa.string()))
     for t, s in zip(texts, got):
         assert simhash64(t) == int(s), repr(t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=20))
+def test_chunk_batch_reconstructs_and_bounds(texts, step, extra):
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.pipelines.training import chunk_batch
+
+    size = step + extra
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    out = chunk_batch(batch, size=size, step=step).to_pandas()
+    for i, t in enumerate(texts):
+        rows = out[out["doc_id"] == i].sort_values("chunk_id")
+        # starts are exactly 0, step, ... < max(len, 1)
+        assert list(rows["start"]) == list(range(0, max(len(t), 1), step))
+        # each chunk is the python slice, and stepped prefixes + the
+        # last chunk reconstruct the document
+        for r in rows.itertuples():
+            assert r.chunk_text == t[r.start:r.start + size]
+        chunks = list(rows["chunk_text"])
+        assert "".join(c[:step] for c in chunks[:-1]) + chunks[-1] == t
