@@ -39,6 +39,13 @@ def chunk_batch(batch: pa.Table, size: int, step: int) -> pa.Table:
         text = text.combine_chunks()
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
     n = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    if len(batch) == 0:
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([], batch.schema.field("doc_id").type),
+            "chunk_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
     out_doc, out_cid, out_start, out_text = [], [], [], []
     i = 0
     while True:

@@ -148,3 +148,21 @@ def test_augment_corpus_deterministic_and_label_preserving():
     labels = aug["label"].head(200).to_numpy()
     got = np.array([letters[i] if i >= 0 else "?" for i in idx])
     assert (got == labels).mean() >= 0.95
+
+
+def test_chunk_batch_empty_and_empty_doc():
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.pipelines.training import chunk_batch
+
+    empty = chunk_batch(pa.table({"doc_id": pa.array([], pa.int64()),
+                                  "text": pa.array([], pa.string())}),
+                        size=200, step=150)
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "chunk_id", "start",
+                                  "chunk_text"]
+    # an empty DOCUMENT still yields exactly one (empty) chunk,
+    # matching the SQL oracle's greatest(length, 1) range
+    one = chunk_batch(pa.table({"doc_id": [7], "text": [""]}),
+                      size=200, step=150).to_pandas()
+    assert len(one) == 1 and one["chunk_text"].iloc[0] == ""
