@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- collect/string-agg + scalar-subquery filter ---
         "event_types_per_user": relational.event_types_per_user,
         "orders_above_avg": relational.orders_above_avg,
+        # --- TPC-H Q10 / Q14 ---
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
     }
 
 
@@ -896,6 +899,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             ORDER BY o_orderkey
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS promo_revenue_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate < TIMESTAMP '1997-07-01'
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -1288,3 +1288,169 @@ def orders_above_avg(sf_dir: str) -> rd.Dataset:
         return batch.filter(_pc.greater(batch.column("o_totalprice"), avg))
 
     return ds.map_batches(above, batch_format="pyarrow").sort("o_orderkey")
+
+
+def q10_returned_items(sf_dir: str, k: int = 20,
+                       broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                       ) -> rd.Dataset:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lineitems per customer, top-k. lineitem filters to
+    returnflag 'R' at the read and pre-aggregates per orderkey (narrow
+    shuffle), orders joins the reduced side through the partitioned
+    hash join and re-aggregates per custkey, then customer + nation
+    attach — customer via the size-dispatched plan (broadcast sorted
+    arrays below the threshold, partitioned join above), nation always
+    in-closure. Output: (c_custkey, c_name, n_name, revenue) top-k by
+    revenue desc (tie-break custkey)."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter_expr=pads.field("l_returnflag") == "R")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_returnflag"] == "R"]
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = hash_groupby_agg(
+        items.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"], {"rev": ("rev", "sum")}, num_parts=32)
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def o_merge(o_df: pd.DataFrame, r_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(r_df, left_on="o_orderkey", right_on="l_orderkey",
+                       how="inner")
+        # an orderkey lives in one bucket -> per-bucket custkey partials
+        return m.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_cust = hash_groupby_agg(
+        partitioned_join(
+            orders, per_order, "o_orderkey", "l_orderkey", o_merge,
+            num_buckets=16,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("rev", pa.float64())])),
+        ["o_custkey"], {"rev": ("rev", "sum")}, num_parts=8)
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_map = dict(zip(nation["n_nationkey"].astype(int),
+                          nation["n_name"]))
+
+    if _parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust_t = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey", "c_name", "c_nationkey"])
+        ck = cust_t.column("c_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.argsort(ck)
+        cust_ref = ray.put((
+            ck[cs],
+            np.asarray(cust_t.column("c_name").to_pylist(),
+                       dtype=object)[cs],
+            cust_t.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)[cs]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            cks, cnames, cnat = ray.get(cust_ref)
+            keys = df["o_custkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(cks, keys)
+            pos[pos >= len(cks)] = len(cks) - 1 if len(cks) else 0
+            hit = (cks[pos] == keys) if len(cks) else np.zeros(
+                len(keys), bool)
+            df = df[hit].copy()
+            p = pos[hit]
+            return pd.DataFrame({
+                "c_custkey": df["o_custkey"].astype(np.int64).to_numpy(),
+                "c_name": cnames[p],
+                "n_name": pd.Series(cnat[p]).map(nation_map).to_numpy(),
+                "revenue": round_half_up(df["rev"].to_numpy(), 2),
+            })
+
+        out = per_cust.map_batches(attach, batch_format="pandas")
+    else:
+        cust = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_nationkey"])
+
+        def c_merge(c_df: pd.DataFrame, r_df: pd.DataFrame) -> pd.DataFrame:
+            m = c_df.merge(r_df, left_on="c_custkey", right_on="o_custkey",
+                           how="inner")
+            return pd.DataFrame({
+                "c_custkey": m["c_custkey"].astype(np.int64),
+                "c_name": m["c_name"],
+                "n_name": m["c_nationkey"].map(nation_map),
+                "revenue": round_half_up(m["rev"].to_numpy(), 2),
+            })
+
+        out = partitioned_join(
+            cust, per_cust, "c_custkey", "o_custkey", c_merge,
+            num_buckets=16,
+            left_schema=pa.schema([("c_custkey", pa.int64()),
+                                   ("c_name", pa.string()),
+                                   ("c_nationkey", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("rev", pa.float64())]))
+    return out.sort(["revenue", "c_custkey"],
+                    descending=[True, False]).limit(k)
+
+
+def q14_promo_revenue(sf_dir: str, year: str = "1997",
+                      month: int = 6) -> rd.Dataset:
+    """TPC-H Q14 shape (promotion effect): the percentage of one
+    month's lineitem revenue from PROMO-type parts — a join + two
+    conditional sums collapsing to a single row. The part side ships
+    once as a broadcast sorted (partkey, is_promo) pair (at 100 TB the
+    part table crosses the threshold and this becomes a partitioned
+    join; the shape of the conditional partial sums is unchanged).
+    Output: (promo_revenue_pct, total_revenue)."""
+    lo = np.datetime64(f"{year}-{month:02d}-01", "us")
+    nxt_y, nxt_m = (int(year) + 1, 1) if month == 12 else (int(year),
+                                                           month + 1)
+    hi = np.datetime64(f"{nxt_y}-{nxt_m:02d}-01", "us")
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_type"])
+    pk = part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    promo = np.asarray(
+        [t.startswith("PROMO") for t in part_t.column("p_type").to_pylist()],
+        dtype=bool)
+    ps = np.argsort(pk)
+    part_ref = ray.put((pk[ps], promo[ps]))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, ispromo = ray.get(part_ref)
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= pd.Timestamp(str(lo)))
+                & (df["l_shipdate"] < pd.Timestamp(str(hi)))]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        lk = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pks, lk)
+        pos[pos >= len(pks)] = len(pks) - 1 if len(pks) else 0
+        hit = (pks[pos] == lk) if len(pks) else np.zeros(len(lk), bool)
+        p = np.zeros(len(lk), dtype=bool)
+        p[hit] = ispromo[pos[hit]]
+        return pa.Table.from_pydict({
+            "promo": pa.array([float(rev[p].sum())]),
+            "total": pa.array([float(rev.sum())])})
+
+    parts = items.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_sum, total = float(parts["promo"].sum()), float(parts["total"].sum())
+    pct = 100.0 * promo_sum / total if total else 0.0
+    return pa.Table.from_pydict({
+        "promo_revenue_pct": pa.array(round_half_up([pct], 2)),
+        "total_revenue": pa.array(round_half_up([total], 2))})

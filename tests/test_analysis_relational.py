@@ -675,3 +675,48 @@ def test_orders_above_avg_scalar_subquery(con):
     """).df()
     assert 0 < len(want) < con.sql("SELECT count(*) FROM orders").fetchone()[0]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q10_returned_items(con):
+    from granulate_char_ocr_ray.pipelines.relational import q10_returned_items
+
+    got = q10_returned_items(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_q10_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q10_returned_items
+
+    bc = q10_returned_items(SF).to_pandas().reset_index(drop=True)
+    pj = q10_returned_items(SF, broadcast_threshold=0).to_pandas(
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_q14_promo_revenue(con):
+    from granulate_char_ocr_ray.pipelines.relational import q14_promo_revenue
+
+    got = q14_promo_revenue(SF).to_pandas()
+    want = con.sql("""
+        SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+    """).df()
+    assert want["total_revenue"].iloc[0] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
