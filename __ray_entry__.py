@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TPC-H Q10 / Q14 ---
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        # --- BPE-ish token budget + composed LLM-prep pipeline ---
+        "bpe_token_counts": training.bpe_token_counts,
+        "llm_prep_pipeline": training.llm_prep_pipeline,
     }
 
 
@@ -278,6 +281,20 @@ def _lang_id_oracle() -> str:
         FROM base b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
         ORDER BY b.doc_id
     """
+
+
+def _bpe_oracle() -> str:
+    """SQL form of the BPE-ish pre-tokenizer count — the SAME RE2
+    pattern the engine uses (training.BPE_RE), quote-escaped for the
+    SQL literal (both regex engines are RE2, so counts agree)."""
+    from granulate_char_ocr_ray.pipelines.training import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+        + pat
+        + "')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -923,6 +940,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "bpe_token_counts": _bpe_oracle(),
+        "llm_prep_pipeline": """
+            WITH q AS (
+              SELECT doc_id, text FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+                AND CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         AS DOUBLE) / length(text) <= 0.3
+                AND trim(text) != ''
+            ), d AS (
+              SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
+            )
+            SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start,
+                   substr(text, CAST(s AS INT) + 1, 200) AS chunk_text
+            FROM d, UNNEST(range(0, greatest(length(text), 1), 150)) AS t(s)
+            ORDER BY doc_id, chunk_id
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

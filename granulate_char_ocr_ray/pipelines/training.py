@@ -405,3 +405,74 @@ def augmented_corpus_stats(sf_dir: str, variants: int = 2) -> rd.Dataset:
                              "n_images": df["n_images"].astype(np.int64)})
 
     return agg.map_batches(final, batch_format="pandas").sort("label")
+
+
+# RE2-safe simplification of the GPT-2 pre-tokenizer (the real pattern
+# uses a negative lookahead RE2 lacks): contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs — each with the
+# optional leading space. Identical semantics in Arrow and DuckDB.
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens) — token counts under a BPE-style
+    pre-tokenizer regex (the unit an LLM tokenizer budget is measured
+    in, vs the whitespace count in analysis.token_counts). One Arrow
+    RE2 kernel per batch; shuffle-free."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_RE)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pc.cast(n, pa.int64())],
+            names=["doc_id", "n_bpe_tokens"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow").sort("doc_id")
+
+
+def llm_prep_pipeline(sf_dir: str, min_tokens: int = 20,
+                      max_upper_ratio: float = 0.3, size: int = 200,
+                      step: int = 150, num_parts: int = 64) -> rd.Dataset:
+    """The composed LLM-corpus preparation story as ONE streaming
+    pipeline: quality gate -> exact dedup (keep smallest doc_id per
+    distinct text) -> overlapping chunking. Demonstrates operator
+    composition: the gate and chunker fuse into the surrounding
+    map_batches chain; the only shuffle is the dedup's hash exchange,
+    which carries one (hash, doc_id, text) row per batch-distinct text
+    — exactly the payload the chunker needs afterwards, so no second
+    corpus scan. Output: (doc_id, chunk_id, start, chunk_text)."""
+    import functools
+
+    from ..functions.textstats import hash64_batch, quality_features_batch
+    from ..stages.hashagg import stable_hash_column
+
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        f = quality_features_batch(batch.column("text"))
+        mask = (f["n_tokens"] >= min_tokens) & (
+            f["upper_ratio"] <= max_upper_ratio)
+        kept = batch.filter(pa.array(mask))
+        df = pd.DataFrame({
+            "doc_id": kept.column("doc_id").to_numpy(zero_copy_only=False),
+            "text": kept.column("text").to_pandas(),
+            "text_hash": hash64_batch(kept.column("text")).view(np.int64),
+        })
+        # batch-local pre-dedup: keep the min doc_id per hash so the
+        # shuffle moves one row per batch-distinct text
+        df = df.sort_values(["text_hash", "doc_id"]).drop_duplicates(
+            "text_hash", keep="first")
+        df["_part"] = (stable_hash_column(df["text_hash"])
+                       % np.uint64(num_parts)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", "doc_id"]).drop_duplicates(
+            "text_hash", keep="first")
+        return g[["doc_id", "text"]]
+
+    deduped = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate_and_hash, batch_format="pyarrow").groupby("_part").map_groups(
+        keep_first, batch_format="pandas")
+
+    return deduped.map_batches(
+        functools.partial(chunk_batch, size=size, step=step),
+        batch_format="pyarrow").sort(["doc_id", "chunk_id"])

@@ -166,3 +166,54 @@ def test_chunk_batch_empty_and_empty_doc():
     one = chunk_batch(pa.table({"doc_id": [7], "text": [""]}),
                       size=200, step=150).to_pandas()
     assert len(one) == 1 and one["chunk_text"].iloc[0] == ""
+
+
+def test_bpe_token_counts_vs_python_re():
+    import re as _re
+
+    from granulate_char_ocr_ray.pipelines.training import (
+        BPE_RE,
+        bpe_token_counts,
+    )
+
+    got = bpe_token_counts(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pat = _re.compile(BPE_RE)
+    for _, row in docs.head(30).iterrows():
+        assert got.loc[row["doc_id"], "n_bpe_tokens"] == len(
+            pat.findall(row["text"]))
+    # a contraction splits off its suffix; punctuation separates
+    assert pat.findall("it's fine, really") == [
+        "it", "'s", " fine", ",", " really"]
+
+
+def test_llm_prep_pipeline_composition():
+    from granulate_char_ocr_ray.pipelines.training import llm_prep_pipeline
+
+    got = llm_prep_pipeline(SF).to_pandas()
+    import duckdb
+
+    want = duckdb.sql(f"""
+        WITH q AS (
+          SELECT doc_id, text
+          FROM '{SF}/documents.parquet'
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+            AND CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     AS DOUBLE) / length(text) <= 0.3
+            AND trim(text) != ''
+        ), d AS (
+          SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
+        )
+        SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS start,
+               substr(text, CAST(s AS INT) + 1, 200) AS chunk_text
+        FROM d, UNNEST(range(0, greatest(length(text), 1), 150)) AS t(s)
+        ORDER BY doc_id, chunk_id
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    # the gate and dedup both actually fire on this corpus
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id"]))
+    assert got["doc_id"].nunique() < n_docs
