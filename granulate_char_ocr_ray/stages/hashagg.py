@@ -15,6 +15,17 @@ Associative ops only (sum / min / max / count). Deterministic: the
 partitioner uses pandas' value-based hashing, consistent across batches
 within a run. Scales: shuffle volume is the PARTIAL rows (one row per
 (batch, key)), and every shuffle key has ~equal load by construction.
+
+Exchange constant (measured, 600k rows -> 147k keys, 32 CPUs): the
+sort-based ``groupby("_part")`` exchange here runs ~13 s wall with
+<0.5 s of it compute; Ray 2.49's ``DataContext.shuffle_strategy =
+HASH_SHUFFLE`` + ``Dataset.repartition(n, keys=["_part"])`` + a
+per-block final combine runs the same exchange in ~5 s steady-state
+(first run pays ~15 s of HashShuffleAggregator actor startup — which a
+long-lived cluster amortizes away). That is the upgrade path when the
+exchange constant matters; it is deliberately NOT flipped here because
+the strategy flag is process-global and would change the backend under
+every verified query at once.
 """
 
 from __future__ import annotations

@@ -5,7 +5,7 @@ prints Ray Data's per-operator stats (``Dataset.stats()``) — wall time,
 task counts, block sizes, and where memory went — the feedback loop
 used to keep wall time dominated by useful compute (VERDICT criterion).
 
-Usage: python tools/stats_report.py [fused|fanout]
+Usage: python tools/stats_report.py [fused|fanout|minhash|llm_prep]
 """
 
 from __future__ import annotations
@@ -30,18 +30,31 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from granulate_char_ocr_ray.pipelines.extract import (
-        derive_docs,
-        extract_spans,
-    )
-
     t0 = time.time()
-    ds = extract_spans(derive_docs(sf), mode=mode,
-                       concurrency=max(2, ncpu - 4))
+    if mode in ("fused", "fanout"):
+        from granulate_char_ocr_ray.pipelines.extract import (
+            derive_docs,
+            extract_spans,
+        )
+
+        ds = extract_spans(derive_docs(sf), mode=mode,
+                           concurrency=max(2, ncpu - 4))
+    elif mode == "minhash":
+        from granulate_char_ocr_ray.pipelines.dedup import minhash_lsh_dups
+
+        ds = minhash_lsh_dups(sf, threshold=0.8)
+    elif mode == "llm_prep":
+        from granulate_char_ocr_ray.pipelines.training import (
+            llm_prep_pipeline,
+        )
+
+        ds = llm_prep_pipeline(sf)
+    else:
+        raise SystemExit(f"unknown pipeline {mode!r}")
     out = ds.materialize()
     wall = time.time() - t0
     print(out.stats())
-    print(f"\n=== {mode} mode: {out.count()} spans in {wall:.2f}s "
+    print(f"\n=== {mode}: {out.count()} rows in {wall:.2f}s "
           f"({ncpu} cpus, {sf}) ===")
     ray.shutdown()
 
