@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_eval_stats": evaluate.ocr_eval_stats,
         "ocr_accuracy_by_length": evaluate.ocr_accuracy_by_length,
         "ocr_confusions": evaluate.ocr_confusions,
+        "ocr_cer": evaluate.ocr_cer,
         # --- event-time windows / sessions ---
         "events_hourly": events.events_hourly,
         "events_sliding": events.events_sliding,
@@ -420,6 +421,26 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY p_brand
         """,
         "ocr_char_accuracy": _OCR_ACC_ORACLE + " ORDER BY doc_id",
+        "ocr_cer": """
+            SELECT doc_id, expected, recognized,
+                   CAST(levenshtein(expected, recognized) AS BIGINT)
+                     AS edit_dist,
+                   round(CAST(levenshtein(expected, recognized) AS DOUBLE)
+                         / greatest(length(expected), 1), 4) AS cer
+            FROM (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       AS doc_id,
+                     translate(CAST(doc_id AS VARCHAR),
+                               '0123456789', 'ABCDEFGHIJ') AS expected,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN reverse(translate(CAST(doc_id AS VARCHAR),
+                                                 '0123456789', 'ABCDEFGHIJ'))
+                          ELSE translate(CAST(doc_id AS VARCHAR),
+                                         '0123456789', 'ABCDEFGHIJ') END
+                       AS recognized
+              FROM documents
+            ) ORDER BY doc_id
+        """,
         "ocr_eval_stats": f"""
             WITH per_doc AS ({_OCR_ACC_ORACLE})
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

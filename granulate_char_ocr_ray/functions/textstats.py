@@ -268,3 +268,40 @@ def crc64(text: str) -> int:
 
     digest = hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest()
     return int(np.frombuffer(digest, dtype=np.uint64)[0].view(np.int64))
+
+
+def levenshtein_batch(a_list, b_list) -> "np.ndarray":
+    """Batched Levenshtein (unit-cost edit distance) over string pairs.
+
+    One DP over (max_len_a x max_len_b) positions with every cell
+    operation vectorized across the BATCH axis — no per-row Python DP.
+    Padded positions use per-side sentinels that can never match, and
+    each row's answer is read at its own (len_a, len_b) cell, so
+    padding never corrupts a result. O(La*Lb) vector ops; intended for
+    short strings (words, labels); int64 output. Matches DuckDB's
+    ``levenshtein``.
+    """
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.full((n, max(La, 1)), -1, dtype=np.int64)
+    B = np.full((n, max(Lb, 1)), -2, dtype=np.int64)
+    for r, s in enumerate(a_list):
+        if s:
+            A[r, : len(s)] = [ord(c) for c in s]
+    for r, s in enumerate(b_list):
+        if s:
+            B[r, : len(s)] = [ord(c) for c in s]
+    dp = np.zeros((n, La + 1, Lb + 1), dtype=np.int64)
+    dp[:, :, 0] = np.arange(La + 1)[None, :]
+    dp[:, 0, :] = np.arange(Lb + 1)[None, :]
+    for i in range(1, La + 1):
+        for j in range(1, Lb + 1):
+            sub = dp[:, i - 1, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            dele = dp[:, i - 1, j] + 1
+            ins = dp[:, i, j - 1] + 1
+            dp[:, i, j] = np.minimum(np.minimum(dele, ins), sub)
+    return dp[np.arange(n), la, lb]

@@ -204,3 +204,32 @@ def ocr_confusions(sf_dir: str) -> rd.Dataset:
     ).aggregate(Sum("n", alias_name="n"))
     return agg.sort(["n", "expected_char", "recognized_char"],
                     descending=[True, False, False])
+
+
+def ocr_cer(sf_dir: str) -> rd.Dataset:
+    """Per-doc character error rate via LEVENSHTEIN distance — the
+    industry CER metric (edit_dist / len(expected)), alongside the
+    reference's positional alignment (ocr_char_accuracy). The distance
+    runs as a batch-vectorized DP (functions/textstats.levenshtein_batch
+    — one (La x Lb) loop of whole-batch vector ops, no per-row Python
+    DP); DuckDB's levenshtein() is the oracle. Output: (doc_id,
+    expected, recognized, edit_dist, cer)."""
+    from ..functions.textstats import levenshtein_batch
+
+    def cer(batch: pa.Table) -> pa.Table:
+        exp = batch.column("expected").to_pylist()
+        rec = batch.column("recognized").to_pylist()
+        d = levenshtein_batch(exp, rec)
+        lens = np.maximum(np.array([len(e) for e in exp]), 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "expected": exp,
+                "recognized": rec,
+                "edit_dist": pa.array(d, pa.int64()),
+                "cer": pa.array(round_half_up(d / lens, 4), pa.float64()),
+            }
+        )
+
+    return _recognized(sf_dir).map_batches(cer, batch_format="pyarrow").sort(
+        "doc_id")

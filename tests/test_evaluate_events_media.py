@@ -232,3 +232,34 @@ def test_events_pivot_matches_duckdb(con):
     n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
     assert int(got[[c for c in got.columns if c.startswith("n_")]]
                .to_numpy().sum()) == n_events
+
+
+def test_ocr_cer_matches_duckdb_levenshtein(con):
+    from granulate_char_ocr_ray.pipelines.evaluate import ocr_cer
+
+    got = ocr_cer(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT doc_id, expected, recognized,
+               CAST(levenshtein(expected, recognized) AS BIGINT)
+                 AS edit_dist,
+               round(CAST(levenshtein(expected, recognized) AS DOUBLE)
+                     / greatest(length(expected), 1), 4) AS cer
+        FROM (
+          SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                 translate(CAST(doc_id AS VARCHAR),
+                           '0123456789', 'ABCDEFGHIJ') AS expected,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN reverse(translate(CAST(doc_id AS VARCHAR),
+                                             '0123456789', 'ABCDEFGHIJ'))
+                      ELSE translate(CAST(doc_id AS VARCHAR),
+                                     '0123456789', 'ABCDEFGHIJ') END
+                   AS recognized
+          FROM documents
+        ) ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # degraded (reversed) docs have nonzero CER; clean docs are zero
+    deg = got[got["expected"] != got["recognized"]]
+    assert len(deg) > 0 and (deg["edit_dist"] > 0).all()
+    clean = got[got["expected"] == got["recognized"]]
+    assert (clean["edit_dist"] == 0).all()

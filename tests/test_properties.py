@@ -154,3 +154,24 @@ def test_chunk_batch_reconstructs_and_bounds(texts, step, extra):
             assert r.chunk_text == t[r.start:r.start + size]
         chunks = list(rows["chunk_text"])
         assert "".join(c[:step] for c in chunks[:-1]) + chunks[-1] == t
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=0, max_size=12))
+def test_levenshtein_batch_equals_scalar_dp(pairs):
+    from granulate_char_ocr_ray.functions.textstats import levenshtein_batch
+
+    def scalar(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = levenshtein_batch(a, b)
+    for x, y, d in zip(a, b, got):
+        assert scalar(x, y) == int(d)
