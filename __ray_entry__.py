@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
         "bpe_token_counts": training.bpe_token_counts,
         "llm_prep_pipeline": training.llm_prep_pipeline,
+        # --- semi-structured (JSON) column extraction ---
+        "event_props_k_stats": events.event_props_k_stats,
     }
 
 
@@ -978,6 +980,14 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(s AS INT) + 1, 200) AS chunk_text
             FROM d, UNNEST(range(0, greatest(length(text), 1), 150)) AS t(s)
             ORDER BY doc_id, chunk_id
+        """,
+        "event_props_k_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   round(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                         / count(*), 2) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

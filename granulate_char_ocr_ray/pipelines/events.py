@@ -251,3 +251,47 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def event_props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured (JSON) column processing: extract the integer
+    ``k`` property from each event's JSON ``props`` payload and
+    aggregate per event type. Extraction is one Arrow RE2
+    ``extract_regex`` kernel per batch (for a flat int property the
+    regex is exactly the JSON grammar; nested payloads would swap in a
+    real JSON parser behind the same stage); aggregation is the usual
+    partial-sums + tiny groupby. DuckDB's JSON operator (`->>`) is the
+    oracle, so the kernels are proven equivalent to a JSON reader on
+    this shape. Output: (event_type, n_events, sum_k, avg_k)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(batch.column("props"),
+                             r'"k": (?P<k>[0-9]+)'), "k")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "k": pc.cast(ks, pa.int64()).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(
+        4).groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_k", alias_name="sum_k"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["sum_k"] = df["sum_k"].astype(np.int64)
+        df["avg_k"] = round_half_up(df["sum_k"] / df["n_events"], 2)
+        return pa.Table.from_pandas(
+            df[["event_type", "n_events", "sum_k", "avg_k"]],
+            preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("event_type")

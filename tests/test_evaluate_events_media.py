@@ -263,3 +263,18 @@ def test_ocr_cer_matches_duckdb_levenshtein(con):
     assert len(deg) > 0 and (deg["edit_dist"] > 0).all()
     clean = got[got["expected"] == got["recognized"]]
     assert (clean["edit_dist"] == 0).all()
+
+
+def test_event_props_k_stats_json_extraction(con):
+    from granulate_char_ocr_ray.pipelines.events import event_props_k_stats
+
+    got = event_props_k_stats(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               round(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                     / count(*), 2) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["sum_k"] > 0).all()
