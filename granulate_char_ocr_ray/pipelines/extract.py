@@ -127,7 +127,17 @@ def _reassemble_spans(classified: rd.Dataset, num_buckets: int = 64) -> rd.Datas
     inside each bucket — because Ray's per-group dispatch overhead at
     span-count cardinality dominates wall time (the repo's own hashagg
     lesson; VERDICT r01 next-steps #6). Per-span glyph order still
-    restores exactly; bucket count only bounds task granularity."""
+    restores exactly; bucket count only bounds task granularity.
+
+    Measured-and-rejected variant: routing only MEDIA glyph rows
+    through the groupby and letting text spans bypass the shuffle is
+    ~20% faster in isolation, but the branch makes ``classified`` a
+    TWO-consumer intermediate — Ray re-executes the shared lineage per
+    consumer, duplicating the classifier actor pool (2 x pool size >
+    session CPUs deadlocks a fixed pool, and at best doubles the
+    classify work). Avoiding that needs a mid-pipeline
+    materialization of the full span stream, the wrong trade at this
+    corpus shape; all rows therefore ride the single exchange."""
 
     def _add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
