@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": relational.sample_docs,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
         # --- mergeable sketches (shuffle-free scale paths) ---
         "approx_quantity_deciles": relational.approx_quantity_deciles,
         "approx_top_tokens": analysis.approx_top_tokens,
@@ -284,6 +285,36 @@ def _lang_id_oracle() -> str:
         FROM base b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
         ORDER BY b.doc_id
     """
+
+
+# shared recursive-CTE body: near-dup pair graph -> reachability
+# (connected components); used by dup_clusters and dedup_survivors
+_DUP_CTE = """
+    WITH RECURSIVE grams AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)
+      WHERE length(text) >= 3
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS DOUBLE) AS c
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pair AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE c / (s1.n + s2.n - c) >= 0.8
+    ), edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pair
+      UNION ALL SELECT d2, d1 FROM pair
+    ), nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(node, root) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+"""
 
 
 def _bpe_oracle() -> str:
@@ -710,33 +741,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
             ORDER BY doc_id
         """,
-        "dup_clusters": """
-            WITH RECURSIVE grams AS (
-              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-              FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)
-              WHERE length(text) >= 3
-            ), sizes AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM grams GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS DOUBLE) AS c
-              FROM grams a JOIN grams b USING (g)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-            ), pair AS (
-              SELECT d1, d2 FROM inter
-              JOIN sizes s1 ON s1.doc_id = d1
-              JOIN sizes s2 ON s2.doc_id = d2
-              WHERE c / (s1.n + s2.n - c) >= 0.8
-            ), edges AS (
-              SELECT d1 AS src, d2 AS dst FROM pair
-              UNION ALL SELECT d2, d1 FROM pair
-            ), nodes AS (SELECT DISTINCT src AS n FROM edges),
-            reach(node, root) AS (
-              SELECT n, n FROM nodes
-              UNION
-              SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
-            )
+        "dup_clusters": _DUP_CTE + """
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "dedup_survivors": _DUP_CTE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT node FROM (
+                SELECT node, min(root) AS r FROM reach GROUP BY node
+              ) WHERE node != r
+            ) ORDER BY doc_id
         """,
         "user_event_windows": """
             SELECT event_id, user_id, prev_value, cum_value_cents,

@@ -448,3 +448,36 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
             schema=pa.schema([("doc_id", pa.int64()),
                               ("cluster_id", pa.int64())])),
         batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """The near-dedup pipeline's user-facing OUTPUT: every doc_id that
+    survives cluster-representative selection — docs with no near
+    duplicate pass through untouched; of each duplicate cluster only
+    the smallest doc_id (the cluster label) remains.
+
+    Composition of the existing stages: cluster resolution
+    (:func:`dup_clusters`, bounded by the docs that HAVE a duplicate)
+    reduces to the small drop-set {doc in cluster, doc != label}, which
+    broadcasts once as a sorted array; the corpus anti-filters against
+    it in one vectorized pass — same dispatch rule as every other
+    anti-join here (above the broadcast threshold the drop-set takes
+    the Bloom + partitioned-join path of media.docs_without_media).
+    Output: (doc_id)."""
+    clusters = dup_clusters(sf_dir, threshold=threshold).to_pandas()
+    drop = np.sort(clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+    ].to_numpy(dtype=np.int64))
+    drop_ref = ray.put(drop)
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ds_, ids)
+        pos[pos >= len(ds_)] = len(ds_) - 1 if len(ds_) else 0
+        hit = (ds_[pos] == ids) if len(ds_) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(~hit))
+
+    return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")

@@ -306,3 +306,23 @@ def test_kmeans_matches_local_reference():
 
     got = kmeans_assign(SF, k=k, iters=iters).to_pandas()
     assert dict(zip(got["vec_id"], got["cluster"])) == want
+
+
+def test_dedup_survivors_composition():
+    from granulate_char_ocr_ray.pipelines.dedup import (
+        dedup_survivors,
+        dup_clusters,
+    )
+
+    surv = set(dedup_survivors(SF).to_pandas()["doc_id"])
+    cl = dup_clusters(SF).to_pandas()
+    import pandas as pd
+
+    all_ids = set(pd.read_parquet(f"{SF}/documents.parquet",
+                                  columns=["doc_id"])["doc_id"])
+    dropped = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    # survivors = corpus minus non-representative cluster members, and
+    # every cluster keeps exactly its label
+    assert surv == all_ids - dropped
+    assert set(cl["cluster_id"]) <= surv
+    assert len(dropped) > 0
