@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- HAVING join (Q18 shape) + ROLLUP ---
         "large_orders": relational.large_orders,
         "events_rollup": relational.events_rollup,
+        "events_cube": relational.events_cube,
         # --- set operations + grouped quantiles ---
         "orderkeys_intersect": relational.orderkeys_intersect,
         "orderkeys_except": relational.orderkeys_except,
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TPC-H Q10 / Q14 ---
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q4_order_priority": relational.q4_order_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
         "bpe_token_counts": training.bpe_token_counts,
         "llm_prep_pipeline": training.llm_prep_pipeline,
@@ -923,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY ROLLUP(event_type, day)
         """,
+        "events_cube": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY CUBE(event_type, day)
+        """,
         "orderkeys_intersect": """
             SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
             INTERSECT
@@ -978,6 +985,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "bpe_token_counts": _bpe_oracle(),
         "llm_prep_pipeline": """

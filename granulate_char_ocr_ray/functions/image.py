@@ -323,6 +323,39 @@ def clahe(gray: np.ndarray, clip_limit: float = 2.0,
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def bilateral_filter(img: np.ndarray, d: int = 9,
+                     sigma_color: float = 75.0,
+                     sigma_space: float = 75.0) -> np.ndarray:
+    """Edge-preserving bilateral denoise (cv2.bilateralFilter(gray, 9,
+    75, 75) — the reference's noise-reduction step in its
+    edge-preserving and color-aware preprocessing variants,
+    optimize_preprocessing.py:58,88 and the production service's
+    denoise pass, ocr_service_backup.py:171-172; the last M1 component
+    previously omitted). Pure NumPy, vectorized over the d*d window
+    offsets: per-offset weight = spatial gaussian * range gaussian of
+    the center/neighbor intensity difference; output = weighted mean.
+    Replicate borders, matching cv2's BORDER_REPLICATE behavior in
+    spirit (cv2's exact border mode is BORDER_DEFAULT/reflect101 —
+    interior pixels, which is all the glyph content, are unaffected)."""
+    r = d // 2
+    h, w = img.shape
+    f = img.astype(np.float64)
+    p = np.pad(f, r, mode="edge")
+    num = np.zeros((h, w), dtype=np.float64)
+    den = np.zeros((h, w), dtype=np.float64)
+    inv2sc = 1.0 / (2.0 * sigma_color * sigma_color)
+    inv2ss = 1.0 / (2.0 * sigma_space * sigma_space)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sw = np.exp(-(dy * dy + dx * dx) * inv2ss)
+            q = p[r + dy: r + dy + h, r + dx: r + dx + w]
+            diff = q - f
+            wgt = sw * np.exp(-(diff * diff) * inv2sc)
+            num += wgt * q
+            den += wgt
+    return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
+
+
 def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     """(h, w, 3) RGB -> (h, w) uint8 gray, BT.601 luma weights — the
     color-aware preprocessing entry (M9; the reference's cv2.cvtColor
@@ -365,6 +398,8 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
         gray = median_blur3(gray)         # denoise variant (M1 family)
     elif enhance == "sharpen":
         gray = sharpen3(gray)             # combined-preprocess variant
+    elif enhance == "bilateral":
+        gray = bilateral_filter(gray)     # edge-preserving denoise (M1)
     g = normalize_polarity(gray)
     if binarizer == "otsu":
         b = threshold_otsu(g)

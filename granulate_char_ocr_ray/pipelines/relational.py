@@ -1125,6 +1125,55 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
     return base.repartition(1).map_batches(levels, batch_format="pandas")
 
 
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE aggregate: event counts at ALL FOUR grouping levels —
+    (event_type, day), (event_type), (day), and grand total — with
+    NULL markers for the rolled-up columns (SQL ``GROUP BY CUBE``).
+
+    Same scale shape as ``events_rollup``: the raw stream reduces ONCE
+    through the two-phase hash aggregate at the finest (event_type,
+    day) level; every coarser grouping set re-aggregates the already
+    reduced |types| x |days| table, so the cube costs one pass over the
+    input regardless of the number of grouping sets. Output:
+    (event_type, day, n_events)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df[["event_type", "day", "one"]],
+                                    preserve_index=False)
+
+    base = hash_groupby_agg(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        ["event_type", "day"], {"n_events": ("one", "sum")},
+        num_parts=16)
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        # runs once on the reduced table (repartition(1) below)
+        fine = df[["event_type", "day", "n_events"]].copy()
+        by_type = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"))
+        by_type["day"] = pd.NaT
+        by_day = df.groupby("day", as_index=False).agg(
+            n_events=("n_events", "sum"))
+        by_day["event_type"] = None
+        total = pd.DataFrame({"event_type": [None],
+                              "day": [pd.NaT],
+                              "n_events": [df["n_events"].sum()]})
+        cols = ["event_type", "day", "n_events"]
+        out = pd.concat([fine, by_type[cols], by_day[cols], total],
+                        ignore_index=True)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return base.repartition(1).map_batches(levels, batch_format="pandas")
+
+
 def _orderkey_flag_presence(sf_dir: str, flags: tuple[str, str]):
     """Per-orderkey presence indicators for two returnflag values,
     reduced through the two-phase hash aggregate (shuffle volume: one
@@ -1454,3 +1503,101 @@ def q14_promo_revenue(sf_dir: str, year: str = "1997",
     return pa.Table.from_pydict({
         "promo_revenue_pct": pa.array(round_half_up([pct], 2)),
         "total_revenue": pa.array(round_half_up([total], 2))})
+
+
+def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
+                      date_hi: str = "1997-10-01", flag: str = "R",
+                      broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                      ) -> rd.Dataset:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    o_orderpriority within one quarter where EXISTS a lineitem of the
+    order with ``l_returnflag = flag`` (stand-in predicate — the driver
+    corpus carries no commit/receipt dates). The EXISTS lowers to a
+    distributed semi-join: lineitem reduces to DISTINCT qualifying
+    orderkeys (two-phase hash aggregate, shuffle volume one row per
+    (batch, orderkey)); below the broadcast threshold the keyset ships
+    once as a sorted array probed per batch, above it the semi-join
+    runs through ``partitioned_join`` with an inner merge against the
+    deduplicated key side. Counts pre-aggregate per bucket so the
+    final groupby shuffles ~5 rows per partial. Output:
+    (o_orderpriority, order_count) sorted by priority.
+
+    Reference analogue: the per-category presence counts of
+    ``evaluate_new_testdata.py:137-163`` generalized to an EXISTS
+    semi-join over a fact-fact pair."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter_expr=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+
+    def _date_mask(df: pd.DataFrame) -> pd.Series:
+        return ((df["o_orderdate"] >= pd.Timestamp(str(lo)))
+                & (df["o_orderdate"] < pd.Timestamp(str(hi))))
+
+    if _parquet_num_rows(f"{sf_dir}/lineitem.parquet") <= broadcast_threshold:
+        keys_t = pads.dataset(f"{sf_dir}/lineitem.parquet").to_table(
+            columns=["l_orderkey"],
+            filter=pads.field("l_returnflag") == flag)
+        keys = np.unique(keys_t.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        keys_ref = ray.put(keys)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            df = df[_date_mask(df)]
+            ok = df["o_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(ks, ok)
+            pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            hit = (ks[pos] == ok) if len(ks) else np.zeros(len(ok), bool)
+            return (df[hit].groupby("o_orderpriority", as_index=False)
+                    .agg(order_count=("o_orderkey", "size")))
+
+        part = orders.map_batches(probe, batch_format="pandas")
+    else:
+        items = read_table(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag"],
+                           filter_expr=pads.field("l_returnflag") == flag)
+
+        def distinct_keys(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            ok = np.unique(df.loc[df["l_returnflag"] == flag, "l_orderkey"]
+                           .to_numpy(dtype=np.int64))
+            return pa.Table.from_pydict({
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "present": pa.array(np.ones(len(ok), dtype=np.int64))})
+
+        keyset = hash_groupby_agg(
+            items.map_batches(distinct_keys, batch_format="pyarrow"),
+            ["l_orderkey"], {"present": ("present", "max")}, num_parts=32)
+
+        def semi(o_df: pd.DataFrame, k_df: pd.DataFrame) -> pd.DataFrame:
+            o_df = o_df[_date_mask(o_df)]
+            m = o_df.merge(k_df[["l_orderkey"]], left_on="o_orderkey",
+                           right_on="l_orderkey", how="inner")
+            return (m.groupby("o_orderpriority", as_index=False)
+                    .agg(order_count=("o_orderkey", "size")))
+
+        part = partitioned_join(
+            orders, keyset, "o_orderkey", "l_orderkey", semi,
+            num_buckets=16,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_orderpriority", pa.string()),
+                                   ("o_orderdate", pa.timestamp("us"))]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("present", pa.int64())]))
+
+    agg = (part.repartition(4).groupby("o_orderpriority")
+           .aggregate(Sum("order_count", alias_name="order_count")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["order_count"] = df["order_count"].astype(np.int64)
+        return df[["o_orderpriority", "order_count"]]
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        "o_orderpriority")

@@ -720,3 +720,40 @@ def test_q14_promo_revenue(con):
     """).df()
     assert want["total_revenue"].iloc[0] > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q4_order_priority(con):
+    from granulate_char_ocr_ray.pipelines.relational import q4_order_priority
+
+    got = q4_order_priority(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q4_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q4_order_priority
+
+    bc = q4_order_priority(SF).to_pandas().reset_index(drop=True)
+    pj = q4_order_priority(SF, broadcast_threshold=0).to_pandas(
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_events_cube(con):
+    from granulate_char_ocr_ray.pipelines.relational import events_cube
+
+    _check(events_cube(SF), """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY CUBE(event_type, day)
+    """, con)

@@ -320,3 +320,40 @@ def test_sharpen_is_identity_direction_on_flat_regions():
     out = sharpen3(edge)
     # overshoot on both sides of the edge (contrast increased)
     assert out[:, 3].max() == 0 and out[:, 4].min() >= 100
+
+
+def test_bilateral_preserves_edges_while_smoothing_noise():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.image import (bilateral_filter,
+                                                        gaussian_blur)
+
+    # flat region + hard edge, with gaussian noise on the flat parts
+    rng = np.random.RandomState(7)
+    img = np.zeros((24, 24), dtype=np.float64)
+    img[:, 12:] = 200.0
+    noisy = np.clip(img + rng.normal(0, 8, img.shape), 0, 255).astype(
+        np.uint8)
+    out = bilateral_filter(noisy, d=9, sigma_color=40, sigma_space=75)
+    # noise on the flat side shrinks
+    assert out[:, :8].astype(np.float64).std() < noisy[
+        :, :8].astype(np.float64).std()
+    # the edge stays sharp: mid-column gradient remains near the step,
+    # unlike an equal-window gaussian which smears it
+    g = gaussian_blur(noisy, 9)
+    edge_b = np.abs(np.diff(out[:, 10:14].astype(np.int64), axis=1)).max()
+    edge_g = np.abs(np.diff(g[:, 10:14].astype(np.int64), axis=1)).max()
+    assert edge_b > edge_g
+    # constant image is a fixed point
+    flat = np.full((10, 10), 90, dtype=np.uint8)
+    assert np.array_equal(bilateral_filter(flat), flat)
+
+
+def test_bilateral_enhance_mode_keeps_glyphs_classifiable():
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import preprocess
+    import numpy as np
+
+    strip = render_strip("EDGE")
+    out = preprocess(strip, enhance="bilateral")
+    ref = preprocess(strip)
+    assert np.array_equal(out, ref)   # identity on clean two-level strips
