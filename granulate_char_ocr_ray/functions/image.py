@@ -366,11 +366,152 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(gray), 0, 255).astype(np.uint8)
 
 
+def rgb_to_hsv_cv(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB uint8 -> (h, w, 3) HSV in the OpenCV uint8
+    convention (H in [0, 180), S and V in [0, 255]) — the color space
+    of the reference's color-aware preprocessing
+    (preprocess_color_images.py:53,77). Vectorized np.select over the
+    argmax channel."""
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    mx = f.max(axis=-1)
+    mn = f.min(axis=-1)
+    diff = mx - mn
+    safe = np.where(diff > 0, diff, 1.0)
+    h_deg = np.select(
+        [diff == 0, mx == r, mx == g],
+        [0.0,
+         (60.0 * (g - b) / safe) % 360.0,
+         60.0 * (b - r) / safe + 120.0],
+        default=60.0 * (r - g) / safe + 240.0)
+    h = np.round(h_deg / 2.0) % 180.0
+    s = np.where(mx > 0, 255.0 * diff / np.where(mx > 0, mx, 1.0), 0.0)
+    return np.stack([h, np.round(s), np.round(mx)],
+                    axis=-1).astype(np.uint8)
+
+
+def _dilate3(binary: np.ndarray) -> np.ndarray:
+    p = np.pad(binary, 1, mode="constant")
+    h, w = binary.shape
+    out = np.zeros_like(binary)
+    for dy in range(3):
+        for dx in range(3):
+            np.maximum(out, p[dy: dy + h, dx: dx + w], out=out)
+    return out
+
+
+def _erode3(binary: np.ndarray) -> np.ndarray:
+    p = np.pad(binary, 1, mode="edge")
+    h, w = binary.shape
+    out = np.full_like(binary, 255)
+    for dy in range(3):
+        for dx in range(3):
+            np.minimum(out, p[dy: dy + h, dx: dx + w], out=out)
+    return out
+
+
+def morph_close3(binary: np.ndarray) -> np.ndarray:
+    """3x3 closing (dilate then erode) — cv2.MORPH_CLOSE with a ones
+    kernel (preprocess_color_images.py:93-95)."""
+    return _erode3(_dilate3(binary))
+
+
+def morph_open3(binary: np.ndarray) -> np.ndarray:
+    """3x3 opening (erode then dilate) — cv2.MORPH_OPEN."""
+    return _dilate3(_erode3(binary))
+
+
+# Granulate glyph color ranges in cv2 HSV units — the reference's
+# ColorAwarePreprocessor.color_ranges table
+# (preprocess_color_images.py:17-22). Data, not code: the published
+# hue/sat/val windows for the alphabet's known ink colors.
+GLYPH_COLOR_RANGES: dict[str, tuple[tuple[int, int, int],
+                                    tuple[int, int, int]]] = {
+    "purple": ((120, 50, 50), (150, 255, 255)),
+    "yellow": ((20, 100, 100), (30, 255, 255)),
+    "white": ((0, 0, 200), (180, 30, 255)),
+    "black": ((0, 0, 0), (180, 255, 30)),
+}
+
+
+def hsv_in_range(hsv: np.ndarray, lower: tuple[int, int, int],
+                 upper: tuple[int, int, int]) -> np.ndarray:
+    """cv2.inRange: 255 where every channel lies in [lower, upper]."""
+    lo = np.asarray(lower, dtype=np.float64)
+    hi = np.asarray(upper, dtype=np.float64)
+    f = hsv.astype(np.float64)
+    ok = np.all((f >= lo) & (f <= hi), axis=-1)
+    return np.where(ok, 255, 0).astype(np.uint8)
+
+
+def rgb_to_lab_l(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB uint8 -> CIE LAB lightness channel scaled to
+    uint8 [0, 255] (cv2's 8-bit L convention, L* x 255/100) — the
+    'multigrade' path's working channel
+    (preprocess_color_images.py:103-106). sRGB linearization -> Y ->
+    L* (standard CIE formulas)."""
+    f = img.astype(np.float64) / 255.0
+    lin = np.where(f <= 0.04045, f / 12.92, ((f + 0.055) / 1.055) ** 2.4)
+    y = (0.2126 * lin[..., 0] + 0.7152 * lin[..., 1]
+         + 0.0722 * lin[..., 2])
+    fy = np.where(y > 0.008856, np.cbrt(y), 7.787 * y + 16.0 / 116.0)
+    l_star = np.clip(116.0 * fy - 16.0, 0.0, 100.0)
+    return np.clip(np.round(l_star * 255.0 / 100.0), 0,
+                   255).astype(np.uint8)
+
+
+def color_aware_preprocess(img: np.ndarray, mode: str = "auto",
+                           color_ranges: dict | None = None
+                           ) -> np.ndarray:
+    """Color-aware preprocessing (M9) — the reference's
+    ColorAwarePreprocessor decision tree
+    (preprocess_color_images.py:24-142), pure NumPy:
+
+    - ``auto``: 2-D input -> ``binary``; else mean HSV saturation > 50
+      -> ``color``, otherwise ``multigrade``.
+    - ``color``: OR of the known glyph-ink HSV in-range masks (only
+      ranges that match at least one pixel contribute), then 3x3 close
+      + open. Falls back to ``binary`` when no range matches.
+    - ``multigrade``: LAB lightness -> CLAHE (clip 3.0) -> bilateral;
+      gray input uses clip 2.0. Returns enhanced GRAY (not binary) —
+      feed it to ``preprocess`` for binarization.
+    - ``binary``: gray -> gaussian adaptive threshold (block 11, C=2)
+      -> 2x2 close.
+    """
+    ranges = GLYPH_COLOR_RANGES if color_ranges is None else color_ranges
+    if mode == "auto":
+        if img.ndim == 2:
+            mode = "binary"
+        else:
+            sat = rgb_to_hsv_cv(img)[..., 1]
+            mode = "color" if sat.mean() > 50.0 else "multigrade"
+    if mode == "color" and img.ndim == 3:
+        hsv = rgb_to_hsv_cv(img)
+        combined = None
+        for lower, upper in ranges.values():
+            m = hsv_in_range(hsv, lower, upper)
+            if int(m.sum()) > 0:
+                combined = m if combined is None else np.maximum(
+                    combined, m)
+        if combined is not None:
+            return morph_open3(morph_close3(combined))
+        mode = "binary"
+    if mode == "multigrade":
+        if img.ndim == 3:
+            return bilateral_filter(clahe(rgb_to_lab_l(img),
+                                          clip_limit=3.0))
+        return bilateral_filter(clahe(img, clip_limit=2.0))
+    gray = rgb_to_gray(img) if img.ndim == 3 else img
+    return morph_close_2x2(threshold_adaptive(gray, block=11, c=2.0,
+                                              method="gaussian"))
+
+
 def preprocess(gray: np.ndarray, binarizer: str = "fixed",
                adaptive_block: int = 11, adaptive_c: float = 2.0,
                adaptive_method: str = "gaussian",
                orient: bool = False, enhance: str | None = None,
-               clahe_clip: float = 2.0) -> np.ndarray:
+               clahe_clip: float = 2.0,
+               color_mode: str | None = None) -> np.ndarray:
     """Production preprocessing path (ocr_service.py:173-201, minus the
     cv2-only denoise/CLAHE steps which are identity on already-binary
     synthetic strips): polarity normalize -> threshold (fixed M1 /
@@ -385,6 +526,16 @@ def preprocess(gray: np.ndarray, binarizer: str = "fixed",
     correction (deskew) after binarization, before the close; a 3-channel
     input takes the color-aware gray conversion first (M9).
     """
+    if color_mode is not None and gray.ndim == 3:
+        # full color-aware route (M9): 'color' may return a finished
+        # binary mask; 'multigrade'/'binary' hand back gray/binary that
+        # continues through the normal chain
+        out = color_aware_preprocess(gray, mode=color_mode)
+        u = np.unique(out)
+        if len(u) <= 2 and set(int(v) for v in u) <= {0, 255}:
+            b = out if not orient else deskew(out)
+            return morph_close_2x2(b)
+        gray = out                        # enhanced gray (multigrade)
     if gray.ndim == 3:
         gray = rgb_to_gray(gray)          # color-aware entry (M9)
     if enhance == "clahe":

@@ -357,3 +357,89 @@ def test_bilateral_enhance_mode_keeps_glyphs_classifiable():
     out = preprocess(strip, enhance="bilateral")
     ref = preprocess(strip)
     assert np.array_equal(out, ref)   # identity on clean two-level strips
+
+
+def test_color_aware_mask_recovers_isoluminant_glyphs():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import (
+        color_aware_preprocess, preprocess, rgb_to_gray)
+
+    strip = render_strip("COLOR")
+    ink = strip > 127
+    # colorize: saturated purple ink (cv2 hue ~135) on a gray background
+    # of EQUAL luma — the isoluminant case the gray path cannot separate
+    rgb = np.zeros(strip.shape + (3,), dtype=np.uint8)
+    purple = np.array([160, 32, 240], dtype=np.uint8)   # BT.601 luma ~94
+    luma = int(round(0.299 * 160 + 0.587 * 32 + 0.114 * 240))
+    rgb[...] = luma                                      # flat gray bg
+    rgb[ink] = purple
+    # gray path sees a (nearly) flat image -> no glyphs recovered
+    g = rgb_to_gray(rgb)
+    assert int(g.max()) - int(g.min()) <= 1
+    # color path: auto-detect routes to 'color' (mean saturation > 50
+    # comes from the sizeable ink area), mask recovers the strokes
+    out = color_aware_preprocess(rgb, mode="color")
+    assert out.dtype == np.uint8 and set(np.unique(out)) <= {0, 255}
+    got = (out > 127)
+    # mask matches the ink layout (morph close+open may touch edges)
+    agree = (got == ink).mean()
+    assert agree > 0.98
+    assert _classify_binary(np.where(got, 255, 0).astype(
+        np.uint8)) == "COLOR"
+
+
+def test_color_aware_auto_mode_detection():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.image import (
+        color_aware_preprocess, rgb_to_hsv_cv)
+
+    # saturated image -> color branch returns a {0,255} mask
+    sat = np.zeros((12, 12, 3), dtype=np.uint8)
+    sat[..., 0] = 200                      # strong red everywhere
+    assert rgb_to_hsv_cv(sat)[..., 1].mean() > 50
+    out = color_aware_preprocess(sat, mode="auto")
+    assert set(np.unique(out)) <= {0, 255}
+    # low-saturation 3-channel -> multigrade branch returns gray levels
+    dull = np.tile(np.linspace(40, 220, 12).astype(np.uint8)
+                   .reshape(1, 12, 1), (12, 1, 3))
+    out2 = color_aware_preprocess(dull, mode="auto")
+    assert out2.shape == (12, 12) and len(np.unique(out2)) > 2
+    # 2-D input -> binary branch (adaptive + close)
+    import numpy as np2
+    gray = np2.full((16, 16), 255, dtype=np2.uint8)
+    gray[4:12, 4:12] = 0
+    out3 = color_aware_preprocess(gray, mode="auto")
+    assert set(np2.unique(out3)) <= {0, 255}
+
+
+def test_rgb_to_hsv_cv_matches_reference_points():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.image import rgb_to_hsv_cv
+
+    # known colors in cv2 HSV units (H in [0,180))
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [255, 255, 255], [0, 0, 0], [128, 128, 128]]],
+                  dtype=np.uint8)
+    hsv = rgb_to_hsv_cv(px)[0]
+    assert tuple(hsv[0]) == (0, 255, 255)        # red
+    assert tuple(hsv[1]) == (60, 255, 255)       # green
+    assert tuple(hsv[2]) == (120, 255, 255)      # blue
+    assert tuple(hsv[3]) == (0, 0, 255)          # white
+    assert tuple(hsv[4]) == (0, 0, 0)            # black
+    assert tuple(hsv[5]) == (0, 0, 128)          # gray
+
+
+def test_preprocess_color_mode_route():
+    import numpy as np
+    from granulate_char_ocr_ray.functions.glyphs import render_strip
+    from granulate_char_ocr_ray.functions.image import preprocess
+
+    strip = render_strip("MODE")
+    ink = strip > 127
+    rgb = np.zeros(strip.shape + (3,), dtype=np.uint8)
+    purple = np.array([160, 32, 240], dtype=np.uint8)
+    rgb[...] = 94
+    rgb[ink] = purple
+    out = preprocess(rgb, color_mode="color")
+    assert _classify_binary(out) == "MODE"
