@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q4_order_priority": relational.q4_order_priority,
+        "orders_no_returns": relational.orders_no_returns,
+        "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
         "bpe_token_counts": training.bpe_token_counts,
         "llm_prep_pipeline": training.llm_prep_pipeline,
@@ -996,6 +998,28 @@ def oracle_sql() -> dict[str, str]:
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "orders_no_returns": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey
+                                AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders)
+            WHERE rnk <= 3
+            ORDER BY o_orderpriority, rnk
         """,
         "bpe_token_counts": _bpe_oracle(),
         "llm_prep_pipeline": """

@@ -1505,26 +1505,20 @@ def q14_promo_revenue(sf_dir: str, year: str = "1997",
         "total_revenue": pa.array(round_half_up([total], 2))})
 
 
-def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
-                      date_hi: str = "1997-10-01", flag: str = "R",
-                      broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
-                      ) -> rd.Dataset:
-    """TPC-H Q4 shape (order priority checking): count orders per
-    o_orderpriority within one quarter where EXISTS a lineitem of the
-    order with ``l_returnflag = flag`` (stand-in predicate — the driver
-    corpus carries no commit/receipt dates). The EXISTS lowers to a
-    distributed semi-join: lineitem reduces to DISTINCT qualifying
-    orderkeys (two-phase hash aggregate, shuffle volume one row per
-    (batch, orderkey)); below the broadcast threshold the keyset ships
-    once as a sorted array probed per batch, above it the semi-join
-    runs through ``partitioned_join`` with an inner merge against the
-    deduplicated key side. Counts pre-aggregate per bucket so the
-    final groupby shuffles ~5 rows per partial. Output:
-    (o_orderpriority, order_count) sorted by priority.
-
-    Reference analogue: the per-category presence counts of
-    ``evaluate_new_testdata.py:137-163`` generalized to an EXISTS
-    semi-join over a fact-fact pair."""
+def _order_priority_check(sf_dir: str, date_lo: str, date_hi: str,
+                          flag: str, broadcast_threshold: int,
+                          anti: bool) -> rd.Dataset:
+    """Shared EXISTS / NOT EXISTS lowering for the Q4-shape queries:
+    count orders per o_orderpriority within a date window that DO
+    (``anti=False``, semi-join) or do NOT (``anti=True``, anti-join)
+    have a lineitem with ``l_returnflag = flag``. lineitem reduces to
+    DISTINCT qualifying orderkeys (two-phase hash aggregate, shuffle
+    volume one row per (batch, orderkey)); below the broadcast
+    threshold the keyset ships once as a sorted array probed per
+    batch, above it the check runs through ``partitioned_join`` (inner
+    merge for the semi case, left merge + indicator for the anti
+    case). Counts pre-aggregate per bucket so the final groupby
+    shuffles ~5 rows per partial."""
     from ..stages.hashagg import hash_groupby_agg
     from ..stages.join import partitioned_join
 
@@ -1555,7 +1549,8 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
             pos = np.searchsorted(ks, ok)
             pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
             hit = (ks[pos] == ok) if len(ks) else np.zeros(len(ok), bool)
-            return (df[hit].groupby("o_orderpriority", as_index=False)
+            sel = ~hit if anti else hit
+            return (df[sel].groupby("o_orderpriority", as_index=False)
                     .agg(order_count=("o_orderkey", "size")))
 
         part = orders.map_batches(probe, batch_format="pandas")
@@ -1576,15 +1571,23 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
             items.map_batches(distinct_keys, batch_format="pyarrow"),
             ["l_orderkey"], {"present": ("present", "max")}, num_parts=32)
 
-        def semi(o_df: pd.DataFrame, k_df: pd.DataFrame) -> pd.DataFrame:
+        def check(o_df: pd.DataFrame, k_df: pd.DataFrame) -> pd.DataFrame:
             o_df = o_df[_date_mask(o_df)]
-            m = o_df.merge(k_df[["l_orderkey"]], left_on="o_orderkey",
-                           right_on="l_orderkey", how="inner")
+            if anti:
+                m = o_df.merge(k_df[["l_orderkey"]],
+                               left_on="o_orderkey",
+                               right_on="l_orderkey", how="left",
+                               indicator=True)
+                m = m[m["_merge"] == "left_only"]
+            else:
+                m = o_df.merge(k_df[["l_orderkey"]],
+                               left_on="o_orderkey",
+                               right_on="l_orderkey", how="inner")
             return (m.groupby("o_orderpriority", as_index=False)
                     .agg(order_count=("o_orderkey", "size")))
 
         part = partitioned_join(
-            orders, keyset, "o_orderkey", "l_orderkey", semi,
+            orders, keyset, "o_orderkey", "l_orderkey", check,
             num_buckets=16,
             left_schema=pa.schema([("o_orderkey", pa.int64()),
                                    ("o_orderpriority", pa.string()),
@@ -1601,3 +1604,71 @@ def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
 
     return agg.map_batches(final, batch_format="pandas").sort(
         "o_orderpriority")
+
+
+def q4_order_priority(sf_dir: str, date_lo: str = "1997-07-01",
+                      date_hi: str = "1997-10-01", flag: str = "R",
+                      broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                      ) -> rd.Dataset:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    o_orderpriority within one quarter where EXISTS a lineitem of the
+    order with ``l_returnflag = flag`` (stand-in predicate — the
+    driver corpus carries no commit/receipt dates). Output:
+    (o_orderpriority, order_count) sorted by priority.
+
+    Reference analogue: the per-category presence counts of
+    ``evaluate_new_testdata.py:137-163`` generalized to an EXISTS
+    semi-join over a fact-fact pair; lowering in
+    ``_order_priority_check``."""
+    return _order_priority_check(sf_dir, date_lo, date_hi, flag,
+                                 broadcast_threshold, anti=False)
+
+
+def orders_no_returns(sf_dir: str, date_lo: str = "1997-07-01",
+                      date_hi: str = "1997-10-01", flag: str = "R",
+                      broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                      ) -> rd.Dataset:
+    """NOT EXISTS anti-join over a fact-fact pair: count orders per
+    o_orderpriority within the window having NO lineitem with
+    ``l_returnflag = flag`` — the complement of ``q4_order_priority``
+    through the same distinct-keyset reduction and size-dispatched
+    plan (sorted-array probe below the threshold, partitioned left
+    merge + indicator above). Output: (o_orderpriority, order_count)
+    sorted by priority."""
+    return _order_priority_check(sf_dir, date_lo, date_hi, flag,
+                                 broadcast_threshold, anti=True)
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Explicit ranking window: the k highest-totalprice orders per
+    o_orderpriority WITH their rank column — SQL ``ROW_NUMBER() OVER
+    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC,
+    o_orderkey)`` filtered to rnk <= k (deterministic tie-break on
+    orderkey so row_number == rank).
+
+    Plan: per-batch partial top-k per priority (each input block
+    contributes at most k x |priorities| rows — the partial top-k
+    pattern of O3), then a tiny ``groupby(priority).map_groups`` final
+    sort assigns ranks; the shuffle carries k x blocks x 5 rows, never
+    the orders table. Output: (o_orderpriority, o_orderkey,
+    o_totalprice, rnk) sorted by (priority, rnk)."""
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True])
+                .groupby("o_orderpriority", as_index=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_orderpriority", "o_orderkey", "o_totalprice",
+                  "rnk"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .map_groups(final, batch_format="pandas")
+            .sort(["o_orderpriority", "rnk"]))

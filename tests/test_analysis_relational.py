@@ -757,3 +757,59 @@ def test_events_cube(con):
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY CUBE(event_type, day)
     """, con)
+
+
+def test_orders_no_returns(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        orders_no_returns, q4_order_priority)
+
+    got = orders_no_returns(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # semi + anti partition the window: counts add up per priority
+    semi = q4_order_priority(SF).to_pandas().set_index("o_orderpriority")
+    anti = got.set_index("o_orderpriority")
+    tot = con.sql("""
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+        GROUP BY 1
+    """).df().set_index("o_orderpriority")
+    joined = semi["order_count"].add(anti["order_count"], fill_value=0)
+    joined = joined.reindex(tot.index, fill_value=0)
+    assert (joined == tot["n"]).all()
+
+
+def test_orders_no_returns_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import orders_no_returns
+
+    bc = orders_no_returns(SF).to_pandas().reset_index(drop=True)
+    pj = orders_no_returns(SF, broadcast_threshold=0).to_pandas(
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_top_orders_per_priority(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        top_orders_per_priority)
+
+    got = top_orders_per_priority(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
