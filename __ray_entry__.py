@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": similarity.kmeans_assign,
         # --- grouped distinct count (exact counterpart of the HLL path) ---
         "distinct_users_per_event_type": relational.distinct_users_per_event_type,
+        "approx_distinct_users_per_event_type": (
+            relational.approx_distinct_users_per_event_type),
         # --- window frames / pivot / outer join / Q5 / percentile_cont ---
         "user_event_windows": events.user_event_windows,
         "events_pivot": events.events_pivot,

@@ -687,6 +687,52 @@ def distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow").sort("event_type")
 
 
+def approx_distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """GROUPED approximate distinct count via per-group mergeable
+    HyperLogLog sketches: approx distinct users per event type — the
+    sketch counterpart of ``distinct_users_per_event_type``.
+
+    Scale shape: each input block folds its user_ids into ONE 4 KiB
+    register blob per event_type present, so the shuffle carries
+    |types| x blocks sketch rows (KBs) instead of the distinct pair
+    set (the exact plan's cost); ``map_groups`` max-merges the
+    registers per type and reads the estimator (~1.6% standard error
+    at p=12). At 100 TB this is the only grouped-cardinality plan
+    whose exchange volume is independent of user cardinality. user_id
+    hashing is the splitmix64 finalizer (full avalanche — sequential
+    ids would otherwise bias the rank bits). No SQL oracle (approx by
+    construction); pytest bounds the error vs the exact query at 3%.
+    Output: (event_type, approx_users)."""
+    from ..functions.sketch import (hll_add_hashes, hll_create,
+                                    hll_estimate)
+    from ..functions.textstats import _splitmix64
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for et, g in df.groupby("event_type"):
+            regs = hll_create()
+            ids = g["user_id"].to_numpy().astype(np.uint64)
+            hll_add_hashes(regs, _splitmix64(ids))
+            types.append(et)
+            blobs.append(regs.tobytes())
+        return pd.DataFrame({"event_type": types, "sketch": blobs})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.frombuffer(b, dtype=np.uint8)
+                          for b in g["sketch"]])
+        est = hll_estimate(stack.max(axis=0))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "approx_users": [int(round(est))]})
+
+    return (ds.map_batches(sketch, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(merge, batch_format="pandas")
+            .sort("event_type"))
+
+
 def order_item_totals_native(sf_dir: str, num_partitions: int = 32
                              ) -> rd.Dataset:
     """`order_item_totals` on Ray Data's built-in hash join

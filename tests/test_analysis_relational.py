@@ -813,3 +813,17 @@ def test_top_orders_per_priority(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_approx_distinct_users_per_event_type(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        approx_distinct_users_per_event_type)
+
+    got = approx_distinct_users_per_event_type(SF).to_pandas()
+    want = con.sql("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    for est, exact in zip(got["approx_users"], want["n_users"]):
+        assert abs(est - exact) <= max(3, 0.03 * exact), (est, exact)
