@@ -6,6 +6,10 @@
 
 Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 CPUs:  $RAY_GRAFT_CPUS (default 32).
+Trials: $GRAFT_BENCH_TRIALS (default 2) — every timing is best-of-N:
+this host shows heavy steal-time variance (identical queries vary
+1.5-5x minutes apart), so the minimum wall is the estimator of machine
+capability; a single sample is dominated by scheduler noise.
 
 Headline: the flagship extraction pipeline (derive interleaved docs from
 the documents table, replicated REPLICATE times with distinct doc_ids ->
@@ -27,6 +31,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "16"))
+TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
 
 
 def derive_docs_replicated(sf_dir: str, replicate: int):
@@ -54,6 +59,17 @@ def derive_docs_replicated(sf_dir: str, replicate: int):
     return ds.map_batches(_derive, batch_format="pyarrow")
 
 
+def _best_of(fn, trials: int = TRIALS) -> float:
+    """Best-of-N wall time of fn() (see module docstring: min wall is
+    the capability estimator under heavy steal-time variance)."""
+    best = float("inf")
+    for _ in range(max(1, trials)):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -75,130 +91,98 @@ def run_benchmarks() -> dict:
 
     # --- headline: flagship extraction to parquet sink ---
     out_dir = f"/tmp/bench_out/extract_cpus{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    docs = derive_docs_replicated(SF_DIR, REPLICATE)
-    n_docs = None
-    t0 = time.time()
-    spans = extract_spans(docs, concurrency=max(2, NUM_CPUS - 4))
-    spans.write_parquet(out_dir)
-    headline = time.time() - t0
-    queries["extract_spans"] = round(headline, 3)
 
+    def _headline():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = derive_docs_replicated(SF_DIR, REPLICATE)
+        spans = extract_spans(docs, concurrency=max(2, NUM_CPUS - 4))
+        spans.write_parquet(out_dir)
+
+    headline_trials = max(1, TRIALS) if not os.environ.get(
+        "GRAFT_BENCH_HEADLINE_ONLY") else 1
+    headline = _best_of(_headline, headline_trials)
+    queries["extract_spans"] = headline
+
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     out_tbl = pads.dataset(out_dir).to_table(columns=["doc_id"])
     n_spans = out_tbl.num_rows
-    import pyarrow.compute as pc
-
     n_docs = len(pc.unique(out_tbl.column("doc_id")))
 
-    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
-        return {
-            "metric": "flagship extraction wall time (sf docs x%d replicas)" % REPLICATE,
-            "value": round(headline, 3),
-            "unit": "sec",
-            "queries": queries,
-            "sf": SF_DIR,
-            "num_cpus": NUM_CPUS,
-            "docs": n_docs,
-            "spans": n_spans,
-            "docs_per_s": round(n_docs / headline, 1),
-            "spans_per_s": round(n_spans / headline, 1),
-        }
-
-    # --- fanout (salted) topology on the same corpus: the skew path.
-    # VERDICT r01 #6 done-criterion: within 2x of fused after the
-    # coarse-bucketed reassembly ---
-    out_dir_f = f"/tmp/bench_out/extract_fanout_cpus{NUM_CPUS}"
-    shutil.rmtree(out_dir_f, ignore_errors=True)
-    docs = derive_docs_replicated(SF_DIR, REPLICATE)
-    t0 = time.time()
-    spans_f = extract_spans(docs, mode="fanout",
-                            concurrency=max(2, NUM_CPUS - 4))
-    spans_f.write_parquet(out_dir_f)
-    queries["extract_spans_fanout"] = round(time.time() - t0, 3)
-
-    # --- secondary pipelines ---
-    t0 = time.time()
-    relational.q1_pricing_summary(SF_DIR).to_pandas()
-    queries["q1_pricing_summary"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.top_event_types(SF_DIR).to_pandas()
-    queries["top_event_types"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.revenue_by_nation(SF_DIR).to_pandas()
-    queries["revenue_by_nation"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    dedup.exact_dedup(SF_DIR).to_pandas()
-    queries["exact_dedup"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    dedup.minhash_lsh_dups(SF_DIR, threshold=0.8).to_pandas()
-    queries["minhash_lsh_dups"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    similarity.cosine_topk(SF_DIR, k=10).to_pandas()
-    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    dedup.simhash_near_dups(SF_DIR).to_pandas()
-    queries["simhash_near_dups"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    similarity.embedding_cosine_dups(SF_DIR).to_pandas()
-    queries["embedding_cosine_dups"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.q3_shipping_priority(SF_DIR).to_pandas()
-    queries["q3_shipping_priority"] = round(time.time() - t0, 3)
-
-    from granulate_char_ocr_ray.pipelines import analysis, media
-
-    t0 = time.time()
-    analysis.doc_quality(SF_DIR).to_pandas()
-    queries["doc_quality"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    media.docs_without_media(SF_DIR).to_pandas()
-    queries["docs_without_media"] = round(time.time() - t0, 3)
-
-    from granulate_char_ocr_ray.pipelines import training
-
-    t0 = time.time()
-    training.chunk_docs(SF_DIR).count()
-    queries["chunk_docs"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    training.pii_redact(SF_DIR).count()
-    queries["pii_redact"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    training.pack_sequences(SF_DIR).count()
-    queries["pack_sequences"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.q5_local_supplier_volume(SF_DIR).to_pandas()
-    queries["q5_local_supplier_volume"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.large_orders(SF_DIR).to_pandas()
-    queries["large_orders"] = round(time.time() - t0, 3)
-
-    return {
+    result = {
         "metric": "flagship extraction wall time (sf docs x%d replicas)" % REPLICATE,
-        "value": round(headline, 3),
+        "value": headline,
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "trials": headline_trials,
         "docs": n_docs,
         "spans": n_spans,
         "docs_per_s": round(n_docs / headline, 1),
         "spans_per_s": round(n_spans / headline, 1),
     }
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        return result
+
+    # --- fanout (salted) topology on the same corpus: the skew path.
+    # VERDICT r01 #6 done-criterion: within 2x of fused after the
+    # coarse-bucketed reassembly ---
+    out_dir_f = f"/tmp/bench_out/extract_fanout_cpus{NUM_CPUS}"
+
+    def _fanout():
+        shutil.rmtree(out_dir_f, ignore_errors=True)
+        docs = derive_docs_replicated(SF_DIR, REPLICATE)
+        spans_f = extract_spans(docs, mode="fanout",
+                                concurrency=max(2, NUM_CPUS - 4))
+        spans_f.write_parquet(out_dir_f)
+
+    queries["extract_spans_fanout"] = _best_of(_fanout)
+
+    # --- secondary pipelines (each best-of-N) ---
+    from granulate_char_ocr_ray.pipelines import analysis, media, training
+
+    secondary = [
+        ("q1_pricing_summary",
+         lambda: relational.q1_pricing_summary(SF_DIR).to_pandas()),
+        ("top_event_types",
+         lambda: relational.top_event_types(SF_DIR).to_pandas()),
+        ("revenue_by_nation",
+         lambda: relational.revenue_by_nation(SF_DIR).to_pandas()),
+        ("exact_dedup",
+         lambda: dedup.exact_dedup(SF_DIR).to_pandas()),
+        ("minhash_lsh_dups",
+         lambda: dedup.minhash_lsh_dups(SF_DIR, threshold=0.8).to_pandas()),
+        ("ann_cosine_topk",
+         lambda: similarity.cosine_topk(SF_DIR, k=10).to_pandas()),
+        ("simhash_near_dups",
+         lambda: dedup.simhash_near_dups(SF_DIR).to_pandas()),
+        ("embedding_cosine_dups",
+         lambda: similarity.embedding_cosine_dups(SF_DIR).to_pandas()),
+        ("q3_shipping_priority",
+         lambda: relational.q3_shipping_priority(SF_DIR).to_pandas()),
+        ("doc_quality",
+         lambda: analysis.doc_quality(SF_DIR).to_pandas()),
+        ("docs_without_media",
+         lambda: media.docs_without_media(SF_DIR).to_pandas()),
+        ("chunk_docs",
+         lambda: training.chunk_docs(SF_DIR).count()),
+        ("pii_redact",
+         lambda: training.pii_redact(SF_DIR).count()),
+        ("pack_sequences",
+         lambda: training.pack_sequences(SF_DIR).count()),
+        ("q5_local_supplier_volume",
+         lambda: relational.q5_local_supplier_volume(SF_DIR).to_pandas()),
+        ("large_orders",
+         lambda: relational.large_orders(SF_DIR).to_pandas()),
+        ("q4_order_priority",
+         lambda: relational.q4_order_priority(SF_DIR).to_pandas()),
+    ]
+    for name, fn in secondary:
+        queries[name] = _best_of(fn)
+
+    return result
 
 
 def run_scaling() -> dict:
