@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q4_order_priority": relational.q4_order_priority,
+        "q7_nation_volume": relational.q7_nation_volume,
         "orders_no_returns": relational.orders_no_returns,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
@@ -1000,6 +1001,24 @@ def oracle_sql() -> dict[str, str]:
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "orders_no_returns": """
             SELECT o_orderpriority, count(*) AS order_count

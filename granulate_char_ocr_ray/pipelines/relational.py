@@ -1685,6 +1685,164 @@ def orders_no_returns(sf_dir: str, date_lo: str = "1997-07-01",
                                  broadcast_threshold, anti=True)
 
 
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
+                     nation_b: str = "NATION_2",
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1998-01-01",
+                     broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                     ) -> rd.Dataset:
+    """TPC-H Q7 shape (volume shipping): yearly revenue flowing
+    between two nations — the 5-table join (lineitem x supplier x
+    orders x customer x nation x nation), the join-heaviest plan in
+    the engine.
+
+    Scale plan (ONE fact-fact shuffle total):
+    - supplier and nation are dimensions: a sorted (suppkey ->
+      supp_nation) pair broadcasts once; lineitem batches filter to
+      the two supplier nations IMMEDIATELY (selectivity ~2/|nations|),
+      attach supp_nation, and pre-aggregate volume per (l_orderkey,
+      supp_nation, l_year) — the surviving partial set is orders-of-
+      magnitude smaller than lineitem before anything shuffles.
+    - customer attaches cust_nation to orders: broadcast sorted
+      arrays below the threshold, else a ``partitioned_join``
+      (customer is fact-sized at TPC-H scale).
+    - the reduced lineitem partials meet orders through
+      ``partitioned_join`` on orderkey; per-bucket merges keep only
+      the two cust nations and emit (supp_nation, cust_nation,
+      l_year) partial sums, so the final groupby shuffles a handful
+      of rows. Output: (supp_nation, cust_nation, l_year, revenue)
+      sorted."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    wanted = {nation_a, nation_b}
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_map = dict(zip(nation["n_nationkey"].astype(int),
+                          nation["n_name"]))
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp["nat"] = supp["s_nationkey"].map(nation_map)
+    supp = supp[supp["nat"].isin(wanted)]
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((sk[order_s],
+                        supp["nat"].to_numpy(dtype=object)[order_s]))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sks, snat = ray.get(supp_ref)
+        df = df[(df["l_shipdate"] >= pd.Timestamp(str(lo)))
+                & (df["l_shipdate"] < pd.Timestamp(str(hi)))]
+        lk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(sks, lk)
+        pos[pos >= len(sks)] = len(sks) - 1 if len(sks) else 0
+        hit = (sks[pos] == lk) if len(sks) else np.zeros(len(lk), bool)
+        df = df[hit].copy()
+        df["supp_nation"] = snat[pos[hit]]
+        df["l_year"] = df["l_shipdate"].dt.year.astype(np.int64)
+        df["volume"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return (df.groupby(["l_orderkey", "supp_nation", "l_year"],
+                           as_index=False).agg(volume=("volume", "sum")))
+
+    per_order = hash_groupby_agg(
+        items.map_batches(l_partial, batch_format="pandas"),
+        ["l_orderkey", "supp_nation", "l_year"],
+        {"volume": ("volume", "sum")}, num_parts=16)
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+
+    if _parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust["nat"] = cust["c_nationkey"].map(nation_map)
+        cust = cust[cust["nat"].isin(wanted)]
+        ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+        order_c = np.argsort(ck)
+        cust_ref = ray.put((ck[order_c],
+                            cust["nat"].to_numpy(dtype=object)[order_c]))
+
+        def with_cust(df: pd.DataFrame) -> pd.DataFrame:
+            cks, cnat = ray.get(cust_ref)
+            ok = df["o_custkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(cks, ok)
+            pos[pos >= len(cks)] = len(cks) - 1 if len(cks) else 0
+            hit = (cks[pos] == ok) if len(cks) else np.zeros(
+                len(ok), bool)
+            df = df[hit].copy()
+            df["cust_nation"] = cnat[pos[hit]]
+            return df[["o_orderkey", "cust_nation"]]
+
+        orders_nat = orders.map_batches(with_cust, batch_format="pandas")
+    else:
+        cust_ds = read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+
+        def c_tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["cust_nation"] = df["c_nationkey"].map(nation_map)
+            df = df[df["cust_nation"].isin(wanted)]
+            return pa.Table.from_pandas(
+                df[["c_custkey", "cust_nation"]], preserve_index=False)
+
+        def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame
+                     ) -> pd.DataFrame:
+            m = o_df.merge(c_df, left_on="o_custkey",
+                           right_on="c_custkey", how="inner")
+            return m[["o_orderkey", "cust_nation"]]
+
+        orders_nat = partitioned_join(
+            orders, cust_ds.map_batches(c_tag, batch_format="pyarrow"),
+            "o_custkey", "c_custkey", oc_merge, num_buckets=16,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("cust_nation", pa.string())]))
+
+    def ol_merge(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(l_df, left_on="o_orderkey", right_on="l_orderkey",
+                       how="inner")
+        # both ends restricted to the two nations; cross pairs only
+        m = m[m["supp_nation"] != m["cust_nation"]]
+        return (m.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False).agg(volume=("volume", "sum")))
+
+    part = partitioned_join(
+        orders_nat, per_order, "o_orderkey", "l_orderkey", ol_merge,
+        num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("cust_nation", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("supp_nation", pa.string()),
+                                ("l_year", pa.int64()),
+                                ("volume", pa.float64())]))
+
+    agg = (part.repartition(4)
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("volume", alias_name="volume")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "supp_nation": df["supp_nation"],
+            "cust_nation": df["cust_nation"],
+            "l_year": df["l_year"].astype(np.int64),
+            "revenue": round_half_up(df["volume"].to_numpy(), 2)})
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        ["supp_nation", "cust_nation", "l_year"])
+
+
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Explicit ranking window: the k highest-totalprice orders per
     o_orderpriority WITH their rank column — SQL ``ROW_NUMBER() OVER

@@ -827,3 +827,43 @@ def test_approx_distinct_users_per_event_type(con):
     assert list(got["event_type"]) == list(want["event_type"])
     for est, exact in zip(got["approx_users"], want["n_users"]):
         assert abs(est - exact) <= max(3, 0.03 * exact), (est, exact)
+
+
+def test_q7_nation_volume(con):
+    from granulate_char_ocr_ray.pipelines.relational import q7_nation_volume
+
+    got = q7_nation_volume(SF, nation_a="NATION_12",
+                           nation_b="NATION_10").to_pandas(
+    ).reset_index(drop=True)
+    want = con.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+              OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q7_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q7_nation_volume
+
+    bc = q7_nation_volume(SF, nation_a="NATION_12",
+                          nation_b="NATION_10").to_pandas(
+    ).reset_index(drop=True)
+    pj = q7_nation_volume(SF, nation_a="NATION_12", nation_b="NATION_10",
+                          broadcast_threshold=0).to_pandas(
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
