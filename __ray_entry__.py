@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
+        "q8_market_share": relational.q8_market_share,
         "orders_no_returns": relational.orders_no_returns,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
@@ -1019,6 +1020,33 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate < TIMESTAMP '1998-01-01')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN nation = 'NATION_1'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share,
+                   round(sum(CASE WHEN nation = 'NATION_1'
+                                  THEN volume ELSE 0 END), 2)
+                       AS nation_volume,
+                   round(sum(volume), 2) AS total_volume
+            FROM (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND p_type = 'ECONOMY')
+            GROUP BY o_year ORDER BY o_year
         """,
         "orders_no_returns": """
             SELECT o_orderpriority, count(*) AS order_count

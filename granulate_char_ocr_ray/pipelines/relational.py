@@ -1843,6 +1843,195 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
         ["supp_nation", "cust_nation", "l_year"])
 
 
+def q8_market_share(sf_dir: str, nation: str = "NATION_1",
+                    region: str = "AMERICA", p_type_val: str = "ECONOMY",
+                    date_lo: str = "1995-01-01",
+                    date_hi: str = "1997-01-01",
+                    broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                    ) -> rd.Dataset:
+    """TPC-H Q8 shape (national market share): the fraction of revenue
+    for one part type, sold to customers of one region, that was
+    supplied by one nation, per order year. Eight logical tables; the
+    widest query in the engine.
+
+    Scale plan (ONE fact-fact shuffle total, same budget as Q7):
+    - part is filtered to the type and broadcast as a sorted partkey
+      array; lineitem batches keep only matching parts (selectivity
+      ~1/|types|) BEFORE anything else happens.
+    - supplier x nation broadcasts (suppkey -> supp_nation) once —
+      every supplier nation is needed because the denominator is
+      all-nation volume.
+    - the surviving lineitem rows partial-aggregate volume per
+      (l_orderkey, supp_nation); only those partials shuffle.
+    - orders are date-pruned AT THE READ, and the region filter on
+      customers either broadcasts (sorted custkey array of the
+      region's customers, below threshold) or becomes a
+      ``partitioned_join`` — customer is fact-sized at TPC-H scale.
+    - the reduced lineitem partials meet (o_orderkey, o_year) through
+      ``partitioned_join`` on orderkey; per-bucket merges emit
+      (o_year, supp_nation) partial sums, so the final groupby moves
+      ~|years| x |nations| rows. The market-share division runs on
+      that tiny table. Output: (o_year, mkt_share, nation_volume,
+      total_volume) sorted by year."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nat_t = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nation_map = dict(zip(nat_t["n_nationkey"].astype(int),
+                          nat_t["n_name"]))
+    reg_t = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(reg_t.loc[reg_t["r_name"] == region,
+                                "r_regionkey"].astype(int))
+    region_nationkeys = set(
+        nat_t.loc[nat_t["n_regionkey"].astype(int).isin(region_keys),
+                  "n_nationkey"].astype(int))
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_type"],
+        filter=pads.field("p_type") == p_type_val)
+    part_keys = np.sort(part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    part_ref = ray.put(part_keys)
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp["nat"] = supp["s_nationkey"].map(nation_map)
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((sk[order_s],
+                        supp["nat"].to_numpy(dtype=object)[order_s]))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks = ray.get(part_ref)
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pks, lp)
+        pos[pos >= len(pks)] = len(pks) - 1 if len(pks) else 0
+        hit = (pks[pos] == lp) if len(pks) else np.zeros(len(lp), bool)
+        df = df[hit].copy()
+        sks, snat = ray.get(supp_ref)
+        ls = df["l_suppkey"].to_numpy(dtype=np.int64)
+        spos = np.searchsorted(sks, ls)
+        spos[spos >= len(sks)] = len(sks) - 1 if len(sks) else 0
+        df["supp_nation"] = snat[spos]
+        df["volume"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return (df.groupby(["l_orderkey", "supp_nation"],
+                           as_index=False).agg(volume=("volume", "sum")))
+
+    per_order = hash_groupby_agg(
+        items.map_batches(l_partial, batch_format="pandas"),
+        ["l_orderkey", "supp_nation"],
+        {"volume": ("volume", "sum")}, num_parts=16)
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+
+    if _parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust[cust["c_nationkey"].astype(int).isin(
+            region_nationkeys)]
+        cust_keys = np.sort(cust["c_custkey"].to_numpy(dtype=np.int64))
+        cust_ref = ray.put(cust_keys)
+
+        def o_keep(df: pd.DataFrame) -> pd.DataFrame:
+            cks = ray.get(cust_ref)
+            df = df[(df["o_orderdate"] >= pd.Timestamp(str(lo)))
+                    & (df["o_orderdate"] < pd.Timestamp(str(hi)))]
+            ok = df["o_custkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(cks, ok)
+            pos[pos >= len(cks)] = len(cks) - 1 if len(cks) else 0
+            hit = (cks[pos] == ok) if len(cks) else np.zeros(
+                len(ok), bool)
+            df = df[hit].copy()
+            df["o_year"] = df["o_orderdate"].dt.year.astype(np.int64)
+            return df[["o_orderkey", "o_year"]]
+
+        orders_kept = orders.map_batches(o_keep, batch_format="pandas")
+    else:
+        cust_ds = read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        keep_nk = region_nationkeys
+
+        def c_tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["c_nationkey"].astype(int).isin(keep_nk)]
+            return pa.Table.from_pandas(
+                df[["c_custkey"]], preserve_index=False)
+
+        def o_year(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["o_orderdate"] >= pd.Timestamp(str(lo)))
+                    & (df["o_orderdate"] < pd.Timestamp(str(hi)))].copy()
+            df["o_year"] = df["o_orderdate"].dt.year.astype(np.int64)
+            return df[["o_orderkey", "o_custkey", "o_year"]]
+
+        def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame
+                     ) -> pd.DataFrame:
+            m = o_df.merge(c_df, left_on="o_custkey",
+                           right_on="c_custkey", how="inner")
+            return m[["o_orderkey", "o_year"]]
+
+        orders_kept = partitioned_join(
+            orders.map_batches(o_year, batch_format="pandas"),
+            cust_ds.map_batches(c_tag, batch_format="pyarrow"),
+            "o_custkey", "c_custkey", oc_merge, num_buckets=16,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_year", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def ol_merge(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(l_df, left_on="o_orderkey", right_on="l_orderkey",
+                       how="inner")
+        return (m.groupby(["o_year", "supp_nation"],
+                          as_index=False).agg(volume=("volume", "sum")))
+
+    part = partitioned_join(
+        orders_kept, per_order, "o_orderkey", "l_orderkey", ol_merge,
+        num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_year", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("supp_nation", pa.string()),
+                                ("volume", pa.float64())]))
+
+    agg = (part.repartition(4)
+           .groupby(["o_year", "supp_nation"])
+           .aggregate(Sum("volume", alias_name="volume")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # tiny table: |years| x |nations| rows — safe to fold per block
+        # after a repartition(1) barrier below
+        g_tot = df.groupby("o_year", as_index=False).agg(
+            total=("volume", "sum"))
+        nat = df[df["supp_nation"] == nation].groupby(
+            "o_year", as_index=False).agg(nat_vol=("volume", "sum"))
+        m = g_tot.merge(nat, on="o_year", how="left")
+        m["nat_vol"] = m["nat_vol"].fillna(0.0)
+        return pd.DataFrame({
+            "o_year": m["o_year"].astype(np.int64),
+            "mkt_share": round_half_up(
+                (m["nat_vol"] / m["total"]).to_numpy(), 6),
+            "nation_volume": round_half_up(m["nat_vol"].to_numpy(), 2),
+            "total_volume": round_half_up(m["total"].to_numpy(), 2)})
+
+    return (agg.repartition(1)
+            .map_batches(final, batch_format="pandas")
+            .sort("o_year"))
+
+
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Explicit ranking window: the k highest-totalprice orders per
     o_orderpriority WITH their rank column — SQL ``ROW_NUMBER() OVER

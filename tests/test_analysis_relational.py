@@ -867,3 +867,53 @@ def test_q7_both_plans_identical():
                           broadcast_threshold=0).to_pandas(
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, pj)
+
+
+Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_19'
+                          THEN volume ELSE 0 END) / sum(volume), 6)
+               AS mkt_share,
+           round(sum(CASE WHEN nation = 'NATION_19'
+                          THEN volume ELSE 0 END), 2) AS nation_volume,
+           round(sum(volume), 2) AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND p_type = 'ECONOMY')
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+def test_q8_market_share(con):
+    from granulate_char_ocr_ray.pipelines.relational import q8_market_share
+
+    got = q8_market_share(SF, nation="NATION_19").to_pandas(
+    ).reset_index(drop=True)
+    want = con.sql(Q8_SQL).df()
+    assert len(want) > 0
+    assert (got["mkt_share"] > 0).any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q8_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q8_market_share
+
+    bc = q8_market_share(SF, nation="NATION_19").to_pandas(
+    ).reset_index(drop=True)
+    pj = q8_market_share(SF, nation="NATION_19",
+                         broadcast_threshold=0).to_pandas(
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj)
