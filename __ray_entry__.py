@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
         "q8_market_share": relational.q8_market_share,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q22_balance_opportunity": relational.q22_balance_opportunity,
         "orders_no_returns": relational.orders_no_returns,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
@@ -1047,6 +1052,65 @@ def oracle_sql() -> dict[str, str]:
                 AND o_orderdate < TIMESTAMP '1997-01-01'
                 AND p_type = 'ECONOMY')
             GROUP BY o_year ORDER BY o_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     sum(l_extendedprice * (1 - l_discount))
+                         AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   round(total_revenue, 2) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l1.l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_balance_opportunity": """
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+              AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0
+                  AND c_nationkey IN (1, 5, 9, 13, 17, 21))
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "orders_no_returns": """
             SELECT o_orderpriority, count(*) AS order_count

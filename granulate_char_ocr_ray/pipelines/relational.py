@@ -2032,6 +2032,338 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_1",
             .sort("o_year"))
 
 
+def q13_customer_distribution(sf_dir: str,
+                              exclude_priority: str = "1-URGENT"
+                              ) -> rd.Dataset:
+    """TPC-H Q13 shape (customer distribution): histogram of
+    per-customer order counts INCLUDING zero-order customers — the
+    left-outer-join-then-double-aggregate plan.
+
+    Scale plan: orders reduce to one row per custkey first (two-phase
+    hash agg — the narrow shuffle), then customer left-joins that
+    reduced side through ``partitioned_join``; each bucket folds its
+    joined rows straight into a count-histogram partial, so the final
+    groupby moves ~|distinct counts| x |buckets| rows. Output:
+    (c_count, custdist) ordered by custdist desc, c_count desc."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter_expr=pads.field("o_orderpriority") != exclude_priority)
+
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderpriority"] != exclude_priority][
+            ["o_custkey", "o_orderpriority"]]
+
+    per_cust = hash_groupby_agg(
+        orders.map_batches(o_filter, batch_format="pandas"),
+        ["o_custkey"], {"c_count": ("o_orderpriority", "count")},
+        num_parts=32)
+
+    cust = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def hist_merge(c_df: pd.DataFrame, o_df: pd.DataFrame) -> pd.DataFrame:
+        m = c_df.merge(o_df, left_on="c_custkey", right_on="o_custkey",
+                       how="left")
+        cc = m["c_count"].fillna(0).astype(np.int64)
+        return (cc.value_counts().rename_axis("c_count")
+                .reset_index(name="custdist"))
+
+    part = partitioned_join(
+        cust, per_cust, "c_custkey", "o_custkey", hist_merge,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_count", pa.int64())]))
+
+    agg = (part.repartition(4).groupby("c_count")
+           .aggregate(Sum("custdist", alias_name="custdist")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": df["c_count"].astype(np.int64),
+            "custdist": df["custdist"].astype(np.int64)})
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        ["custdist", "c_count"], descending=[True, True])
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = "1996-01-01"
+                     ) -> rd.Dataset:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose 3-month
+    revenue equals the global maximum — an aggregate feeding a scalar
+    max back into a filter over itself.
+
+    Scale plan: lineitem reduces to one row per suppkey (two-phase
+    hash agg); that REDUCED table is materialized once (it is
+    supplier-cardinality, the only safe thing to multi-consume), the
+    max is a driver scalar over it, and the ties-at-max filter plus
+    the supplier-name attach (dimension broadcast) run per batch.
+    Output: (s_suppkey, s_name, total_revenue) ordered by suppkey."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    lo = np.datetime64(date_lo, "us")
+    y, m = int(date_lo[:4]), int(date_lo[5:7])
+    ny, nm = (y + 1, m - 9) if m > 9 else (y, m + 3)
+    hi = np.datetime64(f"{ny}-{nm:02d}-01", "us")
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= pd.Timestamp(str(lo)))
+                & (df["l_shipdate"] < pd.Timestamp(str(hi)))].copy()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df.groupby("l_suppkey", as_index=False).agg(
+            total_revenue=("rev", "sum"))
+
+    rev = hash_groupby_agg(
+        items.map_batches(l_partial, batch_format="pandas"),
+        ["l_suppkey"], {"total_revenue": ("total_revenue", "sum")},
+        num_parts=16).materialize()
+    mx = rev.max("total_revenue")
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((sk[order_s],
+                        supp["s_name"].to_numpy(dtype=object)[order_s]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["total_revenue"] == mx].copy()
+        sks, snames = ray.get(supp_ref)
+        pos = np.searchsorted(sks, df["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "s_suppkey": df["l_suppkey"].astype(np.int64),
+            "s_name": snames[pos],
+            "total_revenue": round_half_up(
+                df["total_revenue"].to_numpy(), 2)})
+
+    return rev.map_batches(final, batch_format="pandas").sort("s_suppkey")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#1",
+                               qty_factor: float = 0.2) -> rd.Dataset:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems of one brand whose quantity is below 20% of that part's
+    own average — the correlated per-group-average subquery.
+
+    Scale plan: the brand filter broadcasts a sorted partkey array so
+    both passes over lineitem keep only ~1/|brands| of rows at the
+    read edge; pass 1 reduces to per-part (sum, count) via the
+    two-phase hash agg; pass 2 re-meets the filtered rows through a
+    ``partitioned_join`` on partkey whose per-bucket merge applies the
+    qty < factor x avg cut and folds straight to one partial-revenue
+    row — so only |buckets| rows reach the final fold (the SQL scans
+    lineitem twice the same way). Output: one row
+    (avg_yearly = sum(l_extendedprice)/7, per the TPC-H formula)."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == brand)
+    pks = np.sort(part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    part_ref = ray.put(pks)
+
+    def kept(sf: str) -> rd.Dataset:
+        items = read_table(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(part_ref)
+            lp = df["l_partkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(ks, lp)
+            pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+            hit = (ks[pos] == lp) if len(ks) else np.zeros(len(lp), bool)
+            return df[hit]
+
+        return items.map_batches(keep, batch_format="pandas")
+
+    per_part = hash_groupby_agg(
+        kept(sf_dir), ["l_partkey"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "n_items": ("l_quantity", "count")}, num_parts=16)
+
+    def cut_merge(l_df: pd.DataFrame, a_df: pd.DataFrame) -> pd.DataFrame:
+        a_df = a_df.rename(columns={"l_partkey": "p_key"})
+        m = l_df.merge(a_df, left_on="l_partkey", right_on="p_key",
+                       how="inner")
+        avg_q = m["sum_qty"] / m["n_items"]
+        kept_rev = m.loc[m["l_quantity"] < qty_factor * avg_q,
+                         "l_extendedprice"].sum()
+        return pd.DataFrame({"rev": [float(kept_rev)]})
+
+    part = partitioned_join(
+        kept(sf_dir), per_part, "l_partkey", "l_partkey", cut_merge,
+        num_buckets=16,
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("l_extendedprice", pa.float64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("sum_qty", pa.float64()),
+                                ("n_items", pa.int64())]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"avg_yearly": round_half_up(
+            np.array([df["rev"].sum() / 7.0]), 2)})
+
+    return part.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def q19_disjunctive_revenue(
+        sf_dir: str,
+        branches: tuple = (("Brand#1", 1, 15, 1.0, 11.0),
+                           ("Brand#2", 1, 25, 10.0, 20.0),
+                           ("Brand#3", 1, 35, 20.0, 30.0))
+        ) -> rd.Dataset:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    revenue from lineitems matching ANY of several (brand, size-range,
+    quantity-range) conjunctions — the OR-of-conjunctions join filter
+    that defeats naive predicate pushdown.
+
+    Scale plan: part compiles once into a broadcast sorted
+    (partkey, branch-bitmask) pair — bit i set iff the part satisfies
+    branch i's brand+size terms; every lineitem batch then evaluates
+    the whole disjunction vectorized (bitmask lookup AND quantity
+    range per branch) and folds to one partial-revenue row, so
+    nothing but |blocks| scalars ever shuffles. Output: one row
+    (revenue)."""
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_brand", "p_size"])
+    pk = part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    brand_arr = np.asarray(part_t.column("p_brand").to_pylist(),
+                           dtype=object)
+    size_arr = part_t.column("p_size").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    mask = np.zeros(len(pk), dtype=np.uint8)
+    for i, (b, s_lo, s_hi, _, _) in enumerate(branches):
+        mask |= ((brand_arr == b) & (size_arr >= s_lo)
+                 & (size_arr <= s_hi)).astype(np.uint8) << i
+    keep = mask != 0
+    order = np.argsort(pk[keep])
+    part_ref = ray.put((pk[keep][order], mask[keep][order]))
+    qty_ranges = [(q_lo, q_hi) for (_, _, _, q_lo, q_hi) in branches]
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks, ms = ray.get(part_ref)
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ks, lp)
+        pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+        hit = (ks[pos] == lp) if len(ks) else np.zeros(len(lp), bool)
+        bm = np.where(hit, ms[pos], 0)
+        qty = df["l_quantity"].to_numpy(dtype=np.float64)
+        sel = np.zeros(len(df), dtype=bool)
+        for i, (q_lo, q_hi) in enumerate(qty_ranges):
+            sel |= ((bm & (1 << i)) != 0) & (qty >= q_lo) & (qty <= q_hi)
+        rev = (df["l_extendedprice"].to_numpy()[sel]
+               * (1 - df["l_discount"].to_numpy()[sel])).sum()
+        return pd.DataFrame({"rev": [float(rev)]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": round_half_up(
+            np.array([df["rev"].sum()]), 2)})
+
+    return (items.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas"))
+
+
+def q22_balance_opportunity(sf_dir: str,
+                            nationkeys: tuple = (1, 5, 9, 13, 17, 21),
+                            exclude_priority: str = "1-URGENT"
+                            ) -> rd.Dataset:
+    """TPC-H Q22 shape (global sales opportunity): customers from a
+    set of country codes with above-average positive balance and NO
+    urgent order — scalar-average subquery + anti-join + group.
+
+    Scale plan: the average is a driver scalar folded from one-row
+    per-block partials (never the rows); the anti side reduces orders
+    to one row per urgent custkey via the two-phase hash agg BEFORE
+    the ``partitioned_join``, whose per-bucket merge does the
+    left-anti mask and folds straight to per-nation partials. Output:
+    (cntrycode, numcust, totacctbal) ordered by cntrycode."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    keyset = set(int(k) for k in nationkeys)
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["c_nationkey"].astype(int).isin(keyset))
+               & (df["c_acctbal"] > 0.0)]
+        return pd.DataFrame({"s": [float(d["c_acctbal"].sum())],
+                             "n": [int(len(d))]})
+
+    stats = cust.map_batches(
+        avg_partial, batch_format="pandas").to_pandas()
+    avg_bal = float(stats["s"].sum()) / max(int(stats["n"].sum()), 1)
+
+    def c_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["c_nationkey"].astype(int).isin(keyset))
+               & (df["c_acctbal"] > avg_bal)]
+        return d[["c_custkey", "c_nationkey", "c_acctbal"]]
+
+    cand = cust.map_batches(c_filter, batch_format="pandas")
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter_expr=pads.field("o_orderpriority") == exclude_priority)
+
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderpriority"] == exclude_priority][
+            ["o_custkey", "o_orderpriority"]]
+
+    urgent = hash_groupby_agg(
+        orders.map_batches(o_filter, batch_format="pandas"),
+        ["o_custkey"], {"n_urgent": ("o_orderpriority", "count")},
+        num_parts=16)
+
+    def anti_merge(c_df: pd.DataFrame, o_df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~c_df["c_custkey"].isin(o_df["o_custkey"])
+        d = c_df[keep]
+        return (d.groupby("c_nationkey", as_index=False)
+                .agg(numcust=("c_custkey", "size"),
+                     totacctbal=("c_acctbal", "sum")))
+
+    part = partitioned_join(
+        cand, urgent, "c_custkey", "o_custkey", anti_merge,
+        num_buckets=16,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int64()),
+                               ("c_acctbal", pa.float64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_urgent", pa.int64())]))
+
+    agg = (part.repartition(4).groupby("c_nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal", alias_name="totacctbal")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cntrycode": df["c_nationkey"].astype(np.int64),
+            "numcust": df["numcust"].astype(np.int64),
+            "totacctbal": round_half_up(df["totacctbal"].to_numpy(), 2)})
+
+    return agg.map_batches(final, batch_format="pandas").sort("cntrycode")
+
+
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Explicit ranking window: the k highest-totalprice orders per
     o_orderpriority WITH their rank column — SQL ``ROW_NUMBER() OVER

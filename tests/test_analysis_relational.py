@@ -917,3 +917,99 @@ def test_q8_both_plans_identical():
                          broadcast_threshold=0).to_pandas(
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, pj)
+
+
+def test_q13_customer_distribution(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q13_customer_distribution)
+
+    got = q13_customer_distribution(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q15_top_supplier(con):
+    from granulate_char_ocr_ray.pipelines.relational import q15_top_supplier
+
+    got = q15_top_supplier(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q17_small_quantity_revenue(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q17_small_quantity_revenue)
+
+    got = q17_small_quantity_revenue(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l1.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)
+    """).df()
+    assert got["avg_yearly"][0] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q19_disjunctive_revenue(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q19_disjunctive_revenue)
+
+    got = q19_disjunctive_revenue(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """).df()
+    assert got["revenue"][0] > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q22_balance_opportunity(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q22_balance_opportunity)
+
+    got = q22_balance_opportunity(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+          AND c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 9, 13, 17, 21))
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode ORDER BY cntrycode
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
