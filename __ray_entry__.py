@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q22_balance_opportunity": relational.q22_balance_opportunity,
+        "quantity_price_stats": relational.quantity_price_stats,
+        "daily_order_ship_counts": relational.daily_order_ship_counts,
+        "quantity_stats_by_flag": relational.quantity_stats_by_flag,
         "orders_no_returns": relational.orders_no_returns,
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
@@ -1096,6 +1099,36 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "daily_order_ship_counts": """
+            SELECT COALESCE(o.d, l.d) AS day,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_ships, 0) AS n_ships
+            FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                         count(*) AS n_orders
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d,
+                         count(*) AS n_ships
+                  FROM lineitem GROUP BY 1) l
+            ON o.d = l.d
+            ORDER BY day
+        """,
+        "quantity_price_stats": """
+            SELECT count(*) AS n_items,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 2)
+                       AS covar_qty_price,
+                   round(stddev_samp(l_quantity), 4) AS stddev_qty,
+                   round(stddev_samp(l_extendedprice), 4) AS stddev_price
+            FROM lineitem
+        """,
+        "quantity_stats_by_flag": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(stddev_samp(l_quantity), 4) AS stddev_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q22_balance_opportunity": """
             SELECT c_nationkey AS cntrycode, count(*) AS numcust,

@@ -2364,6 +2364,141 @@ def q22_balance_opportunity(sf_dir: str,
     return agg.map_batches(final, batch_format="pandas").sort("cntrycode")
 
 
+def quantity_price_stats(sf_dir: str) -> rd.Dataset:
+    """Distributed second-moment statistics: Pearson correlation,
+    sample covariance and sample standard deviations of
+    (l_quantity, l_extendedprice) — the mergeable-moments pattern
+    (generalizes the reference's global eval stats G2,
+    ``evaluate_new_testdata.py:82-118``, from means to covariance).
+
+    Scale plan: each block folds to ONE row of raw power sums
+    (n, sx, sy, sxx, syy, sxy) — the classic mergeable sufficient
+    statistic — so the exchange is |blocks| rows regardless of input
+    size; the closed-form corr/covar/stddev runs once on the driver-
+    side fold. No shuffle, no second pass. Output: one row
+    (n_items, corr_qty_price, covar_qty_price, stddev_qty,
+    stddev_price)."""
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = float(df["n"].sum())
+        sx, sy = df["sx"].sum(), df["sy"].sum()
+        sxx, syy, sxy = df["sxx"].sum(), df["syy"].sum(), df["sxy"].sum()
+        covar = (sxy - sx * sy / n) / (n - 1)
+        varx = (sxx - sx * sx / n) / (n - 1)
+        vary = (syy - sy * sy / n) / (n - 1)
+        corr = covar / np.sqrt(varx * vary)
+        return pd.DataFrame({
+            "n_items": [int(n)],
+            "corr_qty_price": round_half_up(np.array([corr]), 6),
+            "covar_qty_price": round_half_up(np.array([covar]), 2),
+            "stddev_qty": round_half_up(np.array([np.sqrt(varx)]), 4),
+            "stddev_price": round_half_up(np.array([np.sqrt(vary)]), 4)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas"))
+
+
+def quantity_stats_by_flag(sf_dir: str) -> rd.Dataset:
+    """GROUPED second-moment statistics: per-returnflag mean and
+    sample standard deviation of l_quantity via the same mergeable
+    power sums, pushed through the two-phase hash aggregate — the
+    grouped variant of ``quantity_price_stats``. Output:
+    (l_returnflag, n_items, avg_qty, stddev_qty) sorted by flag."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                             "q": q, "qq": q * q})
+
+    agg = hash_groupby_agg(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n_items": ("q", "count"), "sq": ("q", "sum"),
+         "sqq": ("qq", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_items"].to_numpy(dtype=np.float64)
+        sq = df["sq"].to_numpy()
+        sqq = df["sqq"].to_numpy()
+        var = (sqq - sq * sq / n) / (n - 1)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n_items": df["n_items"].astype(np.int64),
+            "avg_qty": round_half_up(sq / n, 4),
+            "stddev_qty": round_half_up(np.sqrt(var), 4)})
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        "l_returnflag")
+
+
+def daily_order_ship_counts(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join exposure: per-day order counts vs per-day
+    lineitem ship counts, keeping days present on EITHER side (the
+    date ranges genuinely differ at both ends, so outer rows exist on
+    both sides).
+
+    Scale plan: each fact table reduces to one row per day (two-phase
+    hash agg, day-cardinality output) BEFORE the join; the
+    ``partitioned_join`` bucket merge is a pandas outer merge whose
+    key is coalesced and missing counts filled with 0 — no broadcast,
+    no driver materialization. Output: (day, n_orders, n_ships)
+    ordered by day."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+
+    def o_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"d": df["o_orderdate"].dt.strftime("%Y-%m-%d")})
+
+    per_day_o = hash_groupby_agg(
+        orders.map_batches(o_day, batch_format="pandas"),
+        ["d"], {"n_orders": ("d", "count")}, num_parts=8)
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_shipdate"])
+
+    def l_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ld": df["l_shipdate"].dt.strftime("%Y-%m-%d")})
+
+    per_day_l = hash_groupby_agg(
+        items.map_batches(l_day, batch_format="pandas"),
+        ["ld"], {"n_ships": ("ld", "count")}, num_parts=8)
+
+    def outer_merge(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(l_df, left_on="d", right_on="ld", how="outer")
+        day = m["d"].where(m["d"].notna(), m["ld"])
+        return pd.DataFrame({
+            "day": day,
+            "n_orders": m["n_orders"].fillna(0).astype(np.int64),
+            "n_ships": m["n_ships"].fillna(0).astype(np.int64)})
+
+    out = partitioned_join(
+        per_day_o, per_day_l, "d", "ld", outer_merge, num_buckets=16,
+        left_schema=pa.schema([("d", pa.string()),
+                               ("n_orders", pa.int64())]),
+        right_schema=pa.schema([("ld", pa.string()),
+                                ("n_ships", pa.int64())]))
+    return out.sort("day")
+
+
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Explicit ranking window: the k highest-totalprice orders per
     o_orderpriority WITH their rank column — SQL ``ROW_NUMBER() OVER

@@ -1013,3 +1013,56 @@ def test_q22_balance_opportunity(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantity_price_stats(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        quantity_price_stats)
+
+    got = quantity_price_stats(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT count(*) AS n_items,
+               round(corr(l_quantity, l_extendedprice), 6)
+                   AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2)
+                   AS covar_qty_price,
+               round(stddev_samp(l_quantity), 4) AS stddev_qty,
+               round(stddev_samp(l_extendedprice), 4) AS stddev_price
+        FROM lineitem
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantity_stats_by_flag(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        quantity_stats_by_flag)
+
+    got = quantity_stats_by_flag(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT l_returnflag, count(*) AS n_items,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(stddev_samp(l_quantity), 4) AS stddev_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_daily_order_ship_counts(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        daily_order_ship_counts)
+
+    got = daily_order_ship_counts(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT COALESCE(o.d, l.d) AS day,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_ships, 0) AS n_ships
+        FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                     count(*) AS n_orders FROM orders GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d,
+                     count(*) AS n_ships FROM lineitem GROUP BY 1) l
+        ON o.d = l.d ORDER BY day
+    """).df()
+    # genuine outer rows must exist on BOTH sides at sf0.001
+    assert (want["n_orders"] == 0).any() and (want["n_ships"] == 0).any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
