@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- mode aggregate (G5) + deterministic sampling (O5) ---
         "modal_event_type_per_user": relational.modal_event_type_per_user,
         "sample_docs": relational.sample_docs,
+        "stratified_sample_docs": relational.stratified_sample_docs,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
@@ -756,6 +757,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
             ORDER BY doc_id
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+              ) AS rk FROM documents)
+            WHERE rk <= 5 ORDER BY lang, rk
         """,
         "dup_clusters": _DUP_CTE + """
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id

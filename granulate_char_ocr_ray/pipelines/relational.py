@@ -427,6 +427,43 @@ def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def stratified_sample_docs(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Stratified deterministic sample (O5 grouped variant): the k
+    docs with the smallest Knuth multiplicative hash PER LANGUAGE —
+    per-stratum sampling with a closed-form, SQL-reproducible rank
+    (reference analog: per-class balanced sampling for training
+    splits, train_cnn_model.py:334-340).
+
+    Scale plan: every block keeps only its k smallest (hash, doc_id)
+    rows per stratum — a partial top-k — so at most
+    k x |strata| x |blocks| rows leave the scan; the final per-stratum
+    rank runs on that tiny set. Output: (lang, doc_id, rk) with
+    rk = 1..k in hash order, ordered by (lang, rk)."""
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32)
+        out = pd.DataFrame({"lang": df["lang"], "doc_id": ids,
+                            "h": h.astype(np.int64)})
+        return (out.sort_values(["h", "doc_id"])
+                .groupby("lang", as_index=False).head(k))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"])
+        df = df.groupby("lang", as_index=False).head(k).copy()
+        df["rk"] = df.groupby("lang").cumcount() + 1
+        return df[["lang", "doc_id", "rk"]].astype(
+            {"doc_id": np.int64, "rk": np.int64})
+
+    return (ds.map_batches(hashed, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas")
+            .sort(["lang", "rk"]))
+
+
 def train_test_split(sf_dir: str, test_pct: int = 20
                      ) -> tuple[rd.Dataset, rd.Dataset]:
     """Deterministic (train, test) split by the sample_docs hash: the

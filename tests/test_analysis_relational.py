@@ -1066,3 +1066,20 @@ def test_daily_order_ship_counts(con):
     # genuine outer rows must exist on BOTH sides at sf0.001
     assert (want["n_orders"] == 0).any() and (want["n_ships"] == 0).any()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_docs(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        stratified_sample_docs)
+
+    got = stratified_sample_docs(SF, k=3).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 3 ORDER BY lang, rk
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
