@@ -370,8 +370,30 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
     return hash_groupby_agg(pairs, ["d1", "d2"], {"hamming": ("hamming", "min")})
 
 
+def _local_min_label(src: np.ndarray, dst: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label propagation with pointer jumping on a
+    driver-local edge list (edges must already be symmetric). Returns
+    (nodes sorted asc, component-min label per node). Converges in
+    O(log diameter) numpy passes — no Python per-edge loop."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    label = nodes.copy()
+    while True:
+        prop = label.copy()
+        np.minimum.at(prop, di, label[si])
+        # pointer jumping: follow each node's label to THAT node's label
+        li = np.searchsorted(nodes, prop)
+        prop = np.minimum(prop, prop[li])
+        if np.array_equal(prop, label):
+            return nodes, label
+        label = prop
+
+
 def dup_clusters(sf_dir: str, threshold: float = 0.8,
-                 max_iters: int = 50) -> rd.Dataset:
+                 max_iters: int = 50,
+                 local_threshold: int = 2_000_000) -> rd.Dataset:
     """Duplicate-cluster resolution: connected components of the
     near-duplicate pair graph, labeled by the component's smallest
     doc_id — the canonical final step of a dedup pipeline (every doc in
@@ -387,6 +409,14 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
     docs that HAVE a duplicate — a small fraction of the corpus — and
     is pinned per round (at 100 TB: staged to parquet per round, the
     standard iterative-graph checkpoint).
+
+    Size dispatch (same rule as broadcast-vs-partitioned joins): the
+    edge list is bounded by docs-that-have-a-duplicate, orders of
+    magnitude smaller than the corpus; below ``local_threshold`` edges
+    it is pulled once to the driver and solved with vectorized
+    min-label pointer jumping (O(E log d) numpy, no per-round
+    shuffles) — above it the distributed per-round join/aggregate loop
+    runs. Both plans emit identical labels (tested).
 
     Output: (doc_id, cluster_id) for every doc in the pair graph.
     """
@@ -406,6 +436,16 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
 
     edges = pairs.map_batches(
         to_edges, batch_format="pyarrow").materialize()
+
+    if edges.count() <= local_threshold:
+        e_df = edges.to_pandas()
+        nodes, label = _local_min_label(
+            e_df["src"].to_numpy(dtype=np.int64),
+            e_df["dst"].to_numpy(dtype=np.int64))
+        return rd.from_arrow(pa.Table.from_pydict(
+            {"doc_id": nodes, "cluster_id": label},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("cluster_id", pa.int64())])))
 
     labels = hash_groupby_agg(
         edges, ["src"], {"label": ("src", "min")}, num_parts=16

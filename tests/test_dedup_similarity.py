@@ -326,3 +326,15 @@ def test_dedup_survivors_composition():
     assert surv == all_ids - dropped
     assert set(cl["cluster_id"]) <= surv
     assert len(dropped) > 0
+
+
+def test_dup_clusters_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.dedup import dup_clusters
+
+    import pandas as pd
+
+    local = dup_clusters(SF, threshold=0.8).to_pandas(
+    ).reset_index(drop=True)
+    dist = dup_clusters(SF, threshold=0.8, local_threshold=0).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
