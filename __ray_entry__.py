@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": relational.stratified_sample_docs,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
+        "contamination_check": dedup.contamination_check,
         "dedup_survivors": dedup.dedup_survivors,
         # --- mergeable sketches (shuffle-free scale paths) ---
         "approx_quantity_deciles": relational.approx_quantity_deciles,
@@ -765,6 +766,28 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
               ) AS rk FROM documents)
             WHERE rk <= 5 ORDER BY lang, rk
+        """,
+        "contamination_check": """
+            WITH bench AS (
+              SELECT doc_id, text FROM documents
+              WHERE (doc_id * 2654435761) % 4294967296 % 100 < 2),
+            bgrams AS (
+              SELECT DISTINCT substr(text, CAST(i AS INT), 24) AS g
+              FROM bench,
+                   UNNEST(range(1, greatest(length(text) - 22, 1))) AS t(i)
+              WHERE length(text) >= 24),
+            cand AS (
+              SELECT doc_id, text FROM documents
+              WHERE (doc_id * 2654435761) % 4294967296 % 100 >= 2),
+            cgrams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS g
+              FROM cand,
+                   UNNEST(range(1, greatest(length(text) - 22, 1))) AS t(i)
+              WHERE length(text) >= 24)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM cgrams JOIN bgrams USING (g)
+            GROUP BY doc_id HAVING count(*) >= 2
+            ORDER BY doc_id
         """,
         "dup_clusters": _DUP_CTE + """
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id

@@ -164,6 +164,46 @@ def hash64_batch(arr) -> np.ndarray:
     return hash64_flat(data, offsets)
 
 
+_FP_BASE_INV = np.uint64(pow(int(_FP_BASE), -1, 1 << 64))
+
+
+def window_hashes_flat(data: np.ndarray, offsets: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Every k-byte sliding-window hash within each segment of a flat
+    byte array, fully vectorized (the batch shingle kernel).
+
+    Returns (segment index int64, uint64 hash) per window; windows
+    never cross segment boundaries. Each hash equals
+    :func:`hash64` of the window's bytes (tested) — algebra: the base
+    is odd, hence invertible mod 2^64, so with prefix sums
+    P_m = sum_{j<m} b_j * BASE^(-j) every window sum
+    sum b_j * BASE^(i+k-1-j) factors as (P_{i+k} - P_i) * BASE^(i+k-1)
+    in exact wrap-around uint64 arithmetic — one cumsum, no per-window
+    loop. Byte windows equal character windows for ASCII corpora (the
+    oracle's substr operates on characters)."""
+    n = len(offsets) - 1
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    m = hi - lo
+    if n == 0 or m < k:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    b = data[lo:hi].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        invp = np.full(m, _FP_BASE_INV, dtype=np.uint64)
+        invp[0] = np.uint64(1)
+        invp = np.cumprod(invp)                  # BASE^(-j) mod 2^64
+        pref = np.concatenate([np.zeros(1, dtype=np.uint64),
+                               np.cumsum(b * invp, dtype=np.uint64)])
+        sums = pref[k:] - pref[:-k]              # window starts 0..m-k
+        basep = np.full(m, _FP_BASE, dtype=np.uint64)
+        basep[0] = np.uint64(1)
+        basep = np.cumprod(basep)                # BASE^i mod 2^64
+        h = _splitmix64((sums * basep[k - 1:m]) ^ np.uint64(k))
+    starts = np.arange(m - k + 1, dtype=np.int64) + lo
+    seg = np.searchsorted(offsets, starts, side="right").astype(np.int64) - 1
+    valid = starts + k <= offsets[seg + 1]
+    return seg[valid], h[valid]
+
+
 def fingerprint64(text: str) -> int:
     """Deterministic 64-bit rolling-polynomial fingerprint of the
     whitespace-normalized text (stable across processes; unlike

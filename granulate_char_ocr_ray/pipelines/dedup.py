@@ -370,6 +370,78 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
     return hash_groupby_agg(pairs, ["d1", "d2"], {"hamming": ("hamming", "min")})
 
 
+def contamination_check(sf_dir: str, bench_pct: int = 2, k: int = 24,
+                        min_hits: int = 2) -> rd.Dataset:
+    """Benchmark decontamination: flag every corpus doc sharing at
+    least ``min_hits`` distinct k-character grams with a held-out
+    benchmark set — the standard eval-set leakage scan an LLM data
+    pipeline runs before training (The Pile / Llama-style n-gram
+    decontamination). The benchmark here is the deterministic
+    ``bench_pct``% doc_id-hash sample so the whole check is
+    closed-form reproducible in SQL.
+
+    Scale plan: the benchmark gram set is small BY CONSTRUCTION
+    (benchmarks are thousands of docs, not the corpus), so its
+    distinct gram hashes reduce per block, dedupe once, and broadcast
+    via ``ray.put`` — the classic Bloom/set side of a decontamination
+    pass; every candidate block then shingles VECTORIZED (one rolling
+    cumsum per block, ``textstats.window_hashes_flat``, no per-doc
+    Python) and counts sorted-array membership hits. No shuffle at
+    all. Output: (doc_id, n_hits) for contaminated docs, by doc_id."""
+    from ..functions.textstats import string_bytes, window_hashes_flat
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def _knuth(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32) % np.uint64(100)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(_knuth(ids) < bench_pct))
+        data, offsets = string_bytes(sub.column("text"))
+        _, h = window_hashes_flat(data, offsets, k)
+        return pa.Table.from_pydict(
+            {"g": np.unique(h).view(np.int64)},
+            schema=pa.schema([("g", pa.int64())]))
+
+    # re-sort AFTER the int64->uint64 view: int64 sort order differs
+    # (negative-viewed values must move to the top half)
+    bset = np.unique(docs.map_batches(
+        bench_grams, batch_format="pyarrow").to_pandas()["g"].to_numpy(
+            dtype=np.int64).view(np.uint64))
+    bref = ray.put(bset)
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = _knuth(ids) >= bench_pct
+        sub = batch.filter(pa.array(mask))
+        sids = ids[mask]
+        data, offsets = string_bytes(sub.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        # distinct (doc, gram): count each shared gram once per doc
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        bs = ray.get(bref)
+        pos = np.searchsorted(bs, h)
+        pos[pos >= len(bs)] = len(bs) - 1 if len(bs) else 0
+        hit = (bs[pos] == h) if len(bs) else np.zeros(len(h), bool)
+        hits = np.bincount(seg[hit], minlength=len(sub)).astype(np.int64)
+        keep = hits >= min_hits
+        return pa.Table.from_pydict(
+            {"doc_id": sids[keep].astype(np.int64), "n_hits": hits[keep]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_hits", pa.int64())]))
+
+    return docs.map_batches(
+        count_hits, batch_format="pyarrow").sort("doc_id")
+
+
 def _local_min_label(src: np.ndarray, dst: np.ndarray
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized min-label propagation with pointer jumping on a

@@ -338,3 +338,37 @@ def test_dup_clusters_both_plans_identical():
     dist = dup_clusters(SF, threshold=0.8, local_threshold=0).to_pandas(
     ).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+
+def test_contamination_check():
+    import duckdb
+    from granulate_char_ocr_ray.pipelines.dedup import contamination_check
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = contamination_check(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH bench AS (
+          SELECT doc_id, text FROM documents
+          WHERE (doc_id * 2654435761) % 4294967296 % 100 < 2),
+        bgrams AS (
+          SELECT DISTINCT substr(text, CAST(i AS INT), 24) AS g
+          FROM bench,
+               UNNEST(range(1, greatest(length(text) - 22, 1))) AS t(i)
+          WHERE length(text) >= 24),
+        cand AS (
+          SELECT doc_id, text FROM documents
+          WHERE (doc_id * 2654435761) % 4294967296 % 100 >= 2),
+        cgrams AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS g
+          FROM cand,
+               UNNEST(range(1, greatest(length(text) - 22, 1))) AS t(i)
+          WHERE length(text) >= 24)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM cgrams JOIN bgrams USING (g)
+        GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id
+    """).df()
+    import pandas as pd
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

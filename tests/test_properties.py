@@ -175,3 +175,24 @@ def test_levenshtein_batch_equals_scalar_dp(pairs):
     got = levenshtein_batch(a, b)
     for x, y, d in zip(a, b, got):
         assert scalar(x, y) == int(d)
+
+
+def test_window_hashes_match_scalar_hash64():
+    import numpy as np
+    import pyarrow as pa
+    from granulate_char_ocr_ray.functions.textstats import (
+        hash64, string_bytes, window_hashes_flat)
+
+    texts = ["hello world abc", "xy", "", "the quick brown fox", "aaaaaaa"]
+    arr = pa.array(texts)
+    data, offsets = string_bytes(arr)
+    for k in (3, 7, 8):
+        seg, h = window_hashes_flat(data, offsets, k)
+        exp_seg, exp_h = [], []
+        for i, t in enumerate(texts):
+            bs = t.encode()
+            for j in range(len(bs) - k + 1):
+                exp_seg.append(i)
+                exp_h.append(hash64(bs[j:j + k]))
+        assert list(seg) == exp_seg
+        assert [int(x) for x in h] == exp_h
