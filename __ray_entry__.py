@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": analysis.lang_id_scores,
         "fingerprints": analysis.fingerprints,
         "docs_by_lang": analysis.docs_by_lang,
+        "unigram_logprob_scores": analysis.unigram_logprob_scores,
         "length_histogram": analysis.length_histogram,
         # --- relational / aggregate ---
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -766,6 +767,18 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
               ) AS rk FROM documents)
             WHERE rk <= 5 ORDER BY lang, rk
+        """,
+        "unigram_logprob_scores": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT sum(c) AS s FROM freq)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(c / s)), 6) AS logprob
+            FROM tok JOIN freq USING (w) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "contamination_check": """
             WITH bench AS (

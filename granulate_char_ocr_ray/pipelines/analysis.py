@@ -254,3 +254,71 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
     return pa.Table.from_pydict(
         {"token": pa.array([t for t, _ in top], pa.string()),
          "approx_count": pa.array([c for _, c in top], pa.int64())})
+
+
+def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
+    """Unigram LM quality score per doc (the CCNet-style perplexity
+    proxy an LLM data pipeline uses to rank documents): mean
+    ln p(token) under the corpus's own unigram distribution —
+    low-probability word salad scores far below fluent text.
+
+    Scale plan: token frequencies reduce to vocab cardinality via the
+    two-phase hash aggregate, then the (token -> ln p) table
+    broadcasts once via ``ray.put`` (at web scale: cap to top-K vocab
+    with an OOV floor — the broadcast side is vocabulary-sized by
+    construction, not corpus-sized); the scoring pass is one
+    vectorized Arrow split + sorted-array lookup + segment cumsum per
+    block, no shuffle, no per-row Python. Docs are never split across
+    blocks, so each block emits finished scores. Output:
+    (doc_id, n_tokens, logprob) ordered by doc_id; empty docs are
+    excluded (no tokens to score)."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"token": flat})
+
+    tokens = _docs(sf_dir, ["text"]).map_batches(explode_tokens,
+                                                 batch_format="pyarrow")
+    vocab = hash_groupby_agg(tokens, ["token"], {"c": ("token", "count")},
+                             num_parts=16).to_pandas()
+    total = float(vocab["c"].sum())
+    # lookup key is the vectorized 64-bit token hash, NOT the string:
+    # object-dtype searchsorted would fall back to per-element Python
+    # string comparison (hidden per-row cost)
+    vh = hash64_batch(pa.array(vocab["token"], pa.string()))
+    order = np.argsort(vh)
+    vh = vh[order]
+    vlogp = np.log(vocab["c"].to_numpy(dtype=np.float64)[order] / total)
+    ref = ray.put((vh, vlogp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        th = hash64_batch(pc.list_flatten(lists))
+        vhs, vls = ray.get(ref)
+        pos = np.searchsorted(vhs, th)
+        pos[pos >= len(vhs)] = len(vhs) - 1 if len(vhs) else 0
+        logp = vls[pos]
+        ends = np.cumsum(lens)
+        cs = np.concatenate([np.zeros(1), np.cumsum(logp)])
+        sums = cs[ends] - cs[ends - lens]
+        return pa.Table.from_pydict(
+            {"doc_id": ids.astype(np.int64),
+             "n_tokens": lens,
+             "logprob": round_half_up(sums / lens, 6)},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("logprob", pa.float64())]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").sort("doc_id")

@@ -1083,3 +1083,24 @@ def test_stratified_sample_docs(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_unigram_logprob_scores(con):
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        unigram_logprob_scores)
+
+    got = unigram_logprob_scores(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT sum(c) AS s FROM freq)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(c / s)), 6) AS logprob
+        FROM tok JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
