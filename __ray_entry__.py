@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_event_type_per_user": relational.modal_event_type_per_user,
         "sample_docs": relational.sample_docs,
         "stratified_sample_docs": relational.stratified_sample_docs,
+        "weighted_sample_docs": relational.weighted_sample_docs,
+        "lineitem_audit": relational.lineitem_audit,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
         "contamination_check": dedup.contamination_check,
@@ -767,6 +769,42 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
               ) AS rk FROM documents)
             WHERE rk <= 5 ORDER BY lang, rk
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, round(priority, 12) AS priority FROM (
+              SELECT doc_id, priority, ROW_NUMBER() OVER (
+                       ORDER BY priority DESC, doc_id) AS rk
+              FROM (
+                SELECT doc_id,
+                       pow(((doc_id * 2654435761) % 4294967296 + 1.0)
+                             / 4294967296.0,
+                           1.0 / greatest(n_chars, 1)) AS priority
+                FROM documents))
+            WHERE rk <= 20 ORDER BY priority DESC, doc_id
+        """,
+        "lineitem_audit": """
+            SELECT col, n_rows, n_nulls, round(min_val, 4) AS min_val,
+                   round(max_val, 4) AS max_val FROM (
+              SELECT 'l_discount' AS col, count(*) AS n_rows,
+                     sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                         AS n_nulls,
+                     min(l_discount) AS min_val,
+                     max(l_discount) AS max_val FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                     sum(CASE WHEN l_extendedprice IS NULL
+                              THEN 1 ELSE 0 END),
+                     min(l_extendedprice), max(l_extendedprice)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*),
+                     sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+                     min(l_quantity), max(l_quantity) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', count(*),
+                     sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                     min(l_tax), max(l_tax) FROM lineitem)
+            ORDER BY col
         """,
         "unigram_logprob_scores": """
             WITH tok AS (

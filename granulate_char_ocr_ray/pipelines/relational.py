@@ -464,6 +464,82 @@ def stratified_sample_docs(sf_dir: str, k: int = 5) -> rd.Dataset:
             .sort(["lang", "rk"]))
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Weighted priority sample (Efraimidis–Spirakis A-Res): the k docs
+    with the largest priority u^(1/w), u = deterministic doc hash in
+    (0,1], w = doc length — longer docs proportionally likelier, yet
+    the whole draw is closed-form reproducible in SQL (a seeded RNG
+    would be order-dependent).
+
+    Scale plan: priorities are computed vectorized per block and each
+    block forwards only its local top-k — the A-Res property that the
+    global top-k of priorities IS the weighted sample makes this a
+    one-pass, k-x-blocks-shuffle operator. Output: (doc_id, priority
+    rounded to 12) ordered by rank."""
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        w = df["n_chars"].to_numpy(dtype=np.float64)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 1.0) / float(1 << 32)
+        pr = u ** (1.0 / np.maximum(w, 1.0))
+        out = pd.DataFrame({"doc_id": ids, "priority": pr})
+        return out.sort_values(["priority", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["priority", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "priority": round_half_up(df["priority"].to_numpy(), 12)})
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas"))
+
+
+def lineitem_audit(sf_dir: str) -> rd.Dataset:
+    """Data-quality audit (the validation pass a pipeline runs before
+    training ingest): per numeric column, row count, null count, min
+    and max — one streaming pass, mergeable per-block partials, one
+    tiny |columns|-row shuffle. Output: (col, n_rows, n_nulls,
+    min_val, max_val) ordered by col."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c]
+            rows.append({"col": c, "n_rows": len(v),
+                         "n_nulls": int(v.isna().sum()),
+                         "min_val": float(v.min()),
+                         "max_val": float(v.max())})
+        return pd.DataFrame(rows)
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["col"],
+        {"n_rows": ("n_rows", "sum"), "n_nulls": ("n_nulls", "sum"),
+         "min_val": ("min_val", "min"), "max_val": ("max_val", "max")},
+        num_parts=2)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": df["col"],
+            "n_rows": df["n_rows"].astype(np.int64),
+            "n_nulls": df["n_nulls"].astype(np.int64),
+            "min_val": round_half_up(df["min_val"].to_numpy(), 4),
+            "max_val": round_half_up(df["max_val"].to_numpy(), 4)})
+
+    return agg.map_batches(final, batch_format="pandas").sort("col")
+
+
 def train_test_split(sf_dir: str, test_pct: int = 20
                      ) -> tuple[rd.Dataset, rd.Dataset]:
     """Deterministic (train, test) split by the sample_docs hash: the

@@ -1104,3 +1104,53 @@ def test_unigram_logprob_scores(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_weighted_sample_docs(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        weighted_sample_docs)
+
+    got = weighted_sample_docs(SF, k=10).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT doc_id, round(priority, 12) AS priority FROM (
+          SELECT doc_id, priority, ROW_NUMBER() OVER (
+                   ORDER BY priority DESC, doc_id) AS rk
+          FROM (
+            SELECT doc_id,
+                   pow(((doc_id * 2654435761) % 4294967296 + 1.0)
+                         / 4294967296.0,
+                       1.0 / greatest(n_chars, 1)) AS priority
+            FROM documents))
+        WHERE rk <= 10 ORDER BY priority DESC, doc_id
+    """).df()
+    assert len(want) == 10
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lineitem_audit(con):
+    from granulate_char_ocr_ray.pipelines.relational import lineitem_audit
+
+    got = lineitem_audit(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT col, n_rows, n_nulls, round(min_val, 4) AS min_val,
+               round(max_val, 4) AS max_val FROM (
+          SELECT 'l_discount' AS col, count(*) AS n_rows,
+                 sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                     AS n_nulls,
+                 min(l_discount) AS min_val, max(l_discount) AS max_val
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', count(*),
+                 sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                 min(l_extendedprice), max(l_extendedprice) FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', count(*),
+                 sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+                 min(l_quantity), max(l_quantity) FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', count(*),
+                 sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                 min(l_tax), max(l_tax) FROM lineitem)
+        ORDER BY col
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
