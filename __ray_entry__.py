@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_audit": relational.lineitem_audit,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
+        "pagerank_dups": dedup.pagerank_dups,
         "contamination_check": dedup.contamination_check,
         "dedup_survivors": dedup.dedup_survivors,
         # --- mergeable sketches (shuffle-free scale paths) ---
@@ -310,7 +311,7 @@ def _lang_id_oracle() -> str:
 
 # shared recursive-CTE body: near-dup pair graph -> reachability
 # (connected components); used by dup_clusters and dedup_survivors
-_DUP_CTE = """
+_PAIR_CTE = """
     WITH RECURSIVE grams AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
       FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)
@@ -329,7 +330,11 @@ _DUP_CTE = """
     ), edges AS (
       SELECT d1 AS src, d2 AS dst FROM pair
       UNION ALL SELECT d2, d1 FROM pair
-    ), nodes AS (SELECT DISTINCT src AS n FROM edges),
+    )
+"""
+
+_DUP_CTE = _PAIR_CTE + """
+    , nodes AS (SELECT DISTINCT src AS n FROM edges),
     reach(node, root) AS (
       SELECT n, n FROM nodes
       UNION
@@ -843,6 +848,39 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CTE + """
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "pagerank_dups": _PAIR_CTE + """,
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+            pr0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS r FROM nodes),
+            pr1 AS (
+              SELECT e.dst AS node,
+                     (SELECT 0.15 / n FROM nn)
+                     + 0.85 * sum(p.r / d.d) AS r
+              FROM edges e
+              JOIN pr0 p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst),
+            pr2 AS (
+              SELECT e.dst AS node,
+                     (SELECT 0.15 / n FROM nn)
+                     + 0.85 * sum(p.r / d.d) AS r
+              FROM edges e
+              JOIN pr1 p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst),
+            pr3 AS (
+              SELECT e.dst AS node,
+                     (SELECT 0.15 / n FROM nn)
+                     + 0.85 * sum(p.r / d.d) AS r
+              FROM edges e
+              JOIN pr2 p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst)
+            SELECT node AS doc_id, round(r, 9) AS rank
+            FROM pr3 ORDER BY doc_id
         """,
         "dedup_survivors": _DUP_CTE + """
             SELECT doc_id FROM documents

@@ -562,6 +562,117 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
         batch_format="pyarrow").sort("doc_id")
 
 
+def pagerank_dups(sf_dir: str, threshold: float = 0.8, iters: int = 3,
+                  damping: float = 0.85,
+                  local_threshold: int = 2_000_000) -> rd.Dataset:
+    """PageRank over the near-duplicate pair graph — the iterative
+    fixed-point pattern (power iteration) beyond connected components:
+    rank concentrates on docs sitting inside large duplicate clusters,
+    a centrality signal dedup pipelines use to pick canonical
+    representatives. The graph is the symmetric closure of the exact
+    n-gram Jaccard pairs (no self-loops); it is symmetric, so every
+    node has in- and out-edges and no dangling-mass handling is
+    needed. Fixed ``iters`` rounds (the SQL oracle unrolls the same
+    rounds as chained CTEs — recursive CTEs cannot aggregate).
+
+    Size dispatch as in :func:`dup_clusters`: below ``local_threshold``
+    edges the pulled edge list iterates in numpy (np.add.at scatter,
+    no per-edge Python); above it each round is one
+    ``partitioned_join`` (ranks onto edge sources, degree pre-attached
+    once) + two-phase hash aggregate per destination — rank state is
+    node-cardinality, re-materialized per round exactly like the
+    label table of the distributed CC loop. Output:
+    (doc_id, rank rounded to 9) ordered by doc_id."""
+    from ..stages.join import partitioned_join
+
+    pairs = ngram_jaccard_dups(sf_dir, threshold=threshold)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d1 = batch.column("d1").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.Table.from_pydict(
+            {"src": np.concatenate([d1, d2]),
+             "dst": np.concatenate([d2, d1])},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    base = 1.0 - damping
+
+    if edges.count() <= local_threshold:
+        e_df = edges.to_pandas()
+        src = e_df["src"].to_numpy(dtype=np.int64)
+        dst = e_df["dst"].to_numpy(dtype=np.int64)
+        nodes = np.unique(src)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        n = len(nodes)
+        deg = np.bincount(si, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nr = np.zeros(n)
+            np.add.at(nr, di, r[si] / deg[si])
+            r = base / n + damping * nr
+        return rd.from_arrow(pa.Table.from_pydict(
+            {"doc_id": nodes, "rank": round_half_up(r, 9)},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("rank", pa.float64())])))
+
+    deg = hash_groupby_agg(edges, ["src"], {"d": ("src", "count")},
+                           num_parts=8)
+    n = float(deg.count())
+
+    def add_deg(e_df: pd.DataFrame, d_df: pd.DataFrame) -> pd.DataFrame:
+        d_df = d_df.rename(columns={"src": "dsrc"})
+        m = e_df.merge(d_df, left_on="src", right_on="dsrc")
+        return m[["src", "dst", "d"]]
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    deg_schema = pa.schema([("src", pa.int64()), ("d", pa.int64())])
+    edged = partitioned_join(
+        edges, deg, "src", "src", add_deg, num_buckets=8,
+        left_schema=edge_schema, right_schema=deg_schema).materialize()
+    edged_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                              ("d", pa.int64())])
+    rank_schema = pa.schema([("node", pa.int64()), ("r", pa.float64())])
+
+    ranks = deg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": t.column("src"),
+             "r": np.full(t.num_rows, 1.0 / n)},
+            schema=rank_schema),
+        batch_format="pyarrow").materialize()
+
+    def attach(e_df: pd.DataFrame, r_df: pd.DataFrame) -> pd.DataFrame:
+        m = e_df.merge(r_df, left_on="src", right_on="node")
+        m["c"] = m["r"] / m["d"]
+        return m[["dst", "c"]]
+
+    for _ in range(iters):
+        prop = partitioned_join(edged, ranks, "src", "node", attach,
+                                num_buckets=8, left_schema=edged_schema,
+                                right_schema=rank_schema)
+        sums = hash_groupby_agg(prop, ["dst"], {"c": ("c", "sum")},
+                                num_parts=8)
+        ranks = sums.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t.column("dst"),
+                 "r": base / n + damping * t.column("c").to_numpy(
+                     zero_copy_only=False)},
+                schema=rank_schema),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t.column("node"),
+             "rank": round_half_up(
+                 t.column("r").to_numpy(zero_copy_only=False), 9)},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("rank", pa.float64())])),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """The near-dedup pipeline's user-facing OUTPUT: every doc_id that
     survives cluster-representative selection — docs with no near

@@ -372,3 +372,16 @@ def test_contamination_check():
     import pandas as pd
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pagerank_both_plans_identical():
+    import pandas as pd
+    from granulate_char_ocr_ray.pipelines.dedup import pagerank_dups
+
+    local = pagerank_dups(SF, threshold=0.8).to_pandas(
+    ).reset_index(drop=True)
+    dist = pagerank_dups(SF, threshold=0.8, local_threshold=0).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert len(local) > 0
+    assert abs(local["rank"].sum() - 1.0) < 1e-6  # probability mass
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
