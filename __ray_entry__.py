@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
         "ann_ivf_topk": similarity.ivf_cosine_topk,
+        "embedding_covariance": similarity.embedding_covariance,
+        "embedding_pca": similarity.embedding_pca,
         # --- text analysis ---
         "token_counts": analysis.token_counts,
         "doc_quality": analysis.doc_quality,

@@ -420,3 +420,74 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
 
     return _embeddings(sf_dir).map_batches(
         assign, batch_format="pyarrow").sort("vec_id")
+
+
+def _embedding_moments(sf_dir: str) -> tuple[float, np.ndarray, np.ndarray]:
+    """Distributed second moments of the embedding matrix: each block
+    folds to ONE (n, sum x, sum x xT) partial — d + d^2 floats
+    regardless of block size, shipped as raw little-endian bytes — and
+    the driver adds |blocks| partials. No shuffle; the only data
+    leaving workers is O(d^2) per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        s = mat.sum(axis=0)
+        ss = mat.T @ mat
+        return pa.Table.from_pydict(
+            {"n": np.array([mat.shape[0]], dtype=np.int64),
+             "d": np.array([mat.shape[1]], dtype=np.int64),
+             "s": pa.array([s.tobytes()], pa.binary()),
+             "ss": pa.array([ss.tobytes()], pa.binary())},
+            schema=pa.schema([("n", pa.int64()), ("d", pa.int64()),
+                              ("s", pa.binary()), ("ss", pa.binary())]))
+
+    parts = _embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = float(parts["n"].sum())
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for _, row in parts.iterrows():
+        s += np.frombuffer(row["s"], dtype=np.float64)
+        ss += np.frombuffer(row["ss"], dtype=np.float64).reshape(d, d)
+    return n, s, ss
+
+
+def embedding_covariance(sf_dir: str) -> rd.Dataset:
+    """Sample covariance matrix of the embedding column — the
+    d-dimensional generalization of the scalar mergeable-moments
+    pattern (relational.quantity_price_stats), the statistic behind
+    whitening / PCA preprocessing of embedding corpora. Output:
+    (i, j, cov rounded to 8) for all d x d entries, ordered (i, j).
+    Not expressible in ANSI SQL over a list column — verified against
+    single-process numpy in pytest instead."""
+    n, s, ss = _embedding_moments(sf_dir)
+    cov = (ss - np.outer(s, s) / n) / (n - 1.0)
+    d = len(s)
+    ii, jj = np.divmod(np.arange(d * d, dtype=np.int64), d)
+    return rd.from_arrow(pa.Table.from_pydict(
+        {"i": ii, "j": jj,
+         "cov": round_half_up(cov.ravel(), 8)},
+        schema=pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                          ("cov", pa.float64())])))
+
+
+def embedding_pca(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """PCA eigen-spectrum of the embedding corpus: top-k eigenvalues
+    of the distributed covariance (the d x d eigendecomposition is
+    driver-local — d is the embedding width, not the corpus size) and
+    each component's explained-variance ratio. EigenVECTORS are
+    sign-ambiguous and therefore not emitted. Output:
+    (component, eigenvalue, explained_ratio) for the top k."""
+    n, s, ss = _embedding_moments(sf_dir)
+    cov = (ss - np.outer(s, s) / n) / (n - 1.0)
+    w = np.linalg.eigvalsh(cov)[::-1]   # descending
+    total = float(w.sum())
+    k = min(k, len(w))
+    return rd.from_arrow(pa.Table.from_pydict(
+        {"component": np.arange(k, dtype=np.int64),
+         "eigenvalue": round_half_up(w[:k], 8),
+         "explained_ratio": round_half_up(w[:k] / total, 6)},
+        schema=pa.schema([("component", pa.int64()),
+                          ("eigenvalue", pa.float64()),
+                          ("explained_ratio", pa.float64())])))

@@ -385,3 +385,35 @@ def test_pagerank_both_plans_identical():
     assert len(local) > 0
     assert abs(local["rank"].sum() - 1.0) < 1e-6  # probability mass
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+
+def test_embedding_covariance_matches_numpy():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        embedding_covariance)
+
+    got = embedding_covariance(SF).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["embedding"])
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    want = np.cov(mat, rowvar=False, ddof=1)
+    d = mat.shape[1]
+    assert len(got) == d * d
+    got_m = got.sort_values(["i", "j"])["cov"].to_numpy().reshape(d, d)
+    assert np.allclose(got_m, want, atol=1e-7)
+
+
+def test_embedding_pca_matches_numpy():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import embedding_pca
+
+    got = embedding_pca(SF, k=4).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["embedding"])
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    w = np.sort(np.linalg.eigvalsh(np.cov(mat, rowvar=False, ddof=1)))[::-1]
+    assert len(got) == 4
+    assert np.allclose(got["eigenvalue"].to_numpy(), w[:4], atol=1e-6)
+    assert (got["explained_ratio"].to_numpy() > 0).all()
