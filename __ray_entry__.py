@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_balance_opportunity": relational.q22_balance_opportunity,
         "quantity_price_stats": relational.quantity_price_stats,
         "daily_order_ship_counts": relational.daily_order_ship_counts,
+        "fully_returned_orders": relational.fully_returned_orders,
+        "daily_revenue_delta": relational.daily_revenue_delta,
         "quantity_stats_by_flag": relational.quantity_stats_by_flag,
         "orders_no_returns": relational.orders_no_returns,
         "top_orders_per_priority": relational.top_orders_per_priority,
@@ -1222,6 +1224,30 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "fully_returned_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING count(*) = sum(CASE WHEN l_returnflag = 'R'
+                                         THEN 1 ELSE 0 END))
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "daily_revenue_delta": """
+            WITH per_day AS (
+              SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                     round(sum(round(l_extendedprice * (1 - l_discount)
+                                     * 10000)) / 10000.0, 2) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1)
+            SELECT day, revenue,
+                   round(revenue - lag(revenue, 1, revenue)
+                           OVER (ORDER BY day), 2) AS delta
+            FROM per_day ORDER BY day
         """,
         "daily_order_ship_counts": """
             SELECT COALESCE(o.d, l.d) AS day,

@@ -2558,6 +2558,115 @@ def quantity_stats_by_flag(sf_dir: str) -> rd.Dataset:
         "l_returnflag")
 
 
+def fully_returned_orders(sf_dir: str, flag: str = "R") -> rd.Dataset:
+    """Relational DIVISION (FOR-ALL semantics): orders where EVERY
+    lineitem carries return flag ``flag``, counted per order priority —
+    the universal-quantifier shape (HAVING count(*) = count(matching)).
+
+    Scale plan: lineitem reduces to per-order (n_items, n_match)
+    partials inside map_batches, the two-phase hash agg finishes them,
+    the division predicate filters order-cardinality rows, and the
+    surviving keyset joins orders through ``partitioned_join`` with a
+    per-bucket grouped count — one fact-fact shuffle total. Output:
+    (o_orderpriority, order_count) ordered by priority."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["m"] = (df["l_returnflag"] == flag).astype(np.int64)
+        return df.groupby("l_orderkey", as_index=False).agg(
+            n_items=("m", "size"), n_match=("m", "sum"))
+
+    per_order = hash_groupby_agg(
+        items.map_batches(partial, batch_format="pandas"),
+        ["l_orderkey"],
+        {"n_items": ("n_items", "sum"), "n_match": ("n_match", "sum")},
+        num_parts=16)
+
+    def divide(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_items"] == df["n_match"]][["l_orderkey"]]
+
+    keys = per_order.map_batches(divide, batch_format="pandas")
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def count_merge(o_df: pd.DataFrame, k_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df[o_df["o_orderkey"].isin(k_df["l_orderkey"])]
+        return (m.groupby("o_orderpriority", as_index=False)
+                .agg(order_count=("o_orderkey", "size")))
+
+    part = partitioned_join(
+        orders, keys, "o_orderkey", "l_orderkey", count_merge,
+        num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]))
+
+    agg = (part.repartition(2).groupby("o_orderpriority")
+           .aggregate(Sum("order_count", alias_name="order_count")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "order_count": df["order_count"].astype(np.int64)})
+
+    return agg.map_batches(final, batch_format="pandas").sort(
+        "o_orderpriority")
+
+
+def daily_revenue_delta(sf_dir: str, year: str = "1997") -> rd.Dataset:
+    """Ordered time-series window AFTER aggregation: one year's
+    per-day lineitem revenue with the day-over-day delta (LAG over the
+    globally ordered day series — the series is day-cardinality, so
+    the ordered window runs on one block after the distributed
+    reduce). Output: (day, revenue, delta) ordered by day; the first
+    day's delta is 0."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= pd.Timestamp(str(lo)))
+                & (df["l_shipdate"] < pd.Timestamp(str(hi)))].copy()
+        df["day"] = df["l_shipdate"].dt.strftime("%Y-%m-%d")
+        # FIXED-POINT money sum: price x (1-discount) is exact at 4
+        # decimals, so summing integral 10^-4 units keeps every partial
+        # exact in doubles (< 2^53) and the total ORDER-INDEPENDENT —
+        # a float sum can land within 1e-9 of a .xx5 boundary and round
+        # differently from the oracle depending on summation order
+        # (observed at sf0.01).
+        df["rev"] = np.rint(df["l_extendedprice"].to_numpy()
+                            * (1 - df["l_discount"].to_numpy()) * 1e4)
+        return df.groupby("day", as_index=False).agg(rev=("rev", "sum"))
+
+    per_day = hash_groupby_agg(
+        items.map_batches(partial, batch_format="pandas"),
+        ["day"], {"rev": ("rev", "sum")}, num_parts=8)
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        rev = round_half_up(df["rev"].to_numpy() / 1e4, 2)
+        prev = np.concatenate([rev[:1], rev[:-1]])
+        return pd.DataFrame({
+            "day": df["day"],
+            "revenue": rev,
+            "delta": round_half_up(rev - prev, 2)})
+
+    return (per_day.repartition(1)
+            .map_batches(window, batch_format="pandas").sort("day"))
+
+
 def daily_order_ship_counts(sf_dir: str) -> rd.Dataset:
     """FULL OUTER join exposure: per-day order counts vs per-day
     lineitem ship counts, keeping days present on EITHER side (the

@@ -1154,3 +1154,45 @@ def test_lineitem_audit(con):
         ORDER BY col
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fully_returned_orders(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        fully_returned_orders)
+
+    got = fully_returned_orders(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING count(*) = sum(CASE WHEN l_returnflag = 'R'
+                                     THEN 1 ELSE 0 END))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_daily_revenue_delta(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        daily_revenue_delta)
+
+    got = daily_revenue_delta(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH per_day AS (
+          SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                 round(sum(round(l_extendedprice * (1 - l_discount)
+                                 * 10000)) / 10000.0, 2) AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1)
+        SELECT day, revenue,
+               round(revenue - lag(revenue, 1, revenue)
+                       OVER (ORDER BY day), 2) AS delta
+        FROM per_day ORDER BY day
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
