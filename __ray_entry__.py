@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,
         # --- mergeable sketches (shuffle-free scale paths) ---
         "approx_quantity_deciles": relational.approx_quantity_deciles,
+        "approx_quantity_deciles_by_flag":
+            relational.approx_quantity_deciles_by_flag,
         "approx_top_tokens": analysis.approx_top_tokens,
         # --- iterative ML primitive ---
         "kmeans_assign": similarity.kmeans_assign,

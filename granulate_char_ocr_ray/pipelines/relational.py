@@ -738,6 +738,59 @@ def order_item_totals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def approx_quantity_deciles_by_flag(sf_dir: str) -> pa.Table:
+    """GROUPED approximate quantiles: one mergeable KLL sketch per
+    (block, returnflag), merged per key on the driver — the grouped
+    counterpart of ``approx_quantity_deciles`` and the sketch-side
+    mirror of ``quantity_deciles_by_flag`` (exact). The shuffle is
+    |keys| x |blocks| serialized sketches (bounded size), never
+    values; at high key cardinality the same sketch rows feed
+    ``hash_groupby_agg``-style partitioned merging instead of the
+    driver. Output: (l_returnflag, q, value) — rows-only under the
+    driver gate (approximate by design; accuracy pytest bounds the
+    rank error vs the exact grouped deciles)."""
+    from ..functions.sketch import (
+        kll_add,
+        kll_create,
+        kll_deserialize,
+        kll_merge,
+        kll_quantiles,
+        kll_serialize,
+    )
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        flags, blobs = [], []
+        for flag, g in df.groupby("l_returnflag"):
+            sk = kll_create()
+            kll_add(sk, g["l_quantity"].to_numpy())
+            flags.append(flag)
+            blobs.append(kll_serialize(sk))
+        return pa.Table.from_pydict(
+            {"flag": flags, "sketch": blobs},
+            schema=pa.schema([("flag", pa.string()),
+                              ("sketch", pa.binary())]))
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    out_flag, out_q, out_v = [], [], []
+    for flag in sorted(parts["flag"].unique()):
+        merged = kll_create()
+        for blob in parts.loc[parts["flag"] == flag, "sketch"]:
+            merged = kll_merge(merged, kll_deserialize(blob))
+        vals = kll_quantiles(merged, qs)
+        out_flag.extend([flag] * len(qs))
+        out_q.extend(qs)
+        out_v.extend(float(v) for v in vals)
+    return pa.Table.from_pydict(
+        {"l_returnflag": out_flag, "q": out_q, "value": out_v},
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("q", pa.float64()), ("value", pa.float64())]))
+
+
 def approx_quantity_deciles(sf_dir: str) -> pa.Table:
     """Approximate deciles of l_quantity via a mergeable KLL-style
     quantile sketch: one bounded sketch per batch, merged on the driver

@@ -1196,3 +1196,23 @@ def test_daily_revenue_delta(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_approx_quantity_deciles_by_flag(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        approx_quantity_deciles_by_flag)
+
+    got = approx_quantity_deciles_by_flag(SF).to_pandas()
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    exact = con.sql(f"""
+        SELECT l_returnflag,
+               unnest({qs}) AS q,
+               unnest(quantile_disc(l_quantity, {qs})) AS value
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag, q
+    """).df()
+    m = got.merge(exact, on=["l_returnflag", "q"],
+                  suffixes=("_got", "_exact"))
+    assert len(m) == len(exact) == 27
+    # per-group rank error bound: value within +-2 quantity units of
+    # exact decile (quantity is integral 1..50; KLL rank error <= 1%)
+    assert (abs(m["value_got"] - m["value_exact"]) <= 2).all()
