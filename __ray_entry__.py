@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
         "bpe_token_counts": training.bpe_token_counts,
+        "learn_bpe_merges": training.learn_bpe_merges,
+        "embedding_quantize": similarity.embedding_quantize,
         "llm_prep_pipeline": training.llm_prep_pipeline,
         # --- semi-structured (JSON) column extraction ---
         "event_props_k_stats": events.event_props_k_stats,

@@ -491,3 +491,48 @@ def embedding_pca(sf_dir: str, k: int = 8) -> rd.Dataset:
         schema=pa.schema([("component", pa.int64()),
                           ("eigenvalue", pa.float64()),
                           ("explained_ratio", pa.float64())])))
+
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Int8 scalar quantization of the embedding column — the vector-
+    store compression prep (4x smaller, cosine-preserving to ~1e-2):
+    pass 1 reduces per-dimension (min, max) via one O(d) partial per
+    block (no shuffle); the ranges broadcast once and pass 2 quantizes
+    each block vectorized, emitting the int8 codes as a binary column
+    plus each vector's max reconstruction error. Output:
+    (vec_id, codes binary[d], max_err rounded to 6) by vec_id."""
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        return pa.Table.from_pydict(
+            {"lo": pa.array([mat.min(axis=0).tobytes()], pa.binary()),
+             "hi": pa.array([mat.max(axis=0).tobytes()], pa.binary())},
+            schema=pa.schema([("lo", pa.binary()), ("hi", pa.binary())]))
+
+    parts = _embeddings(sf_dir).map_batches(
+        minmax, batch_format="pyarrow").to_pandas()
+    lo = np.min([np.frombuffer(b, dtype=np.float64) for b in parts["lo"]],
+                axis=0)
+    hi = np.max([np.frombuffer(b, dtype=np.float64) for b in parts["hi"]],
+                axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0] = 1.0
+    ref = ray.put((lo, scale))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        lo_, scale_ = ray.get(ref)
+        q = np.clip(np.rint((mat - lo_) / scale_), 0, 255).astype(np.uint8)
+        recon = lo_ + q.astype(np.float64) * scale_
+        err = np.abs(recon - mat).max(axis=1)
+        codes = [q[r].tobytes() for r in range(q.shape[0])]
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64),
+             "codes": pa.array(codes, pa.binary()),
+             "max_err": round_half_up(err, 6)},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("codes", pa.binary()),
+                              ("max_err", pa.float64())]))
+
+    return _embeddings(sf_dir).map_batches(
+        quantize, batch_format="pyarrow").sort("vec_id")

@@ -476,3 +476,80 @@ def llm_prep_pipeline(sf_dir: str, min_tokens: int = 20,
     return deduped.map_batches(
         functools.partial(chunk_batch, size=size, step=step),
         batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+
+
+def learn_bpe_merges(sf_dir: str, n_merges: int = 12) -> rd.Dataset:
+    """BPE tokenizer TRAINING at corpus scale — the standard protocol:
+    the only corpus-sized pass reduces text to a (word, count)
+    vocabulary table (explode + two-phase hash aggregate); the
+    merge-learning loop then runs on that vocabulary-sized table
+    driver-locally, exactly as real BPE trainers do (pair statistics
+    are weighted by word frequency, so the loop never needs the corpus
+    again). Deterministic tie-break: highest pair count, then
+    lexicographically smallest (left, right). Output:
+    (rank, left, right, merged) — the learned merge table, the
+    artifact a tokenizer ships. Iterative and therefore not
+    SQL-expressible; verified against a scalar reference in pytest."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_words(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"word": flat})
+
+    counts = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(explode_words,
+                                            batch_format="pyarrow"),
+        ["word"], {"c": ("word", "count")}, num_parts=16).to_pandas()
+
+    merges = bpe_merge_loop(
+        list(zip(counts["word"], counts["c"].astype(int))), n_merges)
+    return rd.from_arrow(pa.Table.from_pydict(
+        {"rank": np.arange(len(merges), dtype=np.int64),
+         "left": [m[0] for m in merges],
+         "right": [m[1] for m in merges],
+         "merged": [m[0] + m[1] for m in merges]},
+        schema=pa.schema([("rank", pa.int64()), ("left", pa.string()),
+                          ("right", pa.string()),
+                          ("merged", pa.string())])))
+
+
+def bpe_merge_loop(word_counts: list, n_merges: int) -> list:
+    """Classic frequency-weighted BPE merge learning over a
+    (word, count) vocabulary (driver-local: the vocab table is small
+    by construction). Shared scalar reference for the pipeline and its
+    tests."""
+    from collections import Counter
+
+    vocab = {}
+    for w, c in word_counts:
+        key = tuple(w)
+        if key:
+            vocab[key] = vocab.get(key, 0) + int(c)
+    merges: list = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges

@@ -417,3 +417,26 @@ def test_embedding_pca_matches_numpy():
     assert len(got) == 4
     assert np.allclose(got["eigenvalue"].to_numpy(), w[:4], atol=1e-6)
     assert (got["explained_ratio"].to_numpy() > 0).all()
+
+
+def test_embedding_quantize_roundtrip():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        embedding_quantize)
+
+    got = embedding_quantize(SF).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    assert len(got) == t.num_rows
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    d = mat.shape[1]
+    # every code blob is d bytes; reconstruction error bounded by the
+    # global per-dim half-step
+    assert got["codes"].map(len).eq(d).all()
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    half_step = ((hi - lo) / 255.0).max() / 2 + 1e-12
+    assert (got["max_err"] <= half_step + 1e-6).all()
+    # determinism
+    again = embedding_quantize(SF).to_pandas()
+    assert (got["codes"] == again["codes"]).all()

@@ -217,3 +217,32 @@ def test_llm_prep_pipeline_composition():
     n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
                                  columns=["doc_id"]))
     assert got["doc_id"].nunique() < n_docs
+
+
+def test_bpe_merge_loop_reference():
+    from granulate_char_ocr_ray.pipelines.training import bpe_merge_loop
+
+    # classic BPE example: 'es' dominates, then 'est'
+    wc = [("newest", 6), ("widest", 3), ("lowest", 2), ("low", 7)]
+    merges = bpe_merge_loop(wc, 3)
+    assert merges[0] == ("e", "s")           # 11 weighted occurrences
+    assert merges[1] == ("es", "t")          # merged pair wins next
+    assert len(merges) == 3
+
+
+def test_learn_bpe_merges_matches_local():
+    import pyarrow.dataset as pads
+    from collections import Counter
+    from granulate_char_ocr_ray.pipelines.training import (
+        bpe_merge_loop, learn_bpe_merges)
+
+    got = learn_bpe_merges(SF, n_merges=8).to_pandas()
+    # scalar reference from the same corpus
+    t = pads.dataset(f"{SF}/documents.parquet").to_table(columns=["text"])
+    wc = Counter()
+    for txt in t.column("text").to_pylist():
+        for w in txt.split():
+            wc[w] += 1
+    want = bpe_merge_loop(list(wc.items()), 8)
+    assert [tuple(r) for r in got[["left", "right"]].to_numpy()] == want
+    assert (got["merged"] == got["left"] + got["right"]).all()
