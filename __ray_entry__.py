@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "docs_by_lang": analysis.docs_by_lang,
         "unigram_logprob_scores": analysis.unigram_logprob_scores,
+        "tfidf_top_terms": analysis.tfidf_top_terms,
+        "token_freq_of_freq": analysis.token_freq_of_freq,
         "length_histogram": analysis.length_histogram,
         # --- relational / aggregate ---
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -223,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_tokens": analysis.approx_top_tokens,
         # --- iterative ML primitive ---
         "kmeans_assign": similarity.kmeans_assign,
+        # SemDeDup composition (k-means -> within-cluster cosine dedup);
+        # iterative k-means is not SQL-expressible -> rows-only gate +
+        # single-process-composition pytest
+        "semantic_dedup": similarity.semantic_dedup,
         # --- grouped distinct count (exact counterpart of the HLL path) ---
         "distinct_users_per_event_type": relational.distinct_users_per_event_type,
         "approx_distinct_users_per_event_type": (
@@ -830,6 +836,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c / s)), 6) AS logprob
             FROM tok JOIN freq USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_freq_of_freq": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            counts AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                       FROM tok GROUP BY token)
+            SELECT freq, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM counts GROUP BY freq ORDER BY freq
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nd AS (SELECT count(*) AS n FROM documents WHERE trim(text) <> ''),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 4) AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN nd)
+            SELECT doc_id, token, tf, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+            WHERE rn = 1 ORDER BY doc_id
         """,
         "contamination_check": """
             WITH bench AS (

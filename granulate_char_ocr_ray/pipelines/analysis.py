@@ -322,3 +322,99 @@ def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow").sort("doc_id")
+
+
+def token_freq_of_freq(sf_dir: str) -> rd.Dataset:
+    """Frequency-of-frequencies histogram over the corpus vocabulary
+    (the Zipf-tail audit a data pipeline runs before choosing vocab
+    cutoffs / Good-Turing smoothing): how many distinct tokens occur
+    exactly c times. Output: (freq, n_tokens) ordered by freq.
+
+    Two chained two-phase hash aggregates; the second one's input is
+    already vocabulary-sized and its output is at most |distinct
+    counts| rows (~log-scale small), so the wide work is one narrow
+    shuffle of per-block token partials."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"token": flat})
+
+    tokens = _docs(sf_dir, ["text"]).map_batches(explode_tokens,
+                                                 batch_format="pyarrow")
+    counts = hash_groupby_agg(tokens, ["token"], {"freq": ("token", "count")},
+                              num_parts=16)
+    fof = hash_groupby_agg(counts, ["freq"], {"n_tokens": ("freq", "count")},
+                           num_parts=4)
+    return fof.sort("freq")
+
+
+def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Most characteristic token per document by TF-IDF (the classic
+    keyword/topic signal a training-data pipeline uses for corpus
+    composition audits): score(t, d) = tf(t, d) * ln(N / df(t)),
+    highest score wins, ties broken by the lexicographically smallest
+    token. Output: (doc_id, token, tf, tfidf) ordered by doc_id.
+
+    Distributed plan — three bounded exchanges, nothing driver-sized:
+    (1) term frequencies are complete per block with NO shuffle (a doc
+    is one row, so its token counts never split); (2) document
+    frequency reduces tf to vocabulary cardinality via the two-phase
+    hash aggregate; (3) tf joins df token-partitioned (vocabulary can
+    exceed broadcast size at web scale), and (4) the per-doc argmax is
+    the associative keep-best reduce (one row per (block, doc) leaves
+    each block). N (non-empty doc count) is a one-row-per-block scalar
+    exchange over the pruned text column."""
+    from ..stages.hashagg import hash_groupby_agg, hash_groupby_best
+    from ..stages.join import partitioned_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def term_freq(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(lists).to_pandas(),
+        })
+        tf = df.groupby(["doc_id", "token"], as_index=False).agg(
+            tf=("token", "size"))
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    tf = docs.map_batches(term_freq, batch_format="pyarrow")
+    # df(t): each tf row is one distinct (doc, token) pair, so counting
+    # rows per token IS the document frequency
+    df_tbl = hash_groupby_agg(tf, ["token"], {"df": ("token", "count")},
+                              num_parts=16)
+
+    def ndocs_partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        n = pc.sum(pc.cast(pc.not_equal(trimmed, ""), pa.int64()))
+        return pa.Table.from_pydict(
+            {"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    n_docs = float(_docs(sf_dir, ["text"]).map_batches(
+        ndocs_partial, batch_format="pyarrow").to_pandas()["n"].sum())
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="token")
+        idf = np.log(n_docs / m["df"].to_numpy(dtype=np.float64))
+        m["tfidf"] = round_half_up(m["tf"].to_numpy(dtype=np.float64) * idf, 4)
+        return m[["doc_id", "token", "tf", "tfidf"]]
+
+    scored = partitioned_join(
+        tf, df_tbl, "token", "token", merge, num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+    best = hash_groupby_best(scored, ["doc_id"], ["tfidf", "token"],
+                             ascending=[False, True], num_parts=16)
+    return best.sort("doc_id")

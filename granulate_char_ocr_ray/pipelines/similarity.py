@@ -364,15 +364,11 @@ def ivf_cosine_topk(sf_dir: str, k: int = 10, query_id: int = 0,
     return partial.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
-def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
-    """Distributed Lloyd's k-means over the embeddings, returning the
-    final assignment (vec_id, cluster). Deterministic: centroids
-    initialize from vec_ids 0..k-1; each E-step is a map_batches pass
-    emitting per-batch partial sums per nearest centroid (one tiny row
-    set per block — shuffle-free); the M-step reduces the k x (d+1)
-    partials on the driver and broadcasts the new centroids. Empty
-    clusters keep their previous centroid. Bit-identical to the
-    single-process reference loop (tested)."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Lloyd's-loop core shared by :func:`kmeans_assign` and
+    :func:`semantic_dedup`: deterministic init from vec_ids 0..k-1,
+    shuffle-free E-step (per-block k x (d+1) partial sums), driver
+    M-step, broadcast. Returns the final (k, d) centroid matrix."""
     import pyarrow.dataset as pads
 
     init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
@@ -407,7 +403,19 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
         nz = n > 0
         new[nz] = sums[nz] / n[nz, None]
         cents = new
+    return cents
 
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Distributed Lloyd's k-means over the embeddings, returning the
+    final assignment (vec_id, cluster). Deterministic: centroids
+    initialize from vec_ids 0..k-1; each E-step is a map_batches pass
+    emitting per-batch partial sums per nearest centroid (one tiny row
+    set per block — shuffle-free); the M-step reduces the k x (d+1)
+    partials on the driver and broadcasts the new centroids. Empty
+    clusters keep their previous centroid. Bit-identical to the
+    single-process reference loop (tested)."""
+    cents = _kmeans_centroids(sf_dir, k, iters)
     ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -420,6 +428,68 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
 
     return _embeddings(sf_dir).map_batches(
         assign, batch_format="pyarrow").sort("vec_id")
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
+                   threshold: float = 0.4) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then mark near-duplicates WITHIN each cluster only
+    — the trick that makes embedding dedup sub-quadratic at corpus
+    scale (pairwise work drops from O(n^2) to O(sum |cluster|^2), and
+    the cluster sizes are controlled by k, which scales with the
+    corpus). Pairwise drop rule, order-free and deterministic: a vector
+    is a duplicate iff some SMALLER vec_id in its cluster has cosine >=
+    threshold with it. Output: (vec_id, cluster, keep) for every
+    vector, ordered by vec_id.
+
+    Distribution: centroid loop is the shuffle-free Lloyd's core
+    (:func:`_kmeans_centroids`); assignment is one broadcast-argmin
+    pass; the per-cluster pairwise step shuffles on the k-valued
+    cluster key (k tasks, each a blocked matmul). At web scale k is
+    large (e.g. sqrt(n)), keeping per-task work bounded; cross-cluster
+    near-dups are deliberately missed — that is SemDeDup's documented
+    recall trade, and the exact counterpart stays
+    :func:`embedding_cosine_dups`. Not SQL-expressible (iterative
+    k-means) -> rows-only gate + brute-force composition pytest."""
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_pydict(
+            {"cluster": d2.argmin(axis=1).astype(np.int64),
+             "vec_id": ids.astype(np.int64),
+             "embedding": pa.FixedSizeListArray.from_arrays(
+                 pa.array(mat.ravel(), pa.float64()), mat.shape[1])})
+
+    tagged = _embeddings(sf_dir).map_batches(tag, batch_format="pyarrow")
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        col = g.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        normed = mat / nn[:, None]
+        cos = normed @ normed.T
+        dup = ((cos >= threshold) & (ids[None, :] > ids[:, None])).any(axis=0)
+        cluster = int(g.column("cluster")[0].as_py())
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64),
+             "cluster": np.full(len(ids), cluster, np.int64),
+             "keep": ~dup},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("cluster", pa.int64()),
+                              ("keep", pa.bool_())]))
+
+    return tagged.groupby("cluster").map_groups(
+        dedup_group, batch_format="pyarrow").sort("vec_id")
 
 
 def _embedding_moments(sf_dir: str) -> tuple[float, np.ndarray, np.ndarray]:

@@ -106,6 +106,39 @@ def hash_groupby_agg(
     return partials.groupby("_part").map_groups(final, batch_format="pandas")
 
 
+def hash_groupby_best(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Keep the single best ROW per distinct key combination, "best"
+    defined by ``order_by``/``ascending`` (ties must be broken by the
+    trailing order columns — pass a unique tie-breaker to make the
+    result deterministic). This is argmax/argmin-by as a two-phase
+    reduce: keep-best is associative, so each block keeps its local
+    winner per key (≤ |keys present| rows leave the block), the shuffle
+    keys on the coarse key-hash, and the final combine re-picks per key.
+    The distributed form of ``row_number() OVER (PARTITION BY keys
+    ORDER BY order_by) = 1``."""
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return df.drop_duplicates(subset=keys, keep="first")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _best(batch.to_pandas())
+        g["_part"] = _stable_partition(g, keys, num_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return _best(part).drop(columns=["_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(final, batch_format="pandas")
+
+
 def hash_groupby_mode(
     ds: rd.Dataset,
     keys: list[str],

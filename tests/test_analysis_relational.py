@@ -1216,3 +1216,46 @@ def test_approx_quantity_deciles_by_flag(con):
     # per-group rank error bound: value within +-2 quantity units of
     # exact decile (quantity is integral 1..50; KLL rank error <= 1%)
     assert (abs(m["value_got"] - m["value_exact"]) <= 2).all()
+
+
+def test_tfidf_top_terms(con):
+    from granulate_char_ocr_ray.pipelines.analysis import tfidf_top_terms
+
+    got = tfidf_top_terms(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE trim(text) <> ''),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        nd AS (SELECT count(*) AS n FROM documents WHERE trim(text) <> ''),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 4) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN nd)
+        SELECT doc_id, token, tf, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+        WHERE rn = 1 ORDER BY doc_id
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_freq_of_freq(con):
+    from granulate_char_ocr_ray.pipelines.analysis import token_freq_of_freq
+
+    got = token_freq_of_freq(SF).to_pandas().reset_index(drop=True)
+    want = con.sql("""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents WHERE trim(text) <> ''),
+        counts AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                   FROM tok GROUP BY token)
+        SELECT freq, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY freq ORDER BY freq
+    """).df()
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -440,3 +440,55 @@ def test_embedding_quantize_roundtrip():
     # determinism
     again = embedding_quantize(SF).to_pandas()
     assert (got["codes"] == again["codes"]).all()
+
+
+def test_semantic_dedup_matches_local_composition():
+    """Distributed SemDeDup == the same composition run single-process:
+    local Lloyd's (bit-identical per test_kmeans) -> per-cluster
+    pairwise cosine -> drop any vector with a smaller-id neighbor at
+    cos >= threshold."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.similarity import semantic_dedup
+
+    k, iters, thr = 8, 5, 0.4
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sel = np.isin(ids, np.arange(k))
+    cents = mat[sel][np.argsort(ids[sel])]
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            if (best == c).any():
+                new[c] = mat[best == c].mean(axis=0)
+        cents = new
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+    nn = np.linalg.norm(mat, axis=1)
+    nn[nn == 0] = 1.0
+    normed = mat / nn[:, None]
+    want_keep = {}
+    for c in range(k):
+        m = cluster == c
+        cids, cmat = ids[m], normed[m]
+        cos = cmat @ cmat.T
+        dup = ((cos >= thr) & (cids[None, :] > cids[:, None])).any(axis=0)
+        for v, kp in zip(cids.tolist(), (~dup).tolist()):
+            want_keep[v] = kp
+
+    got = semantic_dedup(SF, k=k, iters=iters, threshold=thr).to_pandas()
+    assert len(got) == len(ids)
+    assert dict(zip(got["vec_id"], got["cluster"])) == dict(
+        zip(ids.tolist(), cluster.tolist()))
+    assert dict(zip(got["vec_id"], got["keep"])) == want_keep
+    # some duplicates must actually exist at this threshold, and the
+    # survivors must dominate (sanity that the rule did something)
+    n_drop = int((~got["keep"]).sum())
+    assert 0 < n_drop < len(got) / 2
