@@ -283,6 +283,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_prep_pipeline": training.llm_prep_pipeline,
         # --- semi-structured (JSON) column extraction ---
         "event_props_k_stats": events.event_props_k_stats,
+        # --- TPC-H Q2 / Q9 / Q11 / Q12 / Q16 / Q20 / Q21 (adapted
+        # to the corpus schema: no partsupp / commitdate; stand-ins
+        # documented per query) ---
+        "q2_min_supplier_per_part": relational.q2_min_supplier_per_part,
+        "q9_product_type_profit": relational.q9_product_type_profit,
+        "q11_important_parts": relational.q11_important_parts,
+        "q12_ship_lag": relational.q12_ship_lag,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q20_excess_shipments": relational.q20_excess_shipments,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
     }
 
 
@@ -1377,6 +1387,92 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
                          / count(*), 2) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q2_min_supplier_per_part": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            r AS (SELECT l_partkey, l_suppkey, s_acctbal, s_name,
+                         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                             ORDER BY s_acctbal, l_suppkey) AS rn
+                  FROM ps JOIN supplier ON s_suppkey = l_suppkey)
+            SELECT p_partkey, s_name, round(r.s_acctbal, 2) AS s_acctbal
+            FROM r JOIN part ON p_partkey = l_partkey
+            WHERE rn = 1 AND p_size <= 10 AND p_type = 'ECONOMY'
+            ORDER BY s_acctbal DESC, p_partkey
+        """,
+        "q9_product_type_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   round(CAST(sum(CAST(round(l_extendedprice
+                         * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         / 10000.0, 2) AS profit
+            FROM lineitem, part, supplier, nation, orders
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND n_nationkey = s_nationkey AND o_orderkey = l_orderkey
+              AND p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "q11_important_parts": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                           * 10000) AS BIGINT)) AS v
+                FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                WHERE s_nationkey = 3 GROUP BY l_partkey)
+            SELECT l_partkey, round(CAST(v AS DOUBLE) / 10000.0, 2) AS value
+            FROM pr
+            WHERE CAST(v AS DOUBLE) >
+                  CAST((SELECT sum(v) FROM pr) AS DOUBLE) * 0.001
+            ORDER BY value DESC, l_partkey
+        """,
+        "q12_ship_lag": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN l_shipdate > o_orderdate
+                        + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT)
+                     AS late_count,
+                   CAST(sum(CASE WHEN l_shipdate <= o_orderdate
+                        + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ontime_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q16_part_supplier_counts": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "q20_excess_shipments": """
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier WHERE s_suppkey IN (
+                SELECT DISTINCT l_suppkey
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 40)
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            WITH pairs AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS has_ret
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            ord AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(has_ret) AS n_ret,
+                       min(CASE WHEN has_ret = 1 THEN l_suppkey END)
+                         AS ret_supp
+                FROM pairs GROUP BY l_orderkey)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM ord JOIN supplier ON s_suppkey = ret_supp
+            WHERE n_supp >= 2 AND n_ret = 1
+            GROUP BY s_name ORDER BY numwait DESC, s_name
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2807,3 +2807,531 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
             .groupby("o_orderpriority")
             .map_groups(final, batch_format="pandas")
             .sort(["o_orderpriority", "rnk"]))
+
+
+def q9_product_type_profit(sf_dir: str, name_like: str = "red"
+                           ) -> rd.Dataset:
+    """TPC-H Q9 shape (product-type profit): revenue from parts whose
+    name contains ``name_like``, grouped by the supplier's nation and
+    the order year. Five tables; the only fact-fact edge is
+    lineitem->orders (for the year), taken through ONE partitioned
+    orderkey shuffle of per-(orderkey, nation) partial sums — never raw
+    lineitem rows. part ships as a broadcast sorted matching-key array
+    and supplier->nation as a broadcast dim map (supplier/nation are
+    dims; at 100 TB part crosses the threshold and the match set
+    becomes a partitioned semi-join, the downstream shape unchanged).
+    Money partials are fixed-point 1e-4 units (order-independent exact
+    sums). Output: (nation, o_year, profit) sorted nation asc, year
+    desc.
+
+    Reference analogue: the per-category grouped revenue shape of
+    evaluate_new_testdata.py:82-163 widened to a multi-dim fact join."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_name"])
+    pk = part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    match = np.asarray(
+        [name_like in n for n in part_t.column("p_name").to_pylist()],
+        dtype=bool)
+    pkeys = np.sort(pk[match])
+
+    supp_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"])
+    nation_t = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation_t.column("n_nationkey").to_pylist(),
+                    nation_t.column("n_name").to_pylist()))
+    sk = supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    snat = np.asarray([nmap[k] for k in
+                       supp_t.column("s_nationkey").to_pylist()],
+                      dtype=object)
+    ss = np.argsort(sk)
+    side_ref = ray.put((pkeys, sk[ss], snat[ss]))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks, sks, nats = ray.get(side_ref)
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pks, lp)
+        pos[pos >= len(pks)] = len(pks) - 1 if len(pks) else 0
+        hit = (pks[pos] == lp) if len(pks) else np.zeros(len(lp), bool)
+        df = df[hit].copy()
+        lsk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        spos = np.searchsorted(sks, lsk)
+        df["nation"] = nats[spos]
+        # fixed-point 1e-4 money units: exact, order-independent
+        df["rev"] = np.rint(df["l_extendedprice"].to_numpy()
+                            * (1 - df["l_discount"].to_numpy())
+                            * 1e4).astype(np.int64)
+        return df.groupby(["l_orderkey", "nation"], as_index=False).agg(
+            rev=("rev", "sum"))
+
+    lpart = items.map_batches(partial, batch_format="pandas")
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def merge(lf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(of, left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        m["o_year"] = m["o_orderdate"].dt.year.astype(np.int64)
+        return m.groupby(["nation", "o_year"], as_index=False).agg(
+            rev=("rev", "sum"))
+
+    joined = partitioned_join(
+        lpart, orders, "l_orderkey", "o_orderkey", merge,
+        num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("nation", pa.string()),
+                               ("rev", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    agg = hash_groupby_agg(joined, ["nation", "o_year"],
+                           {"rev": ("rev", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": df["nation"],
+            "o_year": df["o_year"].astype(np.int64),
+            "profit": round_half_up(df["rev"].to_numpy() / 1e4, 2)})
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .sort(["nation", "o_year"], descending=[False, True]))
+
+
+def q11_important_parts(sf_dir: str, nationkey: int = 3,
+                        fraction: float = 0.001) -> rd.Dataset:
+    """TPC-H Q11 shape (important stock): per-part revenue from
+    suppliers of one nation, keeping parts whose value exceeds
+    ``fraction`` of the nation's total — a grouped aggregate HAVING a
+    GLOBAL scalar threshold. The per-part reduce runs once and is
+    materialized (REDUCED, part-cardinality — the q15 pattern for
+    multi-consumer intermediates); the scalar total folds from one-row
+    block partials (O(blocks) exchange), then a broadcast filter. The
+    supplier->nation restriction is a broadcast dim keyset. Fixed-point
+    1e-4 money units keep the threshold compare exact and
+    order-independent. Output: (l_partkey, value) sorted value desc,
+    partkey."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    supp_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey") == nationkey)
+    skeys = np.sort(supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    skeys_ref = ray.put(skeys)
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(skeys_ref)
+        lsk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ks, lsk)
+        pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+        hit = (ks[pos] == lsk) if len(ks) else np.zeros(len(lsk), bool)
+        df = df[hit].copy()
+        df["v"] = np.rint(df["l_extendedprice"].to_numpy()
+                          * (1 - df["l_discount"].to_numpy())
+                          * 1e4).astype(np.int64)
+        return df.groupby("l_partkey", as_index=False).agg(v=("v", "sum"))
+
+    reduced = hash_groupby_agg(
+        items.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], {"v": ("v", "sum")}, num_parts=16).materialize()
+
+    total_parts = reduced.map_batches(
+        lambda df: pd.DataFrame({"t": [np.int64(df["v"].sum())]}),
+        batch_format="pandas").to_pandas()
+    total = float(total_parts["t"].sum())
+    thresh = total * fraction
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["v"].to_numpy() > thresh].copy()
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype(np.int64),
+            "value": round_half_up(df["v"].to_numpy() / 1e4, 2)})
+
+    return (reduced.map_batches(final, batch_format="pandas")
+            .sort(["value", "l_partkey"], descending=[True, False]))
+
+
+def q12_ship_lag(sf_dir: str, lag_days: int = 90,
+                 broadcast_threshold: int = BROADCAST_ROW_THRESHOLD
+                 ) -> rd.Dataset:
+    """TPC-H Q12 shape (shipping-mode delay classes, adapted — the
+    corpus carries no commit/receipt dates or shipmode): per
+    o_orderpriority, how many lineitems shipped MORE than ``lag_days``
+    after their order date (late) vs within it (ontime) — a fact-fact
+    join whose predicate needs columns from BOTH sides (cross-table
+    date arithmetic), then a conditional aggregate. Below the
+    broadcast threshold the order side ships once as sorted
+    (orderkey, date-int64, priority-code) arrays probed per lineitem
+    batch; above it the same classify runs inside ``partitioned_join``
+    buckets. Counts pre-aggregate per batch/bucket so the final
+    exchange is ~5 rows per partial. Output: (o_orderpriority,
+    late_count, ontime_count) sorted by priority."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"])
+    lag_ns = np.int64(lag_days) * np.int64(86_400_000_000_000)
+
+    if _parquet_num_rows(f"{sf_dir}/orders.parquet") <= broadcast_threshold:
+        ot = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        ok = ot.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        od = ot.column("o_orderdate").to_pandas().to_numpy(
+            dtype="datetime64[ns]").view(np.int64)
+        prio = np.asarray(ot.column("o_orderpriority").to_pylist(),
+                          dtype=object)
+        os_ = np.argsort(ok)
+        side_ref = ray.put((ok[os_], od[os_], prio[os_]))
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            oks, ods, prios = ray.get(side_ref)
+            lk = df["l_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(oks, lk)
+            ship = df["l_shipdate"].to_numpy(
+                dtype="datetime64[ns]").view(np.int64)
+            late = ship > ods[pos] + lag_ns
+            out = pd.DataFrame({
+                "o_orderpriority": prios[pos],
+                "late": late.astype(np.int64),
+                "ontime": (~late).astype(np.int64)})
+            return out.groupby("o_orderpriority", as_index=False).agg(
+                late_count=("late", "sum"), ontime_count=("ontime", "sum"))
+
+        part = items.map_batches(probe, batch_format="pandas")
+    else:
+        orders = read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"])
+
+        def merge(lf: pd.DataFrame, of: pd.DataFrame) -> pd.DataFrame:
+            m = lf.merge(of, left_on="l_orderkey", right_on="o_orderkey",
+                         how="inner")
+            ship = m["l_shipdate"].to_numpy(
+                dtype="datetime64[ns]").view(np.int64)
+            od = m["o_orderdate"].to_numpy(
+                dtype="datetime64[ns]").view(np.int64)
+            late = ship > od + lag_ns
+            m["late"] = late.astype(np.int64)
+            m["ontime"] = (~late).astype(np.int64)
+            return m.groupby("o_orderpriority", as_index=False).agg(
+                late_count=("late", "sum"), ontime_count=("ontime", "sum"))
+
+        part = partitioned_join(
+            items, orders, "l_orderkey", "o_orderkey", merge,
+            num_buckets=32,
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("l_shipdate", pa.timestamp("us"))]),
+            right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_orderdate", pa.timestamp("us")),
+                                    ("o_orderpriority", pa.string())]))
+
+    agg = hash_groupby_agg(part, ["o_orderpriority"],
+                           {"late_count": ("late_count", "sum"),
+                            "ontime_count": ("ontime_count", "sum")},
+                           num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["late_count"] = df["late_count"].astype(np.int64)
+        df["ontime_count"] = df["ontime_count"].astype(np.int64)
+        return df[["o_orderpriority", "late_count", "ontime_count"]]
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .sort("o_orderpriority"))
+
+
+def q16_part_supplier_counts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q16 shape (parts/supplier relationship): the number of
+    DISTINCT suppliers that have shipped each (p_brand, p_size)
+    combination, excluding "complaint" suppliers (stand-in predicate:
+    s_acctbal < 0 — the corpus carries no comment column). The corpus
+    has no partsupp table, so lineitem is the part-supplier bridge:
+    the (partkey, suppkey) pair set dedups through the two-phase hash
+    aggregate (shuffle volume one row per distinct pair per batch),
+    the exclusion set broadcasts (dim-bounded), part attributes
+    broadcast as sorted arrays (at 100 TB part crosses the threshold
+    and attaches via partitioned join — the downstream double-distinct
+    shape is unchanged), then (brand, size, suppkey) dedups again and
+    a grouped count finishes. Output: (p_brand, p_size, supplier_cnt)
+    sorted cnt desc, brand, size."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    excl_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey"], filter=pads.field("s_acctbal") < 0)
+    excl = np.sort(excl_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_brand", "p_size"])
+    pk = part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    brand = np.asarray(part_t.column("p_brand").to_pylist(), dtype=object)
+    size = part_t.column("p_size").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ps = np.argsort(pk)
+    side_ref = ray.put((excl, pk[ps], brand[ps], size[ps]))
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = hash_groupby_agg(
+        items.map_batches(distinct_pairs, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"], {"_n": ("l_suppkey", "count")},
+        num_parts=32)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ex, pks, brands, sizes = ray.get(side_ref)
+        sk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ex, sk)
+        pos[pos >= len(ex)] = len(ex) - 1 if len(ex) else 0
+        bad = (ex[pos] == sk) if len(ex) else np.zeros(len(sk), bool)
+        df = df[~bad].copy()
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        ppos = np.searchsorted(pks, lp)
+        df["p_brand"] = brands[ppos]
+        df["p_size"] = sizes[ppos]
+        # local pre-dedup: many parts share (brand, size); one row per
+        # (brand, size, suppkey) leaves the block
+        return df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+
+    triples = hash_groupby_agg(
+        pairs.map_batches(attach, batch_format="pandas"),
+        ["p_brand", "p_size", "l_suppkey"], {"_n": ("l_suppkey", "count")},
+        num_parts=16)
+    counts = hash_groupby_agg(
+        triples, ["p_brand", "p_size"],
+        {"supplier_cnt": ("l_suppkey", "count")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["p_size"] = df["p_size"].astype(np.int64)
+        df["supplier_cnt"] = df["supplier_cnt"].astype(np.int64)
+        return df[["p_brand", "p_size", "supplier_cnt"]]
+
+    return (counts.map_batches(final, batch_format="pandas")
+            .sort(["supplier_cnt", "p_brand", "p_size"],
+                  descending=[True, False, False]))
+
+
+def q20_excess_shipments(sf_dir: str, name_prefix: str = "small",
+                         year: str = "1997", min_qty: float = 40.0
+                         ) -> rd.Dataset:
+    """TPC-H Q20 shape (potential part promotion): suppliers that
+    shipped MORE than ``min_qty`` units of some part whose name starts
+    with ``name_prefix`` during one year — a nested semi-join chain:
+    part match set (broadcast) -> per-(suppkey, partkey) quantity
+    reduce with the HAVING prune applied inside the finish -> distinct
+    qualifying suppkeys (dim-bounded, collected once) -> broadcast
+    semi-filter over supplier. The date window pushes into the parquet
+    read. Quantities are integral floats, so sums are exact in
+    doubles. Output: (s_name, s_acctbal) sorted by s_name."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_name"])
+    pk = part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    match = np.asarray(
+        [n.startswith(name_prefix)
+         for n in part_t.column("p_name").to_pylist()], dtype=bool)
+    pkeys_ref = ray.put(np.sort(pk[match]))
+
+    items = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks = ray.get(pkeys_ref)
+        df = df[(df["l_shipdate"] >= pd.Timestamp(str(lo)))
+                & (df["l_shipdate"] < pd.Timestamp(str(hi)))]
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pks, lp)
+        pos[pos >= len(pks)] = len(pks) - 1 if len(pks) else 0
+        hit = (pks[pos] == lp) if len(pks) else np.zeros(len(lp), bool)
+        df = df[hit]
+        return df.groupby(["l_suppkey", "l_partkey"], as_index=False).agg(
+            qty=("l_quantity", "sum"))
+
+    per_pair = hash_groupby_agg(
+        items.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey", "l_partkey"], {"qty": ("qty", "sum")}, num_parts=16)
+
+    def qualifying(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["qty"].to_numpy() > min_qty]
+        return df[["l_suppkey"]].drop_duplicates()
+
+    # distinct qualifying suppkeys are bounded by the supplier dim
+    sup_keys = np.unique(per_pair.map_batches(
+        qualifying, batch_format="pandas").to_pandas()["l_suppkey"]
+        .to_numpy(dtype=np.int64))
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    out = supp[supp["s_suppkey"].isin(sup_keys)].sort_values("s_name")
+    return pa.Table.from_pydict({
+        "s_name": pa.array(out["s_name"], pa.string()),
+        "s_acctbal": pa.array(
+            round_half_up(out["s_acctbal"].to_numpy(), 2), pa.float64())})
+
+
+def q21_waiting_suppliers(sf_dir: str, flag: str = "R") -> rd.Dataset:
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted —
+    the corpus carries no commit/receipt dates, so ``l_returnflag ==
+    flag`` stands in for "failed delivery"): count, per supplier, the
+    multi-supplier orders where that supplier was the ONLY one with a
+    returned line. Three chained narrow reduces, no raw-row shuffle:
+    (1) distinct (orderkey, suppkey, has_ret-max) pairs through the
+    two-phase hash aggregate; (2) per-order fold computing n_supp /
+    n_ret / the lone returned suppkey (min over a sentinel-masked
+    column — valid exactly when n_ret == 1); (3) a per-suppkey count
+    of qualifying orders (dim-bounded output). s_name attaches from
+    the broadcast supplier dim. All-integer arithmetic — exact under
+    any partitioning. Output: (s_name, numwait) sorted numwait desc,
+    name."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    _SENT = np.int64(2**62)
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey",
+                                "l_returnflag"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["has_ret"] = (df["l_returnflag"] == flag).astype(np.int64)
+        return df.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False).agg(has_ret=("has_ret", "max"))
+
+    pairs = hash_groupby_agg(
+        items.map_batches(pair_partial, batch_format="pandas"),
+        ["l_orderkey", "l_suppkey"], {"has_ret": ("has_ret", "max")},
+        num_parts=32)
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        df = df.copy()
+        df["ret_supp"] = np.where(df["has_ret"].to_numpy() == 1, sk, _SENT)
+        return df
+
+    per_order = hash_groupby_agg(
+        pairs.map_batches(mask, batch_format="pandas"),
+        ["l_orderkey"],
+        {"n_supp": ("l_suppkey", "count"),
+         "n_ret": ("has_ret", "sum"),
+         "ret_supp": ("ret_supp", "min")}, num_parts=32)
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["n_supp"] >= 2) & (df["n_ret"] == 1)]
+        return df[["ret_supp"]]
+
+    numwait = hash_groupby_agg(
+        per_order.map_batches(qualify, batch_format="pandas"),
+        ["ret_supp"], {"numwait": ("ret_supp", "count")}, num_parts=4)
+
+    supp_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"])
+    sk = supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    names = np.asarray(supp_t.column("s_name").to_pylist(), dtype=object)
+    ss = np.argsort(sk)
+    dim_ref = ray.put((sk[ss], names[ss]))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sks, nm = ray.get(dim_ref)
+        rs = df["ret_supp"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(sks, rs)
+        return pd.DataFrame({
+            "s_name": nm[pos],
+            "numwait": df["numwait"].astype(np.int64)})
+
+    return (numwait.map_batches(final, batch_format="pandas")
+            .sort(["numwait", "s_name"], descending=[True, False]))
+
+
+def q2_min_supplier_per_part(sf_dir: str, max_size: int = 10,
+                             ptype: str = "ECONOMY") -> rd.Dataset:
+    """TPC-H Q2 shape (minimum-cost supplier, adapted — the corpus has
+    no partsupp, so s_acctbal stands in for supply cost and lineitem
+    is the part-supplier bridge): for each part of ``ptype`` with size
+    <= ``max_size``, the supplier with the LOWEST account balance
+    among those who shipped it (ties to the smallest suppkey) — a
+    correlated-min subquery lowered to the keep-best two-phase reduce
+    (``hash_groupby_best``: each block keeps its local winner per
+    partkey, the shuffle carries one row per (block, partkey)).
+    Supplier attributes broadcast (dim); part attributes broadcast as
+    sorted arrays (partitioned-join above the threshold). No float
+    arithmetic — min/compare only, exact. Output: (p_partkey, s_name,
+    s_acctbal) sorted acctbal desc, partkey."""
+    from ..stages.hashagg import hash_groupby_agg, hash_groupby_best
+
+    supp_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name", "s_acctbal"])
+    sk = supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sname = np.asarray(supp_t.column("s_name").to_pylist(), dtype=object)
+    sbal = supp_t.column("s_acctbal").to_numpy(zero_copy_only=False)
+    ss = np.argsort(sk)
+
+    part_t = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_size", "p_type"])
+    keep = ((part_t.column("p_size").to_numpy(zero_copy_only=False)
+             <= max_size)
+            & np.asarray([t == ptype for t in
+                          part_t.column("p_type").to_pylist()], bool))
+    pkeys = np.sort(part_t.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)[keep])
+    side_ref = ray.put((sk[ss], sname[ss], sbal[ss], pkeys))
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sks, _, bals, pks = ray.get(side_ref)
+        # prune to qualifying parts FIRST: the keep-best reduce then
+        # carries only filtered-part rows
+        lp = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pks, lp)
+        pos[pos >= len(pks)] = len(pks) - 1 if len(pks) else 0
+        hit = (pks[pos] == lp) if len(pks) else np.zeros(len(lp), bool)
+        df = df[hit].drop_duplicates().copy()
+        spos = np.searchsorted(sks, df["l_suppkey"].to_numpy(np.int64))
+        df["s_acctbal"] = bals[spos]
+        return df
+
+    pairs = items.map_batches(pair_partial, batch_format="pandas")
+    best = hash_groupby_best(pairs, ["l_partkey"],
+                             ["s_acctbal", "l_suppkey"],
+                             ascending=[True, True], num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sks, nm, _, _ = ray.get(side_ref)
+        pos = np.searchsorted(sks, df["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "p_partkey": df["l_partkey"].astype(np.int64),
+            "s_name": nm[pos],
+            "s_acctbal": round_half_up(df["s_acctbal"].to_numpy(), 2)})
+
+    return (best.map_batches(final, batch_format="pandas")
+            .sort(["s_acctbal", "p_partkey"], descending=[True, False]))

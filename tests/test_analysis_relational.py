@@ -1259,3 +1259,62 @@ def test_token_freq_of_freq(con):
     """).df()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q12_both_plans_identical():
+    from granulate_char_ocr_ray.pipelines.relational import q12_ship_lag
+
+    bc = q12_ship_lag(SF).to_pandas().reset_index(drop=True)
+    pj = q12_ship_lag(SF, broadcast_threshold=0).to_pandas(
+        ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj, check_dtype=False)
+
+
+def test_q12_counts_partition_lineitem(con):
+    from granulate_char_ocr_ray.pipelines.relational import q12_ship_lag
+
+    got = q12_ship_lag(SF).to_pandas()
+    n_items = con.sql("SELECT count(*) FROM lineitem").df().iloc[0, 0]
+    assert int((got["late_count"] + got["ontime_count"]).sum()) == n_items
+
+
+def test_q21_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q21_waiting_suppliers)
+
+    got = q21_waiting_suppliers(SF).to_pandas().reset_index(drop=True)
+    li = con.sql(
+        "SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem").df()
+    li["has_ret"] = (li["l_returnflag"] == "R").astype(int)
+    pairs = li.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+        has_ret=("has_ret", "max"))
+    per = pairs.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "size"), n_ret=("has_ret", "sum"))
+    lone = pairs[pairs["has_ret"] == 1].set_index("l_orderkey")["l_suppkey"]
+    ok = per[(per["n_supp"] >= 2) & (per["n_ret"] == 1)].index
+    counts = lone.loc[lone.index.isin(ok)].value_counts()
+    supp = con.sql("SELECT s_suppkey, s_name FROM supplier").df()
+    want = (supp.assign(numwait=supp["s_suppkey"].map(counts))
+            .dropna(subset=["numwait"]))
+    want = want.sort_values(["numwait", "s_name"],
+                            ascending=[False, True])
+    got_map = dict(zip(got["s_name"], got["numwait"]))
+    want_map = dict(zip(want["s_name"], want["numwait"].astype(int)))
+    assert got_map == want_map
+
+
+def test_q2_winner_is_min_acctbal(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        q2_min_supplier_per_part)
+
+    got = q2_min_supplier_per_part(SF).to_pandas()
+    pairs = con.sql(
+        "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem").df()
+    supp = con.sql(
+        "SELECT s_suppkey, s_acctbal FROM supplier").df()
+    m = pairs.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    best = (m.sort_values(["s_acctbal", "l_suppkey"])
+            .drop_duplicates("l_partkey").set_index("l_partkey"))
+    for _, row in got.iterrows():
+        assert round(best.loc[row["p_partkey"], "s_acctbal"], 2) == \
+            row["s_acctbal"]
