@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TPC-H Q2 / Q9 / Q11 / Q12 / Q16 / Q20 / Q21 (adapted
         # to the corpus schema: no partsupp / commitdate; stand-ins
         # documented per query) ---
+        # --- BM25 lexical retrieval over the documents table ---
+        "bm25_search": analysis.bm25_search,
         "q2_min_supplier_per_part": relational.q2_min_supplier_per_part,
         "q9_product_type_profit": relational.q9_product_type_profit,
         "q11_important_parts": relational.q11_important_parts,
@@ -1387,6 +1389,43 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
                          / count(*), 2) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "bm25_search": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(toks, x -> x = 'spark'))
+                          AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(toks, x -> x = 'hash'))
+                          AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(toks, x -> x = 'window'))
+                          AS DOUBLE) AS tf2
+              FROM d),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     ln((count(*) - sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf0 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf0,
+                     ln((count(*) - sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf1 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf1,
+                     ln((count(*) - sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf2 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf2
+              FROM tf)
+            SELECT doc_id,
+                   round(idf0 * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75
+                           * dl / avgdl))
+                         + idf1 * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75
+                           * dl / avgdl))
+                         + idf2 * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75
+                           * dl / avgdl)), 4) AS score
+            FROM tf CROSS JOIN stats
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "q2_min_supplier_per_part": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -418,3 +418,91 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     best = hash_groupby_best(scored, ["doc_id"], ["tfidf", "token"],
                              ascending=[False, True], num_parts=16)
     return best.sort("doc_id")
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
+                                                       "window"),
+                k1: float = 1.2, b: float = 0.75, k: int = 20
+                ) -> rd.Dataset:
+    """BM25 keyword retrieval (Robertson/Sparck-Jones, the standard
+    lexical ranking an LLM-data pipeline uses for targeted corpus
+    slicing): score each document against a fixed bag of query terms,
+    return the top-k. idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1);
+    score(d) = sum_t idf * tf * (k1+1) / (tf + k1 * (1 - b + b *
+    dl / avgdl)).
+
+    Distributed plan — two streaming passes, no shuffle of doc rows:
+    (1) corpus statistics fold to ONE row per block (doc count, total
+    length, per-term document frequency) and the driver finishes the
+    |terms|+2 scalars; (2) scoring is embarrassingly parallel per
+    batch (flattened-token vector compare + segment-sum per term) with
+    a partial top-k per block, so the final exchange carries k x
+    blocks rows. Terms ship in the closure (bytes, not a table).
+    Output: (doc_id, score) top-k by score desc, doc_id asc.
+
+    Reference analogue: the keyword-presence filters of
+    evaluate_new_testdata.py:137-163 upgraded to a ranked retrieval."""
+
+    def _tok(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        return ids, lens, flat
+
+    def _tf_matrix(lens: np.ndarray, flat: pa.Array) -> np.ndarray:
+        """(docs x terms) term counts via vectorized compare +
+        reduceat segment sums — no Python loop over rows."""
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out = np.zeros((len(lens), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            eq = pc.cast(pc.equal(flat, t), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if len(eq):
+                sums = np.add.reduceat(eq, starts)
+                sums[lens == 0] = 0
+                out[:, j] = sums
+        return out
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf_matrix(lens, flat)
+        row = {"n": pa.array([len(ids)], pa.int64()),
+               "total": pa.array([int(lens.sum())], pa.int64())}
+        for j in range(len(terms)):
+            row[f"df{j}"] = pa.array([int((tfm[:, j] > 0).sum())],
+                                     pa.int64())
+        return pa.Table.from_pydict(row)
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = float(stats["n"].sum())
+    avgdl = float(stats["total"].sum()) / n_docs
+    idf = np.array([
+        np.log((n_docs - float(stats[f"df{j}"].sum()) + 0.5)
+               / (float(stats[f"df{j}"].sum()) + 0.5) + 1.0)
+        for j in range(len(terms))])
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf_matrix(lens, flat).astype(np.float64)
+        norm = k1 * (1.0 - b + b * lens.astype(np.float64) / avgdl)
+        score = np.zeros(len(ids))
+        for j in range(len(terms)):  # fixed order == SQL's + chain
+            score = score + idf[j] * tfm[:, j] * (k1 + 1.0) \
+                / (tfm[:, j] + norm)
+        df = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                           "score": round_half_up(score, 4)})
+        return pa.Table.from_pandas(
+            df.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    partial = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow")
+    return partial.sort(["score", "doc_id"],
+                        descending=[True, False]).limit(k)

@@ -1318,3 +1318,29 @@ def test_q2_winner_is_min_acctbal(con):
     for _, row in got.iterrows():
         assert round(best.loc[row["p_partkey"], "s_acctbal"], 2) == \
             row["s_acctbal"]
+
+
+def test_bm25_search_brute_force(con):
+    import numpy as np
+    from granulate_char_ocr_ray.pipelines.analysis import bm25_search
+
+    got = bm25_search(SF, k=10).to_pandas().reset_index(drop=True)
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE trim(text) <> ''").df()
+    toks = [t.split() for t in docs["text"].str.strip()]
+    dl = np.array([len(t) for t in toks], dtype=float)
+    n, avgdl = float(len(toks)), dl.sum() / len(toks)
+    k1, b = 1.2, 0.75
+    score = np.zeros(len(toks))
+    for term in ("spark", "hash", "window"):
+        tf = np.array([t.count(term) for t in toks], dtype=float)
+        df_t = float((tf > 0).sum())
+        idf = np.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        score = score + idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want = (pd.DataFrame({"doc_id": docs["doc_id"],
+                          "score": np.round(score, 4)})
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}),
+        check_dtype=False, atol=1e-4)
