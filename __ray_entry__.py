@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documented per query) ---
         # --- BM25 lexical retrieval over the documents table ---
         "bm25_search": analysis.bm25_search,
+        # --- collocations / funnel / exact-substring dedup ---
+        "bigram_pmi": analysis.bigram_pmi,
+        "funnel_counts": events.funnel_counts,
+        "substring_dups": dedup.substring_dups,
         "q2_min_supplier_per_part": relational.q2_min_supplier_per_part,
         "q9_product_type_profit": relational.q9_product_type_profit,
         "q11_important_parts": relational.q11_important_parts,
@@ -1389,6 +1393,58 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
                          / count(*), 2) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "bigram_pmi": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            tok AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS tok
+              FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+            big AS (
+              SELECT toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM d, UNNEST(range(1, len(toks))) AS t(i)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                   FROM big GROUP BY 1, 2),
+            uc AS (SELECT tok AS w, count(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS u,
+                           (SELECT CAST(count(*) AS DOUBLE) FROM big) AS b)
+            SELECT w1, w2, c12,
+                   round(ln((c12 / b) / ((u1.c / u) * (u2.c / u))), 4)
+                     AS pmi
+            FROM bc JOIN uc u1 ON w1 = u1.w JOIN uc u2 ON w2 = u2.w
+                 CROSS JOIN tot
+            WHERE c12 >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 30
+        """,
+        "funnel_counts": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY 1)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_stage1,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_stage2,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_stage3
+        """,
+        "substring_dups": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INT), 48) AS gr
+              FROM documents,
+                   UNNEST(range(1, greatest(length(text) - 46, 1)))
+                     AS t(i)
+              WHERE length(text) >= 48),
+            m AS (SELECT gr, min(doc_id) AS md FROM g GROUP BY gr)
+            SELECT DISTINCT g.doc_id FROM g JOIN m USING (gr)
+            WHERE m.md < g.doc_id ORDER BY doc_id
         """,
         "bm25_search": """
             WITH d AS (

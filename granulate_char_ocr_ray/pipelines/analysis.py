@@ -506,3 +506,108 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
         score_partial, batch_format="pyarrow")
     return partial.sort(["score", "doc_id"],
                         descending=[True, False]).limit(k)
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
+               ) -> rd.Dataset:
+    """Collocation mining: the top-k adjacent token pairs by pointwise
+    mutual information, PMI(w1, w2) = ln((c12/B) / ((c1/U) * (c2/U)))
+    with B = total bigrams, U = total unigrams — the standard
+    phrase-discovery signal a tokenizer/vocab pipeline computes over a
+    corpus. Pairs below ``min_count`` occurrences are dropped (PMI is
+    noise at low counts).
+
+    Distributed plan: bigrams form VECTORIZED per block (the flattened
+    token array zipped with its shift, doc boundaries masked via the
+    segment ids — no Python loop), counts reduce through two-phase
+    hash aggregates (bigram- and vocab-cardinality exchanges), the two
+    scalars fold O(blocks), and the unigram counts attach to the
+    bigram table via TWO token-partitioned joins (vocabulary can
+    exceed broadcast size at web scale). Final top-k is a tiny sort of
+    the min_count-filtered table. Output: (w1, w2, c12, pmi) by pmi
+    desc, w1, w2."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    docs = _docs(sf_dir, ["text"])
+
+    def _flat(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists).to_pandas().to_numpy(dtype=object)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        return flat, seg
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        flat, seg = _flat(batch)
+        if len(flat) < 2:
+            return pa.Table.from_pydict(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "c12": pa.array([], pa.int64())})
+        same = seg[1:] == seg[:-1]  # mask cross-document pairs
+        df = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+        g = df.groupby(["w1", "w2"], as_index=False).agg(c12=("w1", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bc = hash_groupby_agg(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"c12": ("c12", "sum")}, num_parts=16)
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat(batch)
+        g = pd.DataFrame({"w": flat}).groupby("w", as_index=False).agg(
+            c=("w", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uc = hash_groupby_agg(
+        docs.map_batches(unigram_partial, batch_format="pyarrow"),
+        ["w"], {"c": ("c", "sum")}, num_parts=16).materialize()
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        flat, seg = _flat(batch)
+        nb = int((seg[1:] == seg[:-1]).sum()) if len(flat) >= 2 else 0
+        return pa.Table.from_pydict({
+            "u": pa.array([len(flat)], pa.int64()),
+            "b": pa.array([nb], pa.int64())})
+
+    tot = docs.map_batches(scalar_partial,
+                           batch_format="pyarrow").to_pandas()
+    u_tot = float(tot["u"].sum())
+    b_tot = float(tot["b"].sum())
+
+    filt = bc.map_batches(
+        lambda df: df[df["c12"] >= min_count], batch_format="pandas")
+
+    def attach1(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        return lf.merge(rf.rename(columns={"w": "w1", "c": "c1"}),
+                        on="w1", how="inner")
+
+    j1 = partitioned_join(
+        filt, uc, "w1", "w", attach1, num_buckets=16,
+        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                               ("c12", pa.int64())]),
+        right_schema=pa.schema([("w", pa.string()), ("c", pa.int64())]))
+
+    def attach2(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf.rename(columns={"w": "w2", "c": "c2"}),
+                     on="w2", how="inner")
+        c12 = m["c12"].to_numpy(dtype=np.float64)
+        c1 = m["c1"].to_numpy(dtype=np.float64)
+        c2 = m["c2"].to_numpy(dtype=np.float64)
+        pmi = np.log((c12 / b_tot) / ((c1 / u_tot) * (c2 / u_tot)))
+        m["pmi"] = round_half_up(pmi, 4)
+        m["c12"] = m["c12"].astype(np.int64)
+        return m[["w1", "w2", "c12", "pmi"]]
+
+    j2 = partitioned_join(
+        j1, uc, "w2", "w", attach2, num_buckets=16,
+        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                               ("c12", pa.int64()), ("c1", pa.int64())]),
+        right_schema=pa.schema([("w", pa.string()), ("c", pa.int64())]))
+
+    return j2.sort(["pmi", "w1", "w2"],
+                   descending=[True, False, False]).limit(k)

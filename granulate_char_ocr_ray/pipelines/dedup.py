@@ -704,3 +704,74 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         return batch.filter(pa.array(~hit))
 
     return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")
+
+
+def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
+    """Exact-substring deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    arXiv:2107.06499, at fixed gram size): flag every document that
+    shares at least one k-character window with a LOWER-doc_id
+    document. Distributed plan with no driver-sized state:
+
+    1. each block shingles vectorized (one rolling-hash cumsum,
+       ``textstats.window_hashes_flat``) and emits its DISTINCT
+       (gram-hash, doc) pairs with a local per-gram min-doc;
+    2. the per-gram global min-doc reduces through the two-phase hash
+       aggregate (gram-cardinality exchange — bounded by total corpus
+       bytes, hash-partitioned so no worker holds the gram table);
+    3. the candidate (doc, gram) pairs join the min-doc table
+       gram-partitioned (``partitioned_join``); a doc is a duplicate
+       iff any of its grams has min_doc < doc_id;
+    4. the qualifying doc set dedups through a final narrow reduce.
+
+    Gram identity is the 64-bit rolling hash (collision probability
+    ~n²/2⁶⁴ — the standard trade documented by the suffix-array
+    literature; the SQL oracle joins raw substrings and agrees at
+    every tested scale). Output: (doc_id) sorted ascending."""
+    from ..functions.textstats import string_bytes, window_hashes_flat
+    from ..stages.join import partitioned_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"g": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())})
+        # distinct (doc, gram) within the block
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        return pa.Table.from_pydict({
+            "g": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[seg], pa.int64())})
+
+    pairs = docs.map_batches(gram_pairs, batch_format="pyarrow")
+    min_doc = hash_groupby_agg(pairs, ["g"],
+                               {"min_doc": ("doc_id", "min")},
+                               num_parts=32)
+
+    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on="g", how="inner")
+        dup = m.loc[m["min_doc"] < m["doc_id"], ["doc_id"]]
+        return dup.drop_duplicates()
+
+    dups = partitioned_join(
+        pairs, min_doc, "g", "g", merge, num_buckets=32,
+        left_schema=pa.schema([("g", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("g", pa.int64()),
+                                ("min_doc", pa.int64())]))
+
+    uniq = hash_groupby_agg(dups, ["doc_id"],
+                            {"_n": ("doc_id", "count")}, num_parts=8)
+    return uniq.map_batches(
+        lambda df: df[["doc_id"]].astype({"doc_id": "int64"}),
+        batch_format="pandas").sort("doc_id")

@@ -295,3 +295,82 @@ def event_props_k_stats(sf_dir: str) -> rd.Dataset:
             preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow").sort("event_type")
+
+
+def funnel_counts(sf_dir: str,
+                  stages: tuple[str, str, str] = ("view", "click",
+                                                  "purchase")
+                  ) -> "pa.Table":
+    """Ordered event-sequence funnel: how many users performed stage 1,
+    then stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    strictly after that first qualifying stage-2 event. The canonical
+    product-analytics funnel, expressed as three chained user-keyed
+    min reduces — each stage's frontier is per-user min(ts) under a
+    predicate that references the previous frontier, so each step is a
+    narrow user-cardinality exchange plus ONE partitioned user join
+    (users are fact-cardinality at web scale — never broadcast).
+    All comparisons are on exact int64 timestamps. Output: one row
+    (n_stage1, n_stage2, n_stage3).
+
+    Reference analogue: the staged presence counts of
+    evaluate_new_testdata.py:137-163 with an ordering constraint."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    def _stage_min(stage: str) -> rd.Dataset:
+        ds = read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "ts"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == stage]
+            return df.groupby("user_id", as_index=False).agg(
+                t=("ts", "min"))
+
+        return hash_groupby_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id"], {"t": ("t", "min")}, num_parts=16)
+
+    def _next_frontier(prev: rd.Dataset, stage: str) -> rd.Dataset:
+        """min ts of `stage` events strictly after the user's previous
+        frontier — partitioned join + per-bucket filtered min."""
+        ds = read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "ts"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == stage]
+            # keep per-(user, ts-min) candidates compact: per-batch
+            # ALL stage events of a user may be needed (the frontier
+            # cut is per user), so reduce only to distinct ts minima
+            # lazily — the join-side filter applies the cut
+            return df[["user_id", "ts"]]
+
+        cand = ds.map_batches(partial, batch_format="pandas")
+
+        def merge(cf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+            m = cf.merge(pf, on="user_id", how="inner")
+            m = m[m["ts"] > m["t"]]
+            return m.groupby("user_id", as_index=False).agg(
+                t=("ts", "min"))
+
+        joined = partitioned_join(
+            cand, prev, "user_id", "user_id", merge, num_buckets=16,
+            left_schema=pa.schema([("user_id", pa.int64()),
+                                   ("ts", pa.timestamp("us"))]),
+            right_schema=pa.schema([("user_id", pa.int64()),
+                                    ("t", pa.timestamp("us"))]))
+        return joined
+
+    f1 = _stage_min(stages[0]).materialize()
+    f2 = _next_frontier(f1, stages[1]).materialize()
+    f3 = _next_frontier(f2, stages[2])
+
+    def _count(ds: rd.Dataset) -> int:
+        part = ds.map_batches(
+            lambda df: pd.DataFrame({"n": [len(df)]}),
+            batch_format="pandas").to_pandas()
+        return int(part["n"].sum())
+
+    return pa.Table.from_pydict({
+        "n_stage1": pa.array([_count(f1)], pa.int64()),
+        "n_stage2": pa.array([_count(f2)], pa.int64()),
+        "n_stage3": pa.array([_count(f3)], pa.int64())})

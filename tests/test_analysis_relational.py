@@ -1344,3 +1344,57 @@ def test_bm25_search_brute_force(con):
     pd.testing.assert_frame_equal(
         got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}),
         check_dtype=False, atol=1e-4)
+
+
+def test_funnel_counts_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.events import funnel_counts
+
+    got = funnel_counts(SF).to_pandas().iloc[0]
+    ev = con.sql("SELECT user_id, event_type, ts FROM events").df()
+    n1 = n2 = n3 = 0
+    for _, g in ev.groupby("user_id"):
+        v = g.loc[g["event_type"] == "view", "ts"]
+        if v.empty:
+            continue
+        n1 += 1
+        c = g.loc[(g["event_type"] == "click") & (g["ts"] > v.min()), "ts"]
+        if c.empty:
+            continue
+        n2 += 1
+        p = g.loc[(g["event_type"] == "purchase") & (g["ts"] > c.min()),
+                  "ts"]
+        if not p.empty:
+            n3 += 1
+    assert (got["n_stage1"], got["n_stage2"], got["n_stage3"]) == \
+        (n1, n2, n3)
+    assert n1 >= n2 >= n3
+
+
+def test_substring_dups_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.dedup import substring_dups
+
+    k = 48
+    got = substring_dups(SF, k=k).to_pandas()["doc_id"].tolist()
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    seen: dict[str, int] = {}
+    dups = set()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        grams = {text[i:i + k] for i in range(max(len(text) - k + 1, 0))}
+        for g in grams:
+            m = seen.get(g)
+            if m is None:
+                seen[g] = did
+            elif m < did:
+                dups.add(did)
+    assert got == sorted(dups)
+
+
+def test_bigram_pmi_positive_for_injected_collocation():
+    from granulate_char_ocr_ray.pipelines.analysis import bigram_pmi
+
+    got = bigram_pmi(SF, min_count=2, k=50).to_pandas()
+    # scores sorted desc, count filter respected
+    assert (got["c12"] >= 2).all()
+    s = got["pmi"].to_numpy()
+    assert (s[:-1] >= s[1:] - 1e-9).all()
