@@ -19,11 +19,17 @@ from ..functions.textstats import (
     lang_id_batch,
     quality_features_batch,
 )
-from ..sources.storage import read_table
+from ..sources.storage import read_table, rows_to_blocks
 
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
+    # blocks sized to the data, not the CPU count: a small corpus runs
+    # as a handful of tasks instead of 64 near-empty ones (measured 2-3s
+    # of pure task overhead per pass at sf0.1), a 100 TB one still fans
+    # out to the cap
+    path = f"{sf_dir}/documents.parquet"
+    return read_table(path, columns=columns,
+                      num_blocks=rows_to_blocks(path))
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:
@@ -504,12 +510,14 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
 
     partial = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score_partial, batch_format="pyarrow")
-    return partial.sort(["score", "doc_id"],
-                        descending=[True, False]).limit(k)
+    # the partials are k x blocks rows — coalesce before the sort so
+    # the final ordering is one tiny task, not a full range exchange
+    return partial.repartition(1).sort(
+        ["score", "doc_id"], descending=[True, False]).limit(k)
 
 
-def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
-               ) -> rd.Dataset:
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30,
+               broadcast_threshold: int = 1_000_000) -> rd.Dataset:
     """Collocation mining: the top-k adjacent token pairs by pointwise
     mutual information, PMI(w1, w2) = ln((c12/B) / ((c1/U) * (c2/U)))
     with B = total bigrams, U = total unigrams — the standard
@@ -517,15 +525,21 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
     corpus. Pairs below ``min_count`` occurrences are dropped (PMI is
     noise at low counts).
 
-    Distributed plan: bigrams form VECTORIZED per block (the flattened
-    token array zipped with its shift, doc boundaries masked via the
-    segment ids — no Python loop), counts reduce through two-phase
-    hash aggregates (bigram- and vocab-cardinality exchanges), the two
-    scalars fold O(blocks), and the unigram counts attach to the
-    bigram table via TWO token-partitioned joins (vocabulary can
-    exceed broadcast size at web scale). Final top-k is a tiny sort of
-    the min_count-filtered table. Output: (w1, w2, c12, pmi) by pmi
-    desc, w1, w2."""
+    Distributed plan — exactly TWO exchanges: bigrams form VECTORIZED
+    per block (the flattened token array zipped with its shift, doc
+    boundaries masked via the segment ids — no Python loop), and the
+    bigram / unigram counts reduce through two-phase hash aggregates.
+    Both REDUCED tables materialize once (bigram- and
+    vocab-cardinality — the multi-consumer rule), so the U and B
+    scalars fold from them with no third pass over the corpus. The
+    unigram counts then attach by size dispatch: a vocabulary under
+    the broadcast threshold ships once as a driver dict (the common
+    case — natural-language vocabularies are ~10⁷ even at 100 TB);
+    above it, TWO token-partitioned joins. Final top-k coalesces to
+    one block before sorting (the filtered table is collocation-
+    cardinality). Output: (w1, w2, c12, pmi) by pmi desc, w1, w2."""
+    import ray
+
     from ..stages.hashagg import hash_groupby_agg
     from ..stages.join import partitioned_join
 
@@ -555,7 +569,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
 
     bc = hash_groupby_agg(
         docs.map_batches(bigram_partial, batch_format="pyarrow"),
-        ["w1", "w2"], {"c12": ("c12", "sum")}, num_parts=16)
+        ["w1", "w2"], {"c12": ("c12", "sum")}, num_parts=16).materialize()
 
     def unigram_partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat(batch)
@@ -567,34 +581,21 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
         docs.map_batches(unigram_partial, batch_format="pyarrow"),
         ["w"], {"c": ("c", "sum")}, num_parts=16).materialize()
 
-    def scalar_partial(batch: pa.Table) -> pa.Table:
-        flat, seg = _flat(batch)
-        nb = int((seg[1:] == seg[:-1]).sum()) if len(flat) >= 2 else 0
-        return pa.Table.from_pydict({
-            "u": pa.array([len(flat)], pa.int64()),
-            "b": pa.array([nb], pa.int64())})
+    # U and B fold from the materialized REDUCED tables — no third
+    # pass over the corpus, O(vocab)/O(bigram) partial sums
+    def _fold(ds: rd.Dataset, col: str) -> float:
+        part = ds.map_batches(
+            lambda df, c=col: pd.DataFrame({"s": [np.int64(df[c].sum())]}),
+            batch_format="pandas").to_pandas()
+        return float(part["s"].sum())
 
-    tot = docs.map_batches(scalar_partial,
-                           batch_format="pyarrow").to_pandas()
-    u_tot = float(tot["u"].sum())
-    b_tot = float(tot["b"].sum())
+    u_tot = _fold(uc, "c")
+    b_tot = _fold(bc, "c12")
 
     filt = bc.map_batches(
         lambda df: df[df["c12"] >= min_count], batch_format="pandas")
 
-    def attach1(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        return lf.merge(rf.rename(columns={"w": "w1", "c": "c1"}),
-                        on="w1", how="inner")
-
-    j1 = partitioned_join(
-        filt, uc, "w1", "w", attach1, num_buckets=16,
-        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
-                               ("c12", pa.int64())]),
-        right_schema=pa.schema([("w", pa.string()), ("c", pa.int64())]))
-
-    def attach2(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        m = lf.merge(rf.rename(columns={"w": "w2", "c": "c2"}),
-                     on="w2", how="inner")
+    def _pmi(m: pd.DataFrame) -> pd.DataFrame:
         c12 = m["c12"].to_numpy(dtype=np.float64)
         c1 = m["c1"].to_numpy(dtype=np.float64)
         c2 = m["c2"].to_numpy(dtype=np.float64)
@@ -603,11 +604,46 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30
         m["c12"] = m["c12"].astype(np.int64)
         return m[["w1", "w2", "c12", "pmi"]]
 
-    j2 = partitioned_join(
-        j1, uc, "w2", "w", attach2, num_buckets=16,
-        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
-                               ("c12", pa.int64()), ("c1", pa.int64())]),
-        right_schema=pa.schema([("w", pa.string()), ("c", pa.int64())]))
+    # uc is materialized, so count() is a metadata read — no execution
+    if uc.count() <= broadcast_threshold:
+        uc_df = uc.to_pandas()
+        cmap_ref = ray.put(dict(zip(uc_df["w"], uc_df["c"].astype(
+            np.int64))))
 
-    return j2.sort(["pmi", "w1", "w2"],
-                   descending=[True, False, False]).limit(k)
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            cmap = ray.get(cmap_ref)
+            df = df.copy()
+            df["c1"] = df["w1"].map(cmap)
+            df["c2"] = df["w2"].map(cmap)
+            return _pmi(df)
+
+        scored = filt.map_batches(attach, batch_format="pandas")
+    else:
+        def attach1(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            return lf.merge(rf.rename(columns={"w": "w1", "c": "c1"}),
+                            on="w1", how="inner")
+
+        j1 = partitioned_join(
+            filt, uc, "w1", "w", attach1, num_buckets=16,
+            left_schema=pa.schema([("w1", pa.string()),
+                                   ("w2", pa.string()),
+                                   ("c12", pa.int64())]),
+            right_schema=pa.schema([("w", pa.string()),
+                                    ("c", pa.int64())]))
+
+        def attach2(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+            return _pmi(lf.merge(rf.rename(columns={"w": "w2",
+                                                    "c": "c2"}),
+                                 on="w2", how="inner"))
+
+        scored = partitioned_join(
+            j1, uc, "w2", "w", attach2, num_buckets=16,
+            left_schema=pa.schema([("w1", pa.string()),
+                                   ("w2", pa.string()),
+                                   ("c12", pa.int64()),
+                                   ("c1", pa.int64())]),
+            right_schema=pa.schema([("w", pa.string()),
+                                    ("c", pa.int64())]))
+
+    return scored.repartition(1).sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]).limit(k)

@@ -729,10 +729,12 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     literature; the SQL oracle joins raw substrings and agrees at
     every tested scale). Output: (doc_id) sorted ascending."""
     from ..functions.textstats import string_bytes, window_hashes_flat
+    from ..sources.storage import rows_to_blocks
     from ..stages.join import partitioned_join
 
-    docs = read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=rows_to_blocks(path))
 
     def gram_pairs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(

@@ -299,52 +299,86 @@ def event_props_k_stats(sf_dir: str) -> rd.Dataset:
 
 def funnel_counts(sf_dir: str,
                   stages: tuple[str, str, str] = ("view", "click",
-                                                  "purchase")
-                  ) -> "pa.Table":
+                                                  "purchase"),
+                  broadcast_threshold: int = 1_000_000) -> "pa.Table":
     """Ordered event-sequence funnel: how many users performed stage 1,
     then stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
     strictly after that first qualifying stage-2 event. The canonical
     product-analytics funnel, expressed as three chained user-keyed
     min reduces — each stage's frontier is per-user min(ts) under a
-    predicate that references the previous frontier, so each step is a
-    narrow user-cardinality exchange plus ONE partitioned user join
-    (users are fact-cardinality at web scale — never broadcast).
-    All comparisons are on exact int64 timestamps. Output: one row
-    (n_stage1, n_stage2, n_stage3).
+    predicate that references the previous frontier. Size dispatch per
+    step: below the broadcast threshold the previous frontier ships
+    once as sorted (user, ts) arrays probed per batch (each step is
+    then ONE narrow user-cardinality exchange); above it the frontier
+    attaches via a partitioned user join (users are fact-cardinality
+    at web scale). All comparisons are on exact int64 timestamps.
+    Output: one row (n_stage1, n_stage2, n_stage3).
 
     Reference analogue: the staged presence counts of
     evaluate_new_testdata.py:137-163 with an ordering constraint."""
+    import ray
+
+    from ..sources.storage import parquet_num_rows
     from ..stages.hashagg import hash_groupby_agg
     from ..stages.join import partitioned_join
 
-    def _stage_min(stage: str) -> rd.Dataset:
-        ds = read_table(f"{sf_dir}/events.parquet",
-                        columns=["user_id", "event_type", "ts"])
+    small = (parquet_num_rows(f"{sf_dir}/events.parquet")
+             <= broadcast_threshold)
 
+    def _events() -> rd.Dataset:
+        from ..sources.storage import rows_to_blocks
+        path = f"{sf_dir}/events.parquet"
+        return read_table(path, columns=["user_id", "event_type", "ts"],
+                          num_blocks=rows_to_blocks(path))
+
+    def _stage_min(stage: str) -> rd.Dataset:
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["event_type"] == stage]
             return df.groupby("user_id", as_index=False).agg(
                 t=("ts", "min"))
 
         return hash_groupby_agg(
-            ds.map_batches(partial, batch_format="pandas"),
+            _events().map_batches(partial, batch_format="pandas"),
             ["user_id"], {"t": ("t", "min")}, num_parts=16)
 
     def _next_frontier(prev: rd.Dataset, stage: str) -> rd.Dataset:
         """min ts of `stage` events strictly after the user's previous
-        frontier — partitioned join + per-bucket filtered min."""
-        ds = read_table(f"{sf_dir}/events.parquet",
-                        columns=["user_id", "event_type", "ts"])
+        frontier."""
+        if small:
+            # frontier is user-cardinality and under the threshold:
+            # ship it once, probe each batch, reduce the partial mins
+            pf = prev.to_pandas()
+            uk = pf["user_id"].to_numpy(dtype=np.int64)
+            ts = pf["t"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+            o = np.argsort(uk)
+            front_ref = ray.put((uk[o], ts[o]))
+
+            def probe(df: pd.DataFrame) -> pd.DataFrame:
+                uks, tss = ray.get(front_ref)
+                df = df[df["event_type"] == stage]
+                u = df["user_id"].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(uks, u)
+                pos[pos >= len(uks)] = len(uks) - 1 if len(uks) else 0
+                hit = (uks[pos] == u) if len(uks) else np.zeros(
+                    len(u), bool)
+                ev_ts = df["ts"].to_numpy(
+                    dtype="datetime64[ns]").view(np.int64)
+                after = np.zeros(len(u), dtype=bool)
+                after[hit] = ev_ts[hit] > tss[pos[hit]]
+                return (df[after].groupby("user_id", as_index=False)
+                        .agg(t=("ts", "min")))
+
+            return hash_groupby_agg(
+                _events().map_batches(probe, batch_format="pandas"),
+                ["user_id"], {"t": ("t", "min")}, num_parts=16)
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # the frontier cut is per user, so candidates stay raw
+            # (the join-side filter applies the cut)
             df = df[df["event_type"] == stage]
-            # keep per-(user, ts-min) candidates compact: per-batch
-            # ALL stage events of a user may be needed (the frontier
-            # cut is per user), so reduce only to distinct ts minima
-            # lazily — the join-side filter applies the cut
             return df[["user_id", "ts"]]
 
-        cand = ds.map_batches(partial, batch_format="pandas")
+        cand = _events().map_batches(partial, batch_format="pandas")
 
         def merge(cf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
             m = cf.merge(pf, on="user_id", how="inner")
@@ -352,13 +386,12 @@ def funnel_counts(sf_dir: str,
             return m.groupby("user_id", as_index=False).agg(
                 t=("ts", "min"))
 
-        joined = partitioned_join(
+        return partitioned_join(
             cand, prev, "user_id", "user_id", merge, num_buckets=16,
             left_schema=pa.schema([("user_id", pa.int64()),
                                    ("ts", pa.timestamp("us"))]),
             right_schema=pa.schema([("user_id", pa.int64()),
                                     ("t", pa.timestamp("us"))]))
-        return joined
 
     f1 = _stage_min(stages[0]).materialize()
     f2 = _next_frontier(f1, stages[1]).materialize()

@@ -16,7 +16,8 @@ import ray.data as rd
 
 
 def read_table(path: str, *, columns: list[str] | None = None,
-               filter_expr: Any = None) -> rd.Dataset:
+               filter_expr: Any = None,
+               num_blocks: int | None = None) -> rd.Dataset:
     """Read a stored table as a Dataset with column pruning and optional
     row-group predicate pushdown (pyarrow dataset expression).
 
@@ -60,7 +61,25 @@ def read_table(path: str, *, columns: list[str] | None = None,
         return ds
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
+    if num_blocks is not None:
+        # task granularity: Ray defaults to ~2x CPUs blocks regardless
+        # of data volume, which turns a small table into dozens of
+        # near-empty tasks (pure per-task overhead) — callers that know
+        # the row count size blocks to the DATA (see rows_to_blocks)
+        kwargs["override_num_blocks"] = num_blocks
     return rd.read_parquet(path, **kwargs)
+
+
+def rows_to_blocks(path: str, rows_per_block: int = 20_000,
+                   max_blocks: int = 512) -> int:
+    """Data-sized block count for a parquet read: ~rows_per_block rows
+    per task, capped. Keeps tiny tables to a handful of tasks while a
+    100 TB table still fans out to the cap (per-task overhead amortized
+    either way); result correctness never depends on block count (all
+    engine reduces are associative — enforced by the two-parallelism
+    parity gate)."""
+    return max(1, min(max_blocks, parquet_num_rows(path)
+                      // rows_per_block + 1))
 
 
 def parquet_num_rows(path: str) -> int:
