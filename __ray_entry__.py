@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        # --- market-basket pairs + global cume_dist window ---
+        "co_purchase_pairs": relational.co_purchase_pairs,
+        "order_price_cume_dist": relational.order_price_cume_dist,
     }
 
 
@@ -1568,6 +1571,22 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "co_purchase_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY n_orders DESC, p1, p2
+        """,
+        "order_price_cume_dist": """
+            SELECT o_orderkey,
+                   round(cume_dist() OVER (ORDER BY o_totalprice), 6)
+                     AS cume
+            FROM orders ORDER BY o_orderkey
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -3335,3 +3335,106 @@ def q2_min_supplier_per_part(sf_dir: str, max_size: int = 10,
 
     return (best.map_batches(final, batch_format="pandas")
             .sort(["s_acctbal", "p_partkey"], descending=[True, False]))
+
+
+def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least ``min_count`` orders — the classic self-join-within-group
+    shape (frequent-itemset mining at pair size 2). Plan: the distinct
+    (orderkey, partkey) pairs reduce through the two-phase hash
+    aggregate, re-partition on ORDERKEY alone (every part of an order
+    lands in one bucket), each bucket expands its orders' pairs
+    VECTORIZED (one self-merge per bucket, p1 < p2 — quadratic only in
+    the per-order basket size, bounded by order width), and the pair
+    counts reduce through a final hash aggregate with the HAVING prune
+    inside the finish. No raw lineitem row is ever shuffled twice.
+    Output: (p1, p2, n_orders) sorted n desc, p1, p2."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = hash_groupby_agg(
+        items.map_batches(distinct_pairs, batch_format="pandas"),
+        ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "count")},
+        num_parts=32)
+
+    def tag_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].copy()
+        df["_obucket"] = _stable_partition(df, ["l_orderkey"], 32)
+        return df
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return (m.groupby(["l_partkey_x", "l_partkey_y"],
+                          as_index=False)
+                .agg(n_orders=("l_orderkey", "size"))
+                .rename(columns={"l_partkey_x": "p1",
+                                 "l_partkey_y": "p2"}))
+
+    per_bucket = (pairs.map_batches(tag_order, batch_format="pandas")
+                  .groupby("_obucket")
+                  .map_groups(expand, batch_format="pandas"))
+
+    counts = hash_groupby_agg(per_bucket, ["p1", "p2"],
+                              {"n_orders": ("n_orders", "sum")},
+                              num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_orders"] >= min_count].copy()
+        df["p1"] = df["p1"].astype(np.int64)
+        df["p2"] = df["p2"].astype(np.int64)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return df[["p1", "p2", "n_orders"]]
+
+    return (counts.map_batches(final, batch_format="pandas")
+            .repartition(1)
+            .sort(["n_orders", "p1", "p2"],
+                  descending=[True, False, False]))
+
+
+def order_price_cume_dist(sf_dir: str) -> rd.Dataset:
+    """Global CUME_DIST window over a fact table: for every order, the
+    fraction of orders priced at or below it — ``cume_dist() OVER
+    (ORDER BY o_totalprice)`` without a global sort. Prices are exact
+    at 2 decimals, so the distribution reduces to a DOMAIN-BOUNDED
+    integer-cents value histogram (two-phase hash aggregate; the
+    histogram is price-domain-sized, not table-sized), its cumulative
+    counts broadcast once as a sorted array, and every batch probes by
+    searchsorted — an O(1)-exchange window over arbitrarily many rows.
+    Output: (o_orderkey, cume) by orderkey, cume rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"cents": c})
+                .groupby("cents", as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    hist = hash_groupby_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["cents"], {"n": ("n", "sum")}, num_parts=16).to_pandas()
+    hist = hist.sort_values("cents")
+    cents_sorted = hist["cents"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(dtype=np.int64))
+    n_total = float(cum[-1]) if len(cum) else 0.0
+    cdf_ref = ray.put((cents_sorted, cum))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        cs, cm = ray.get(cdf_ref)
+        c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        pos = np.searchsorted(cs, c, side="right")
+        cume = cm[pos - 1] / n_total
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "cume": round_half_up(cume, 6)})
+
+    return orders.map_batches(probe,
+                              batch_format="pandas").sort("o_orderkey")

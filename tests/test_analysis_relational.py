@@ -1398,3 +1398,36 @@ def test_bigram_pmi_positive_for_injected_collocation():
     assert (got["c12"] >= 2).all()
     s = got["pmi"].to_numpy()
     assert (s[:-1] >= s[1:] - 1e-9).all()
+
+
+def test_co_purchase_pairs_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        co_purchase_pairs)
+    from itertools import combinations
+    from collections import Counter
+
+    got = co_purchase_pairs(SF, min_count=2).to_pandas()
+    li = con.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem").df()
+    cnt = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"]), 2):
+            cnt[(a, b)] += 1
+    want = {k: v for k, v in cnt.items() if v >= 2}
+    got_map = {(r.p1, r.p2): r.n_orders for r in got.itertuples()}
+    assert got_map == want
+
+
+def test_order_price_cume_dist_bounds(con):
+    from granulate_char_ocr_ray.pipelines.relational import (
+        order_price_cume_dist)
+
+    got = order_price_cume_dist(SF).to_pandas()
+    n = con.sql("SELECT count(*) FROM orders").df().iloc[0, 0]
+    assert len(got) == n
+    assert got["cume"].min() >= 1.0 / n - 1e-9
+    assert abs(got["cume"].max() - 1.0) < 1e-9
+    # the most expensive order has cume exactly 1
+    top = con.sql("SELECT o_orderkey FROM orders ORDER BY o_totalprice"
+                  " DESC LIMIT 1").df().iloc[0, 0]
+    assert abs(got.set_index("o_orderkey").loc[top, "cume"] - 1.0) < 1e-9
