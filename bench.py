@@ -141,7 +141,8 @@ def run_benchmarks() -> dict:
     queries["extract_spans_fanout"] = _best_of(_fanout)
 
     # --- secondary pipelines (each best-of-N) ---
-    from granulate_char_ocr_ray.pipelines import analysis, media, training
+    from granulate_char_ocr_ray.pipelines import (analysis, events, media,
+                                                  training)
 
     secondary = [
         ("q1_pricing_summary",
@@ -178,6 +179,22 @@ def run_benchmarks() -> dict:
          lambda: relational.large_orders(SF_DIR).to_pandas()),
         ("q4_order_priority",
          lambda: relational.q4_order_priority(SF_DIR).to_pandas()),
+        ("q9_product_type_profit",
+         lambda: relational.q9_product_type_profit(SF_DIR).to_pandas()),
+        ("q21_waiting_suppliers",
+         lambda: relational.q21_waiting_suppliers(SF_DIR).to_pandas()),
+        ("bm25_search",
+         lambda: analysis.bm25_search(SF_DIR).to_pandas()),
+        ("bigram_pmi",
+         lambda: analysis.bigram_pmi(SF_DIR).to_pandas()),
+        ("substring_dups",
+         lambda: dedup.substring_dups(SF_DIR).to_pandas()),
+        ("funnel_counts",
+         lambda: events.funnel_counts(SF_DIR).to_pandas()),
+        ("co_purchase_pairs",
+         lambda: relational.co_purchase_pairs(SF_DIR).to_pandas()),
+        ("order_price_cume_dist",
+         lambda: relational.order_price_cume_dist(SF_DIR).to_pandas()),
     ]
     for name, fn in secondary:
         queries[name] = _best_of(fn)

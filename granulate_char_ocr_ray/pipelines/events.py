@@ -393,17 +393,13 @@ def funnel_counts(sf_dir: str,
             right_schema=pa.schema([("user_id", pa.int64()),
                                     ("t", pa.timestamp("us"))]))
 
+    # every frontier materializes once (REDUCED, user-cardinality), so
+    # each count() is a metadata read — no extra execution per stage
     f1 = _stage_min(stages[0]).materialize()
     f2 = _next_frontier(f1, stages[1]).materialize()
-    f3 = _next_frontier(f2, stages[2])
-
-    def _count(ds: rd.Dataset) -> int:
-        part = ds.map_batches(
-            lambda df: pd.DataFrame({"n": [len(df)]}),
-            batch_format="pandas").to_pandas()
-        return int(part["n"].sum())
+    f3 = _next_frontier(f2, stages[2]).materialize()
 
     return pa.Table.from_pydict({
-        "n_stage1": pa.array([_count(f1)], pa.int64()),
-        "n_stage2": pa.array([_count(f2)], pa.int64()),
-        "n_stage3": pa.array([_count(f3)], pa.int64())})
+        "n_stage1": pa.array([f1.count()], pa.int64()),
+        "n_stage2": pa.array([f2.count()], pa.int64()),
+        "n_stage3": pa.array([f3.count()], pa.int64())})

@@ -3354,20 +3354,18 @@ def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
     items = read_table(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_partkey"])
 
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    pairs = hash_groupby_agg(
-        items.map_batches(distinct_pairs, batch_format="pandas"),
-        ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "count")},
-        num_parts=32)
-
-    def tag_order(df: pd.DataFrame) -> pd.DataFrame:
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # partition on ORDERKEY (not the pair) so the single shuffle
+        # both dedups the pairs AND co-locates whole orders — pair
+        # expansion then happens inside the same final combine (one
+        # exchange instead of dedup-shuffle + re-bucket-shuffle)
+        df = df.drop_duplicates()
         df = df[["l_orderkey", "l_partkey"]].copy()
         df["_obucket"] = _stable_partition(df, ["l_orderkey"], 32)
         return df
 
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_and_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
         m = g.merge(g, on="l_orderkey")
         m = m[m["l_partkey_x"] < m["l_partkey_y"]]
         return (m.groupby(["l_partkey_x", "l_partkey_y"],
@@ -3376,9 +3374,10 @@ def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
                 .rename(columns={"l_partkey_x": "p1",
                                  "l_partkey_y": "p2"}))
 
-    per_bucket = (pairs.map_batches(tag_order, batch_format="pandas")
+    per_bucket = (items.map_batches(distinct_partial,
+                                    batch_format="pandas")
                   .groupby("_obucket")
-                  .map_groups(expand, batch_format="pandas"))
+                  .map_groups(dedup_and_expand, batch_format="pandas"))
 
     counts = hash_groupby_agg(per_bucket, ["p1", "p2"],
                               {"n_orders": ("n_orders", "sum")},
