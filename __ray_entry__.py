@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "retention_cohorts": events.retention_cohorts,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
         "order_price_cume_dist": relational.order_price_cume_dist,
@@ -1571,6 +1572,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch(ts) AS BIGINT) // 604800 AS wk
+              FROM events),
+            fst AS (SELECT user_id, min(wk) AS cohort_wk
+                    FROM act GROUP BY 1)
+            SELECT cohort_wk AS cohort_week,
+                   wk - cohort_wk AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN fst USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "co_purchase_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

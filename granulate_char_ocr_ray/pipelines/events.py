@@ -403,3 +403,94 @@ def funnel_counts(sf_dir: str,
         "n_stage1": pa.array([f1.count()], pa.int64()),
         "n_stage2": pa.array([f2.count()], pa.int64()),
         "n_stage3": pa.array([f3.count()], pa.int64())})
+
+
+def retention_cohorts(sf_dir: str,
+                      broadcast_threshold: int = 1_000_000
+                      ) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by the epoch-week of
+    their FIRST event; for each (cohort_week, week_offset), how many
+    of that cohort's users were active offset weeks later — the
+    standard product-analytics retention triangle. Weeks are integer
+    epoch-seconds // 604800 (timezone-free, exact).
+
+    Plan: the distinct (user, week) activity pairs reduce through the
+    two-phase hash aggregate (one row per pair per batch), the
+    per-user first week reduces from those SAME pairs (a second narrow
+    exchange over pair-cardinality, not raw events), and the cohort
+    tag attaches by size dispatch — broadcast sorted arrays below the
+    threshold, a partitioned user join above. The final (cohort,
+    offset) aggregate is triangle-sized. Output: (cohort_week,
+    week_offset, n_users) sorted."""
+    import ray
+
+    from ..sources.storage import parquet_num_rows, rows_to_blocks
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts"],
+                    num_blocks=rows_to_blocks(path))
+    wk_div = np.int64(604_800) * np.int64(1_000_000_000)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+              // wk_div)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(
+            dtype=np.int64), "wk": wk}).drop_duplicates())
+
+    act = hash_groupby_agg(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id", "wk"], {"_n": ("wk", "count")},
+        num_parts=16).materialize()
+
+    fst = hash_groupby_agg(act, ["user_id"],
+                           {"cohort_wk": ("wk", "min")}, num_parts=16)
+
+    if parquet_num_rows(path) <= broadcast_threshold:
+        fdf = fst.to_pandas()
+        uk = fdf["user_id"].to_numpy(dtype=np.int64)
+        cw = fdf["cohort_wk"].to_numpy(dtype=np.int64)
+        o = np.argsort(uk)
+        ref = ray.put((uk[o], cw[o]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            uks, cws = ray.get(ref)
+            u = df["user_id"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(uks, u)
+            out = pd.DataFrame({
+                "cohort_week": cws[pos],
+                "week_offset": df["wk"].to_numpy(dtype=np.int64)
+                - cws[pos]})
+            return out.groupby(["cohort_week", "week_offset"],
+                               as_index=False).agg(
+                n_users=("cohort_week", "size"))
+
+        part = act.map_batches(attach, batch_format="pandas")
+    else:
+        def merge(af: pd.DataFrame, ff: pd.DataFrame) -> pd.DataFrame:
+            m = af.merge(ff, on="user_id", how="inner")
+            m["cohort_week"] = m["cohort_wk"].astype(np.int64)
+            m["week_offset"] = (m["wk"] - m["cohort_wk"]).astype(np.int64)
+            return m.groupby(["cohort_week", "week_offset"],
+                             as_index=False).agg(
+                n_users=("cohort_week", "size"))
+
+        part = partitioned_join(
+            act, fst, "user_id", "user_id", merge, num_buckets=16,
+            left_schema=pa.schema([("user_id", pa.int64()),
+                                   ("wk", pa.int64()),
+                                   ("_n", pa.int64())]),
+            right_schema=pa.schema([("user_id", pa.int64()),
+                                    ("cohort_wk", pa.int64())]))
+
+    agg = hash_groupby_agg(part, ["cohort_week", "week_offset"],
+                           {"n_users": ("n_users", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("cohort_week", "week_offset", "n_users"):
+            df[c] = df[c].astype(np.int64)
+        return df[["cohort_week", "week_offset", "n_users"]]
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .sort(["cohort_week", "week_offset"]))

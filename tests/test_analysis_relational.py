@@ -1431,3 +1431,25 @@ def test_order_price_cume_dist_bounds(con):
     top = con.sql("SELECT o_orderkey FROM orders ORDER BY o_totalprice"
                   " DESC LIMIT 1").df().iloc[0, 0]
     assert abs(got.set_index("o_orderkey").loc[top, "cume"] - 1.0) < 1e-9
+
+
+def test_retention_cohorts_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.events import retention_cohorts
+
+    got = retention_cohorts(SF).to_pandas()
+    ev = con.sql("SELECT user_id, ts FROM events").df()
+    wk = (ev["ts"].to_numpy(dtype="datetime64[ns]").view("int64")
+          // (604800 * 10**9))
+    act = pd.DataFrame({"u": ev["user_id"], "wk": wk}).drop_duplicates()
+    fst = act.groupby("u")["wk"].min()
+    m = act.assign(cw=act["u"].map(fst))
+    want = (m.assign(off=m["wk"] - m["cw"])
+            .groupby(["cw", "off"]).size().reset_index(name="n"))
+    got_map = {(r.cohort_week, r.week_offset): r.n_users
+               for r in got.itertuples()}
+    want_map = {(r.cw, r.off): r.n for r in want.itertuples()}
+    assert got_map == want_map
+    # offset-0 count equals the cohort size
+    for (cw, off), n in want_map.items():
+        if off == 0:
+            assert n == (fst == cw).sum()
