@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_shipments": relational.q20_excess_shipments,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "retention_cohorts": events.retention_cohorts,
+        "rolling_active_users": events.rolling_active_users,
+        "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
         "order_price_cume_dist": relational.order_price_cume_dist,
@@ -1572,6 +1574,38 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "rolling_active_users": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch(ts) AS BIGINT) // 86400 AS d
+              FROM events),
+            days AS (SELECT DISTINCT d FROM act)
+            SELECT days.d AS day,
+                   CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+            FROM days JOIN act ON act.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1 ORDER BY 1
+        """,
+        "vocab_coverage": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            r AS (SELECT n,
+                         sum(n) OVER (ORDER BY n DESC, token ASC)
+                           AS cum,
+                         row_number() OVER (ORDER BY n DESC, token ASC)
+                           AS rn
+                  FROM tc),
+            tot AS (SELECT sum(n) AS t FROM tc),
+            pcts(pct) AS (VALUES (50), (90), (99))
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(min(r.rn) AS BIGINT) AS n_token_types,
+                   CAST(min_by(r.cum, r.rn) AS BIGINT) AS covered_tokens
+            FROM pcts JOIN r
+              ON r.cum >= ((SELECT t FROM tot) * pct + 99) // 100
+            GROUP BY pct ORDER BY pct
         """,
         "retention_cohorts": """
             WITH act AS (

@@ -647,3 +647,45 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30,
 
     return scored.repartition(1).sort(
         ["pmi", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+def vocab_coverage(sf_dir: str,
+                   pcts: tuple[int, ...] = (50, 90, 99)) -> pa.Table:
+    """Vocabulary coverage curve: the number of most-frequent token
+    types needed to cover each percentage of total token mass — the
+    Zipf-curve summary a tokenizer-budget decision reads (how large
+    must a vocab be to cover 99% of the corpus). Token counts reduce
+    through the two-phase hash aggregate to VOCAB cardinality; the
+    cumulative scan then runs on the reduced table collected once
+    (natural-language vocabularies are ~10⁷ types even at 100 TB —
+    the documented bounded-collect; the count order is (count desc,
+    token asc), deterministic). Output: (pct, n_token_types,
+    covered_tokens) per requested percentage."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"token": flat})
+
+    tokens = _docs(sf_dir, ["text"]).map_batches(explode_tokens,
+                                                 batch_format="pyarrow")
+    counts = hash_groupby_agg(tokens, ["token"],
+                              {"n": ("token", "count")},
+                              num_parts=16).to_pandas()
+    counts = counts.sort_values(["n", "token"],
+                                ascending=[False, True])
+    n = counts["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in pcts:
+        need = -(-total * p // 100)  # ceil(total * p / 100) in ints
+        idx = int(np.searchsorted(cum, need, side="left"))
+        rows.append((int(p), idx + 1 if total else 0,
+                     int(cum[idx]) if total else 0))
+    return pa.Table.from_pydict({
+        "pct": pa.array([r[0] for r in rows], pa.int64()),
+        "n_token_types": pa.array([r[1] for r in rows], pa.int64()),
+        "covered_tokens": pa.array([r[2] for r in rows], pa.int64())})

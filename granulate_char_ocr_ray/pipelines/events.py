@@ -494,3 +494,78 @@ def retention_cohorts(sf_dir: str,
 
     return (agg.map_batches(final, batch_format="pandas")
             .sort(["cohort_week", "week_offset"]))
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7
+                         ) -> rd.Dataset:
+    """Sliding-window DISTINCT count: for every active day, how many
+    distinct users were active in the trailing ``window_days`` window
+    — rolling 7-day actives, the standard engagement metric. Distinct
+    is not windowable by subtraction, so the engine lowers it to the
+    window-explode pattern over the DEDUPED (user, day) pairs: each
+    pair replicates to the <= window_days window-days it contributes
+    to (pair-cardinality x window, never raw events), dedups again on
+    (window_day, user) — replication cannot create duplicates, but
+    the reduce bounds the exchange — and a per-day count finishes.
+    Output: (day, n_users) for days with activity, sorted.
+
+    Day identity is integer epoch-days (timezone-free, exact)."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import hash_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts"],
+                    num_blocks=rows_to_blocks(path))
+    day_div = np.int64(86_400) * np.int64(1_000_000_000)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+             // day_div)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(
+            dtype=np.int64), "d": d}).drop_duplicates())
+
+    act = hash_groupby_agg(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["user_id", "d"], {"_n": ("d", "count")},
+        num_parts=16).materialize()
+
+    # the set of ACTIVE days (output domain) — day-cardinality
+    active_days = np.unique(act.map_batches(
+        lambda df: df[["d"]].drop_duplicates(), batch_format="pandas")
+        .to_pandas()["d"].to_numpy(dtype=np.int64))
+    import ray
+    days_ref = ray.put(active_days)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        days = ray.get(days_ref)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        d = df["d"].to_numpy(dtype=np.int64)
+        # replicate each pair to the ACTIVE days within [d, d+window)
+        lo = np.searchsorted(days, d, side="left")
+        hi = np.searchsorted(days, d + window_days, side="left")
+        reps = (hi - lo).astype(np.int64)
+        ui = np.repeat(u, reps)
+        # window-day index per replica: days[lo_i + k], offsets built
+        # vectorized (arange minus repeated segment starts)
+        total = int(reps.sum())
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.arange(total) - np.repeat(starts, reps)
+        wd = days[np.repeat(lo, reps) + offs]
+        return (pd.DataFrame({"day": wd, "user_id": ui})
+                .drop_duplicates())
+
+    pairs2 = hash_groupby_agg(
+        act.map_batches(explode, batch_format="pandas"),
+        ["day", "user_id"], {"_n": ("user_id", "count")}, num_parts=16)
+
+    counts = hash_groupby_agg(pairs2, ["day"],
+                              {"n_users": ("user_id", "count")},
+                              num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["day"].astype(np.int64)
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return df[["day", "n_users"]]
+
+    return (counts.map_batches(final, batch_format="pandas")
+            .sort("day"))

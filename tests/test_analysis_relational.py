@@ -1453,3 +1453,34 @@ def test_retention_cohorts_brute_force(con):
     for (cw, off), n in want_map.items():
         if off == 0:
             assert n == (fst == cw).sum()
+
+
+def test_rolling_active_users_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.events import (
+        rolling_active_users)
+
+    got = rolling_active_users(SF, window_days=7).to_pandas()
+    ev = con.sql("SELECT user_id, ts FROM events").df()
+    d = (ev["ts"].to_numpy(dtype="datetime64[ns]").view("int64")
+         // (86400 * 10**9))
+    act = pd.DataFrame({"u": ev["user_id"], "d": d}).drop_duplicates()
+    want = {}
+    for day in sorted(act["d"].unique()):
+        want[day] = act.loc[
+            (act["d"] >= day - 6) & (act["d"] <= day), "u"].nunique()
+    got_map = dict(zip(got["day"], got["n_users"]))
+    assert got_map == want
+
+
+def test_vocab_coverage_monotone(con):
+    from granulate_char_ocr_ray.pipelines.analysis import vocab_coverage
+
+    got = vocab_coverage(SF).to_pandas()
+    assert list(got["pct"]) == [50, 90, 99]
+    assert got["n_token_types"].is_monotonic_increasing
+    total = int(con.sql(
+        "SELECT count(*) FROM (SELECT unnest(regexp_split_to_array("
+        "trim(text), '\\s+')) FROM documents WHERE trim(text) <> '')"
+    ).df().iloc[0, 0])
+    for r in got.itertuples():
+        assert r.covered_tokens >= -(-total * r.pct // 100)
