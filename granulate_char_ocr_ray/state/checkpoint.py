@@ -83,12 +83,20 @@ def run_extract_job(
     concurrency: int | tuple[int, int] = (1, 8),
     stop_after: int | None = None,
     stage_input: bool = False,
+    transform=None,
 ) -> dict:
     """Run the extraction pipeline partition-by-partition with commits.
 
     ``stop_after`` processes at most that many (uncommitted) partitions
     then returns — the test hook simulating a killed job. Returns a
     summary dict {run_id, processed, skipped, partitions}.
+
+    ``transform`` (Dataset -> Dataset) replaces the extraction step:
+    the SAME partition/commit/manifest/resume machinery then checkpoints
+    any doc-keyed pipeline (dedup, quality filtering, chunking, ...) —
+    resumability is a property of the job harness, not of one pipeline.
+    Lineage metrics degrade gracefully when the output lacks the span
+    columns (rows always; distinct docs when a doc_id column exists).
 
     ``stage_input=True`` removes the O(P) input rescans (round-1 review
     note): the corpus is read ONCE, tagged with its partition id, and
@@ -179,7 +187,10 @@ def run_extract_job(
             # pass stage_input=True when input scans dominate
             docs = read_docs(input_path).map_batches(
                 in_partition, batch_format="pyarrow")
-        spans = extract_spans(docs, mode=mode, concurrency=concurrency)
+        if transform is not None:
+            spans = transform(docs)
+        else:
+            spans = extract_spans(docs, mode=mode, concurrency=concurrency)
 
         part_dir = os.path.join(out_dir, f"part={pid}")
         tmp_dir = os.path.join(out_dir, f".tmp-part={pid}-{run_id}")
@@ -189,17 +200,27 @@ def run_extract_job(
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)
 
-        # lineage metrics from the committed partition output (small)
-        out_table = pads.dataset(part_dir).to_table(columns=["doc_id", "kind", "text"])
+        # lineage metrics from the committed partition output (small);
+        # generic transforms may not emit the span columns
+        out_schema = pads.dataset(part_dir).schema
+        metric_cols = [c for c in ("doc_id", "kind", "text")
+                       if c in out_schema.names]
+        out_table = pads.dataset(part_dir).to_table(columns=metric_cols)
         n_spans = out_table.num_rows
-        n_docs = len(pc.unique(out_table.column("doc_id")))
-        media_mask = pc.equal(out_table.column("kind"), "media")
-        glyphs = int(
-            pc.sum(
-                pc.utf8_length(pc.if_else(media_mask, out_table.column("text"), ""))
-            ).as_py()
-            or 0
-        )
+        n_docs = (len(pc.unique(out_table.column("doc_id")))
+                  if "doc_id" in metric_cols else n_spans)
+        if "kind" in metric_cols and "text" in metric_cols:
+            media_mask = pc.equal(out_table.column("kind"), "media")
+            glyphs = int(
+                pc.sum(
+                    pc.utf8_length(
+                        pc.if_else(media_mask, out_table.column("text"),
+                                   ""))
+                ).as_py()
+                or 0
+            )
+        else:
+            glyphs = 0
         wall = time.time() - t0
         _commit_manifest_row(
             out_dir,
@@ -239,4 +260,6 @@ def read_job_output(out_dir: str) -> pa.Table:
         raise FileNotFoundError(f"no committed partitions in {out_dir}")
     parts = [os.path.join(out_dir, f"part={pid}") for pid in sorted(done)]
     table = pa.concat_tables([pads.dataset(p).to_table() for p in parts])
-    return table.sort_by([("doc_id", "ascending"), ("order", "ascending")])
+    sort_keys = [(c, "ascending") for c in ("doc_id", "order")
+                 if c in table.column_names]
+    return table.sort_by(sort_keys) if sort_keys else table

@@ -111,3 +111,45 @@ def test_staged_input_matches_unstaged_and_resumes(tmp_path, docs_path):
                          stage_input=True)
     assert sorted(s2["skipped"]) == sorted(s1["processed"])
     assert read_job_output(out_c).equals(read_job_output(out_a))
+
+
+def test_generic_transform_job_kill_and_resume(docs_path, tmp_path):
+    """The checkpoint harness is pipeline-agnostic: a custom transform
+    (doc-level token-count projection) runs partition-by-partition,
+    survives a kill, and the resumed output is byte-identical to an
+    uninterrupted run."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def span_count_transform(docs):
+        def count(batch: pa.Table) -> pa.Table:
+            n = pc.list_value_length(batch.column("spans"))
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int64())],
+                names=["doc_id", "n_spans"])
+
+        return docs.map_batches(count, batch_format="pyarrow")
+
+    out_clean = str(tmp_path / "t_clean")
+    out_killed = str(tmp_path / "t_killed")
+
+    s0 = run_extract_job(docs_path, out_clean, num_partitions=4,
+                         transform=span_count_transform)
+    assert sorted(s0["processed"]) == [0, 1, 2, 3]
+
+    s1 = run_extract_job(docs_path, out_killed, num_partitions=4,
+                         transform=span_count_transform, stop_after=2)
+    assert len(s1["processed"]) == 2
+    s2 = run_extract_job(docs_path, out_killed, num_partitions=4,
+                         transform=span_count_transform)
+    assert sorted(s1["processed"] + s2["processed"]) == [0, 1, 2, 3]
+    assert s2["skipped"] == s1["processed"]
+
+    a = read_job_output(out_clean).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = read_job_output(out_killed).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # lineage rows carry generic metrics (docs == distinct doc_ids)
+    man = committed_partitions(out_killed)
+    assert sum(r["docs"] for r in man.values()) == 60
