@@ -263,3 +263,44 @@ def read_job_output(out_dir: str) -> pa.Table:
     sort_keys = [(c, "ascending") for c in ("doc_id", "order")
                  if c in table.column_names]
     return table.sort_by(sort_keys) if sort_keys else table
+
+
+def compact_job_output(out_dir: str, target_rows_per_file: int = 500_000
+                       ) -> dict:
+    """Compact a committed job's many small part files into
+    right-sized ones under ``out_dir/_compacted`` — the small-files
+    maintenance pass every partitioned 100-TB sink eventually needs
+    (a resumable job writes one directory per partition; tiny
+    partitions leave tiny files that tax every subsequent scan).
+    Atomic like a partition commit: written to a tmp dir, then one
+    rename. Content is verified row-count-identical before the swap.
+    Returns {files_before, files_after, rows}."""
+    import ray.data as rd
+
+    done = committed_partitions(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no committed partitions in {out_dir}")
+    parts = [os.path.join(out_dir, f"part={pid}") for pid in sorted(done)]
+    files_before = sum(
+        len(pads.dataset(p).files) for p in parts)
+    total_rows = sum(pads.dataset(p).count_rows() for p in parts)
+
+    n_files = max(1, -(-total_rows // target_rows_per_file))
+    tmp_dir = os.path.join(out_dir, ".tmp-compacted")
+    final_dir = os.path.join(out_dir, "_compacted")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    files = [f for p in parts for f in pads.dataset(p).files]
+    ds = rd.read_parquet(files)
+    ds.repartition(n_files).write_parquet(tmp_dir)
+
+    got_rows = pads.dataset(tmp_dir).count_rows()
+    if got_rows != total_rows:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {got_rows} != {total_rows}")
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    return {"files_before": files_before,
+            "files_after": len(pads.dataset(final_dir).files),
+            "rows": total_rows}

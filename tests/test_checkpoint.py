@@ -153,3 +153,56 @@ def test_generic_transform_job_kill_and_resume(docs_path, tmp_path):
     # lineage rows carry generic metrics (docs == distinct doc_ids)
     man = committed_partitions(out_killed)
     assert sum(r["docs"] for r in man.values()) == 60
+
+
+def test_clustered_write_prunes_row_groups(tmp_path):
+    """write_clustered sorts by the key before writing, so a range
+    predicate selects a small fraction of row groups; the same data
+    written unsorted (hash-scattered) selects nearly all of them."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from granulate_char_ocr_ray.sources.storage import (
+        pruning_stats, write_clustered)
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    t = pa.table({"k": rng.permutation(n).astype("int64"),
+                  "v": np.arange(n, dtype="int64")})
+    ds = rd.from_arrow(t).repartition(4)
+
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_clustered(ds, clustered, "k", row_group_size=5_000)
+    ds.write_parquet(scattered, row_group_size=5_000)
+
+    pred = (pads.field("k") >= 10_000) & (pads.field("k") < 15_000)
+    s_clu = pruning_stats(clustered, pred)
+    s_sca = pruning_stats(scattered, pred)
+    assert s_clu["total_rows"] == n and s_sca["total_rows"] == n
+    # the clustered layout prunes to a handful of groups; the scattered
+    # layout must touch (nearly) every group for the same predicate
+    assert s_clu["selected_row_groups"] * 4 <= s_clu["total_row_groups"]
+    assert s_sca["selected_row_groups"] * 2 >= s_sca["total_row_groups"]
+    assert (s_clu["selected_row_groups"]
+            < s_sca["selected_row_groups"])
+
+
+def test_compact_job_output_preserves_content(docs_path, tmp_path):
+    from granulate_char_ocr_ray.state.checkpoint import compact_job_output
+
+    out = str(tmp_path / "out")
+    run_extract_job(docs_path, out, num_partitions=6, concurrency=2)
+    before = read_job_output(out)
+    stats = compact_job_output(out, target_rows_per_file=10_000)
+    assert stats["rows"] == before.num_rows
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] == 1  # tiny corpus -> one file
+    compacted = pq.read_table(os.path.join(out, "_compacted"))
+    a = before.to_pandas().sort_values(["doc_id", "order"]).reset_index(
+        drop=True)
+    b = (compacted.to_pandas()[a.columns.tolist()]
+         .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    assert a.equals(b)
