@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "retention_cohorts": events.retention_cohorts,
         "rolling_active_users": events.rolling_active_users,
+        "filter_lm_quality": analysis.filter_lm_quality,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1574,6 +1575,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "filter_lm_quality": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT sum(c) AS s FROM freq),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(c / s)), 6) AS logprob
+              FROM tok JOIN freq USING (w) CROSS JOIN tot
+              GROUP BY doc_id),
+            thr AS (
+              SELECT min(logprob) AS t FROM (
+                SELECT logprob,
+                       cume_dist() OVER (ORDER BY logprob) AS cd
+                FROM sc) WHERE cd >= 0.1)
+            SELECT doc_id, n_tokens, logprob FROM sc
+            WHERE logprob >= (SELECT t FROM thr) ORDER BY doc_id
         """,
         "rolling_active_users": """
             WITH act AS (

@@ -689,3 +689,40 @@ def vocab_coverage(sf_dir: str,
         "pct": pa.array([r[0] for r in rows], pa.int64()),
         "n_token_types": pa.array([r[1] for r in rows], pa.int64()),
         "covered_tokens": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
+                      ) -> rd.Dataset:
+    """Perplexity-gated corpus filter (the CCNet recipe): drop the
+    bottom ``drop_below`` fraction of documents by unigram-LM score,
+    with an EXACT distributed quantile threshold. The per-doc scores
+    are 6-decimal-rounded, so their distribution reduces to a
+    domain-bounded value histogram (two-phase hash aggregate, one
+    narrow exchange); the threshold is the smallest score whose
+    cumulative distribution reaches ``drop_below`` (ties kept —
+    identical to SQL ``cume_dist()``), computed from the collected
+    histogram and applied as a broadcast scalar gate in a second
+    scoring pass. Scoring re-executes rather than materializing the
+    doc-cardinality score table (two streaming passes beat pinning a
+    corpus-sized intermediate). Output: (doc_id, n_tokens, logprob)
+    for surviving docs, by doc_id."""
+    scores = unigram_logprob_scores(sf_dir)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("logprob", as_index=False)
+                .agg(n=("logprob", "size")))
+
+    from ..stages.hashagg import hash_groupby_agg
+    hist = hash_groupby_agg(
+        scores.map_batches(hist_partial, batch_format="pandas"),
+        ["logprob"], {"n": ("n", "sum")}, num_parts=8).to_pandas()
+    hist = hist.sort_values("logprob")
+    cum = np.cumsum(hist["n"].to_numpy(dtype=np.int64))
+    n_total = int(cum[-1]) if len(cum) else 0
+    cd = cum / float(n_total) if n_total else cum.astype(float)
+    idx = int(np.searchsorted(cd, drop_below, side="left"))
+    threshold = float(hist["logprob"].to_numpy()[idx]) if n_total else 0.0
+
+    return unigram_logprob_scores(sf_dir).map_batches(
+        lambda df: df[df["logprob"] >= threshold],
+        batch_format="pandas").sort("doc_id")

@@ -1484,3 +1484,21 @@ def test_vocab_coverage_monotone(con):
     ).df().iloc[0, 0])
     for r in got.itertuples():
         assert r.covered_tokens >= -(-total * r.pct // 100)
+
+
+def test_filter_lm_quality_drops_bottom_decile(con):
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        filter_lm_quality, unigram_logprob_scores)
+
+    all_scores = unigram_logprob_scores(SF).to_pandas()
+    kept = filter_lm_quality(SF, drop_below=0.1).to_pandas()
+    n = len(all_scores)
+    assert len(kept) <= n
+    # at least (1 - 0.1) of docs survive; ties at the threshold kept
+    assert len(kept) >= int(n * 0.9)
+    # every dropped doc scores strictly below every kept doc's minimum
+    dropped = set(all_scores["doc_id"]) - set(kept["doc_id"])
+    if dropped:
+        max_dropped = all_scores.set_index("doc_id").loc[
+            sorted(dropped), "logprob"].max()
+        assert max_dropped < kept["logprob"].min()
