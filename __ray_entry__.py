@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": events.retention_cohorts,
         "rolling_active_users": events.rolling_active_users,
         "filter_lm_quality": analysis.filter_lm_quality,
+        "kwic_snippets": analysis.kwic_snippets,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1575,6 +1576,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "kwic_snippets": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> '')
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(
+                     toks[greatest(CAST(i AS INT) - 3, 1)
+                          :least(CAST(i AS INT) + 3, len(toks))],
+                     ' ') AS snippet
+            FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)
+            WHERE toks[CAST(i AS INT)] = 'spark'
+            ORDER BY doc_id, pos
         """,
         "filter_lm_quality": """
             WITH tok AS (

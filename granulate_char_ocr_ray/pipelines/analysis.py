@@ -726,3 +726,50 @@ def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
     return unigram_logprob_scores(sf_dir).map_batches(
         lambda df: df[df["logprob"] >= threshold],
         batch_format="pandas").sort("doc_id")
+
+
+def kwic_snippets(sf_dir: str, term: str = "spark", window: int = 3
+                  ) -> rd.Dataset:
+    """Keyword-in-context extraction: for every occurrence of ``term``,
+    the surrounding ±``window``-token snippet — the concordance /
+    search-result-highlight op of an extraction pipeline. Fully
+    streaming and embarrassingly parallel: each block splits its docs
+    with one Arrow kernel, finds hits with one vectorized compare, and
+    builds snippets only for the HITS (output-sized work, never a loop
+    over the corpus). Output: (doc_id, pos, snippet) sorted — pos is
+    the 1-based token position of the hit."""
+
+    def snip(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "snippet": pa.array([], pa.string())})
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        seg = np.repeat(np.arange(len(lens)), lens)
+        gidx = np.nonzero(hit)[0]
+        docs_of_hit = seg[gidx]
+        local = gidx - starts[docs_of_hit]
+        toks = flat.to_pandas().to_numpy(dtype=object)
+        lo = np.maximum(local - window, 0) + starts[docs_of_hit]
+        hi = np.minimum(local + window + 1,
+                        lens[docs_of_hit]) + starts[docs_of_hit]
+        # join per HIT (output-sized, bounded by term frequency)
+        snippets = [" ".join(toks[a:b]) for a, b in zip(lo, hi)]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[docs_of_hit].astype(np.int64),
+                               pa.int64()),
+            "pos": pa.array(local + 1, pa.int64()),
+            "snippet": pa.array(snippets, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        snip, batch_format="pyarrow").sort(["doc_id", "pos"])

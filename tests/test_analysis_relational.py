@@ -1502,3 +1502,22 @@ def test_filter_lm_quality_drops_bottom_decile(con):
         max_dropped = all_scores.set_index("doc_id").loc[
             sorted(dropped), "logprob"].max()
         assert max_dropped < kept["logprob"].min()
+
+
+def test_kwic_snippets_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.analysis import kwic_snippets
+
+    got = kwic_snippets(SF, term="spark", window=3).to_pandas()
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE trim(text) <> ''"
+    ).df()
+    want = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.strip().split()
+        for i, t in enumerate(toks):
+            if t == "spark":
+                lo, hi = max(i - 3, 0), min(i + 4, len(toks))
+                want.append((did, i + 1, " ".join(toks[lo:hi])))
+    want.sort()
+    assert list(map(tuple, got[["doc_id", "pos", "snippet"]]
+                    .itertuples(index=False))) == want
