@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": events.rolling_active_users,
         "filter_lm_quality": analysis.filter_lm_quality,
         "kwic_snippets": analysis.kwic_snippets,
+        "knn_join": similarity.knn_join,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1576,6 +1577,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "knn_join": """
+            WITH c AS (
+              SELECT a.vec_id AS v, b.vec_id AS w,
+                     list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS cs
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id)
+            SELECT v AS vec_id, w AS nn_id, round(cs, 4) AS cos_sim
+            FROM (SELECT v, w, cs, row_number() OVER (
+                      PARTITION BY v ORDER BY cs DESC, w) AS rn
+                  FROM c)
+            WHERE rn = 1 ORDER BY vec_id
         """,
         "kwic_snippets": """
             WITH d AS (

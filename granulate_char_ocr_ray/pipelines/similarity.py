@@ -13,6 +13,7 @@ list<float>, label).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -608,3 +609,109 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
 
     return _embeddings(sf_dir).map_batches(
         quantize, batch_format="pyarrow").sort("vec_id")
+
+
+def knn_join(sf_dir: str, num_blocks: int = 8) -> rd.Dataset:
+    """Exact 1-NN self-join: every vector's single nearest neighbor by
+    cosine (ties to the smaller neighbor id) — the retrieval-index
+    audit / SemDeDup-adjacent primitive. Same scale-safe block-pair
+    lowering as :func:`embedding_cosine_dups` (B-way replication, one
+    shuffle on the B(B+1)/2 pair-key space, per-group vectorized
+    matmul), but each group emits only each member's LOCAL best
+    candidate (group-cardinality rows, not threshold hits), and the
+    GLOBAL best per vector comes from the keep-best two-phase reduce.
+    A candidate's cosine is identical in whichever group computes it,
+    so the keep-best ordering (raw cosine desc, neighbor asc) is
+    partition-independent. Output: (vec_id, nn_id, cos_sim) by
+    vec_id, cosine rounded to 4."""
+    from ..stages.hashagg import hash_groupby_best
+
+    def to_block_pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        blk = (ids % num_blocks).astype(np.int64)
+        others = np.arange(num_blocks, dtype=np.int64)
+        lo = np.minimum(blk[:, None], others[None, :])
+        hi = np.maximum(blk[:, None], others[None, :])
+        pairkey = (lo * num_blocks + hi).ravel()
+        rep_ids = np.repeat(ids.astype(np.int64), num_blocks)
+        rep_blk = np.repeat(blk, num_blocks)
+        rep_mat = np.repeat(mat, num_blocks, axis=0)
+        return pa.Table.from_pydict({
+            "pairkey": pairkey,
+            "vec_id": rep_ids,
+            "block": rep_blk,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep_mat.ravel(), pa.float64()), mat.shape[1]),
+        })
+
+    def group_best(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = g.column("block").to_numpy(zero_copy_only=False)
+        col = g.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), -1)
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        normed = mat / nn[:, None]
+        key = int(g.column("pairkey")[0].as_py())
+        bi, bj = key // num_blocks, key % num_blocks
+        empty = pa.Table.from_pydict(
+            {"vec_id": np.empty(0, np.int64),
+             "nn_id": np.empty(0, np.int64),
+             "cos": np.empty(0, np.float64)},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("nn_id", pa.int64()),
+                              ("cos", pa.float64())]))
+
+        def best_rows(qi, qm, ci, cm, exclude_self):
+            cos = qm @ cm.T
+            if exclude_self:
+                cos[qi[:, None] == ci[None, :]] = -np.inf
+            # argmax with smaller-id tie-break: order candidates by id
+            # first (stable argmax returns the first max)
+            o = np.argsort(ci)
+            cos = cos[:, o]
+            ci = ci[o]
+            j = np.argmax(cos, axis=1)
+            return qi, ci[j], cos[np.arange(len(qi)), j]
+
+        if bi == bj:
+            ids, keep = np.unique(ids, return_index=True)
+            normed = normed[keep]
+            if len(ids) < 2:
+                return empty
+            v, w, c = best_rows(ids, normed, ids, normed, True)
+        else:
+            mi, mj = blk == bi, blk == bj
+            if not mi.any() or not mj.any():
+                return empty
+            va, wa, ca = best_rows(ids[mi], normed[mi],
+                                   ids[mj], normed[mj], False)
+            vb, wb, cb = best_rows(ids[mj], normed[mj],
+                                   ids[mi], normed[mi], False)
+            v = np.concatenate([va, vb])
+            w = np.concatenate([wa, wb])
+            c = np.concatenate([ca, cb])
+        return pa.Table.from_pydict(
+            {"vec_id": v.astype(np.int64), "nn_id": w.astype(np.int64),
+             "cos": c},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("nn_id", pa.int64()),
+                              ("cos", pa.float64())]))
+
+    ds = _embeddings(sf_dir).map_batches(to_block_pairs,
+                                         batch_format="pyarrow")
+    local = ds.groupby("pairkey").map_groups(group_best,
+                                             batch_format="pyarrow")
+    best = hash_groupby_best(local, ["vec_id"], ["cos", "nn_id"],
+                             ascending=[False, True], num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "nn_id": df["nn_id"].astype(np.int64),
+            "cos_sim": round_half_up(df["cos"].to_numpy(), 4)})
+
+    return best.map_batches(final, batch_format="pandas").sort("vec_id")

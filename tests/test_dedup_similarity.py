@@ -492,3 +492,29 @@ def test_semantic_dedup_matches_local_composition():
     # survivors must dominate (sanity that the rule did something)
     n_drop = int((~got["keep"]).sum())
     assert 0 < n_drop < len(got) / 2
+
+
+def test_knn_join_matches_bruteforce():
+    import duckdb
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.similarity import knn_join
+
+    SF = "/root/testdata/sf0.001"
+    got = knn_join(SF).to_pandas()
+    t = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id").df()
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    nn = np.linalg.norm(mat, axis=1)
+    nn[nn == 0] = 1.0
+    normed = mat / nn[:, None]
+    cos = normed @ normed.T
+    np.fill_diagonal(cos, -np.inf)
+    want_nn = ids[np.argmax(cos, axis=1)]
+    got = got.set_index("vec_id")
+    for i, vid in enumerate(ids):
+        assert got.loc[vid, "nn_id"] == want_nn[i]
+        assert abs(got.loc[vid, "cos_sim"]
+                   - round(cos[i].max(), 4)) < 1e-9
