@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lm_quality": analysis.filter_lm_quality,
         "kwic_snippets": analysis.kwic_snippets,
         "knn_join": similarity.knn_join,
+        "lang_vocab_overlap": analysis.lang_vocab_overlap,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1577,6 +1578,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "lang_vocab_overlap": """
+            WITH lt AS (
+              SELECT DISTINCT lang, tok FROM (
+                SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                         AS tok
+                FROM documents WHERE trim(text) <> '')),
+            sz AS (SELECT lang, count(*) AS c FROM lt GROUP BY 1),
+            inter AS (
+              SELECT a.lang AS la, b.lang AS lb, count(*) AS i
+              FROM lt a JOIN lt b
+                ON a.tok = b.tok AND a.lang < b.lang
+              GROUP BY 1, 2)
+            SELECT la AS lang_a, lb AS lang_b,
+                   CAST(i AS BIGINT) AS n_shared,
+                   round(CAST(i AS DOUBLE) / (sa.c + sb.c - i), 6)
+                     AS jaccard
+            FROM inter JOIN sz sa ON sa.lang = la
+                 JOIN sz sb ON sb.lang = lb
+            ORDER BY lang_a, lang_b
         """,
         "knn_join": """
             WITH c AS (

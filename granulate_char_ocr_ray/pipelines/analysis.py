@@ -773,3 +773,70 @@ def kwic_snippets(sf_dir: str, term: str = "spark", window: int = 3
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         snip, batch_format="pyarrow").sort(["doc_id", "pos"])
+
+
+def lang_vocab_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-corpus vocabulary overlap: Jaccard similarity between the
+    token vocabularies of every language pair — the corpus-composition
+    audit for multilingual mixes (shared-script contamination shows up
+    as unexpectedly high overlap). Plan: the distinct (lang, token)
+    pairs reduce once partitioned on TOKEN, so each final combine holds
+    every language of its tokens and expands language pairs locally
+    (the co-purchase lowering on a different domain); per-lang vocab
+    sizes fold from the same reduced table; the pair table is
+    |langs|²-bounded. Output: (lang_a, lang_b, n_shared, jaccard) for
+    pairs with non-empty intersection, sorted."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        langs = batch.column("lang").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": np.repeat(langs, lens),
+            "token": pc.list_flatten(lists).to_pandas(),
+        }).drop_duplicates()
+        df["_tbucket"] = _stable_partition(df, ["token"], 32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup_and_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["lang", "token"]].drop_duplicates()
+        sizes = g.groupby("lang", as_index=False).agg(
+            n=("token", "size"))
+        sizes["kind"] = "size"
+        m = g.merge(g, on="token")
+        m = m[m["lang_x"] < m["lang_y"]]
+        inter = (m.groupby(["lang_x", "lang_y"], as_index=False)
+                 .agg(n=("token", "size")))
+        inter["kind"] = "inter"
+        out = pd.concat([
+            sizes.rename(columns={"lang": "lang_a"}).assign(lang_b=""),
+            inter.rename(columns={"lang_x": "lang_a",
+                                  "lang_y": "lang_b"})])
+        return out[["kind", "lang_a", "lang_b", "n"]]
+
+    partials = (docs.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby("_tbucket")
+                .map_groups(dedup_and_pairs, batch_format="pandas"))
+
+    agg = hash_groupby_agg(partials, ["kind", "lang_a", "lang_b"],
+                           {"n": ("n", "sum")}, num_parts=4).to_pandas()
+    sizes = dict(zip(agg.loc[agg["kind"] == "size", "lang_a"],
+                     agg.loc[agg["kind"] == "size", "n"].astype(int)))
+    inter = agg[agg["kind"] == "inter"].copy()
+    i = inter["n"].to_numpy(dtype=np.float64)
+    sa = inter["lang_a"].map(sizes).to_numpy(dtype=np.float64)
+    sb = inter["lang_b"].map(sizes).to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "lang_a": inter["lang_a"],
+        "lang_b": inter["lang_b"],
+        "n_shared": inter["n"].astype(np.int64),
+        "jaccard": round_half_up(i / (sa + sb - i), 6),
+    }).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1521,3 +1521,29 @@ def test_kwic_snippets_brute_force(con):
     want.sort()
     assert list(map(tuple, got[["doc_id", "pos", "snippet"]]
                     .itertuples(index=False))) == want
+
+
+def test_lang_vocab_overlap_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        lang_vocab_overlap)
+
+    got = lang_vocab_overlap(SF).to_pandas()
+    docs = con.sql("SELECT lang, text FROM documents"
+                   " WHERE trim(text) <> ''").df()
+    vocab = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        vocab.setdefault(lang, set()).update(text.strip().split())
+    langs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (inter, round(
+                    inter / len(vocab[a] | vocab[b]), 6))
+    got_map = {(r.lang_a, r.lang_b): (r.n_shared, r.jaccard)
+               for r in got.itertuples()}
+    assert set(got_map) == set(want)
+    for k in want:
+        assert got_map[k][0] == want[k][0]
+        assert abs(got_map[k][1] - want[k][1]) < 1e-6
