@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_snippets": analysis.kwic_snippets,
         "knn_join": similarity.knn_join,
         "lang_vocab_overlap": analysis.lang_vocab_overlap,
+        "fuzzy_token_pairs": dedup.fuzzy_token_pairs,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1578,6 +1579,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "fuzzy_token_pairs": """
+            WITH v AS (
+              SELECT DISTINCT
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents WHERE trim(text) <> '')
+            SELECT a.t AS token_a, b.t AS token_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM v a JOIN v b
+              ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+            ORDER BY token_a, token_b
         """,
         "lang_vocab_overlap": """
             WITH lt AS (

@@ -777,3 +777,82 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     return uniq.map_batches(
         lambda df: df[["doc_id"]].astype({"doc_id": "int64"}),
         batch_format="pandas").sort("doc_id")
+
+
+def fuzzy_token_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
+    """String-similarity self-join over the corpus vocabulary: token
+    pairs within Levenshtein distance ``max_dist`` — the typo/variant
+    clustering step of a vocabulary normalization pass. FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007): if
+    lev(a, b) <= k, then a and b share a variant reachable by <= k
+    deletions from each, so candidates = pairs co-occurring in a
+    deletion-variant bucket, verified with the exact batched DP
+    (``textstats.levenshtein_batch`` — no per-row Python). Plan:
+    vocabulary reduces once (two-phase hash aggregate), variants
+    explode per token (O(len^k) per token, bounded), candidate pairs
+    form inside variant-bucket groups and dedup through a second
+    narrow reduce before the verify. Output: (token_a, token_b, dist)
+    sorted."""
+    from itertools import combinations
+
+    from ..functions.textstats import levenshtein_batch
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["text"],
+                      num_blocks=rows_to_blocks(path))
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
+        flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
+        return pa.Table.from_pydict({"token": flat})
+
+    vocab = hash_groupby_agg(
+        docs.map_batches(explode_tokens, batch_format="pyarrow"),
+        ["token"], {"_n": ("token", "count")}, num_parts=16)
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_v = [], []
+        for t in df["token"]:
+            seen = {t}
+            if max_dist >= 1:
+                for i in range(len(t)):
+                    seen.add(t[:i] + t[i + 1:])
+            if max_dist >= 2:
+                for i, j in combinations(range(len(t)), 2):
+                    seen.add(t[:i] + t[i + 1:j] + t[j + 1:])
+            rows_t.extend([t] * len(seen))
+            rows_v.extend(seen)
+        out = pd.DataFrame({"token": rows_t, "variant": rows_v})
+        out["_vbucket"] = _stable_partition(out, ["variant"], 32)
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="variant")
+        m = m[m["token_x"] < m["token_y"]]
+        return m[["token_x", "token_y"]].drop_duplicates()
+
+    cand = (vocab.map_batches(variants, batch_format="pandas")
+            .groupby("_vbucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = hash_groupby_agg(cand, ["token_x", "token_y"],
+                            {"_n": ("token_x", "count")}, num_parts=8)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"token_a": pd.Series(dtype=object),
+                                 "token_b": pd.Series(dtype=object),
+                                 "dist": pd.Series(dtype=np.int64)})
+        d = levenshtein_batch(df["token_x"].tolist(),
+                              df["token_y"].tolist())
+        keep = d <= max_dist
+        return pd.DataFrame({
+            "token_a": df["token_x"].to_numpy()[keep],
+            "token_b": df["token_y"].to_numpy()[keep],
+            "dist": d[keep].astype(np.int64)})
+
+    return (cand.map_batches(verify, batch_format="pandas")
+            .sort(["token_a", "token_b"]))

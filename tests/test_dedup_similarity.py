@@ -518,3 +518,28 @@ def test_knn_join_matches_bruteforce():
         assert got.loc[vid, "nn_id"] == want_nn[i]
         assert abs(got.loc[vid, "cos_sim"]
                    - round(cos[i].max(), 4)) < 1e-9
+
+
+def test_fuzzy_token_pairs_no_false_negatives():
+    """FastSS blocking must find EVERY pair within the distance bound
+    (deletion-neighborhood completeness), verified against the O(V^2)
+    scan."""
+    import duckdb
+
+    from granulate_char_ocr_ray.pipelines.dedup import fuzzy_token_pairs
+
+    SF = "/root/testdata/sf0.001"
+    got = fuzzy_token_pairs(SF, max_dist=2).to_pandas()
+    want = duckdb.sql(f"""
+        WITH v AS (SELECT DISTINCT
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM read_parquet('{SF}/documents.parquet')
+          WHERE trim(text) <> '')
+        SELECT a.t AS token_a, b.t AS token_b,
+               levenshtein(a.t, b.t) AS dist
+        FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+        ORDER BY token_a, token_b""").df()
+    assert len(got) == len(want)
+    assert (got["token_a"].tolist() == want["token_a"].tolist()
+            and got["token_b"].tolist() == want["token_b"].tolist()
+            and got["dist"].tolist() == want["dist"].tolist())
