@@ -263,6 +263,11 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
 
 
 def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
+    """Sorted public form of :func:`_unigram_scores_unsorted`."""
+    return _unigram_scores_unsorted(sf_dir).sort("doc_id")
+
+
+def _unigram_scores_unsorted(sf_dir: str) -> rd.Dataset:
     """Unigram LM quality score per doc (the CCNet-style perplexity
     proxy an LLM data pipeline uses to rank documents): mean
     ln p(token) under the corpus's own unigram distribution —
@@ -276,8 +281,11 @@ def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
     vectorized Arrow split + sorted-array lookup + segment cumsum per
     block, no shuffle, no per-row Python. Docs are never split across
     blocks, so each block emits finished scores. Output:
-    (doc_id, n_tokens, logprob) ordered by doc_id; empty docs are
-    excluded (no tokens to score)."""
+    (doc_id, n_tokens, logprob), unsorted (the public wrapper sorts);
+    empty docs are excluded (no tokens to score). The broadcast lnp
+    ref is built ONCE per call — callers that consume the result twice
+    (e.g. :func:`filter_lm_quality`) re-execute only the streaming
+    scoring map, never the vocab reduce."""
     import ray
 
     from ..stages.hashagg import hash_groupby_agg
@@ -327,7 +335,7 @@ def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
                               ("logprob", pa.float64())]))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow").sort("doc_id")
+        score, batch_format="pyarrow")
 
 
 def token_freq_of_freq(sf_dir: str) -> rd.Dataset:
@@ -704,9 +712,10 @@ def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
     histogram and applied as a broadcast scalar gate in a second
     scoring pass. Scoring re-executes rather than materializing the
     doc-cardinality score table (two streaming passes beat pinning a
-    corpus-sized intermediate). Output: (doc_id, n_tokens, logprob)
-    for surviving docs, by doc_id."""
-    scores = unigram_logprob_scores(sf_dir)
+    corpus-sized intermediate; the vocab reduce and lnp broadcast run
+    ONCE — both passes share the same lazy dataset). Output:
+    (doc_id, n_tokens, logprob) for surviving docs, by doc_id."""
+    scores = _unigram_scores_unsorted(sf_dir)
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby("logprob", as_index=False)
@@ -723,7 +732,7 @@ def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
     idx = int(np.searchsorted(cd, drop_below, side="left"))
     threshold = float(hist["logprob"].to_numpy()[idx]) if n_total else 0.0
 
-    return unigram_logprob_scores(sf_dir).map_batches(
+    return scores.map_batches(
         lambda df: df[df["logprob"] >= threshold],
         batch_format="pandas").sort("doc_id")
 
