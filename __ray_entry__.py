@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": similarity.knn_join,
         "lang_vocab_overlap": analysis.lang_vocab_overlap,
         "fuzzy_token_pairs": dedup.fuzzy_token_pairs,
+        "next_token_stats": analysis.next_token_stats,
+        "session_conversion": events.session_conversion,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1579,6 +1581,51 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "session_conversion": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w
+                             > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+            per AS (
+              SELECT user_id, sid,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS conv
+              FROM s GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   round(100.0 * sum(conv) / count(*), 4)
+                     AS conversion_pct
+            FROM per
+        """,
+        "next_token_stats": """
+            WITH d AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            big AS (
+              SELECT toks[CAST(i AS INT)] AS tok,
+                     toks[CAST(i AS INT) + 1] AS nxt
+              FROM d, UNNEST(range(1, len(toks))) AS t(i)),
+            bc AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS n
+                   FROM big GROUP BY 1, 2),
+            den AS (SELECT tok, sum(n) AS tot FROM bc GROUP BY 1),
+            r AS (SELECT tok, nxt, n, row_number() OVER (
+                      PARTITION BY tok ORDER BY n DESC, nxt) AS rn
+                  FROM bc)
+            SELECT tok AS token, nxt AS next_token, n,
+                   round(CAST(n AS DOUBLE) / tot, 6) AS p_next
+            FROM r JOIN den USING (tok)
+            WHERE rn = 1 AND tot >= 5 ORDER BY token
         """,
         "fuzzy_token_pairs": """
             WITH v AS (

@@ -195,6 +195,10 @@ def run_benchmarks() -> dict:
          lambda: relational.co_purchase_pairs(SF_DIR).to_pandas()),
         ("order_price_cume_dist",
          lambda: relational.order_price_cume_dist(SF_DIR).to_pandas()),
+        ("filter_lm_quality",
+         lambda: analysis.filter_lm_quality(SF_DIR).to_pandas()),
+        ("knn_join",
+         lambda: similarity.knn_join(SF_DIR).to_pandas()),
     ]
     for name, fn in secondary:
         queries[name] = _best_of(fn)

@@ -849,3 +849,74 @@ def lang_vocab_overlap(sf_dir: str) -> rd.Dataset:
         "jaccard": round_half_up(i / (sa + sb - i), 6),
     }).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def next_token_stats(sf_dir: str, min_count: int = 5) -> rd.Dataset:
+    """Bigram language-model table: for every token, its most likely
+    continuation and the conditional probability P(next | token) — the
+    n-gram-LM building block (and a corpus-predictability audit).
+    Tokens with fewer than ``min_count`` occurrences are dropped.
+    Plan: bigram and unigram counts reduce through two-phase hash
+    aggregates (the PMI machinery); the per-token argmax is the
+    keep-best reduce ordered (count desc, continuation asc); the
+    unigram denominator attaches by the vocab-dispatch broadcast.
+    Output: (token, next_token, n, p_next) sorted by token."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg, hash_groupby_best
+
+    docs = _docs(sf_dir, ["text"])
+
+    def _flat(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists).to_pandas().to_numpy(dtype=object)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        return flat, seg
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        flat, seg = _flat(batch)
+        if len(flat) < 2:
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()),
+                 "next_token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())})
+        same = seg[1:] == seg[:-1]
+        df = pd.DataFrame({"token": flat[:-1][same],
+                           "next_token": flat[1:][same]})
+        g = df.groupby(["token", "next_token"], as_index=False).agg(
+            n=("token", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bc = hash_groupby_agg(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["token", "next_token"], {"n": ("n", "sum")}, num_parts=16)
+
+    # denominator: count of positions where `token` has ANY successor
+    # == sum of its bigram counts; reduce from the bigram table itself
+    # (vocab-cardinality, no extra corpus pass)
+    bc = bc.materialize()
+    denom = hash_groupby_agg(bc, ["token"], {"tot": ("n", "sum")},
+                             num_parts=8).to_pandas()
+    dref = ray.put(dict(zip(denom["token"],
+                            denom["tot"].astype(np.int64))))
+
+    best = hash_groupby_best(bc, ["token"], ["n", "next_token"],
+                             ascending=[False, True], num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(dref)
+        tot = df["token"].map(lut).to_numpy(dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        keep = tot >= min_count
+        return pd.DataFrame({
+            "token": df["token"].to_numpy()[keep],
+            "next_token": df["next_token"].to_numpy()[keep],
+            "n": n[keep],
+            "p_next": round_half_up(n[keep] / tot[keep], 6)})
+
+    return (best.map_batches(final, batch_format="pandas")
+            .sort("token"))

@@ -569,3 +569,57 @@ def rolling_active_users(sf_dir: str, window_days: int = 7
 
     return (counts.map_batches(final, batch_format="pandas")
             .sort("day"))
+
+
+def session_conversion(sf_dir: str, gap_minutes: int = 30
+                       ) -> "pa.Table":
+    """Sessionized conversion rate: of all gap-delimited sessions (a
+    new session starts when a user's inter-event gap exceeds
+    ``gap_minutes``), what fraction contains a purchase — the
+    sessionization pattern (user_sessions) extended with per-session
+    flags. Users co-locate through ONE coarse-bucket shuffle (hash
+    (user) % 16 — Ray's native per-key groupby dispatch is
+    pathologically slow at user cardinality, CLAUDE.md footgun); each
+    bucket runs a single vectorized ordered scan over ALL its users at
+    once (session breaks = gap OR user change) and emits two ints.
+    Output: one row (n_sessions, n_converted, conversion_pct)."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path,
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=rows_to_blocks(path))
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], 16)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = ((u[1:] != u[:-1])
+                     | (ts[1:] - ts[:-1] > gap_ns)).astype(np.int64)
+        sid = np.cumsum(new_s)
+        conv = (g["event_type"].to_numpy() == "purchase")
+        per = pd.DataFrame({"sid": sid, "conv": conv}).groupby(
+            "sid")["conv"].any()
+        return pd.DataFrame({
+            "n_sessions": np.array([len(per)], dtype=np.int64),
+            "n_converted": np.array([int(per.sum())], dtype=np.int64)})
+
+    part = (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_ubucket")
+            .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    n_sessions = int(part["n_sessions"].sum())
+    n_conv = int(part["n_converted"].sum())
+    pct = 100.0 * n_conv / n_sessions if n_sessions else 0.0
+    return pa.Table.from_pydict({
+        "n_sessions": pa.array([n_sessions], pa.int64()),
+        "n_converted": pa.array([n_conv], pa.int64()),
+        "conversion_pct": pa.array(round_half_up([pct], 4),
+                                   pa.float64())})

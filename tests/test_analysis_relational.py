@@ -1547,3 +1547,43 @@ def test_lang_vocab_overlap_brute_force(con):
     for k in want:
         assert got_map[k][0] == want[k][0]
         assert abs(got_map[k][1] - want[k][1]) < 1e-6
+
+
+def test_next_token_stats_brute_force(con):
+    from collections import Counter
+
+    from granulate_char_ocr_ray.pipelines.analysis import next_token_stats
+
+    got = next_token_stats(SF, min_count=2).to_pandas()
+    docs = con.sql(
+        "SELECT text FROM documents WHERE trim(text) <> ''").df()
+    bc, tot = Counter(), Counter()
+    for text in docs["text"]:
+        toks = text.strip().split()
+        for a, b in zip(toks[:-1], toks[1:]):
+            bc[(a, b)] += 1
+            tot[a] += 1
+    want = {}
+    for t in tot:
+        if tot[t] >= 2:
+            best = min(((-n, nxt) for (a, nxt), n in bc.items()
+                        if a == t))
+            want[t] = (best[1], -best[0], round(-best[0] / tot[t], 6))
+    got_map = {r.token: (r.next_token, r.n, r.p_next)
+               for r in got.itertuples()}
+    assert set(got_map) == set(want)
+    for t in want:
+        assert got_map[t][0] == want[t][0] and got_map[t][1] == want[t][1]
+        assert abs(got_map[t][2] - want[t][2]) < 1e-6
+
+
+def test_session_conversion_consistent_with_user_sessions(con):
+    from granulate_char_ocr_ray.pipelines.events import (
+        session_conversion, user_sessions)
+
+    got = session_conversion(SF).to_pandas().iloc[0]
+    per_user = user_sessions(SF).to_pandas()
+    assert got["n_sessions"] == per_user["n_sessions"].sum()
+    assert 0 <= got["n_converted"] <= got["n_sessions"]
+    assert abs(got["conversion_pct"] - round(
+        100.0 * got["n_converted"] / got["n_sessions"], 4)) < 1e-9
