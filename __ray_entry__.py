@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_token_pairs": dedup.fuzzy_token_pairs,
         "next_token_stats": analysis.next_token_stats,
         "session_conversion": events.session_conversion,
+        "qty_price_regression_by_flag":
+            relational.qty_price_regression_by_flag,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1581,6 +1583,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "qty_price_regression_by_flag": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                     AS intercept
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "session_conversion": """
             WITH o AS (

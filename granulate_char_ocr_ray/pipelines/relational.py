@@ -3437,3 +3437,50 @@ def order_price_cume_dist(sf_dir: str) -> rd.Dataset:
 
     return orders.map_batches(probe,
                               batch_format="pandas").sort("o_orderkey")
+
+
+def qty_price_regression_by_flag(sf_dir: str) -> rd.Dataset:
+    """Grouped ordinary-least-squares fit: per l_returnflag, the slope
+    and intercept of extendedprice ~ quantity (SQL ``regr_slope`` /
+    ``regr_intercept``) — the distributed-regression closure of the
+    mergeable-moments family. Each block folds to one row of raw power
+    sums PER GROUP (n, sx, sy, sxx, sxy), the two-phase hash aggregate
+    merges them (exchange = blocks x groups rows), and the closed-form
+    OLS finish runs on the tiny grouped table. Output: (l_returnflag,
+    n_items, slope, intercept) sorted by flag."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        t = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "n": 1.0, "sx": x, "sy": y,
+                          "sxx": x * x, "sxy": x * y})
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "sxy")},
+        num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx = df["sx"].to_numpy(dtype=np.float64)
+        sy = df["sy"].to_numpy(dtype=np.float64)
+        sxx = df["sxx"].to_numpy(dtype=np.float64)
+        sxy = df["sxy"].to_numpy(dtype=np.float64)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n_items": n.astype(np.int64),
+            "slope": round_half_up(slope, 6),
+            "intercept": round_half_up(intercept, 4)})
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .sort("l_returnflag"))

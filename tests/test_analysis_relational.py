@@ -1587,3 +1587,21 @@ def test_session_conversion_consistent_with_user_sessions(con):
     assert 0 <= got["n_converted"] <= got["n_sessions"]
     assert abs(got["conversion_pct"] - round(
         100.0 * got["n_converted"] / got["n_sessions"], 4)) < 1e-9
+
+
+def test_qty_price_regression_matches_polyfit(con):
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        qty_price_regression_by_flag)
+
+    got = qty_price_regression_by_flag(SF).to_pandas()
+    li = con.sql("SELECT l_returnflag, l_quantity, l_extendedprice"
+                 " FROM lineitem").df()
+    for r in got.itertuples():
+        g = li[li["l_returnflag"] == r.l_returnflag]
+        slope, intercept = np.polyfit(g["l_quantity"],
+                                      g["l_extendedprice"], 1)
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2
+        assert r.n_items == len(g)
