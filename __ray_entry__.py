@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": events.session_conversion,
         "qty_price_regression_by_flag":
             relational.qty_price_regression_by_flag,
+        "flag_status_chi2": relational.flag_status_chi2,
         "vocab_coverage": analysis.vocab_coverage,
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
@@ -1583,6 +1584,22 @@ def oracle_sql() -> dict[str, str]:
             FROM ord JOIN supplier ON s_suppkey = ret_supp
             WHERE n_supp >= 2 AND n_ret = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "flag_status_chi2": """
+            WITH c AS (
+              SELECT l_returnflag AS f, l_linestatus AS s,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT f, sum(o) AS rf FROM c GROUP BY 1),
+            l AS (SELECT s, sum(o) AS cf FROM c GROUP BY 1),
+            n AS (SELECT sum(o) AS t FROM c)
+            SELECT CAST((SELECT t FROM n) AS BIGINT) AS n_items,
+                   round(sum((o - rf * cf / t) * (o - rf * cf / t)
+                         / (rf * cf / t)), 4) AS chi2,
+                   CAST((SELECT count(*) - 1 FROM r)
+                        * (SELECT count(*) - 1 FROM l) AS BIGINT)
+                     AS dof
+            FROM c JOIN r USING (f) JOIN l USING (s) CROSS JOIN n
         """,
         "qty_price_regression_by_flag": """
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,

@@ -3484,3 +3484,42 @@ def qty_price_regression_by_flag(sf_dir: str) -> rd.Dataset:
 
     return (agg.map_batches(final, batch_format="pandas")
             .sort("l_returnflag"))
+
+
+def flag_status_chi2(sf_dir: str) -> rd.Dataset:
+    """Chi-square test of independence between l_returnflag and
+    l_linestatus — the categorical-association audit a data-quality
+    pass runs over paired labels. The contingency table reduces
+    through per-block partial counts (|flags| x |statuses| cells —
+    tiny), margins and the statistic finish closed-form on the
+    driver. Output: one row (n_items, chi2, dof)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_linestatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["l_returnflag", "l_linestatus"],
+                           as_index=False).agg(
+            o=("l_returnflag", "size")))
+
+    cells = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"], {"o": ("o", "sum")},
+        num_parts=4).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"])
+
+    o = cells["o"].to_numpy(dtype=np.float64)
+    n = o.sum()
+    rf = cells.groupby("l_returnflag")["o"].transform("sum").to_numpy(
+        dtype=np.float64)
+    cf = cells.groupby("l_linestatus")["o"].transform("sum").to_numpy(
+        dtype=np.float64)
+    e = rf * cf / n
+    chi2 = float((((o - e) ** 2) / e).sum())
+    dof = ((cells["l_returnflag"].nunique() - 1)
+           * (cells["l_linestatus"].nunique() - 1))
+    return pa.Table.from_pydict({
+        "n_items": pa.array([int(n)], pa.int64()),
+        "chi2": pa.array(round_half_up([chi2], 4), pa.float64()),
+        "dof": pa.array([int(dof)], pa.int64())})

@@ -1605,3 +1605,25 @@ def test_qty_price_regression_matches_polyfit(con):
         assert abs(r.slope - slope) < 1e-4
         assert abs(r.intercept - intercept) < 1e-2
         assert r.n_items == len(g)
+
+
+def test_flag_status_chi2_matches_scipy_formula(con):
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        flag_status_chi2)
+
+    got = flag_status_chi2(SF).to_pandas().iloc[0]
+    ct = con.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS o FROM lineitem"
+        " GROUP BY 1, 2").df().pivot(index="l_returnflag",
+                                     columns="l_linestatus",
+                                     values="o").fillna(0).to_numpy(
+        dtype=float)
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    mask = e > 0
+    chi2 = (((ct - e) ** 2)[mask] / e[mask]).sum()
+    assert abs(got["chi2"] - round(chi2, 4)) < 1e-3
+    assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert got["n_items"] == int(n)
