@@ -315,6 +315,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- market-basket pairs + global cume_dist window ---
         "co_purchase_pairs": relational.co_purchase_pairs,
         "order_price_cume_dist": relational.order_price_cume_dist,
+        # --- Markov transitions / robust stats / standardization ---
+        "event_transition_probs": events.event_transition_probs,
+        "quantity_mad_outliers": relational.quantity_mad_outliers,
+        "price_trimmed_mean": relational.price_trimmed_mean,
+        # --- corpus audits / concentration / skyline ---
+        "doc_len_zscore_outliers": analysis.doc_len_zscore_outliers,
+        "dup_rate_by_source": analysis.dup_rate_by_source,
+        "source_token_entropy": analysis.source_token_entropy,
+        "revenue_gini": relational.revenue_gini,
+        "price_size_skyline": relational.price_size_skyline,
     }
 
 
@@ -1634,6 +1644,106 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * sum(conv) / count(*), 4)
                      AS conversion_pct
             FROM per
+        """,
+        "event_transition_probs": """
+            WITH o AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+              FROM events)
+            SELECT from_type, to_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(count(*) AS DOUBLE)
+                         / sum(count(*)) OVER (PARTITION BY from_type),
+                         6) AS prob
+            FROM o WHERE to_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "quantity_mad_outliers": """
+            WITH s AS (SELECT median(l_quantity) AS med,
+                              mad(l_quantity) AS m FROM lineitem)
+            SELECT round(med, 4) AS median_qty,
+                   round(m, 4) AS mad_qty,
+                   CAST(count(*) FILTER (
+                     WHERE abs(l_quantity - med) > 3 * m) AS BIGINT)
+                     AS n_outliers,
+                   round(100.0 * count(*) FILTER (
+                     WHERE abs(l_quantity - med) > 3 * m) / count(*), 4)
+                     AS outlier_pct
+            FROM lineitem CROSS JOIN s GROUP BY med, m
+        """,
+        "price_trimmed_mean": """
+            WITH c AS (
+              SELECT quantile_cont(l_extendedprice, 0.1) AS lo,
+                     quantile_cont(l_extendedprice, 0.9) AS hi
+              FROM lineitem)
+            SELECT round(lo, 4) AS lo_cut, round(hi, 4) AS hi_cut,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(avg(l_extendedprice), 4) AS trimmed_mean
+            FROM lineitem CROSS JOIN c
+            WHERE l_extendedprice BETWEEN lo AND hi
+            GROUP BY lo, hi
+        """,
+        "doc_len_zscore_outliers": """
+            WITH s AS (SELECT lang, avg(n_chars) AS mu,
+                              stddev_samp(n_chars) AS sd
+                       FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   round((d.n_chars - s.mu) / s.sd, 4) AS z
+            FROM documents d JOIN s USING (lang)
+            WHERE abs((d.n_chars - s.mu) / s.sd) >= 2.0
+            ORDER BY d.doc_id
+        """,
+        "dup_rate_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   round(100.0 * (count(*) - count(DISTINCT text))
+                         / count(*), 4) AS dup_pct
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "source_token_entropy": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+                   FROM tok GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                     AS entropy_bits
+            FROM tc GROUP BY source ORDER BY source
+        """,
+        "revenue_gini": """
+            WITH r AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1),
+            s AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents) AS rk
+                  FROM r)
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(cents) / 100.0, 2) AS total_revenue,
+                   round(2.0 * sum(rk * cents)
+                         / (count(*) * CAST(sum(cents) AS DOUBLE))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM s
+        """,
+        "price_size_skyline": """
+            SELECT p_partkey, p_retailprice, p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))
+            ORDER BY p_partkey
         """,
         "next_token_stats": """
             WITH d AS (

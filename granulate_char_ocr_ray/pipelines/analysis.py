@@ -920,3 +920,160 @@ def next_token_stats(sf_dir: str, min_count: int = 5) -> rd.Dataset:
 
     return (best.map_batches(final, batch_format="pandas")
             .sort("token"))
+
+
+def doc_len_zscore_outliers(sf_dir: str, z_cut: float = 2.0) -> rd.Dataset:
+    """Per-language standardization (the z-score length filter of a
+    quality pipeline): docs whose length is >= ``z_cut`` sample
+    standard deviations from their language's mean.
+
+    Plan: per-batch moment partials (count, sum, sum of squares) per
+    lang reduce to a tiny per-lang stats table — the mergeable-moments
+    trick, no Welford state needed across workers — which is computed
+    driver-side (|langs| rows) and broadcast back into a vectorized
+    filter pass. Two narrow passes, no row-level shuffle. Output:
+    (doc_id, lang, n_chars, z) sorted by doc_id."""
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sq"] = df["n_chars"].astype(np.float64) ** 2
+        g = df.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"), ss=("sq", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (_docs(sf_dir, ["lang", "n_chars"])
+             .map_batches(moments, batch_format="pyarrow")
+             .repartition(2).groupby("lang").aggregate(
+                 Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                 Sum("ss", alias_name="ss")).to_pandas())
+    n = stats["n"].to_numpy(dtype=np.float64)
+    mu = stats["s"].to_numpy(dtype=np.float64) / n
+    # sample variance from raw moments: (ss - n*mu^2) / (n - 1)
+    sd = np.sqrt((stats["ss"].to_numpy(dtype=np.float64) - n * mu * mu)
+                 / np.maximum(n - 1.0, 1.0))
+    lut_ref = ray.put({l: (m, s) for l, m, s in zip(stats["lang"], mu, sd)})
+
+    def zfilter(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        df = batch.to_pandas()
+        m = df["lang"].map(lambda l: lut[l][0]).to_numpy()
+        s = df["lang"].map(lambda l: lut[l][1]).to_numpy()
+        z = (df["n_chars"].to_numpy(dtype=np.float64) - m) / s
+        keep = np.abs(z) >= z_cut
+        out = df.loc[keep, ["doc_id", "lang", "n_chars"]].copy()
+        out["z"] = round_half_up(z[keep], 4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(zfilter, batch_format="pyarrow").sort("doc_id"))
+
+
+def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source exact-duplicate audit (the 'which crawl/domain is
+    dirty' question): docs, distinct texts, duplicate share per source.
+
+    Plan: texts collapse to 64-bit content hashes in the scan (8-byte
+    shuffle payload, same collision argument as exact_dedup), the
+    two-phase hash aggregate reduces to one row per (source, hash),
+    then per-batch partials count distincts and docs per source and a
+    tiny final combine computes the rate. Output: (source, n_docs,
+    n_unique, dup_pct)."""
+    from ..functions.textstats import hash64_batch
+    from ..stages.hashagg import hash_groupby_agg
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64_batch(batch.column("text"))
+        return pa.Table.from_pydict({
+            "source": batch.column("source"),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "one": pa.array(np.ones(len(h), dtype=np.int64), pa.int64())})
+
+    per_text = hash_groupby_agg(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            add_hash, batch_format="pyarrow"),
+        ["source", "h"], {"n_docs": ("one", "sum")}, num_parts=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_unique=("h", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (per_text.map_batches(partial, batch_format="pyarrow")
+           .repartition(2).groupby("source").aggregate(
+               Sum("n_docs", alias_name="n_docs"),
+               Sum("n_unique", alias_name="n_unique")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["n_unique"] = df["n_unique"].astype(np.int64)
+        df["dup_pct"] = round_half_up(
+            100.0 * (df["n_docs"] - df["n_unique"]) / df["n_docs"], 4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def source_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy (bits) of each source's token distribution — the
+    corpus-diversity signal a data-mixing pipeline uses to weight
+    sources (low entropy = templated/boilerplate crawl).
+
+    Plan: one explode pass folds per-batch (source, token) counts, the
+    two-phase hash aggregate reduces to one row per distinct
+    (source, token) — the only exchange, sized by vocabulary not by
+    corpus — then per-batch partials fold Σc, Σ c·log2(c) and the
+    distinct count per source so the final combine is |sources| rows.
+    Entropy comes out as log2(N) - Σ c·log2(c) / N; the float partial
+    is order-sensitive only below 1e-8 of the rounded digit because
+    the division by N rescales the accumulated error. Output:
+    (source, n_tokens, n_distinct, entropy_bits)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        src = pc.filter(batch.column("source"), keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
+            "token": pc.list_flatten(toks).to_pandas()})
+        g = df.groupby(["source", "token"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    per_token = hash_groupby_agg(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["source", "token"], {"c": ("c", "sum")}, num_parts=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df["c"].to_numpy(dtype=np.float64)
+        df["clogc"] = c * np.log2(c)
+        g = df.groupby("source", as_index=False).agg(
+            n_tokens=("c", "sum"), n_distinct=("c", "size"),
+            s=("clogc", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (per_token.map_batches(partial, batch_format="pyarrow")
+           .repartition(2).groupby("source").aggregate(
+               Sum("n_tokens", alias_name="n_tokens"),
+               Sum("n_distinct", alias_name="n_distinct"),
+               Sum("s", alias_name="s")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n_tokens"].to_numpy(dtype=np.float64)
+        df["entropy_bits"] = round_half_up(
+            np.log2(n) - df["s"].to_numpy() / n, 6)
+        df["n_tokens"] = df["n_tokens"].astype(np.int64)
+        df["n_distinct"] = df["n_distinct"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["source", "n_tokens", "n_distinct", "entropy_bits"]],
+            preserve_index=False)
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("source")

@@ -623,3 +623,58 @@ def session_conversion(sf_dir: str, gap_minutes: int = 30
         "n_converted": pa.array([n_conv], pa.int64()),
         "conversion_pct": pa.array(round_half_up([pct], 4),
                                    pa.float64())})
+
+
+def event_transition_probs(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition matrix over the event stream:
+    P(next event_type | current event_type) per user, ordering ties
+    broken by event_id — the distributed form of
+    ``lead(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` followed by a grouped normalize.
+
+    Plan (one exchange): events are tagged with a coarse 16-way user
+    bucket so the per-group scan sees ALL of a user's events at once
+    (same trick as session_conversion) but the shuffle moves only 16
+    groups; inside a bucket one vectorized ordered scan pairs each
+    event with its successor (masked at user boundaries) and emits the
+    bucket's (from_type, to_type) counts — at most k*k rows for k
+    event types. The global combine and row-normalize then run on a
+    single tiny block. Output: (from_type, to_type, n, prob) with
+    prob = n / sum(n) over from_type.
+    """
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path,
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=rows_to_blocks(path))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], 16)
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        same_user = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"from_type": et[:-1][same_user],
+                              "to_type": et[1:][same_user]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    part = (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_ubucket")
+            .map_groups(pair_counts, batch_format="pandas")
+            .repartition(1))
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        tot = g.groupby("from_type")["n"].transform("sum")
+        g["prob"] = round_half_up(g["n"] / tot, 6)
+        return g.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+    return part.map_batches(normalize, batch_format="pandas")

@@ -3523,3 +3523,298 @@ def flag_status_chi2(sf_dir: str) -> rd.Dataset:
         "n_items": pa.array([int(n)], pa.int64()),
         "chi2": pa.array(round_half_up([chi2], 4), pa.float64()),
         "dof": pa.array([int(dof)], pa.int64())})
+
+
+def _hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+    """Interpolated quantile (DuckDB quantile_cont / percentile_cont
+    semantics) from a SORTED value histogram: p = q*(n-1), linear
+    interpolation between the enclosing order statistics."""
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return float("nan")
+    p = q * (n - 1)
+    k = int(np.floor(p))
+    lo = float(vals[int(np.searchsorted(cum, k + 1))])
+    hi = float(vals[int(np.searchsorted(cum, min(k + 1, n - 1) + 1))])
+    return lo + (p - k) * (hi - lo)
+
+
+def quantity_mad_outliers(sf_dir: str, k_sigma: float = 3.0) -> rd.Dataset:
+    """Robust outlier audit of l_quantity: median, MAD (median absolute
+    deviation, DuckDB ``mad()`` = median(|x - median(x)|)), and the
+    count/share of rows with |x - median| > k * MAD.
+
+    Plan (ONE distributed pass): the bounded-domain value histogram
+    (per-batch value counts -> two-phase hash agg, same plan as
+    quantity_deciles). Everything downstream — median, the |x-med|
+    deviation histogram (a local transform of the SAME histogram, no
+    second data pass), MAD, and the outlier tail mass — is computed on
+    the single tiny reduced block. Output: one row (median_qty,
+    mad_qty, n_outliers, outlier_pct)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
+        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    hist = hash_groupby_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["l_quantity"], {"c": ("c", "sum")}, num_parts=8,
+    ).repartition(1)
+
+    def select(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("l_quantity")
+        vals = df["l_quantity"].to_numpy(dtype=np.float64)
+        cnts = df["c"].to_numpy(dtype=np.int64)
+        n = int(cnts.sum())
+        med = _hist_quantile_cont(vals, cnts, 0.5)
+        # deviation histogram = |v - med| with counts re-merged (two
+        # source values can map to one deviation) — local, no new pass
+        dev = pd.DataFrame({"d": np.abs(vals - med), "c": cnts}).groupby(
+            "d", as_index=False)["c"].sum().sort_values("d")
+        mad = _hist_quantile_cont(dev["d"].to_numpy(),
+                                  dev["c"].to_numpy(dtype=np.int64), 0.5)
+        n_out = int(cnts[np.abs(vals - med) > k_sigma * mad].sum())
+        return pa.Table.from_pydict({
+            "median_qty": pa.array(round_half_up([med], 4), pa.float64()),
+            "mad_qty": pa.array(round_half_up([mad], 4), pa.float64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+            "outlier_pct": pa.array(
+                round_half_up([100.0 * n_out / n if n else 0.0], 4),
+                pa.float64()),
+        })
+
+    return hist.map_batches(select, batch_format="pyarrow")
+
+
+def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
+                       num_buckets: int = 4096) -> rd.Dataset:
+    """Trimmed mean of l_extendedprice between the EXACT interpolated
+    [q_lo, q_hi] percentiles — the robust-mean shape for a CONTINUOUS
+    column, where the bounded-domain histogram trick (quantity_deciles)
+    does not apply because distinct values grow with the data.
+
+    Plan (exact at any scale, no full-column materialization):
+      1. one narrow pass folds per-block (count, min, max) partials;
+      2. one pass histograms values into ``num_buckets`` uniform
+         buckets over [min, max] — the reduce moves at most
+         num_buckets rows regardless of input size; cumulative bucket
+         counts locate the buckets holding the order statistics
+         floor/ceil(q*(n-1)) for both cutoffs;
+      3. one pass pulls ONLY those (at most 4) buckets' values — an
+         O(n/num_buckets) expected sliver — and interpolates the exact
+         percentile_cont cutoffs from their within-bucket ranks;
+      4. one pass computes the filtered sum/count BETWEEN the cutoffs.
+    Output: one row (lo_cut, hi_cut, n_kept, trimmed_mean)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    col = "l_extendedprice"
+    ds = read_table(path, columns=[col])
+
+    # pass 1: global count/min/max from per-block partials
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n": pa.array([len(v)], pa.int64()),
+            "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+            "hi": pa.array([float(v.max()) if len(v) else -np.inf])})
+
+    p = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    lo, hi = float(p["lo"].min()), float(p["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * num_buckets).astype(np.int64),
+                       0, num_buckets - 1)
+
+    # pass 2: uniform-bucket histogram (<= num_buckets rows shuffled)
+    def bcounts(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        b, c = np.unique(bucket_of(v), return_counts=True)
+        return pa.Table.from_pydict({"b": pa.array(b, pa.int64()),
+                                     "c": pa.array(c, pa.int64())})
+
+    from ..stages.hashagg import hash_groupby_agg
+    bh = hash_groupby_agg(
+        ds.map_batches(bcounts, batch_format="pyarrow"),
+        ["b"], {"c": ("c", "sum")}, num_parts=4,
+    ).to_pandas().sort_values("b")
+    cum = bh["c"].cumsum().to_numpy()
+    bids = bh["b"].to_numpy()
+
+    # which bucket holds 0-based order statistic k?
+    def bucket_for_rank(k: int) -> int:
+        return int(bids[int(np.searchsorted(cum, k + 1))])
+
+    need_ranks = []
+    for q in (q_lo, q_hi):
+        pos = q * (n - 1)
+        need_ranks += [int(np.floor(pos)), min(int(np.floor(pos)) + 1, n - 1)]
+    need_buckets = sorted({bucket_for_rank(k) for k in need_ranks})
+    # rows ranked below each needed bucket (global offset of its values)
+    base_rank = {b: int(cum[np.searchsorted(bids, b)] - bh["c"].to_numpy()[
+        np.searchsorted(bids, b)]) for b in need_buckets}
+    nb_ref = ray.put(np.asarray(need_buckets, dtype=np.int64))
+
+    # pass 3: pull only the cutoff buckets' values (tiny sliver)
+    def sliver(batch: pa.Table) -> pa.Table:
+        need = ray.get(nb_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        m = np.isin(b, need)
+        return pa.Table.from_pydict({"v": pa.array(v[m], pa.float64()),
+                                     "b": pa.array(b[m], pa.int64())})
+
+    sl = ds.map_batches(sliver, batch_format="pyarrow").to_pandas()
+
+    def order_stat(k: int) -> float:
+        bkt = bucket_for_rank(k)
+        inside = np.sort(sl.loc[sl["b"] == bkt, "v"].to_numpy())
+        return float(inside[k - base_rank[bkt]])
+
+    cuts = []
+    for q in (q_lo, q_hi):
+        pos = q * (n - 1)
+        k = int(np.floor(pos))
+        a, b_ = order_stat(k), order_stat(min(k + 1, n - 1))
+        cuts.append(a + (pos - k) * (b_ - a))
+    t_lo, t_hi = cuts
+
+    # pass 4: filtered sum/count between the exact cutoffs
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        m = (v >= t_lo) & (v <= t_hi)
+        return pa.Table.from_pydict({
+            "s": pa.array([float(v[m].sum())]),
+            "k": pa.array([int(m.sum())], pa.int64())})
+
+    f = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    kept, total = int(f["k"].sum()), float(f["s"].sum())
+    return pa.Table.from_pydict({
+        "lo_cut": pa.array(round_half_up([t_lo], 4), pa.float64()),
+        "hi_cut": pa.array(round_half_up([t_hi], 4), pa.float64()),
+        "n_kept": pa.array([kept], pa.int64()),
+        "trimmed_mean": pa.array(round_half_up([total / kept if kept else 0.0],
+                                               4), pa.float64()),
+    })
+
+
+def revenue_gini(sf_dir: str, num_buckets: int = 64) -> pa.Table:
+    """Gini coefficient of per-customer revenue concentration —
+    G = 2·Σ rank·x / (n·Σx) − (n+1)/n over ascending 1-based ranks.
+
+    Rank·value sums normally force a global sort; this stays exact and
+    sort-free by bucketing: revenues reduce to one cents-integer row
+    per customer (fixed-point, order-independent), a tiny uniform
+    value-histogram pass yields each bucket's BASE rank (rows in lower
+    buckets), and a per-bucket map_groups sorts only ITS rows, emitting
+    Σ(local_rank)·x and Σx partials — Σ rank·x = Σ_b [local + base_b·Σx_b]
+    combines on one final block. Equal values always share a bucket, so
+    tie order cannot change the sum. All partials are integers < 2^63:
+    bit-exact at any parallelism. Output: one row
+    (n_customers, total_revenue, gini)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.rint(df["o_totalprice"].to_numpy() * 100)
+        return df.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    per_cust = hash_groupby_agg(
+        ds.map_batches(cents, batch_format="pandas"),
+        ["o_custkey"], {"cents": ("cents", "sum")}, num_parts=8,
+    ).materialize()
+
+    # bucket bounds + per-bucket counts (histogram rows <= num_buckets)
+    p = per_cust.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "lo": pa.array([float(np.min(b.column("cents").to_numpy()))]),
+            "hi": pa.array([float(np.max(b.column("cents").to_numpy()))]),
+        }), batch_format="pyarrow").to_pandas()
+    lo, hi = float(p["lo"].min()), float(p["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * num_buckets).astype(np.int64),
+                       0, num_buckets - 1)
+
+    def bpartials(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(df["cents"].to_numpy(dtype=np.int64))
+        local = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "b": [int(df["_b"].iloc[0])],
+            "n": [len(x)],
+            "sx": [int(x.sum())],
+            "srx": [int((local * x).sum())]})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = bucket_of(df["cents"].to_numpy(dtype=np.float64))
+        return df
+
+    parts = (per_cust.map_batches(tag, batch_format="pandas")
+             .groupby("_b").map_groups(bpartials, batch_format="pandas")
+             .to_pandas().sort_values("b"))
+    n_b = parts["n"].to_numpy(dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(n_b)[:-1]])
+    n = int(n_b.sum())
+    tot = int(parts["sx"].sum())
+    s_rank_x = int((parts["srx"].to_numpy(dtype=object)
+                    + base.astype(object) * parts["sx"].to_numpy(dtype=object)
+                    ).sum())
+    gini = 2.0 * s_rank_x / (n * float(tot)) - (n + 1.0) / n
+    return pa.Table.from_pydict({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_revenue": pa.array(round_half_up([tot / 100.0], 2),
+                                  pa.float64()),
+        "gini": pa.array(round_half_up([gini], 6), pa.float64())})
+
+
+def _skyline_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated (min price, max size) rows of one block — a sweep
+    over price groups ascending, keeping a group's max-size rows iff
+    that max strictly exceeds every smaller-price group's max (<= on
+    price with < on either axis is domination; exact ties on BOTH axes
+    survive together). Vectorized: group maxima via first-in-group
+    after a (price asc, size desc) sort, then a shifted running max."""
+    d = df.sort_values(["p_retailprice", "p_size"],
+                       ascending=[True, False], kind="mergesort")
+    price = d["p_retailprice"].to_numpy()
+    size = d["p_size"].to_numpy(dtype=np.int64)
+    first = np.concatenate([[True], price[1:] != price[:-1]])
+    gidx = np.cumsum(first) - 1          # group id per row
+    gmax = size[first]                   # max size per price group
+    prev_best = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
+    keep_group = gmax > prev_best
+    keep = keep_group[gidx] & (size == gmax[gidx])
+    return d.loc[keep].reset_index(drop=True)
+
+
+def price_size_skyline(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier (skyline) of the part table on (p_retailprice ↓,
+    p_size ↑): parts no other part beats on both axes.
+
+    Skylines distribute for free: the global frontier is a subset of
+    every block's local frontier, so one map_batches pass shrinks each
+    block to its (typically tiny) frontier and the same sweep re-runs
+    once on the unioned survivors — no shuffle, final work bounded by
+    Σ|local frontiers|. Output: (p_partkey, p_retailprice, p_size)
+    sorted by p_partkey."""
+    from ..sources.storage import rows_to_blocks
+
+    path = f"{sf_dir}/part.parquet"
+    ds = read_table(path, columns=["p_partkey", "p_retailprice", "p_size"],
+                    num_blocks=rows_to_blocks(path))
+    return (ds.map_batches(_skyline_block, batch_format="pandas")
+            .repartition(1)
+            .map_batches(_skyline_block, batch_format="pandas")
+            .sort("p_partkey"))

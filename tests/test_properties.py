@@ -196,3 +196,26 @@ def test_window_hashes_match_scalar_hash64():
                 exp_h.append(hash64(bs[j:j + k]))
         assert list(seg) == exp_seg
         assert [int(x) for x in h] == exp_h
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=40))
+def test_skyline_block_matches_bruteforce(pts):
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.relational import _skyline_block
+
+    df = pd.DataFrame({
+        "p_partkey": range(len(pts)),
+        "p_retailprice": [float(a) for a, _ in pts],
+        "p_size": [b for _, b in pts]})
+    got = set(_skyline_block(df)["p_partkey"])
+    exp = set()
+    for i, (pi, si) in enumerate(pts):
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts) if j != i)
+        if not dominated:
+            exp.add(i)
+    assert got == exp
