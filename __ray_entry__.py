@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_entropy": analysis.source_token_entropy,
         "revenue_gini": relational.revenue_gini,
         "price_size_skyline": relational.price_size_skyline,
+        # --- interval union / weighted median / rank fusion ---
+        "session_time_coverage": events.session_time_coverage,
+        "weighted_median_price": relational.weighted_median_price,
+        "rrf_hybrid_search": analysis.rrf_hybrid_search,
     }
 
 
@@ -1744,6 +1748,103 @@ def oracle_sql() -> dict[str, str]:
                 AND (q.p_retailprice < p.p_retailprice
                      OR q.p_size > p.p_size))
             ORDER BY p_partkey
+        """,
+        "session_time_coverage": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sd AS (SELECT user_id, ts,
+                          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM o),
+            iv AS (SELECT min(ts) AS s, max(ts) AS e
+                   FROM sd GROUP BY user_id, sid),
+            g AS (SELECT s, e,
+                         max(e) OVER (ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pm
+                  FROM iv),
+            fl AS (SELECT s, e,
+                          CASE WHEN pm IS NULL OR s > pm
+                               THEN 1 ELSE 0 END AS ni
+                   FROM g),
+            isl AS (SELECT s, e,
+                           sum(ni) OVER (ORDER BY s, e
+                                         ROWS UNBOUNDED PRECEDING) AS iid
+                    FROM fl),
+            m AS (SELECT min(s) AS s, max(e) AS e FROM isl GROUP BY iid)
+            SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   round(sum(epoch(e - s)) / 60.0, 4) AS covered_minutes
+            FROM m
+        """,
+        "weighted_median_price": """
+            WITH w AS (
+              SELECT l_extendedprice AS v,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS wt
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(wt) AS tot FROM w),
+            c AS (SELECT v, sum(wt) OVER (ORDER BY v
+                                          ROWS UNBOUNDED PRECEDING) AS cw
+                  FROM w)
+            SELECT CAST(t.tot AS BIGINT) AS total_weight,
+                   round(min(c.v), 4) AS weighted_median
+            FROM c, t WHERE c.cw >= t.tot / 2.0 GROUP BY t.tot
+        """,
+        "rrf_hybrid_search": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(toks, x -> x = 'spark'))
+                          AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(toks, x -> x = 'hash'))
+                          AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(toks, x -> x = 'window'))
+                          AS DOUBLE) AS tf2
+              FROM d),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM tf),
+            sc AS (
+              SELECT doc_id,
+                     round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                             * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                             * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                             * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                           4) AS s1,
+                     round(tf0 * (CASE WHEN df0 > 0 THEN ln(n / df0) ELSE 0 END)
+                           + tf1 * (CASE WHEN df1 > 0 THEN ln(n / df1) ELSE 0 END)
+                           + tf2 * (CASE WHEN df2 > 0 THEN ln(n / df2) ELSE 0 END),
+                           4) AS s2
+              FROM tf, stats),
+            r1 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY s1 DESC, doc_id) AS r
+                   FROM sc QUALIFY r <= 50),
+            r2 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY s2 DESC, doc_id) AS r
+                   FROM sc QUALIFY r <= 50),
+            f AS (SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+                         COALESCE(1.0 / (60 + r1.r), 0)
+                           + COALESCE(1.0 / (60 + r2.r), 0) AS rrf,
+                         COALESCE(r1.r, 0) AS r_bm25,
+                         COALESCE(r2.r, 0) AS r_tfidf
+                  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+            SELECT doc_id, round(rrf, 6) AS rrf_score,
+                   CAST(r_bm25 AS BIGINT) AS r_bm25,
+                   CAST(r_tfidf AS BIGINT) AS r_tfidf
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
         """,
         "next_token_stats": """
             WITH d AS (

@@ -1077,3 +1077,114 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
             preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow").sort("source")
+
+
+def rrf_hybrid_search(sf_dir: str,
+                      terms: tuple[str, ...] = ("spark", "hash", "window"),
+                      k1: float = 1.2, b: float = 0.75,
+                      k_list: int = 50, rrf_k: float = 60.0,
+                      k: int = 20) -> rd.Dataset:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): rank the corpus with TWO scorers — BM25 and plain
+    tf·idf — take each scorer's top ``k_list``, and fuse with
+    RRF(d) = Σ_lists 1 / (rrf_k + rank_list(d)). The standard recipe
+    for combining lexical and secondary signals when slicing a corpus.
+
+    Distributed plan: ONE stats fold (N, avgdl, per-term df — |terms|+2
+    scalars) then ONE embarrassingly-parallel scoring pass computing
+    both scores per block and keeping each block's top k_list per
+    scorer — the exchange carries ≤ 2·k_list·blocks rows, never doc
+    rows. Ranks are assigned on the coalesced candidate set: every
+    global top-k_list doc is in its block's top-k_list, so survivor
+    ranks equal global ranks. Ranking uses the ROUNDED (4dp) scores
+    with doc_id tie-break so the order is reproducible across float
+    summation orders. Output: (doc_id, rrf_score, r_bm25, r_tfidf)
+    top-k by rrf desc; rank 0 = absent from that scorer's top list."""
+
+    def _tok(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return ids, lens, pc.list_flatten(lists)
+
+    def _tf_matrix(lens: np.ndarray, flat: pa.Array) -> np.ndarray:
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out = np.zeros((len(lens), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            eq = pc.cast(pc.equal(flat, t), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if len(eq):
+                sums = np.add.reduceat(eq, starts)
+                sums[lens == 0] = 0
+                out[:, j] = sums
+        return out
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf_matrix(lens, flat)
+        row = {"n": pa.array([len(ids)], pa.int64()),
+               "total": pa.array([int(lens.sum())], pa.int64())}
+        for j in range(len(terms)):
+            row[f"df{j}"] = pa.array([int((tfm[:, j] > 0).sum())],
+                                     pa.int64())
+        return pa.Table.from_pydict(row)
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = float(stats["n"].sum())
+    avgdl = float(stats["total"].sum()) / n_docs
+    dfs = np.array([float(stats[f"df{j}"].sum())
+                    for j in range(len(terms))])
+    idf_bm = np.log((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0)
+    idf_tf = np.where(dfs > 0, np.log(n_docs / np.maximum(dfs, 1.0)), 0.0)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf_matrix(lens, flat).astype(np.float64)
+        norm = k1 * (1.0 - b + b * lens.astype(np.float64) / avgdl)
+        s1 = np.zeros(len(ids))
+        for j in range(len(terms)):  # fixed order == SQL's + chain
+            s1 = s1 + idf_bm[j] * tfm[:, j] * (k1 + 1.0) \
+                / (tfm[:, j] + norm)
+        s2 = np.zeros(len(ids))
+        for j in range(len(terms)):
+            s2 = s2 + tfm[:, j] * idf_tf[j]
+        df = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                           "s1": round_half_up(s1, 4),
+                           "s2": round_half_up(s2, 4)})
+        top1 = df.sort_values(["s1", "doc_id"],
+                              ascending=[False, True]).head(k_list)
+        top2 = df.sort_values(["s2", "doc_id"],
+                              ascending=[False, True]).head(k_list)
+        return pa.Table.from_pandas(
+            pd.concat([top1, top2]).drop_duplicates("doc_id"),
+            preserve_index=False)
+
+    cands = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow").repartition(1)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("doc_id")
+        r1 = (df.sort_values(["s1", "doc_id"], ascending=[False, True])
+              .head(k_list).reset_index(drop=True))
+        r1["r_bm25"] = np.arange(1, len(r1) + 1, dtype=np.int64)
+        r2 = (df.sort_values(["s2", "doc_id"], ascending=[False, True])
+              .head(k_list).reset_index(drop=True))
+        r2["r_tfidf"] = np.arange(1, len(r2) + 1, dtype=np.int64)
+        f = r1[["doc_id", "r_bm25"]].merge(
+            r2[["doc_id", "r_tfidf"]], on="doc_id", how="outer")
+        f["r_bm25"] = f["r_bm25"].fillna(0).astype(np.int64)
+        f["r_tfidf"] = f["r_tfidf"].fillna(0).astype(np.int64)
+        rrf = (np.where(f["r_bm25"] > 0, 1.0 / (rrf_k + f["r_bm25"]), 0.0)
+               + np.where(f["r_tfidf"] > 0,
+                          1.0 / (rrf_k + f["r_tfidf"]), 0.0))
+        f["rrf_score"] = round_half_up(rrf, 6)
+        f = f.sort_values(["rrf_score", "doc_id"],
+                          ascending=[False, True]).head(k)
+        return f[["doc_id", "rrf_score", "r_bm25", "r_tfidf"]]
+
+    return cands.map_batches(fuse, batch_format="pandas")

@@ -678,3 +678,80 @@ def event_transition_probs(sf_dir: str) -> rd.Dataset:
         return g.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
     return part.map_batches(normalize, batch_format="pandas")
+
+
+def _merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
+    """Union of [s, e] intervals within one block (gaps-and-islands):
+    sorted by (s, e), an interval opens a new island iff its start
+    strictly exceeds the running max end (touching endpoints merge).
+    Vectorized sweep; associative — re-running on the concatenated
+    per-block islands yields the exact global union."""
+    d = df.sort_values(["s", "e"], kind="mergesort")
+    s = d["s"].to_numpy(dtype=np.int64)
+    e = d["e"].to_numpy(dtype=np.int64)
+    prev_max = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(e)[:-1]])
+    iid = np.cumsum((s > prev_max).astype(np.int64))
+    g = pd.DataFrame({"iid": iid, "s": s, "e": e}).groupby(
+        "iid", as_index=False).agg(s=("s", "min"), e=("e", "max"))
+    return g[["s", "e"]]
+
+
+def session_time_coverage(sf_dir: str, gap_minutes: int = 30
+                          ) -> "pa.Table":
+    """Global union of session time (gaps-and-islands across ALL
+    users): how much wall-clock the platform had at least one live
+    session, in how many contiguous islands — the coverage/uptime
+    shape (interval union after sessionization).
+
+    Plan: sessions co-locate per user through the ONE coarse-bucket
+    exchange (session_conversion pattern) and reduce to one (start,
+    end) row each; the interval table is session-cardinality, far
+    smaller than the event stream. Ray's range sort then partitions it
+    by start time, each block collapses to its local islands (the
+    merge is associative), and one final tiny re-merge emits the exact
+    global union. Output: one row (n_sessions, n_islands,
+    covered_minutes)."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts"],
+                    num_blocks=rows_to_blocks(path))
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], 16)
+        return df
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = ((u[1:] != u[:-1])
+                     | (ts[1:] - ts[:-1] > gap_ns)).astype(np.int64)
+        sid = np.cumsum(new_s)
+        per = pd.DataFrame({"sid": sid, "ts": ts}).groupby(
+            "sid", as_index=False).agg(s=("ts", "min"), e=("ts", "max"))
+        return per[["s", "e"]]
+
+    iv = (ds.map_batches(tag, batch_format="pandas")
+          .groupby("_ubucket")
+          .map_groups(intervals, batch_format="pandas")
+          .materialize())
+    n_sessions = iv.count()
+
+    merged = (iv.sort("s")
+              .map_batches(_merge_intervals, batch_format="pandas")
+              .repartition(1)
+              .map_batches(_merge_intervals, batch_format="pandas")
+              .to_pandas())
+    covered_ns = (merged["e"].to_numpy(dtype=np.int64)
+                  - merged["s"].to_numpy(dtype=np.int64)).sum()
+    return pa.Table.from_pydict({
+        "n_sessions": pa.array([int(n_sessions)], pa.int64()),
+        "n_islands": pa.array([len(merged)], pa.int64()),
+        "covered_minutes": pa.array(
+            round_half_up([covered_ns / 60e9], 4), pa.float64())})

@@ -3818,3 +3818,76 @@ def price_size_skyline(sf_dir: str) -> rd.Dataset:
             .repartition(1)
             .map_batches(_skyline_block, batch_format="pandas")
             .sort("p_partkey"))
+
+
+def weighted_median_price(sf_dir: str, num_buckets: int = 4096) -> pa.Table:
+    """Quantity-weighted median of l_extendedprice — the lower weighted
+    median: the smallest price whose cumulative weight reaches half the
+    total. The weighted generalization of the exact-selection shape in
+    price_trimmed_mean, for when rows carry multiplicities.
+
+    Plan (exact, no full-column pull): pass 1 folds per-block (weight
+    total, price min/max); pass 2 ships a <= num_buckets-row weighted
+    histogram whose cumulative sums locate the single bucket containing
+    the crossing; pass 3 pulls only that bucket's (price, weight)
+    sliver and finishes the scan locally. All weights are integral, so
+    every cumulative sum is exact and order-independent. Output: one
+    row (total_weight, weighted_median)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = read_table(path, columns=["l_extendedprice", "l_quantity"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        w = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "w": pa.array([int(w.sum())], pa.int64()),
+            "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+            "hi": pa.array([float(v.max()) if len(v) else -np.inf])})
+
+    p = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    tot = int(p["w"].sum())
+    lo, hi = float(p["lo"].min()), float(p["hi"].max())
+    width = (hi - lo) or 1.0
+    half = tot / 2.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * num_buckets).astype(np.int64),
+                       0, num_buckets - 1)
+
+    def bw(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        w = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"b": bucket_of(v), "w": w}).groupby(
+            "b", as_index=False)["w"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bh = hash_groupby_agg(
+        ds.map_batches(bw, batch_format="pyarrow"),
+        ["b"], {"w": ("w", "sum")}, num_parts=4,
+    ).to_pandas().sort_values("b")
+    cum = bh["w"].cumsum().to_numpy(dtype=np.int64)
+    idx = int(np.searchsorted(cum, half))          # first cum >= half
+    target = int(bh["b"].to_numpy()[idx])
+    base = int(cum[idx - 1]) if idx else 0         # weight below bucket
+
+    def sliver(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        w = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        m = bucket_of(v) == target
+        return pa.Table.from_pydict({
+            "v": pa.array(v[m], pa.float64()),
+            "w": pa.array(w[m], pa.int64())})
+
+    sl = (ds.map_batches(sliver, batch_format="pyarrow").to_pandas()
+          .groupby("v", as_index=False)["w"].sum().sort_values("v"))
+    cw = base + sl["w"].cumsum().to_numpy(dtype=np.int64)
+    med = float(sl["v"].to_numpy()[int(np.searchsorted(cw, half))])
+    return pa.Table.from_pydict({
+        "total_weight": pa.array([tot], pa.int64()),
+        "weighted_median": pa.array(round_half_up([med], 4),
+                                    pa.float64())})

@@ -219,3 +219,31 @@ def test_skyline_block_matches_bruteforce(pts):
         if not dominated:
             exp.add(i)
     assert got == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 30)),
+                min_size=1, max_size=30))
+def test_merge_intervals_matches_bruteforce(raw):
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.events import _merge_intervals
+
+    iv = [(s, s + d) for s, d in raw]
+    df = pd.DataFrame({"s": [s for s, _ in iv], "e": [e for _, e in iv]})
+    # associativity: merging a random split then re-merging == one merge
+    half = len(df) // 2
+    two_step = _merge_intervals(
+        pd.concat([_merge_intervals(df.iloc[:half]),
+                   _merge_intervals(df.iloc[half:])]))
+    one_step = _merge_intervals(df)
+    assert one_step.values.tolist() == two_step.values.tolist()
+    # brute-force sweep: merge when start <= running max end
+    islands = []
+    for s, e in sorted(iv):
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    got = [[int(r.s), int(r.e)] for r in one_step.itertuples()]
+    assert got == islands
