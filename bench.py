@@ -199,6 +199,18 @@ def run_benchmarks() -> dict:
          lambda: analysis.filter_lm_quality(SF_DIR).to_pandas()),
         ("knn_join",
          lambda: similarity.knn_join(SF_DIR).to_pandas()),
+        ("source_token_entropy",
+         lambda: analysis.source_token_entropy(SF_DIR).to_pandas()),
+        ("session_time_coverage",
+         lambda: events.session_time_coverage(SF_DIR).to_pandas()),
+        ("revenue_gini",
+         lambda: relational.revenue_gini(SF_DIR).to_pandas()),
+        ("rrf_hybrid_search",
+         lambda: analysis.rrf_hybrid_search(SF_DIR).to_pandas()),
+        ("weighted_median_price",
+         lambda: relational.weighted_median_price(SF_DIR).to_pandas()),
+        ("event_transition_probs",
+         lambda: events.event_transition_probs(SF_DIR).to_pandas()),
     ]
     for name, fn in secondary:
         queries[name] = _best_of(fn)
