@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_time_coverage": events.session_time_coverage,
         "weighted_median_price": relational.weighted_median_price,
         "rrf_hybrid_search": analysis.rrf_hybrid_search,
+        "loo_mean_price_by_priority": relational.loo_mean_price_by_priority,
     }
 
 
@@ -1780,6 +1781,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_islands,
                    round(sum(epoch(e - s)) / 60.0, 4) AS covered_minutes
             FROM m
+        """,
+        "loo_mean_price_by_priority": """
+            WITH s AS (
+              SELECT o_orderpriority AS pri,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+                     count(*) AS n
+              FROM orders GROUP BY 1)
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   round((s.sc - CAST(round(o.o_totalprice * 100)
+                                      AS BIGINT))
+                         / 100.0 / (s.n - 1), 4) AS loo_mean
+            FROM orders o JOIN s ON s.pri = o.o_orderpriority
+            ORDER BY o.o_orderkey
         """,
         "weighted_median_price": """
             WITH w AS (

@@ -3891,3 +3891,50 @@ def weighted_median_price(sf_dir: str, num_buckets: int = 4096) -> pa.Table:
         "total_weight": pa.array([tot], pa.int64()),
         "weighted_median": pa.array(round_half_up([med], 4),
                                     pa.float64())})
+
+
+def loo_mean_price_by_priority(sf_dir: str) -> rd.Dataset:
+    """Leave-one-out target encoding (the standard leakage-free
+    categorical encoder for model features): each order's priority
+    class mean of o_totalprice EXCLUDING the order itself,
+    loo = (sum_class - x) / (n_class - 1).
+
+    Plan: per-batch fixed-point partials (cents sum + count per
+    priority) reduce to a |priorities|-row table on the driver, then
+    one embarrassingly-parallel vectorized pass encodes every row
+    against the broadcast class sums — two narrow passes, no row
+    shuffle, exact integer arithmetic until the final division.
+    Output: (o_orderkey, o_orderpriority, loo_mean) by orderkey."""
+    import ray as _ray
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.rint(df["o_totalprice"].to_numpy() * 100)
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            sc=("cents", "sum"), n=("cents", "size"))
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(2).groupby("o_orderpriority").aggregate(
+                 Sum("sc", alias_name="sc"), Sum("n", alias_name="n"))
+             .to_pandas())
+    lut = _ray.put({p: (int(s), int(n)) for p, s, n in zip(
+        stats["o_orderpriority"], stats["sc"], stats["n"])})
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(lut)
+        sc = df["o_orderpriority"].map(lambda p: m[p][0]).to_numpy(
+            dtype=np.float64)
+        n = df["o_orderpriority"].map(lambda p: m[p][1]).to_numpy(
+            dtype=np.float64)
+        x = np.rint(df["o_totalprice"].to_numpy() * 100)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_orderpriority": df["o_orderpriority"],
+            "loo_mean": round_half_up((sc - x) / 100.0 / (n - 1.0), 4)})
+
+    return (ds.map_batches(encode, batch_format="pandas")
+            .sort("o_orderkey"))

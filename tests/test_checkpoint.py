@@ -206,3 +206,46 @@ def test_compact_job_output_preserves_content(docs_path, tmp_path):
     b = (compacted.to_pandas()[a.columns.tolist()]
          .sort_values(["doc_id", "order"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_zordered_write_prunes_on_both_columns(tmp_path):
+    """write_zordered sorts by the Morton interleave of two keys, so a
+    range predicate on EITHER column prunes row groups; a single-key
+    clustered layout only serves its own sort key."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from granulate_char_ocr_ray.sources.storage import (
+        pruning_stats, write_clustered, write_zordered)
+
+    n = 100_000
+    rng = np.random.default_rng(11)
+    t = pa.table({"a": rng.permutation(n).astype("int64"),
+                  "b": rng.permutation(n).astype("int64"),
+                  "v": np.arange(n, dtype="int64")})
+    ds = rd.from_arrow(t).repartition(4)
+
+    zordered = str(tmp_path / "zordered")
+    one_key = str(tmp_path / "one_key")
+    write_zordered(ds, zordered, "a", "b", row_group_size=5_000)
+    write_clustered(ds, one_key, "a", row_group_size=5_000)
+
+    # content identity: same rows, z-key helper column dropped
+    za = pq.read_table(zordered).to_pandas().sort_values("v")
+    assert list(za.columns) == ["a", "b", "v"]
+    assert (za["a"].to_numpy()
+            == t["a"].to_numpy()[za["v"].to_numpy()]).all()
+
+    pred_a = (pads.field("a") >= 10_000) & (pads.field("a") < 15_000)
+    pred_b = (pads.field("b") >= 10_000) & (pads.field("b") < 15_000)
+    z_a = pruning_stats(zordered, pred_a)
+    z_b = pruning_stats(zordered, pred_b)
+    k_b = pruning_stats(one_key, pred_b)
+    # z-order prunes meaningfully on BOTH axes ...
+    assert z_a["selected_row_groups"] * 2 <= z_a["total_row_groups"]
+    assert z_b["selected_row_groups"] * 2 <= z_b["total_row_groups"]
+    # ... while the single-key layout cannot prune the other axis
+    assert k_b["selected_row_groups"] * 2 >= k_b["total_row_groups"]
