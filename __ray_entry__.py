@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": relational.weighted_median_price,
         "rrf_hybrid_search": analysis.rrf_hybrid_search,
         "loo_mean_price_by_priority": relational.loo_mean_price_by_priority,
+        "benford_first_digit": relational.benford_first_digit,
+        "source_topp_vocab": analysis.source_topp_vocab,
     }
 
 
@@ -1781,6 +1783,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_islands,
                    round(sum(epoch(e - s)) / 60.0, 4) AS covered_minutes
             FROM m
+        """,
+        "benford_first_digit": """
+            WITH d AS (
+              SELECT CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1) AS BIGINT) AS digit
+              FROM orders),
+            g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM g)
+            SELECT g.digit, CAST(g.n AS BIGINT) AS n,
+                   round(100.0 * g.n / t.tot, 4) AS observed_pct,
+                   round(100.0 * log10(1.0 + 1.0 / g.digit), 4)
+                     AS expected_pct
+            FROM g, t ORDER BY g.digit
+        """,
+        "source_topp_vocab": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT source, token, count(*) AS c
+                   FROM tok GROUP BY 1, 2),
+            r AS (SELECT source,
+                         sum(c) OVER (PARTITION BY source
+                                      ORDER BY c DESC, token
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         sum(c) OVER (PARTITION BY source) AS tot,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, token) AS rk,
+                         count(*) OVER (PARTITION BY source) AS vsz
+                  FROM tc)
+            SELECT source,
+                   CAST(min(rk) AS BIGINT) AS n_tokens_topp,
+                   CAST(max(vsz) AS BIGINT) AS vocab_size
+            FROM r WHERE cum >= 0.9 * tot
+            GROUP BY source ORDER BY source
         """,
         "loo_mean_price_by_priority": """
             WITH s AS (

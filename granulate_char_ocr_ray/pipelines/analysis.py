@@ -1188,3 +1188,52 @@ def rrf_hybrid_search(sf_dir: str,
         return f[["doc_id", "rrf_score", "r_bm25", "r_tfidf"]]
 
     return cands.map_batches(fuse, batch_format="pandas")
+
+
+def source_topp_vocab(sf_dir: str, p: float = 0.9) -> rd.Dataset:
+    """Per-source nucleus (top-p) vocabulary size: how many of its most
+    frequent tokens cover ``p`` of each source's token mass, vs its full
+    vocabulary — the tokenizer-budget / boilerplate signal (a templated
+    crawl covers 90% of its mass with a handful of tokens).
+
+    Plan: the vocab-sized (source, token) count reduce (shared shape
+    with source_token_entropy), then ONE ordered scan per source via
+    groupby(source).map_groups on the REDUCED table — group count =
+    |sources|, group size = that source's vocabulary, both far below
+    corpus size. Tie order (count desc, token asc) is pinned so the
+    cumulative crossing is reproducible. Output: (source,
+    n_tokens_topp, vocab_size)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        src = pc.filter(batch.column("source"), keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
+            "token": pc.list_flatten(toks).to_pandas()})
+        g = df.groupby(["source", "token"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    per_token = hash_groupby_agg(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["source", "token"], {"c": ("c", "sum")}, num_parts=16)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "token"], ascending=[False, True])
+        c = g["c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        thr = p * float(c.sum())
+        k = int(np.searchsorted(cum, thr) + 1)  # first cum >= p*tot
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_tokens_topp": np.array([k], dtype=np.int64),
+            "vocab_size": np.array([len(g)], dtype=np.int64)})
+
+    return (per_token.groupby("source")
+            .map_groups(per_source, batch_format="pandas")
+            .sort("source"))

@@ -3938,3 +3938,40 @@ def loo_mean_price_by_priority(sf_dir: str) -> rd.Dataset:
 
     return (ds.map_batches(encode, batch_format="pandas")
             .sort("o_orderkey"))
+
+
+def benford_first_digit(sf_dir: str) -> rd.Dataset:
+    """Benford's-law audit of o_totalprice: observed first-significant-
+    digit distribution vs the Benford expectation log10(1 + 1/d) — the
+    classic fraud/synthetic-data smell test for a money column.
+
+    Plan: one narrow pass folds per-batch digit counts (9-row partials;
+    first digit via integer repeated division — no log10, whose
+    libm edge cases at exact powers of ten differ across engines), a
+    tiny combine, and a local finish. Output: (digit, n, observed_pct,
+    expected_pct)."""
+    ds = read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def digit_counts(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        while (x >= 10).any():
+            x = np.where(x >= 10, x // 10, x)
+        d, c = np.unique(x, return_counts=True)
+        return pa.Table.from_pydict({"digit": pa.array(d, pa.int64()),
+                                     "n": pa.array(c, pa.int64())})
+
+    agg = (ds.map_batches(digit_counts, batch_format="pyarrow")
+           .repartition(1))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digit", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        tot = float(g["n"].sum())
+        g["observed_pct"] = round_half_up(100.0 * g["n"] / tot, 4)
+        g["expected_pct"] = round_half_up(
+            100.0 * np.log10(1.0 + 1.0 / g["digit"].to_numpy(
+                dtype=np.float64)), 4)
+        return g.sort_values("digit").reset_index(drop=True)
+
+    return agg.map_batches(final, batch_format="pandas")
