@@ -959,8 +959,14 @@ def doc_len_zscore_outliers(sf_dir: str, z_cut: float = 2.0) -> rd.Dataset:
         df = batch.to_pandas()
         m = df["lang"].map(lambda l: lut[l][0]).to_numpy()
         s = df["lang"].map(lambda l: lut[l][1]).to_numpy()
-        z = (df["n_chars"].to_numpy(dtype=np.float64) - m) / s
-        keep = np.abs(z) >= z_cut
+        # ADVICE r02: a degenerate group (all docs one length, or n==1)
+        # has sd == 0 — SQL's stddev_samp yields NULL there and the row
+        # drops; mask those groups out instead of dividing to inf/nan
+        ok = s > 0.0
+        z = np.zeros(len(df), dtype=np.float64)
+        x = df["n_chars"].to_numpy(dtype=np.float64)
+        z[ok] = (x[ok] - m[ok]) / s[ok]
+        keep = ok & (np.abs(z) >= z_cut)
         out = df.loc[keep, ["doc_id", "lang", "n_chars"]].copy()
         out["z"] = round_half_up(z[keep], 4)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -1013,7 +1019,9 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
             100.0 * (df["n_docs"] - df["n_unique"]) / df["n_docs"], 4)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return agg.map_batches(final, batch_format="pyarrow")
+    # ADVICE r02: the oracle ends with ORDER BY source — emit the same
+    # contract instead of leaving row order to the groupby exchange
+    return agg.map_batches(final, batch_format="pyarrow").sort("source")
 
 
 def source_token_entropy(sf_dir: str) -> rd.Dataset:

@@ -240,12 +240,20 @@ def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
         sigs = minhash_signatures_batch(batch.column("text"), k, num_perm)
         keys = band_keys_batch(sigs, bands)          # (n, bands) int64
         qsig = (sigs & np.uint64(0xFF)).astype(np.uint8)   # (n, num_perm)
-        qbytes = np.array([q.tobytes() for q in qsig], dtype=object)
+        # vectorized binary column (VERDICT r02 #9): repeat the quantized
+        # signature matrix at the C level and hand Arrow the flat buffer
+        # + stride offsets — no per-doc Python bytes objects
+        rep = np.repeat(qsig, bands, axis=0)               # (n*bands, num_perm)
+        offs = np.arange(0, (len(rep) + 1) * num_perm, num_perm,
+                         dtype=np.int32)
+        qarr = pa.Array.from_buffers(
+            pa.binary(), len(rep),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(rep.tobytes())])
         return pa.Table.from_pydict(
             {
                 "doc_id": np.repeat(ids, bands).astype(np.int64),
                 "band": keys.ravel(),
-                "qsig": pa.array(np.repeat(qbytes, bands), type=pa.binary()),
+                "qsig": qarr,
             },
             schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
                               ("qsig", pa.binary())]),
@@ -727,7 +735,17 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     Gram identity is the 64-bit rolling hash (collision probability
     ~n²/2⁶⁴ — the standard trade documented by the suffix-array
     literature; the SQL oracle joins raw substrings and agrees at
-    every tested scale). Output: (doc_id) sorted ascending."""
+    every tested scale).
+
+    Window unit (ADVICE r02): the engine shingles over UTF-8 BYTES
+    (``string_bytes`` + ``window_hashes_flat``) while the oracle and
+    the brute-force test slice k CHARACTERS — identical on ASCII
+    corpora (all fixtures), divergent on multibyte text where a
+    k-char window spans more than k bytes. Byte windows are the form
+    the deduplication literature uses at scale (suffix arrays over
+    the raw byte stream); treat k as a byte length on non-ASCII data.
+
+    Output: (doc_id) sorted ascending."""
     from ..functions.textstats import string_bytes, window_hashes_flat
     from ..sources.storage import rows_to_blocks
     from ..stages.join import partitioned_join

@@ -157,33 +157,34 @@ def _reassemble_spans(classified: rd.Dataset, num_buckets: int = 64) -> rd.Datas
         t = batch.append_column("span_key", key)
         return t.append_column("span_bucket", pa.array(bucket))
 
-    def _regroup_one(g: pd.DataFrame) -> pd.DataFrame:
-        first = g.iloc[0]
-        g = g.sort_values("glyph_idx")
-        rec = g[(g["glyph_idx"] >= 0) & (g["text"] != "")]
-        text = "".join(rec["text"].tolist())
-        conf = float(rec["confidence"].mean()) if len(rec) else 0.0
-        return pd.DataFrame(
-            {
-                "doc_id": [first["doc_id"]],
-                "order": [first["order"]],
-                "kind": [first["kind"]],
-                "text": [text],
-                "media_ref": [first["media_ref"]],
-                "confidence": [conf],
-            }
-        )
-
     def _regroup_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized media-span reassembly (VERDICT r02 next-steps #2):
+        # one stable sort by glyph_idx, then grouped string-join /
+        # mean — no per-span Python frame construction.
         drop = ["span_key", "span_bucket", "glyph_idx", "feature"]
         passthrough = part[part["kind"] != "media"].drop(columns=drop)
         media = part[part["kind"] == "media"]
         if len(media) == 0:
             return passthrough
-        spans = [
-            _regroup_one(g) for _, g in media.groupby("span_key", sort=False)
+        # stable sort by glyph_idx: within each span_key group, rows
+        # then appear in glyph order (pandas groupby preserves the
+        # frame's row order inside each group)
+        media = media.sort_values("glyph_idx", kind="stable")
+        rec = media[(media["glyph_idx"] >= 0) & (media["text"] != "")]
+        by_key = rec.groupby("span_key", sort=False)
+        joined = by_key["text"].agg("".join)
+        conf = by_key["confidence"].mean()
+        heads = media.drop_duplicates("span_key")[
+            ["span_key", "doc_id", "order", "kind", "media_ref"]
+        ].copy()
+        heads["text"] = heads["span_key"].map(joined).fillna("")
+        heads["confidence"] = (
+            heads["span_key"].map(conf).fillna(0.0).astype(np.float64)
+        )
+        heads = heads.drop(columns=["span_key"])[
+            ["doc_id", "order", "kind", "text", "media_ref", "confidence"]
         ]
-        return pd.concat([passthrough] + spans, ignore_index=True)
+        return pd.concat([passthrough, heads], ignore_index=True)
 
     keyed = classified.map_batches(_add_bucket, batch_format="pyarrow")
     return keyed.groupby("span_bucket").map_groups(_regroup_bucket,
@@ -197,23 +198,42 @@ def extract_spans_sorted(docs: rd.Dataset, **kwargs) -> rd.Dataset:
     return ds.select_columns(INVARIANT_COLS).sort(["doc_id", "order"])
 
 
-def reassemble_docs(spans: rd.Dataset) -> rd.Dataset:
+def reassemble_docs(spans: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     """Per-document reassembly (the OCRResult analog, ocr_result.py:7-22):
-    ordered concat of span texts + mean confidence, one groupby(doc_id)."""
+    ordered concat of span texts + mean confidence per doc_id.
 
-    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("order")
-        texts = [t for t in g["text"].tolist() if t]
-        return pd.DataFrame(
+    Coarse-bucketed like ``_reassemble_spans`` (VERDICT r02 next-steps
+    #3): a native groupby at DOC cardinality pays Ray's per-group
+    dispatch per document; instead shuffle on ``stable_hash(doc_id) %
+    num_buckets`` and run one vectorized pandas groupby per bucket."""
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import hash64_batch
+
+        bucket = (
+            hash64_batch(batch.column("doc_id")) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return batch.append_column("doc_bucket", pa.array(bucket))
+
+    def _assemble_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values("order", kind="stable")
+        grp = part.groupby("doc_id", sort=False)
+        nonempty = part[part["text"] != ""]
+        joined = nonempty.groupby("doc_id", sort=False)["text"].agg(" ".join)
+        out = pd.DataFrame(
             {
-                "doc_id": [g["doc_id"].iloc[0]],
-                "text": [" ".join(texts)],
-                "n_spans": [len(g)],
-                "avg_confidence": [float(g["confidence"].mean()) if len(g) else 0.0],
+                "n_spans": grp.size().astype(np.int64),
+                "avg_confidence": grp["confidence"].mean().astype(np.float64),
             }
         )
+        out.insert(0, "text", out.index.map(joined).fillna(""))
+        out = out.reset_index()  # doc_id column first
+        return out[["doc_id", "text", "n_spans", "avg_confidence"]]
 
-    return spans.groupby("doc_id").map_groups(_assemble, batch_format="pandas")
+    keyed = spans.map_batches(_add_bucket, batch_format="pyarrow")
+    return keyed.groupby("doc_bucket").map_groups(
+        _assemble_bucket, batch_format="pandas"
+    )
 
 
 def extract_kind(docs: rd.Dataset, kind: str) -> rd.Dataset:

@@ -26,6 +26,28 @@ def _embeddings(sf_dir: str) -> rd.Dataset:
     return read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+#: row bound above which the EXACT all-pairs forms refuse to run
+#: (VERDICT r02 next-steps #4). 1M rows ~ 5e11 dot products at B=8 —
+#: already cluster-melting; a 100-TB corpus must take the approximate
+#: paths (lsh_cosine_topk / semantic_dedup / ann_*). Override per call
+#: via ``max_rows`` when the quadratic cost is genuinely intended.
+EXACT_PAIRS_MAX_ROWS = 1_000_000
+
+
+def _guard_exact_pairs(sf_dir: str, op: str, max_rows: int) -> None:
+    from ..sources.storage import parquet_num_rows
+
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n > max_rows:
+        raise ValueError(
+            f"{op} is an EXACT all-pairs join (O(n^2) dot products): "
+            f"refusing {n:,} input rows > max_rows={max_rows:,}. At this "
+            "scale use the approximate paths — lsh_cosine_topk / "
+            "semantic_dedup / ann IVF — or pass max_rows explicitly if "
+            "the quadratic cost is intended."
+        )
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column("embedding")
     if isinstance(col, pa.ChunkedArray):
@@ -185,7 +207,8 @@ def centroid_assign(sf_dir: str) -> rd.Dataset:
 
 
 def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4,
-                          num_blocks: int = 8) -> rd.Dataset:
+                          num_blocks: int = 8,
+                          max_rows: int = EXACT_PAIRS_MAX_ROWS) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs: (v1, v2, cos_sim) with
     v1 < v2 and similarity >= threshold. EXACT (recall 1.0 by
     construction) and fully distributed.
@@ -210,6 +233,7 @@ def embedding_cosine_dups(sf_dir: str, threshold: float = 0.4,
     the approximate path for genuinely-close neighbors. The old
     broadcast form survives as the pytest brute-force oracle
     (tests/test_dedup_similarity.py)."""
+    _guard_exact_pairs(sf_dir, "embedding_cosine_dups", max_rows)
 
     def to_block_pairs(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
@@ -611,7 +635,8 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
         quantize, batch_format="pyarrow").sort("vec_id")
 
 
-def knn_join(sf_dir: str, num_blocks: int = 8) -> rd.Dataset:
+def knn_join(sf_dir: str, num_blocks: int = 8,
+             max_rows: int = EXACT_PAIRS_MAX_ROWS) -> rd.Dataset:
     """Exact 1-NN self-join: every vector's single nearest neighbor by
     cosine (ties to the smaller neighbor id) — the retrieval-index
     audit / SemDeDup-adjacent primitive. Same scale-safe block-pair
@@ -625,6 +650,8 @@ def knn_join(sf_dir: str, num_blocks: int = 8) -> rd.Dataset:
     partition-independent. Output: (vec_id, nn_id, cos_sim) by
     vec_id, cosine rounded to 4."""
     from ..stages.hashagg import hash_groupby_best
+
+    _guard_exact_pairs(sf_dir, "knn_join", max_rows)
 
     def to_block_pairs(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)

@@ -141,20 +141,31 @@ def pruning_stats(path: str, filter_expr: Any) -> dict:
             "total_rows": total_rows}
 
 
-def zorder_key(a: "np.ndarray", b: "np.ndarray", bits: int = 16) -> "np.ndarray":
+def zorder_key(a: "np.ndarray", b: "np.ndarray", bits: int = 16,
+               a_range: "tuple[float, float] | None" = None,
+               b_range: "tuple[float, float] | None" = None) -> "np.ndarray":
     """Morton (Z-order) interleave of two columns after quantizing each
-    to ``bits``-bit ranks of its own [min, max] range. Sorting by the
+    to ``bits``-bit ranks of its [min, max] range. Sorting by the
     interleaved key clusters BOTH dimensions at once, so row-group
     min/max stats stay tight for predicates on EITHER column — the
     standard multi-dimensional layout trick (cf. Delta/Iceberg OPTIMIZE
-    ZORDER) a single-key cluster cannot give. Vectorized bit-spread."""
+    ZORDER) a single-key cluster cannot give. Vectorized bit-spread.
+
+    ``a_range`` / ``b_range`` supply the GLOBAL column ranges when the
+    input arrives in per-batch slices (ADVICE r02: quantizing each
+    batch against its OWN min/max puts z-keys from different blocks on
+    incomparable scales, silently degrading the global Morton order
+    whenever block value ranges differ). Omitted -> the array's own
+    range (single-shot use)."""
     import numpy as np
 
-    def quantize(v: "np.ndarray") -> "np.ndarray":
+    def quantize(v: "np.ndarray",
+                 rng: "tuple[float, float] | None") -> "np.ndarray":
         v = v.astype(np.float64)
-        lo, hi = float(v.min()), float(v.max())
+        lo, hi = rng if rng is not None else (float(v.min()), float(v.max()))
         scale = ((1 << bits) - 1) / ((hi - lo) or 1.0)
-        return ((v - lo) * scale).astype(np.uint64)
+        q = np.clip((v - lo) * scale, 0.0, (1 << bits) - 1)
+        return q.astype(np.uint64)
 
     def spread(x: "np.ndarray") -> "np.ndarray":
         # interleave zeros between bits (16 -> 32 bit positions)
@@ -165,8 +176,8 @@ def zorder_key(a: "np.ndarray", b: "np.ndarray", bits: int = 16) -> "np.ndarray"
         x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
         return x
 
-    return (spread(quantize(a)) | (spread(quantize(b)) << np.uint64(1))
-            ).astype(np.int64)
+    return (spread(quantize(a, a_range))
+            | (spread(quantize(b, b_range)) << np.uint64(1))).astype(np.int64)
 
 
 def write_zordered(ds: rd.Dataset, out_dir: str, key_a: str, key_b: str,
@@ -176,13 +187,35 @@ def write_zordered(ds: rd.Dataset, out_dir: str, key_a: str, key_b: str,
     row groups at read time (write_clustered only serves its one sort
     key). Same cost model: one range exchange at write time, amortized
     over every subsequent filtered read. The z-key is a helper column,
-    dropped before writing."""
+    dropped before writing.
+
+    Pass 1 (ADVICE r02 medium): a narrow streaming min/max fold over
+    just (key_a, key_b) establishes the GLOBAL quantization ranges —
+    per-batch ranges would put z-keys from different blocks on
+    incomparable scales and break the global Morton order whenever
+    block value ranges differ (pre-partitioned / pre-sorted input)."""
     import numpy as np
     import pandas as pd
 
+    def _minmax(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict({
+            "a_lo": [pc.min(batch.column(key_a)).as_py()],
+            "a_hi": [pc.max(batch.column(key_a)).as_py()],
+            "b_lo": [pc.min(batch.column(key_b)).as_py()],
+            "b_hi": [pc.max(batch.column(key_b)).as_py()],
+        })
+
+    stats = (ds.select_columns([key_a, key_b])
+             .map_batches(_minmax, batch_format="pyarrow").to_pandas())
+    a_range = (float(stats["a_lo"].min()), float(stats["a_hi"].max()))
+    b_range = (float(stats["b_lo"].min()), float(stats["b_hi"].max()))
+
     def add_z(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.copy()
-        df["_z"] = zorder_key(df[key_a].to_numpy(), df[key_b].to_numpy())
+        df["_z"] = zorder_key(df[key_a].to_numpy(), df[key_b].to_numpy(),
+                              a_range=a_range, b_range=b_range)
         return df
 
     (ds.map_batches(add_z, batch_format="pandas")

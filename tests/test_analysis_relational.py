@@ -1627,3 +1627,58 @@ def test_flag_status_chi2_matches_scipy_formula(con):
     assert abs(got["chi2"] - round(chi2, 4)) < 1e-3
     assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
     assert got["n_items"] == int(n)
+
+
+def test_doc_len_zscore_degenerate_groups_dropped(tmp_path):
+    """ADVICE r02: a language whose docs all share one length (sd == 0)
+    or with a single doc (n == 1) must emit NO rows — matching the SQL
+    oracle, where stddev_samp yields NULL (n==1) or the division by
+    sd==0 yields NULL and the WHERE drops the row."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        doc_len_zscore_outliers)
+
+    t = pa.table({
+        "doc_id": [f"d{i:02d}" for i in range(10)],
+        "lang": ["solo"] + ["const"] * 3 + ["vary"] * 6,
+        "n_chars": np.array([50, 7, 7, 7, 10, 11, 10, 11, 10, 500],
+                            dtype=np.int64),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = doc_len_zscore_outliers(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'")
+    want = con.sql("""
+        WITH s AS (SELECT lang, avg(n_chars) AS mu,
+                          stddev_samp(n_chars) AS sd
+                   FROM documents GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               round((d.n_chars - s.mu) / s.sd, 4) AS z
+        FROM documents d JOIN s USING (lang)
+        WHERE abs((d.n_chars - s.mu) / s.sd) >= 2.0
+        ORDER BY d.doc_id
+    """).df()
+    # the one genuine outlier survives; solo/const langs emit nothing
+    assert set(got["lang"]) == {"vary"}
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_exact_pair_joins_refuse_above_row_bound():
+    """VERDICT r02 #4: the exact O(n^2) pair joins must refuse to run
+    above the configurable row bound and point at the approximate
+    paths."""
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        embedding_cosine_dups, knn_join)
+
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        embedding_cosine_dups(SF, max_rows=10)
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_join(SF, max_rows=10)

@@ -249,3 +249,35 @@ def test_zordered_write_prunes_on_both_columns(tmp_path):
     assert z_b["selected_row_groups"] * 2 <= z_b["total_row_groups"]
     # ... while the single-key layout cannot prune the other axis
     assert k_b["selected_row_groups"] * 2 >= k_b["total_row_groups"]
+
+
+def test_zordered_write_is_block_layout_invariant(tmp_path):
+    """ADVICE r02 (medium): quantization must use GLOBAL column ranges.
+    With per-batch ranges, pre-sorted input (each block holding a
+    disjoint slice of `a`) produced z-keys on incomparable scales and a
+    broken global Morton order. Global ranges make the written row
+    order identical regardless of how the input was blocked."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from granulate_char_ocr_ray.sources.storage import write_zordered
+
+    n = 50_000  # <= 2^16 so quantization is injective -> unique z-keys
+    rng = np.random.default_rng(12)
+    a = rng.permutation(n).astype("int64")
+    b = rng.permutation(n).astype("int64")
+    t = pa.table({"a": a, "b": b, "v": np.arange(n, dtype="int64")})
+    t_sorted = t.sort_by("a")  # blocks get disjoint `a` ranges
+
+    out_shuf = str(tmp_path / "z_shuffled")
+    out_sort = str(tmp_path / "z_presorted")
+    write_zordered(rd.from_arrow(t).repartition(4), out_shuf, "a", "b",
+                   row_group_size=2_000)
+    write_zordered(rd.from_arrow(t_sorted).repartition(4), out_sort, "a",
+                   "b", row_group_size=2_000)
+
+    v_shuf = pq.read_table(out_shuf).column("v").to_numpy()
+    v_sort = pq.read_table(out_sort).column("v").to_numpy()
+    assert (v_shuf == v_sort).all()
