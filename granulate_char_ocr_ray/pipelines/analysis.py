@@ -10,6 +10,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from ..functions.tables import table_from_pandas
 from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_up
@@ -111,7 +113,7 @@ def docs_by_lang(sf_dir: str) -> rd.Dataset:
         g = df.groupby("lang", as_index=False).agg(
             n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         partial, batch_format="pyarrow"
@@ -142,7 +144,7 @@ def length_histogram(sf_dir: str, bucket: int = 50) -> rd.Dataset:
         n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
         lo = (n_chars // bucket) * bucket
         df = pd.DataFrame({"bucket_lo": lo}).groupby("bucket_lo", as_index=False).size()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df.rename(columns={"size": "n"}), preserve_index=False
         )
 
@@ -400,7 +402,7 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         })
         tf = df.groupby(["doc_id", "token"], as_index=False).agg(
             tf=("token", "size"))
-        return pa.Table.from_pandas(tf, preserve_index=False)
+        return table_from_pandas(tf, preserve_index=False)
 
     tf = docs.map_batches(term_freq, batch_format="pyarrow")
     # df(t): each tf row is one distinct (doc, token) pair, so counting
@@ -511,7 +513,7 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
                 / (tfm[:, j] + norm)
         df = pd.DataFrame({"doc_id": ids.astype(np.int64),
                            "score": round_half_up(score, 4)})
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df.sort_values(["score", "doc_id"],
                            ascending=[False, True]).head(k),
             preserve_index=False)
@@ -573,7 +575,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30,
         same = seg[1:] == seg[:-1]  # mask cross-document pairs
         df = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
         g = df.groupby(["w1", "w2"], as_index=False).agg(c12=("w1", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     bc = hash_groupby_agg(
         docs.map_batches(bigram_partial, batch_format="pyarrow"),
@@ -583,7 +585,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30,
         flat, _ = _flat(batch)
         g = pd.DataFrame({"w": flat}).groupby("w", as_index=False).agg(
             c=("w", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     uc = hash_groupby_agg(
         docs.map_batches(unigram_partial, batch_format="pyarrow"),
@@ -812,7 +814,7 @@ def lang_vocab_overlap(sf_dir: str) -> rd.Dataset:
             "token": pc.list_flatten(lists).to_pandas(),
         }).drop_duplicates()
         df["_tbucket"] = _stable_partition(df, ["token"], 32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def dedup_and_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["lang", "token"]].drop_duplicates()
@@ -848,7 +850,7 @@ def lang_vocab_overlap(sf_dir: str) -> rd.Dataset:
         "n_shared": inter["n"].astype(np.int64),
         "jaccard": round_half_up(i / (sa + sb - i), 6),
     }).sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out, preserve_index=False)
 
 
 def next_token_stats(sf_dir: str, min_count: int = 5) -> rd.Dataset:
@@ -889,7 +891,7 @@ def next_token_stats(sf_dir: str, min_count: int = 5) -> rd.Dataset:
                            "next_token": flat[1:][same]})
         g = df.groupby(["token", "next_token"], as_index=False).agg(
             n=("token", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     bc = hash_groupby_agg(
         docs.map_batches(bigram_partial, batch_format="pyarrow"),
@@ -940,7 +942,7 @@ def doc_len_zscore_outliers(sf_dir: str, z_cut: float = 2.0) -> rd.Dataset:
         df["sq"] = df["n_chars"].astype(np.float64) ** 2
         g = df.groupby("lang", as_index=False).agg(
             n=("n_chars", "size"), s=("n_chars", "sum"), ss=("sq", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     stats = (_docs(sf_dir, ["lang", "n_chars"])
              .map_batches(moments, batch_format="pyarrow")
@@ -969,7 +971,7 @@ def doc_len_zscore_outliers(sf_dir: str, z_cut: float = 2.0) -> rd.Dataset:
         keep = ok & (np.abs(z) >= z_cut)
         out = df.loc[keep, ["doc_id", "lang", "n_chars"]].copy()
         out["z"] = round_half_up(z[keep], 4)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
             .map_batches(zfilter, batch_format="pyarrow").sort("doc_id"))
@@ -1004,7 +1006,7 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         g = df.groupby("source", as_index=False).agg(
             n_docs=("n_docs", "sum"), n_unique=("h", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = (per_text.map_batches(partial, batch_format="pyarrow")
            .repartition(2).groupby("source").aggregate(
@@ -1017,7 +1019,7 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
         df["n_unique"] = df["n_unique"].astype(np.int64)
         df["dup_pct"] = round_half_up(
             100.0 * (df["n_docs"] - df["n_unique"]) / df["n_docs"], 4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     # ADVICE r02: the oracle ends with ORDER BY source — emit the same
     # contract instead of leaving row order to the groupby exchange
@@ -1050,7 +1052,7 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
             "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
             "token": pc.list_flatten(toks).to_pandas()})
         g = df.groupby(["source", "token"], as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "c"}),
+        return table_from_pandas(g.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     per_token = hash_groupby_agg(
@@ -1065,7 +1067,7 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
         g = df.groupby("source", as_index=False).agg(
             n_tokens=("c", "sum"), n_distinct=("c", "size"),
             s=("clogc", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = (per_token.map_batches(partial, batch_format="pyarrow")
            .repartition(2).groupby("source").aggregate(
@@ -1080,7 +1082,7 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
             np.log2(n) - df["s"].to_numpy() / n, 6)
         df["n_tokens"] = df["n_tokens"].astype(np.int64)
         df["n_distinct"] = df["n_distinct"].astype(np.int64)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["source", "n_tokens", "n_distinct", "entropy_bits"]],
             preserve_index=False)
 
@@ -1168,7 +1170,7 @@ def rrf_hybrid_search(sf_dir: str,
                               ascending=[False, True]).head(k_list)
         top2 = df.sort_values(["s2", "doc_id"],
                               ascending=[False, True]).head(k_list)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.concat([top1, top2]).drop_duplicates("doc_id"),
             preserve_index=False)
 
@@ -1223,7 +1225,7 @@ def source_topp_vocab(sf_dir: str, p: float = 0.9) -> rd.Dataset:
             "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
             "token": pc.list_flatten(toks).to_pandas()})
         g = df.groupby(["source", "token"], as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "c"}),
+        return table_from_pandas(g.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     per_token = hash_groupby_agg(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from ..functions.tables import table_from_pandas
 from ray.data.aggregate import Sum
 
 from ..functions.glyphs import MEDIA_PREFIX
@@ -149,7 +151,7 @@ def ocr_accuracy_by_length(sf_dir: str) -> rd.Dataset:
             sum_char_acc=("char_acc", "sum"),
             sum_word_acc=("word_acc", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = per_doc.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
         "word_len"

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ..functions.tables import table_from_pandas
 from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_up
@@ -36,7 +38,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour"]
@@ -49,7 +51,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["n_events"] = df["n_events"].astype(np.int64)
         df["sum_value"] = round_half_up(df["sum_value"], 2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
 
@@ -237,7 +239,7 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
         ex = pd.concat(parts, ignore_index=True)
         g = ex.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(
         4).groupby(["event_type", "window_start"]).aggregate(
@@ -248,7 +250,7 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
         df = batch.to_pandas()
         df["n_events"] = df["n_events"].astype(np.int64)
         df["sum_value"] = round_half_up(df["sum_value"], 2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
 
@@ -278,7 +280,7 @@ def event_props_k_stats(sf_dir: str) -> rd.Dataset:
         })
         g = df.groupby("event_type", as_index=False).agg(
             n_events=("k", "size"), sum_k=("k", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(
         4).groupby("event_type").aggregate(
@@ -290,7 +292,7 @@ def event_props_k_stats(sf_dir: str) -> rd.Dataset:
         df["n_events"] = df["n_events"].astype(np.int64)
         df["sum_k"] = df["sum_k"].astype(np.int64)
         df["avg_k"] = round_half_up(df["sum_k"] / df["n_events"], 2)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["event_type", "n_events", "sum_k", "avg_k"]],
             preserve_index=False)
 

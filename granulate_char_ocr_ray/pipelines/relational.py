@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import ray
 import ray.data as rd
+
+from ..functions.tables import table_from_pandas
 from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_up
@@ -53,7 +55,7 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
             sum_disc=("l_discount", "sum"),
             count_order=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     # partials: one row per (block, key); coalesce before the shuffle so
     # the sort-based aggregate does not pay per-block overhead at low key
@@ -85,7 +87,7 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
                 "count_order": df["count_order"],
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
 
@@ -100,7 +102,7 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
         g = df.groupby("event_type", as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
@@ -109,7 +111,7 @@ def top_event_types(sf_dir: str) -> rd.Dataset:
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["avg_value"] = round_half_up(df["sum_value"] / df["n_events"], 2)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["event_type", "n_events", "avg_value"]], preserve_index=False
         )
 
@@ -164,7 +166,7 @@ def revenue_by_nation(sf_dir: str,
             g = df.groupby("n_name", as_index=False).agg(
                 revenue=("o_totalprice", "sum"),
                 n_orders=("o_totalprice", "size"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return table_from_pandas(g, preserve_index=False)
 
         part = orders.map_batches(partial, batch_format="pyarrow")
     else:
@@ -192,7 +194,7 @@ def revenue_by_nation(sf_dir: str,
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["revenue"] = round_half_up(df["revenue"], 2)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["n_name", "revenue", "n_orders"]], preserve_index=False
         )
 
@@ -213,7 +215,7 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
             sum_price=("p_retailprice", "sum"),
             max_size=("p_size", "max"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(4).groupby("p_brand").aggregate(
         Sum("n_parts", alias_name="n_parts"),
@@ -224,7 +226,7 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["avg_price"] = round_half_up(df["sum_price"] / df["n_parts"], 2)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["p_brand", "n_parts", "avg_price", "max_size"]], preserve_index=False
         )
 
@@ -356,7 +358,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
             g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
                 rev=("rev", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return table_from_pandas(g, preserve_index=False)
 
         partial = items.map_batches(join_probe, batch_format="pyarrow")
         agg = hash_groupby_agg(partial, ["l_orderkey", "o_orderdate"],
@@ -384,7 +386,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["revenue"] = round_half_up(df["rev"], 2)
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df[["l_orderkey", "o_orderdate", "revenue"]], preserve_index=False
         )
 
@@ -592,7 +594,7 @@ def quantity_deciles(sf_dir: str) -> rd.Dataset:
 
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
-        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+        return table_from_pandas(df.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     hist = hash_groupby_agg(
@@ -633,7 +635,7 @@ def supplier_balance_by_nation(sf_dir: str) -> rd.Dataset:
         df["n_name"] = df["s_nationkey"].map(lookup)
         g = df.groupby("n_name", as_index=False).agg(
             n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
         "n_name").aggregate(
@@ -644,7 +646,7 @@ def supplier_balance_by_nation(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["n_suppliers"] = df["n_suppliers"].astype(np.int64)
         df["total_acctbal"] = round_half_up(df["total_acctbal"], 2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
 
@@ -665,7 +667,7 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["r_name"] = df["c_nationkey"].map(lookup)
         g = df.groupby("r_name", as_index=False).size()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             g.rename(columns={"size": "n_customers"}), preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").repartition(2).groupby(
@@ -674,7 +676,7 @@ def customers_per_region(sf_dir: str) -> rd.Dataset:
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["n_customers"] = df["n_customers"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow")
 
@@ -839,7 +841,7 @@ def distinct_users_per_event_type(sf_dir: str) -> rd.Dataset:
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     pairs = hash_groupby_agg(
         ds.map_batches(distinct_pairs, batch_format="pyarrow"),
@@ -922,7 +924,7 @@ def order_item_totals_native(sf_dir: str, num_partitions: int = 32
         g = df.groupby(["o_orderkey", "o_totalprice"], as_index=False).agg(
             n_items=("l_extendedprice", "size"),
             items_value=("l_extendedprice", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     from ..stages.hashagg import hash_groupby_agg
 
@@ -1091,7 +1093,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             hit = (oks2[pos] == lk) if len(oks2) else np.zeros(len(lk), bool)
             m = batch.filter(pa.array(hit)).to_pandas()
             m["c_nationkey"] = onat[pos[hit]]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 local_partial(m),
                 schema=pa.schema([("n_name", pa.string()),
                                   ("revenue", pa.float64())]),
@@ -1120,7 +1122,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["revenue"] = round_half_up(df["revenue"], 2)
-        return pa.Table.from_pandas(df[["n_name", "revenue"]],
+        return table_from_pandas(df[["n_name", "revenue"]],
                                     preserve_index=False)
 
     return agg.map_batches(final, batch_format="pyarrow").sort(
@@ -1180,7 +1182,7 @@ def quantity_percentiles_cont(sf_dir: str) -> rd.Dataset:
 
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
-        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+        return table_from_pandas(df.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     hist = hash_groupby_agg(
@@ -1311,7 +1313,7 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["day"] = df["ts"].dt.floor("D")
         df["one"] = np.int64(1)
-        return pa.Table.from_pandas(df[["event_type", "day", "one"]],
+        return table_from_pandas(df[["event_type", "day", "one"]],
                                     preserve_index=False)
 
     base = hash_groupby_agg(
@@ -1357,7 +1359,7 @@ def events_cube(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["day"] = df["ts"].dt.floor("D")
         df["one"] = np.int64(1)
-        return pa.Table.from_pandas(df[["event_type", "day", "one"]],
+        return table_from_pandas(df[["event_type", "day", "one"]],
                                     preserve_index=False)
 
     base = hash_groupby_agg(
@@ -1453,7 +1455,7 @@ def quantity_deciles_by_flag(sf_dir: str) -> rd.Dataset:
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby(["l_returnflag", "l_quantity"],
                                        as_index=False).size()
-        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+        return table_from_pandas(df.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     hist = hash_groupby_agg(
@@ -1498,7 +1500,7 @@ def event_types_per_user(sf_dir: str) -> rd.Dataset:
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     pairs = hash_groupby_agg(
         ds.map_batches(distinct_pairs, batch_format="pyarrow"),
@@ -1509,7 +1511,7 @@ def event_types_per_user(sf_dir: str) -> rd.Dataset:
         df = batch.to_pandas()
         df["_upart"] = (stable_hash_column(df["user_id"])
                         % np.uint64(16)).astype(np.int64)
-        return pa.Table.from_pandas(df[["user_id", "event_type", "_upart"]],
+        return table_from_pandas(df[["user_id", "event_type", "_upart"]],
                                     preserve_index=False)
 
     def concat(g: pd.DataFrame) -> pd.DataFrame:
@@ -1577,7 +1579,7 @@ def q10_returned_items(sf_dir: str, k: int = 20,
         df = df[df["l_returnflag"] == "R"]
         df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     per_order = hash_groupby_agg(
         items.map_batches(rev, batch_format="pyarrow"),
@@ -1959,7 +1961,7 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
             df = batch.to_pandas()
             df["cust_nation"] = df["c_nationkey"].map(nation_map)
             df = df[df["cust_nation"].isin(wanted)]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 df[["c_custkey", "cust_nation"]], preserve_index=False)
 
         def oc_merge(o_df: pd.DataFrame, c_df: pd.DataFrame
@@ -2134,7 +2136,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_1",
         def c_tag(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
             df = df[df["c_nationkey"].astype(int).isin(keep_nk)]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 df[["c_custkey"]], preserve_index=False)
 
         def o_year(df: pd.DataFrame) -> pd.DataFrame:
@@ -3558,7 +3560,7 @@ def quantity_mad_outliers(sf_dir: str, k_sigma: float = 3.0) -> rd.Dataset:
 
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("l_quantity", as_index=False).size()
-        return pa.Table.from_pandas(df.rename(columns={"size": "c"}),
+        return table_from_pandas(df.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
     hist = hash_groupby_agg(
@@ -3863,7 +3865,7 @@ def weighted_median_price(sf_dir: str, num_buckets: int = 4096) -> pa.Table:
             zero_copy_only=False)).astype(np.int64)
         df = pd.DataFrame({"b": bucket_of(v), "w": w}).groupby(
             "b", as_index=False)["w"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     bh = hash_groupby_agg(
         ds.map_batches(bw, batch_format="pyarrow"),

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.tables import table_from_pandas
+
 from ..functions.numeric import round_half_up
 from ..sources.storage import read_table
 
@@ -462,7 +464,7 @@ def llm_prep_pipeline(sf_dir: str, min_tokens: int = 20,
             "text_hash", keep="first")
         df["_part"] = (stable_hash_column(df["text_hash"])
                        % np.uint64(num_parts)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["text_hash", "doc_id"]).drop_duplicates(

@@ -35,6 +35,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.tables import table_from_pandas
+
 _FINAL_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -92,7 +94,7 @@ def hash_groupby_agg(
         }
         g = df.groupby(keys, as_index=False).agg(**named)
         g["_part"] = _stable_partition(g, keys, num_parts)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
         named = {
@@ -130,7 +132,7 @@ def hash_groupby_best(
     def partial(batch: pa.Table) -> pa.Table:
         g = _best(batch.to_pandas())
         g["_part"] = _stable_partition(g, keys, num_parts)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
         return _best(part).drop(columns=["_part"])
@@ -165,7 +167,7 @@ def hash_groupby_mode(
         g = df.groupby(keys + [value_col], as_index=False).agg(
             _n=(value_col, "size"))
         g["_part"] = _stable_partition(g, keys, num_parts)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
         c = part.groupby(keys + [value_col], as_index=False).agg(
