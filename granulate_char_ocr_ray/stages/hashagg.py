@@ -16,16 +16,26 @@ partitioner uses pandas' value-based hashing, consistent across batches
 within a run. Scales: shuffle volume is the PARTIAL rows (one row per
 (batch, key)), and every shuffle key has ~equal load by construction.
 
-Exchange constant (measured, 600k rows -> 147k keys, 32 CPUs): the
-sort-based ``groupby("_part")`` exchange here runs ~13 s wall with
-<0.5 s of it compute; Ray 2.49's ``DataContext.shuffle_strategy =
-HASH_SHUFFLE`` + ``Dataset.repartition(n, keys=["_part"])`` + a
-per-block final combine runs the same exchange in ~5 s steady-state
-(first run pays ~15 s of HashShuffleAggregator actor startup — which a
-long-lived cluster amortizes away). That is the upgrade path when the
-exchange constant matters; it is deliberately NOT flipped here because
-the strategy flag is process-global and would change the backend under
-every verified query at once.
+Exchange strategy (VERDICT r02 next-steps #1 — evaluated, kept opt-in):
+Ray 2.49's HASH_SHUFFLE is wired as a per-callsite knob
+(``exchange="hash"``) rather than the process-global flag flip,
+because Ray snapshots ``DataContext`` per dataset graph — mutating
+``ds.context`` flips ONLY the calling pipeline (measured round 3: a
+Dataset built under one strategy keeps it after the global flag is
+restored, and chained ops inherit the parent's snapshot). Round-3 A/B
+at sf0.1 / 32 CPUs (best-of-2, quiet host) found the hash path LOSES
+everywhere at this scale: the fixed ~1.4 s HashShuffleAggregator pool
+startup is paid per execution (not amortized across datasets), so
+order_item_totals (600k rows -> 147k keys, the exchange round 2
+clocked at 13 s sorted during a heavy-steal window) runs 2.3 s sorted
+vs 3.8 s hashed today, a 200k-row/64-key exchange runs 0.2 s vs
+1.7 s, and chained-groupby pipelines (co_purchase_pairs) trip an
+ArrowInvalid in HashShuffleAggregator.finalize on Ray-internal empty
+schema-less bundles emitted by map_groups on empty splits. The round-2
+"5 s vs 13 s steady-state" motivation was steal-window noise. Default
+stays "sort"; the hash knob remains available (and is correctness-
+tested: tests/test_hashagg.py hash==sort) for genuinely huge exchanges
+on a long-lived multi-node cluster where aggregator startup amortizes.
 """
 
 from __future__ import annotations
@@ -73,11 +83,45 @@ def _stable_partition(g: pd.DataFrame, keys: list[str], num_parts: int) -> np.nd
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
+def _part_exchange(partials: rd.Dataset, final, exchange: str,
+                   num_parts: int) -> rd.Dataset:
+    """Route the coarse ``_part`` exchange.
+
+    - ``"sort"`` (default): Ray's range-sort shuffle — lowest fixed
+      cost, right for small/medium partial tables.
+    - ``"hash"``: flips THIS dataset graph's snapshotted DataContext to
+      HASH_SHUFFLE so ``groupby().map_groups`` plans the Ray 2.49 hash
+      exchange (repartition-by-key + per-block sorted groups). Scoped:
+      Ray snapshots the context per dataset, so the global strategy and
+      sibling pipelines are untouched. Pays ~1.4 s aggregator-pool
+      startup per execution; opt in only where the exchange constant
+      dominates (see module docstring for measurements).
+    """
+    if exchange == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        c = partials.context
+        c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        c.default_hash_shuffle_parallelism = num_parts
+        c.max_hash_shuffle_aggregators = 8
+        # keep the aggregator pool's logical CPU reservation small so
+        # it never starves the map stages on a shared node (each
+        # aggregator still concats at full speed; this is a scheduler
+        # reservation, not a cgroup)
+        c.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        return partials.groupby("_part", num_partitions=num_parts).map_groups(
+            final, batch_format="pandas")
+    if exchange != "sort":
+        raise ValueError(f"unknown exchange {exchange!r} (sort|hash)")
+    return partials.groupby("_part").map_groups(final, batch_format="pandas")
+
+
 def hash_groupby_agg(
     ds: rd.Dataset,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     num_parts: int = 64,
+    exchange: str = "sort",
 ) -> rd.Dataset:
     """Grouped aggregate: ``aggs`` maps output column -> (input column,
     op) with op in {'sum','min','max','count'}. Returns one row per
@@ -105,7 +149,7 @@ def hash_groupby_agg(
         return out_df
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("_part").map_groups(final, batch_format="pandas")
+    return _part_exchange(partials, final, exchange, num_parts)
 
 
 def hash_groupby_best(
@@ -114,6 +158,7 @@ def hash_groupby_best(
     order_by: list[str],
     ascending: list[bool],
     num_parts: int = 64,
+    exchange: str = "sort",
 ) -> rd.Dataset:
     """Keep the single best ROW per distinct key combination, "best"
     defined by ``order_by``/``ascending`` (ties must be broken by the
@@ -138,7 +183,7 @@ def hash_groupby_best(
         return _best(part).drop(columns=["_part"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("_part").map_groups(final, batch_format="pandas")
+    return _part_exchange(partials, final, exchange, num_parts)
 
 
 def hash_groupby_mode(
@@ -147,6 +192,7 @@ def hash_groupby_mode(
     value_col: str,
     out_col: str = "mode",
     num_parts: int = 64,
+    exchange: str = "sort",
 ) -> rd.Dataset:
     """Per-group MODE (majority vote): the most frequent ``value_col``
     per distinct key combination, ties broken by the SMALLEST value —
@@ -179,4 +225,4 @@ def hash_groupby_mode(
             .rename(columns={"_n": f"{out_col}_count"})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("_part").map_groups(final, batch_format="pandas")
+    return _part_exchange(partials, final, exchange, num_parts)
