@@ -113,12 +113,14 @@ def decode_media_ref(media_ref: str) -> np.ndarray | None:
       8-bit grayscale PNG bytes -> array via the pure-NumPy decoder
       (functions/codecs.decode_png_gray; S2+S3,
       ocr_service.py:97-99 / the API's base64 upload path);
-    - ``pgmb64:<base64>`` — same for binary PGM (P5).
+    - ``pgmb64:<base64>`` — same for binary PGM (P5);
+    - ``jpgb64:<base64>`` — baseline grayscale JPEG via the pure-NumPy
+      T.81 decoder (functions/jpeg.decode_jpeg_gray; closes the S3
+      format gap — the reference accepts JPG at ocr_service.py:97-99).
 
     Undecodable payloads (bad base64 / corrupt image) yield ``None`` —
     the reference's swallow-into-empty-result policy
-    (ocr_service.py:164-171). JPEG stays out of scope (a DCT decoder is
-    a library, not a seam); a real codec drops in beside the PNG branch.
+    (ocr_service.py:164-171).
     """
     if not media_ref:
         return None   # empty/null payload -> empty result, never a crash
@@ -127,18 +129,22 @@ def decode_media_ref(media_ref: str) -> np.ndarray | None:
         if all(c in PROTOTYPE_HASHES for c in word):
             return render_strip(word)
         return None
-    if media_ref.startswith("pngb64:") or media_ref.startswith("pgmb64:"):
+    if media_ref.startswith(("pngb64:", "pgmb64:", "jpgb64:")):
         import base64 as _b64
 
-        from .codecs import decode_pgm, decode_png_gray
-
-        decoder = decode_png_gray if media_ref.startswith("pngb64:") else decode_pgm
+        if media_ref.startswith("pngb64:"):
+            from .codecs import decode_png_gray as decoder
+        elif media_ref.startswith("pgmb64:"):
+            from .codecs import decode_pgm as decoder
+        else:
+            from .jpeg import decode_jpeg_gray as decoder
         try:
             return decoder(_b64.b64decode(media_ref[7:], validate=True))
         except Exception:
             return None
     raise NotImplementedError(
         "unrecognized media encoding; supported: 'glyph:<WORD>', "
-        "'pngb64:<b64 png>', 'pgmb64:<b64 pgm>' — plug additional codecs "
-        "into functions/codecs and route them here"
+        "'pngb64:<b64 png>', 'pgmb64:<b64 pgm>', 'jpgb64:<b64 baseline "
+        "grayscale jpeg>' — plug additional codecs into functions/codecs "
+        "and route them here"
     )

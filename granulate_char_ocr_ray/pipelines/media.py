@@ -104,6 +104,48 @@ def media_dimensions_png(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
         batch_format="pyarrow").sort("doc_id")
 
 
+def media_dimensions_jpeg(sf_dir: str, quality: int = 95,
+                          concurrency=(1, 8)) -> rd.Dataset:
+    """media_dimensions_png's sibling over LOSSY baseline JPEG: every
+    glyph strip is compressed to baseline grayscale JPEG
+    (functions/jpeg.encode_jpeg_gray), base64-wrapped into a
+    ``jpgb64:`` ref, then decoded by the pure-NumPy T.81 decoder inside
+    the MediaDimensions actor pool — the full S3 JPEG path (VERDICT
+    r02 next-steps #5; reference accepts JPG at ocr_service.py:97-99).
+    The closed-form dimensions oracle still holds because JPEG
+    preserves exact pixel dimensions, and at quality 95 the near-binary
+    strips re-segment identically (hash-verified at sf0.01)."""
+    import base64
+
+    from ..functions.jpeg import encode_jpeg_gray
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+
+    def reencode(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            img = decode_media_ref(ref or "")
+            if img is None:
+                out.append("")
+            else:
+                out.append("jpgb64:" + base64.b64encode(
+                    encode_jpeg_gray(img, quality=quality)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    jpg_spans = media.map_batches(reencode, batch_format="pyarrow")
+    dims = jpg_spans.map_batches(
+        MediaDimensions, batch_format="pyarrow", concurrency=concurrency)
+    return dims.map_batches(
+        lambda t: t.select(["doc_id", "height", "width", "n_glyphs"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 class MediaResize:
     """Actor stage: decode + area-resize each media payload to a fixed
     thumbnail, emit the thumbnail's 64-bit mean-threshold hash. The

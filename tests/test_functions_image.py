@@ -443,3 +443,70 @@ def test_preprocess_color_mode_route():
     rgb[ink] = purple
     out = preprocess(rgb, color_mode="color")
     assert _classify_binary(out) == "MODE"
+
+
+def test_jpeg_roundtrip_quality_and_shapes():
+    """Baseline grayscale JPEG codec (functions/jpeg): exact dimensions
+    at any shape, bounded reconstruction error scaling with quality,
+    and a PNG cross-check on the same image (PNG is lossless truth)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.functions.codecs import (
+        decode_png_gray, encode_png_gray)
+    from granulate_char_ocr_ray.functions.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    rng = np.random.default_rng(3)
+    for h, w in [(64, 224), (17, 33), (8, 8), (1, 1), (3, 100)]:
+        img = (np.outer(np.linspace(0, 255, h), np.ones(w))
+               + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+        lossless = decode_png_gray(encode_png_gray(img))
+        assert (lossless == img).all()
+        d95 = decode_jpeg_gray(encode_jpeg_gray(img, quality=95))
+        d50 = decode_jpeg_gray(encode_jpeg_gray(img, quality=50))
+        assert d95.shape == img.shape == d50.shape
+        e95 = np.abs(d95.astype(int) - img.astype(int)).mean()
+        e50 = np.abs(d50.astype(int) - img.astype(int)).mean()
+        assert e95 < 4.0
+        assert e95 <= e50 + 0.5  # lower quality never reconstructs better
+
+
+def test_jpeg_glyph_strip_segments_identically():
+    """The near-binary glyph strips must re-segment to the same glyph
+    count after a quality-95 JPEG roundtrip — the invariant behind the
+    media_dimensions_jpeg oracle."""
+    from granulate_char_ocr_ray.functions.glyphs import (
+        decode_media_ref, render_strip)
+    from granulate_char_ocr_ray.functions.image import preprocess
+    from granulate_char_ocr_ray.functions.jpeg import encode_jpeg_gray
+    from granulate_char_ocr_ray.functions.segment import segment_projection
+    import base64
+
+    for word in ["A", "CAB", "JIHGFE"]:
+        strip = render_strip(word)
+        ref = "jpgb64:" + base64.b64encode(
+            encode_jpeg_gray(strip, quality=95)).decode()
+        dec = decode_media_ref(ref)
+        assert dec.shape == strip.shape
+        assert len(segment_projection(preprocess(dec))) == len(word)
+
+
+def test_jpeg_decode_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from granulate_char_ocr_ray.functions.glyphs import decode_media_ref
+    from granulate_char_ocr_ray.functions.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+    enc = bytearray(encode_jpeg_gray(np.zeros((16, 16), np.uint8)))
+    # flip SOF0 -> SOF2 (progressive) marker
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(enc))
+    # the media_ref seam swallows corrupt payloads into None
+    assert decode_media_ref("jpgb64:!!!notbase64!!!") is None
+    assert decode_media_ref("jpgb64:AAAA") is None
