@@ -31,13 +31,11 @@ def read_table(path: str, *, columns: list[str] | None = None,
     if path.endswith(".lance"):
         if filter_expr is not None:
             # read_lance takes a SQL-string filter, not a pyarrow dataset
-            # expression; silently dropping the predicate would return
-            # correct-but-unpruned scans only if callers re-filter. Fail
-            # loudly instead (ADVICE r01).
-            raise NotImplementedError(
-                "filter_expr pushdown is not translated for .lance paths; "
-                "pass columns only, or add an expression->SQL translation "
-                "here before enabling predicates on lance reads")
+            # expression — translate the forms the engine emits
+            # (comparisons, conjunctions/disjunctions, string/number/
+            # timestamp literals); anything else still fails loudly
+            # (ADVICE r01 -> VERDICT r02 next-steps #7)
+            kwargs["filter"] = expr_to_sql(filter_expr)
         try:
             import lance  # noqa: F401 — presence check only
 
@@ -82,6 +80,69 @@ def read_table(path: str, *, columns: list[str] | None = None,
     else:
         kwargs["schema"] = full
     return rd.read_parquet(path, **kwargs)
+
+
+def expr_to_sql(expr: Any) -> str:
+    """Translate a pyarrow dataset expression into the SQL-string filter
+    ``ray.data.read_lance`` accepts (DataFusion dialect).
+
+    Covers every form the engine's reads emit — field-vs-literal
+    comparisons (== != < <= > >=), conjunctions/disjunctions, and
+    string / numeric / timestamp literals — by parsing the expression's
+    canonical string form (pyarrow exposes no public AST). Raises
+    ``NotImplementedError`` on anything else, preserving the
+    fail-loudly contract (ADVICE r01): an untranslated predicate must
+    never silently become an unpruned full scan."""
+    import re
+
+    s = str(expr).strip()
+
+    _TS = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$")
+    _NUM = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    _CMP = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\s*(==|!=|<=|>=|<|>)\s*(.+)$",
+                      re.DOTALL)
+
+    def _lit(tok: str) -> str:
+        tok = tok.strip()
+        if tok.startswith('"') and tok.endswith('"'):
+            return "'" + tok[1:-1].replace("'", "''") + "'"
+        if _TS.match(tok):
+            return f"TIMESTAMP '{tok}'"
+        if _NUM.match(tok) or tok in ("true", "false"):
+            return tok
+        raise NotImplementedError(
+            f"cannot translate literal {tok!r} to a lance SQL filter")
+
+    def _tr(s: str) -> str:
+        s = s.strip()
+        if not (s.startswith("(") and s.endswith(")")):
+            raise NotImplementedError(
+                f"cannot translate expression fragment {s!r}")
+        inner = s[1:-1]
+        depth = 0
+        i = 0
+        while i < len(inner):
+            ch = inner[i]
+            if ch == '"':
+                i = inner.index('"', i + 1)
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and inner.startswith(" and ", i):
+                return f"({_tr(inner[:i])} AND {_tr(inner[i + 5:])})"
+            elif depth == 0 and inner.startswith(" or ", i):
+                return f"({_tr(inner[:i])} OR {_tr(inner[i + 4:])})"
+            i += 1
+        m = _CMP.match(inner)
+        if not m:
+            raise NotImplementedError(
+                f"cannot translate expression fragment {inner!r}")
+        field, op, lit = m.groups()
+        sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+        return f"({field} {sql_op} {_lit(lit)})"
+
+    return _tr(s)
 
 
 def rows_to_blocks(path: str, rows_per_block: int = 20_000,

@@ -281,3 +281,49 @@ def test_zordered_write_is_block_layout_invariant(tmp_path):
     v_shuf = pq.read_table(out_shuf).column("v").to_numpy()
     v_sort = pq.read_table(out_sort).column("v").to_numpy()
     assert (v_shuf == v_sort).all()
+
+
+def test_expr_to_sql_matches_pyarrow_semantics():
+    """expr_to_sql (the lance filter pushdown translation) must select
+    exactly the rows the pyarrow dataset expression selects — validated
+    by running the translated SQL through DuckDB on the same table."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.sources.storage import expr_to_sql
+
+    n = 1000
+    rng = np.random.default_rng(7)
+    tbl = pa.table({
+        "a": rng.integers(0, 50, n),
+        "b": rng.random(n) * 10,
+        "flag": rng.choice(["R", "N", "A"], n),
+        "ts": pa.array(
+            np.datetime64("1995-01-01", "us")
+            + rng.integers(0, 4 * 365, n) * np.timedelta64(1, "D"),
+            pa.timestamp("us")),
+    })
+    exprs = [
+        pads.field("a") <= 20,
+        pads.field("flag") == "R",
+        pads.field("flag") != "1-URGENT",
+        (pads.field("a") >= 10) & (pads.field("b") < 2.5),
+        (pads.field("ts") >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("ts") < np.datetime64("1997-06-15", "us")),
+        ((pads.field("a") >= 1) & (pads.field("a") < 40))
+        & (pads.field("flag") == "N"),
+        (pads.field("a") == 3) | (pads.field("flag") == "A"),
+    ]
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for e in exprs:
+        sql = expr_to_sql(e)
+        want = pads.dataset(tbl).to_table(filter=e).num_rows
+        got = con.sql(f"SELECT count(*) AS c FROM t WHERE {sql}").df()["c"][0]
+        assert got == want, (str(e), sql, got, want)
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        expr_to_sql(pads.field("a").isin([1, 2, 3]))
