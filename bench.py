@@ -70,6 +70,38 @@ def _best_of(fn, trials: int = TRIALS) -> float:
     return round(best, 3)
 
 
+class _SchemaWarningCounter:
+    """The VERDICT r02 #6 clean-log assertion, as data in the bench
+    JSON. Two distinct warning species:
+
+    - 'Failed to hash the schemas' — was OUR bug (pandas metadata made
+      block schemas unhashable); fixed at the source (metadata-free
+      read schemas + table_from_pandas), so the bench asserts ZERO.
+    - 'RefBundle with a different schema' — Ray-internal: map_groups
+      yields nothing for an empty range split and the operator emits a
+      schema-less empty bundle (ray/data/grouped_data.py
+      _apply_udf_to_groups); cosmetic, once per operator transition,
+      not addressable from UDF code. Counted and reported, not
+      asserted."""
+
+    def __init__(self) -> None:
+        import logging
+
+        self.unhashable = 0
+        self.empty_bundle = 0
+        counter = self
+
+        class _H(logging.Handler):
+            def emit(self, record):
+                msg = record.getMessage()
+                if "Failed to hash the schemas" in msg:
+                    counter.unhashable += 1
+                elif "RefBundle with a different schema" in msg:
+                    counter.empty_bundle += 1
+
+        logging.getLogger("ray.data").addHandler(_H())
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -80,6 +112,7 @@ def run_benchmarks() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    schema_warnings = _SchemaWarningCounter()
 
     from granulate_char_ocr_ray.pipelines import dedup, relational, similarity
     from granulate_char_ocr_ray.pipelines.extract import extract_spans
@@ -88,6 +121,22 @@ def run_benchmarks() -> dict:
     derive_docs_replicated(SF_DIR, 1).count()
 
     queries: dict[str, float] = {}
+
+    only = os.environ.get("GRAFT_BENCH_QUERIES")
+    if only:
+        # query-subset mode (used by --scaling-queries): skip the
+        # headline/fanout/reassembly extraction entirely
+        _run_query_subset(set(only.split(",")), queries)
+        return {
+            "metric": "query subset wall times",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "schema_unhashable_warnings": schema_warnings.unhashable,
+            "ray_empty_bundle_warnings": schema_warnings.empty_bundle,
+        }
 
     # --- headline: flagship extraction to parquet sink ---
     out_dir = f"/tmp/bench_out/extract_cpus{NUM_CPUS}"
@@ -140,11 +189,45 @@ def run_benchmarks() -> dict:
 
     queries["extract_spans_fanout"] = _best_of(_fanout)
 
-    # --- secondary pipelines (each best-of-N) ---
-    from granulate_char_ocr_ray.pipelines import (analysis, events, media,
-                                                  training)
+    # --- per-document reassembly over the flagship span output
+    # (VERDICT r02 #3 done-criterion: within 1.5x of the span pipeline)
+    from granulate_char_ocr_ray.pipelines.extract import reassemble_docs
 
-    secondary = [
+    def _reassemble():
+        import ray.data as rd
+
+        spans = rd.read_parquet(out_dir,
+                                override_num_blocks=max(64, 2 * NUM_CPUS))
+        reassemble_docs(spans).count()
+
+    queries["reassemble_docs"] = _best_of(_reassemble)
+
+    # --- secondary pipelines (each best-of-N) ---
+    for name, fn in _secondary_list():
+        queries[name] = _best_of(fn)
+
+    # clean-log assertion (VERDICT r02 #6): the unhashable-schema
+    # warning must never reappear — it silently disables Ray's block
+    # schema dedupe fast path on every merge
+    assert schema_warnings.unhashable == 0, (
+        "schema-hash warnings regressed: %d" % schema_warnings.unhashable)
+    result["schema_unhashable_warnings"] = schema_warnings.unhashable
+    result["ray_empty_bundle_warnings"] = schema_warnings.empty_bundle
+    return result
+
+
+def _run_query_subset(wanted: set, queries: dict) -> None:
+    for name, fn in _secondary_list():
+        if name in wanted:
+            queries[name] = _best_of(fn)
+
+
+def _secondary_list():
+    from granulate_char_ocr_ray.pipelines import (analysis, dedup, events,
+                                                  media, relational,
+                                                  similarity, training)
+
+    return [
         ("q1_pricing_summary",
          lambda: relational.q1_pricing_summary(SF_DIR).to_pandas()),
         ("top_event_types",
@@ -212,10 +295,6 @@ def run_benchmarks() -> dict:
         ("event_transition_probs",
          lambda: events.event_transition_probs(SF_DIR).to_pandas()),
     ]
-    for name, fn in secondary:
-        queries[name] = _best_of(fn)
-
-    return result
 
 
 def run_scaling() -> dict:
@@ -261,8 +340,54 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_queries() -> dict:
+    """Two-level scaling evidence for the LLM-pipeline family (VERDICT
+    r02 next-steps #8): minhash / substring-dedup / perplexity-filter
+    at lo and hi num_cpus in fresh processes, best-of-N each, with
+    per-query efficiency. These read sf0.1 directly (fixed corpus), so
+    efficiency is bounded by each query's serial fraction at this input
+    size — report the observed ratio, not a tuned one."""
+    qnames = os.environ.get(
+        "GRAFT_SCALING_QUERY_SET",
+        "minhash_lsh_dups,substring_dups,filter_lm_quality")
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    lo_cpu, hi_cpu = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    per_level: dict[int, dict] = {}
+    for ncpu in (lo_cpu, hi_cpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_QUERIES=qnames)
+        best: dict[str, float] = {}
+        for _ in range(trials):
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            for q, sec in r["queries"].items():
+                best[q] = min(best.get(q, float("inf")), sec)
+        per_level[ncpu] = best
+    ratio = hi_cpu / lo_cpu
+    out = {"metric": f"per-query scaling {lo_cpu}->{hi_cpu} cpus",
+           "unit": "efficiency", "sf": SF_DIR, "queries": {}}
+    for q in per_level[lo_cpu]:
+        t_lo, t_hi = per_level[lo_cpu][q], per_level[hi_cpu][q]
+        out["queries"][q] = {
+            f"sec_{lo_cpu}cpu": t_lo, f"sec_{hi_cpu}cpu": t_hi,
+            "efficiency": round((t_lo / t_hi) / ratio, 3),
+        }
+    out["value"] = round(
+        sum(v["efficiency"] for v in out["queries"].values())
+        / max(1, len(out["queries"])), 3)
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-queries" in sys.argv:
+        print(json.dumps(run_scaling_queries()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_benchmarks()
