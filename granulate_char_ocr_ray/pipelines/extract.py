@@ -154,14 +154,17 @@ def _reassemble_spans(classified: rd.Dataset, num_buckets: int = 64) -> rd.Datas
             "\x1f",
         )
         bucket = (hash64_batch(key) % np.uint64(num_buckets)).astype(np.int64)
-        t = batch.append_column("span_key", key)
+        # the 8-byte packed feature is classifier input only — never
+        # ride it through the exchange just to drop it after
+        t = batch.drop(["feature"])
+        t = t.append_column("span_key", key)
         return t.append_column("span_bucket", pa.array(bucket))
 
     def _regroup_bucket(part: pd.DataFrame) -> pd.DataFrame:
         # Vectorized media-span reassembly (VERDICT r02 next-steps #2):
         # one stable sort by glyph_idx, then grouped string-join /
         # mean — no per-span Python frame construction.
-        drop = ["span_key", "span_bucket", "glyph_idx", "feature"]
+        drop = ["span_key", "span_bucket", "glyph_idx"]
         passthrough = part[part["kind"] != "media"].drop(columns=drop)
         media = part[part["kind"] == "media"]
         if len(media) == 0:
