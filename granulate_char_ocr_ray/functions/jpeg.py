@@ -158,8 +158,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
-    """8-bit grayscale array -> baseline JFIF bytes (see module doc)."""
+def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
+                     restart_interval: int = 0) -> bytes:
+    """8-bit grayscale array -> baseline JFIF bytes (see module doc).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs — the error-resilience feature real camera/scanner JPEGs
+    carry; kept here chiefly so the decoder's restart path is
+    roundtrip-testable without external fixtures."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("encode_jpeg_gray expects a 2-D grayscale array")
@@ -174,8 +180,15 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     dc_tab = _huff_encode_table(DC_BITS, DC_VALS)
     ac_tab = _huff_encode_table(AC_BITS, AC_VALS)
     bw = _BitWriter()
+    scan_parts: list[bytes] = []
     prev_dc = 0
-    for row in zz:
+    for bi, row in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            scan_parts.append(bw.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + ((bi // restart_interval) - 1) % 8]))
+            bw = _BitWriter()
+            prev_dc = 0
         diff = int(row[0]) - prev_dc
         prev_dc = int(row[0])
         size, bits = _magnitude(diff)
@@ -202,7 +215,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
         if last < 63:
             code, length = ac_tab[0x00]            # EOB
             bw.put(code, length)
-    scan = bw.flush()
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -214,6 +228,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
                + b"\x01" + b"\x01\x11\x00")                        # SOF0
     out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))      # DRI
     out += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")      # SOS
     out += scan
     out += b"\xff\xd9"                                             # EOI

@@ -510,3 +510,20 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     # the media_ref seam swallows corrupt payloads into None
     assert decode_media_ref("jpgb64:!!!notbase64!!!") is None
     assert decode_media_ref("jpgb64:AAAA") is None
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn handling: a stream with restart intervals decodes to
+    exactly the same pixels as the same image without them."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.functions.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    rng = np.random.default_rng(2)
+    img = (np.outer(np.linspace(0, 255, 48), np.ones(120))
+           + rng.normal(0, 10, (48, 120))).clip(0, 255).astype(np.uint8)
+    ref = decode_jpeg_gray(encode_jpeg_gray(img, quality=90))
+    for ri in (1, 2, 5, 16):
+        enc = encode_jpeg_gray(img, quality=90, restart_interval=ri)
+        assert (decode_jpeg_gray(enc) == ref).all()
