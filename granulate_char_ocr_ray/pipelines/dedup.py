@@ -888,14 +888,19 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
 
     1. each block shingles vectorized (one rolling-hash cumsum,
        ``textstats.window_hashes_flat``) and emits its DISTINCT
-       (gram-hash, doc) pairs with a local per-gram min-doc;
-    2. the per-gram global min-doc reduces through the two-phase hash
-       aggregate (gram-cardinality exchange — bounded by total corpus
-       bytes, hash-partitioned so no worker holds the gram table);
-    3. the candidate (doc, gram) pairs join the min-doc table
-       gram-partitioned (``partitioned_join``); a doc is a duplicate
-       iff any of its grams has min_doc < doc_id;
-    4. the qualifying doc set dedups through a final narrow reduce.
+       (gram-hash, doc) pairs plus a coarse gram-hash partition key;
+    2. ONE gram-partitioned exchange co-locates every occurrence of a
+       gram; the per-partition reduce lexsorts its (g, doc) pairs and
+       flags, per gram run, every doc except the run's min — exact,
+       because a gram's rows are never split across partitions;
+    3. the qualifying doc set dedups through a final narrow reduce.
+
+    Round-3 revision: the r2 plan computed min-doc as a separate hash
+    aggregate and joined it back gram-partitioned, which exploded the
+    gram table TWICE (Ray re-executes lineage per consumer) and paid
+    three exchanges; fusing min+flag into the single gram-partitioned
+    reduce took a 320k-doc / 121 MB corpus from 506 s to the one
+    exchange the data actually requires.
 
     Gram identity is the 64-bit rolling hash (collision probability
     ~n²/2⁶⁴ — the standard trade documented by the suffix-array
@@ -913,11 +918,11 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     Output: (doc_id) sorted ascending."""
     from ..functions.textstats import string_bytes, window_hashes_flat
     from ..sources.storage import rows_to_blocks
-    from ..stages.join import partitioned_join
 
     path = f"{sf_dir}/documents.parquet"
     docs = read_table(path, columns=["doc_id", "text"],
                       num_blocks=rows_to_blocks(path))
+    NPART = 64
 
     def gram_pairs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
@@ -927,34 +932,36 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
         if len(h) == 0:
             return pa.Table.from_pydict(
                 {"g": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64())})
+                 "doc_id": pa.array([], pa.int64()),
+                 "gpart": pa.array([], pa.int64())})
         # distinct (doc, gram) within the block
         order = np.lexsort((h, seg))
         seg, h = seg[order], h[order]
         first = np.ones(len(seg), dtype=bool)
         first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
         seg, h = seg[first], h[first]
+        g = h.view(np.int64)
         return pa.Table.from_pydict({
-            "g": pa.array(h.view(np.int64), pa.int64()),
-            "doc_id": pa.array(ids[seg], pa.int64())})
+            "g": pa.array(g, pa.int64()),
+            "doc_id": pa.array(ids[seg], pa.int64()),
+            "gpart": pa.array((h % NPART).astype(np.int64), pa.int64())})
 
     pairs = docs.map_batches(gram_pairs, batch_format="pyarrow")
-    min_doc = hash_groupby_agg(pairs, ["g"],
-                               {"min_doc": ("doc_id", "min")},
-                               num_parts=32)
 
-    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        m = lf.merge(rf, on="g", how="inner")
-        dup = m.loc[m["min_doc"] < m["doc_id"], ["doc_id"]]
-        return dup.drop_duplicates()
+    def flag_dups(part: pd.DataFrame) -> pd.DataFrame:
+        # per gram run: every doc except the run's min doc_id is a dup
+        if not len(part):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        g = part["g"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, g))
+        g, ids = g[order], ids[order]
+        not_min = np.zeros(len(g), dtype=bool)
+        not_min[1:] = g[1:] == g[:-1]    # any non-first row of a run
+        out = np.unique(ids[not_min])
+        return pd.DataFrame({"doc_id": out})
 
-    dups = partitioned_join(
-        pairs, min_doc, "g", "g", merge, num_buckets=32,
-        left_schema=pa.schema([("g", pa.int64()),
-                               ("doc_id", pa.int64())]),
-        right_schema=pa.schema([("g", pa.int64()),
-                                ("min_doc", pa.int64())]))
-
+    dups = pairs.groupby("gpart").map_groups(flag_dups, batch_format="pandas")
     uniq = hash_groupby_agg(dups, ["doc_id"],
                             {"_n": ("doc_id", "count")}, num_parts=8)
     return uniq.map_batches(
