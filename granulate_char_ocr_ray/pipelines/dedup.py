@@ -36,7 +36,12 @@ from ..functions.sketch import (
 )
 from ..functions.numeric import round_half_up
 from ..functions.textstats import hash64_batch
-from ..sources.storage import parquet_num_rows, read_table
+from ..sources.storage import (
+    parquet_data_bytes,
+    parquet_num_rows,
+    read_table,
+    scaled_parts,
+)
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -113,9 +118,11 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
 
     # "bucket the buckets": shuffle on a coarse partition of the gram key
     # (one map_groups invocation handles MANY gram buckets via a local
-    # pandas groupby) — Ray's per-group dispatch overhead is paid 64
-    # times, not once per distinct gram.
-    NPART = 64
+    # pandas groupby) — Ray's per-group dispatch overhead is paid NPART
+    # times, not once per distinct gram. Part count scales with data so
+    # a partition's frame stays bounded (~16 B gram row per text byte).
+    NPART = scaled_parts(
+        parquet_data_bytes(f"{sf_dir}/documents.parquet"), 8 << 20)
 
     def add_part(batch: pa.Table) -> pa.Table:
         gram = batch.column("gram").to_numpy(zero_copy_only=False)
@@ -367,7 +374,9 @@ def _minhash_lsh_sigtable(sf_dir: str, k: int = 3, num_perm: int = 128,
     sig_tbl = _docs(sf_dir).map_batches(
         to_sig_rows, batch_format="pyarrow").materialize()
 
-    NPART = 64
+    # ~2M band rows (48 MB frames) per candidate-generation partition
+    NPART = scaled_parts(
+        parquet_num_rows(f"{sf_dir}/documents.parquet") * bands, 2_000_000)
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -508,7 +517,9 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
 
     banded = _docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
 
-    NPART = 64
+    # ~2M 24-B band rows per verification partition (data-scaled)
+    NPART = scaled_parts(
+        parquet_num_rows(f"{sf_dir}/documents.parquet") * bands, 2_000_000)
 
     def add_part(batch: pa.Table) -> pa.Table:
         band = batch.column("band").to_numpy(zero_copy_only=False)
@@ -922,7 +933,9 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     path = f"{sf_dir}/documents.parquet"
     docs = read_table(path, columns=["doc_id", "text"],
                       num_blocks=rows_to_blocks(path))
-    NPART = 64
+    # one 24-B gram row per text byte -> ~8 MB of text (192 MB of gram
+    # rows) per partition, data-scaled
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
 
     def gram_pairs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(

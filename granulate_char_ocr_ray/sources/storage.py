@@ -157,6 +157,35 @@ def rows_to_blocks(path: str, rows_per_block: int = 20_000,
                       // rows_per_block + 1))
 
 
+def scaled_parts(units: int, units_per_part: int,
+                 min_parts: int = 64, max_parts: int = 4096) -> int:
+    """Coarse-partition count scaled to the work feeding a
+    groupby(part).map_groups exchange: ~``units_per_part`` work units
+    (rows, bytes) per partition, floored at ``min_parts`` (small inputs
+    keep full-cluster fan-out) and capped (bounded group count). A
+    FIXED part count means each partition's pandas frame holds
+    corpus/NPART bytes — fine at gigabytes, a single-worker OOM at
+    100 TB. Result correctness never depends on the count: every
+    partitioned reduce in the engine is exact under any partitioning of
+    its key (enforced by the two-parallelism parity gate)."""
+    return int(max(min_parts,
+                   min(max_parts, units // max(1, units_per_part) + 1)))
+
+
+def parquet_data_bytes(path: str) -> int:
+    """Total UNCOMPRESSED data size from parquet footer metadata (sum
+    of row-group total_byte_size) — no data read. Sizes the gram/band
+    exchanges, whose row counts are proportional to data bytes."""
+    import pyarrow.dataset as pads
+
+    total = 0
+    for f in pads.dataset(path).files:
+        md = pq.ParquetFile(f).metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
+    return total
+
+
 def parquet_num_rows(path: str) -> int:
     """Row count from parquet footer metadata — no data read. The input
     to size-threshold physical-plan dispatch (broadcast vs partitioned
