@@ -130,19 +130,34 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
             "gpart", pa.array((gram % NPART).astype(np.int64)))
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized run-length pair generation (one lexsort + per-run-
+        # SIZE pair batches) — a per-gram Python loop is ~60 us of
+        # dispatch per group, pathological when most gram buckets are
+        # singletons (diverse corpora)
+        empty = pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                              "d2": pd.Series(dtype=np.int64)})
+        if not len(part):
+            return empty
+        gram = part["gram"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, gram))
+        gram, ids = gram[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        sizes = np.diff(np.r_[starts, len(gram)])
         out_d1, out_d2 = [], []
-        for _, g in part.groupby("gram", sort=False):
-            ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
-            if len(ids) < 2:
+        for m in np.unique(sizes):
+            if m < 2 or (max_doc_freq is not None and m > max_doc_freq):
                 continue
-            if max_doc_freq is not None and len(ids) > max_doc_freq:
-                continue
-            i, j = np.triu_indices(len(ids), k=1)
-            out_d1.append(ids[i])
-            out_d2.append(ids[j])
+            gs = starts[sizes == m]
+            iu, ju = np.triu_indices(int(m), k=1)
+            # chunk groups so each pair batch stays ~4M pairs
+            step = max(1, 4_000_000 // max(1, len(iu)))
+            for lo in range(0, len(gs), step):
+                idx = gs[lo:lo + step, None] + np.arange(int(m))[None, :]
+                out_d1.append(ids[idx[:, iu].ravel()])
+                out_d2.append(ids[idx[:, ju].ravel()])
         if not out_d1:
-            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
-                                 "d2": pd.Series(dtype=np.int64)})
+            return empty
         return pd.DataFrame({"d1": np.concatenate(out_d1),
                              "d2": np.concatenate(out_d2)})
 
@@ -527,24 +542,42 @@ def simhash_near_dups(sf_dir: str, bands: int = 4, max_hamming: int = 3) -> rd.D
             "bpart", pa.array((band % NPART).astype(np.int64)))
 
     def verify(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized run-length pair generation + XOR-popcount (same
+        # shape as minhash bucket_pairs: a per-band Python loop is
+        # pathological when most buckets are singletons)
+        empty = pd.DataFrame({"d1": pd.Series(dtype=np.int64),
+                              "d2": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        if not len(part):
+            return empty
+        band = part["band"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        sims = part["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, band))
+        band, ids, sims = band[order], ids[order], sims[order]
+        uniq = np.ones(len(band), dtype=bool)   # drop dup (band, doc_id)
+        uniq[1:] = (band[1:] != band[:-1]) | (ids[1:] != ids[:-1])
+        band, ids, sims = band[uniq], ids[uniq], sims[uniq]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
         d1s, d2s, hams = [], [], []
-        for _, g in part.groupby("band", sort=False):
-            g = g.sort_values("doc_id").drop_duplicates("doc_id")
-            if len(g) < 2:
+        for m in np.unique(sizes):
+            if m < 2:
                 continue
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            sims = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-            i, j = np.triu_indices(len(ids), k=1)
-            # vectorized XOR + popcount (one pass, not 2x per pair)
-            ham = hamming64_batch(sims[i], sims[j])
-            keep = ham <= max_hamming
-            d1s.append(ids[i[keep]])
-            d2s.append(ids[j[keep]])
-            hams.append(ham[keep])
+            gs = starts[sizes == m]
+            iu, ju = np.triu_indices(int(m), k=1)
+            step = max(1, 4_000_000 // max(1, len(iu)))
+            for lo in range(0, len(gs), step):
+                idx = gs[lo:lo + step, None] + np.arange(int(m))[None, :]
+                a = idx[:, iu].ravel()
+                b = idx[:, ju].ravel()
+                ham = hamming64_batch(sims[a], sims[b])
+                keep = ham <= max_hamming
+                d1s.append(ids[a][keep])
+                d2s.append(ids[b][keep])
+                hams.append(ham[keep])
         if not d1s:
-            return pd.DataFrame({"d1": pd.Series(dtype=np.int64),
-                                 "d2": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
+            return empty
         return pd.DataFrame({"d1": np.concatenate(d1s),
                              "d2": np.concatenate(d2s),
                              "hamming": np.concatenate(hams)})
