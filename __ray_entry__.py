@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": events.retention_cohorts,
         "rolling_active_users": events.rolling_active_users,
         "filter_lm_quality": analysis.filter_lm_quality,
+        "lm_quality_tiers": analysis.lm_quality_tiers,
+        "tier_mix_weights": analysis.tier_mix_weights,
         "kwic_snippets": analysis.kwic_snippets,
         "knn_join": similarity.knn_join,
         "lang_vocab_overlap": analysis.lang_vocab_overlap,
@@ -2009,6 +2011,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc) WHERE cd >= 0.1)
             SELECT doc_id, n_tokens, logprob FROM sc
             WHERE logprob >= (SELECT t FROM thr) ORDER BY doc_id
+        """,
+        "lm_quality_tiers": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT sum(c) AS s FROM freq),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(c / s)), 6) AS logprob
+              FROM tok JOIN freq USING (w) CROSS JOIN tot
+              GROUP BY doc_id),
+            cd AS (
+              SELECT sc.doc_id, d.lang, sc.n_tokens, sc.logprob,
+                     cume_dist() OVER (PARTITION BY d.lang
+                                       ORDER BY sc.logprob DESC) AS cd
+              FROM sc JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, n_tokens, logprob,
+                   CASE WHEN cd <= 1.0/3 THEN 'head'
+                        WHEN cd <= 2.0/3 THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM cd ORDER BY doc_id
+        """,
+        "tier_mix_weights": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT sum(c) AS s FROM freq),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(c / s)), 6) AS logprob
+              FROM tok JOIN freq USING (w) CROSS JOIN tot
+              GROUP BY doc_id),
+            cd AS (
+              SELECT d.lang, sc.n_tokens,
+                     cume_dist() OVER (PARTITION BY d.lang
+                                       ORDER BY sc.logprob DESC) AS cd
+              FROM sc JOIN documents d USING (doc_id))
+            SELECT lang,
+                   CASE WHEN cd <= 1.0/3 THEN 'head'
+                        WHEN cd <= 2.0/3 THEN 'middle'
+                        ELSE 'tail' END AS tier,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM cd GROUP BY 1, 2 ORDER BY lang, tier
         """,
         "rolling_active_users": """
             WITH act AS (

@@ -269,7 +269,8 @@ def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
     return _unigram_scores_unsorted(sf_dir).sort("doc_id")
 
 
-def _unigram_scores_unsorted(sf_dir: str) -> rd.Dataset:
+def _unigram_scores_unsorted(sf_dir: str,
+                             with_lang: bool = False) -> rd.Dataset:
     """Unigram LM quality score per doc (the CCNet-style perplexity
     proxy an LLM data pipeline uses to rank documents): mean
     ln p(token) under the corpus's own unigram distribution —
@@ -287,7 +288,10 @@ def _unigram_scores_unsorted(sf_dir: str) -> rd.Dataset:
     empty docs are excluded (no tokens to score). The broadcast lnp
     ref is built ONCE per call — callers that consume the result twice
     (e.g. :func:`filter_lm_quality`) re-execute only the streaming
-    scoring map, never the vocab reduce."""
+    scoring map, never the vocab reduce. ``with_lang=True`` threads the
+    document's lang column through the scoring map (free — the batch is
+    already in hand) for per-language consumers like
+    :func:`lm_quality_tiers`."""
     import ray
 
     from ..stages.hashagg import hash_groupby_agg
@@ -315,8 +319,9 @@ def _unigram_scores_unsorted(sf_dir: str) -> rd.Dataset:
     def score(batch: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(batch.column("text"))
         mask = pc.not_equal(trimmed, "")
+        mask_np = mask.to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(
-            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+            zero_copy_only=False)[mask_np]
         lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
         lens = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -328,15 +333,19 @@ def _unigram_scores_unsorted(sf_dir: str) -> rd.Dataset:
         ends = np.cumsum(lens)
         cs = np.concatenate([np.zeros(1), np.cumsum(logp)])
         sums = cs[ends] - cs[ends - lens]
-        return pa.Table.from_pydict(
-            {"doc_id": ids.astype(np.int64),
-             "n_tokens": lens,
-             "logprob": round_half_up(sums / lens, 6)},
-            schema=pa.schema([("doc_id", pa.int64()),
-                              ("n_tokens", pa.int64()),
-                              ("logprob", pa.float64())]))
+        cols: dict = {"doc_id": ids.astype(np.int64)}
+        fields = [("doc_id", pa.int64())]
+        if with_lang:
+            cols["lang"] = pc.filter(batch.column("lang"), mask)
+            fields.append(("lang", pa.string()))
+        cols["n_tokens"] = lens
+        cols["logprob"] = round_half_up(sums / lens, 6)
+        fields += [("n_tokens", pa.int64()), ("logprob", pa.float64())]
+        return pa.Table.from_pydict(cols, schema=pa.schema(fields))
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    read_cols = ["doc_id", "lang", "text"] if with_lang else \
+        ["doc_id", "text"]
+    return _docs(sf_dir, read_cols).map_batches(
         score, batch_format="pyarrow")
 
 
@@ -737,6 +746,118 @@ def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
     return scores.map_batches(
         lambda df: df[df["logprob"] >= threshold],
         batch_format="pandas").sort("doc_id")
+
+
+def _lang_tier_cuts(hist: pd.DataFrame) -> dict[str, tuple[float, float]]:
+    """Per-language (head_cut, middle_cut) logprob thresholds from a
+    reduced (lang, logprob, n) value histogram, with descending
+    cume_dist semantics: a doc is head iff
+    count(logprob >= x)/n_lang <= 1/3 at its value x (ties share a
+    tier — identical to SQL ``cume_dist() OVER (PARTITION BY lang
+    ORDER BY logprob DESC)``). A language whose top value already
+    holds >1/3 of its mass gets an ``inf`` head cut: no head docs,
+    matching the window function exactly."""
+    cuts: dict[str, tuple[float, float]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("logprob", ascending=False)
+        n = g["n"].to_numpy(dtype=np.int64)
+        cd = np.cumsum(n) / float(n.sum())
+        vals = g["logprob"].to_numpy(dtype=np.float64)
+        head = vals[cd <= 1.0 / 3.0]
+        mid = vals[cd <= 2.0 / 3.0]
+        cuts[str(lang)] = (
+            float(head[-1]) if len(head) else float("inf"),
+            float(mid[-1]) if len(mid) else float("inf"))
+    return cuts
+
+
+def lm_quality_tiers(sf_dir: str) -> rd.Dataset:
+    """CCNet-style quality tiers (the 'tier extraction' a web-scale
+    corpus pipeline runs before mixing training data, arXiv:1911.00359
+    §4.4): every document is labeled head / middle / tail by where its
+    unigram-LM logprob falls within ITS LANGUAGE's score distribution
+    — head is the most-fluent third. Extends the reference's single
+    global quality gate (backend/application/services/
+    ocr_service.py:283-329 confidence thresholding) to the grouped,
+    distribution-calibrated form.
+
+    Scale plan: scores are 6-decimal-rounded, so each language's score
+    distribution reduces EXACTLY to a (lang, logprob) value histogram
+    (two-phase hash aggregate, one narrow exchange — never a global
+    sort or corpus-sized window); the per-language cuts are computed
+    driver-side on the reduced table and applied as a broadcast gate
+    in a second streaming pass that shares the vocab reduce + lnp
+    broadcast with the first (same lazy dataset — only the scoring
+    map re-executes). Output: (doc_id, lang, n_tokens, logprob, tier)
+    sorted by doc_id."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    scores = _unigram_scores_unsorted(sf_dir, with_lang=True)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "logprob"], as_index=False)
+                .agg(n=("logprob", "size")))
+
+    hist = hash_groupby_agg(
+        scores.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "logprob"], {"n": ("n", "sum")}, num_parts=8).to_pandas()
+    cuts = _lang_tier_cuts(hist)
+    head_cut = {k: v[0] for k, v in cuts.items()}
+    mid_cut = {k: v[1] for k, v in cuts.items()}
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["logprob"].to_numpy(dtype=np.float64)
+        t_head = df["lang"].map(head_cut).to_numpy(dtype=np.float64)
+        t_mid = df["lang"].map(mid_cut).to_numpy(dtype=np.float64)
+        df = df.copy()
+        df["tier"] = np.where(
+            lp >= t_head, "head",
+            np.where(lp >= t_mid, "middle", "tail"))
+        return df
+
+    return scores.map_batches(attach, batch_format="pandas").sort("doc_id")
+
+
+def tier_mix_weights(sf_dir: str) -> pa.Table:
+    """Per-(lang, tier) corpus mix table: document counts and token
+    mass of each CCNet quality tier — the table a data-mixing step
+    reads to set per-tier sampling weights (e.g. upsample heads,
+    downsample tails). ONE streaming pass total: the histogram partial
+    also sums n_tokens per (lang, logprob), so both the tier cuts AND
+    the per-tier doc/token masses fall out of the same reduced value
+    histogram driver-side — no second pass over the corpus, no join.
+    Output: (lang, tier, n_docs, n_tokens) sorted by (lang, tier)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    scores = _unigram_scores_unsorted(sf_dir, with_lang=True)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "logprob"], as_index=False)
+                .agg(n=("logprob", "size"), tok=("n_tokens", "sum")))
+
+    hist = hash_groupby_agg(
+        scores.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "logprob"],
+        {"n": ("n", "sum"), "tok": ("tok", "sum")},
+        num_parts=8).to_pandas()
+    cuts = _lang_tier_cuts(hist)
+    t_head = hist["lang"].map({k: v[0] for k, v in cuts.items()})
+    t_mid = hist["lang"].map({k: v[1] for k, v in cuts.items()})
+    lp = hist["logprob"].to_numpy(dtype=np.float64)
+    hist["tier"] = np.where(
+        lp >= t_head.to_numpy(dtype=np.float64), "head",
+        np.where(lp >= t_mid.to_numpy(dtype=np.float64), "middle",
+                 "tail"))
+    out = (hist.groupby(["lang", "tier"], as_index=False)
+           .agg(n_docs=("n", "sum"), n_tokens=("tok", "sum"))
+           .sort_values(["lang", "tier"]))
+    return pa.Table.from_pydict({
+        "lang": pa.array(out["lang"].to_numpy(dtype=object), pa.string()),
+        "tier": pa.array(out["tier"].to_numpy(dtype=object), pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(dtype=np.int64),
+                             pa.int64())})
 
 
 def kwic_snippets(sf_dir: str, term: str = "spark", window: int = 3

@@ -1504,6 +1504,60 @@ def test_filter_lm_quality_drops_bottom_decile(con):
         assert max_dropped < kept["logprob"].min()
 
 
+def _brute_tiers(con) -> "pd.DataFrame":
+    """Brute-force CCNet tiers: per-language descending cume_dist over
+    the (already parity-green) unigram logprob scores."""
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        unigram_logprob_scores)
+
+    sc = unigram_logprob_scores(SF).to_pandas()
+    langs = con.sql("SELECT doc_id, lang FROM documents").df()
+    sc = sc.merge(langs, on="doc_id")
+    out = []
+    for _, g in sc.groupby("lang"):
+        g = g.sort_values("logprob", ascending=False).copy()
+        n = len(g)
+        cd = g["logprob"].rank(method="max", ascending=False) / n
+        g["tier"] = [
+            "head" if c <= 1.0 / 3 else
+            ("middle" if c <= 2.0 / 3 else "tail") for c in cd]
+        out.append(g)
+    return pd.concat(out).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_lm_quality_tiers_brute_force(con):
+    from granulate_char_ocr_ray.pipelines.analysis import lm_quality_tiers
+
+    got = lm_quality_tiers(SF).to_pandas()
+    want = _brute_tiers(con)
+    assert list(got.columns) == [
+        "doc_id", "lang", "n_tokens", "logprob", "tier"]
+    merged = got.merge(want, on="doc_id", suffixes=("", "_w"))
+    assert len(merged) == len(want) == len(got)
+    assert (merged["tier"] == merged["tier_w"]).all()
+    assert (merged["lang"] == merged["lang_w"]).all()
+    # each language's tiers are within one doc of equal thirds when
+    # scores are distinct; with ties head/middle never exceed a third
+    for _, g in got.groupby("lang"):
+        n = len(g)
+        assert (g["tier"] == "head").sum() <= n / 3 + 1e-9
+        assert ((g["tier"] == "head") | (g["tier"] == "middle")
+                ).sum() <= 2 * n / 3 + 1e-9
+
+
+def test_tier_mix_weights_matches_tier_table(con):
+    from granulate_char_ocr_ray.pipelines.analysis import tier_mix_weights
+
+    got = tier_mix_weights(SF).to_pandas()
+    want = (_brute_tiers(con)
+            .groupby(["lang", "tier"], as_index=False)
+            .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+            .sort_values(["lang", "tier"]).reset_index(drop=True))
+    got = got.sort_values(["lang", "tier"]).reset_index(drop=True)
+    assert got.astype({"n_docs": "int64", "n_tokens": "int64"}).equals(
+        want.astype({"n_docs": "int64", "n_tokens": "int64"}))
+
+
 def test_kwic_snippets_brute_force(con):
     from granulate_char_ocr_ray.pipelines.analysis import kwic_snippets
 
