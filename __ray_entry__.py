@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_audit": relational.lineitem_audit,
         # --- dup-cluster resolution (connected components) ---
         "dup_clusters": dedup.dup_clusters,
+        "leakage_safe_split": dedup.leakage_safe_split,
         "pagerank_dups": dedup.pagerank_dups,
         "contamination_check": dedup.contamination_check,
         "dedup_survivors": dedup.dedup_survivors,
@@ -952,6 +953,18 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUP_CTE + """
             SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "leakage_safe_split": _DUP_CTE + """
+            , cl AS (SELECT node AS doc_id,
+                            CAST(min(root) AS BIGINT) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                   CASE WHEN (coalesce(cl.cluster_id, d.doc_id)
+                              * 2654435761) % 4294967296 % 100 < 20
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "pagerank_dups": _PAIR_CTE + """,
             nodes AS (SELECT DISTINCT src AS node FROM edges),

@@ -923,6 +923,83 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")
 
 
+def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
+                       test_pct: int = 20,
+                       broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Leakage-safe train/test split: the deterministic Knuth-hash
+    split keyed by each document's NEAR-DUP CLUSTER id instead of its
+    own id, so a cluster of near-duplicates can never straddle the
+    split — the benchmark-contamination guard (arXiv:2107.06499 §6.2:
+    train/eval overlap through duplicated text) applied at split time.
+    Docs outside the pair graph are their own cluster.
+
+    Scale plan: the cluster label table from :func:`dup_clusters` is
+    bounded by docs-that-HAVE-a-near-dup (a few percent of the corpus),
+    so it size-dispatches like every small-side join here: below
+    ``broadcast_threshold`` rows it broadcasts once via ``ray.put``
+    (sorted-array searchsorted lookup per batch); above, a
+    hash-partitioned left join on doc_id (one narrow exchange of
+    (doc_id, cluster_id) pairs). Both plans emit identical rows
+    (tested). The split hash is the same multiplier as
+    relational.train_test_split, so the two ops partition consistently.
+    Output: (doc_id, cluster_id, split) for EVERY document, by doc_id.
+
+    Reference analogue: the keep-first set-dedup before the data split
+    in create_tesseract_data.py:156 — widened to transitive near-dup
+    clusters and a hash split."""
+    from ..stages.join import partitioned_join
+
+    def _split_of(cluster: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (cluster.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(1 << 32) % np.uint64(100)
+        return np.where(h < test_pct, "test", "train")
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64()),
+                            ("split", pa.string())])
+    labels = dup_clusters(sf_dir, threshold=threshold).materialize()
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    if labels.count() <= broadcast_threshold:
+        lab = labels.to_pandas()
+        lids = lab["doc_id"].to_numpy(dtype=np.int64)
+        lcls = lab["cluster_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(lids)
+        ref = ray.put((lids[order], lcls[order]))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lids_s, lcls_s = ray.get(ref)
+            cluster = ids.copy()
+            if len(lids_s):
+                pos = np.searchsorted(lids_s, ids)
+                pos[pos >= len(lids_s)] = len(lids_s) - 1
+                hit = lids_s[pos] == ids
+                cluster[hit] = lcls_s[pos[hit]]
+            return pa.Table.from_pydict(
+                {"doc_id": ids, "cluster_id": cluster,
+                 "split": _split_of(cluster)}, schema=out_schema)
+
+        return docs.map_batches(tag, batch_format="pyarrow").sort("doc_id")
+
+    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on="doc_id", how="left")
+        cluster = m["cluster_id"].fillna(m["doc_id"]).to_numpy(
+            dtype=np.int64)
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                             "cluster_id": cluster,
+                             "split": _split_of(cluster)})
+
+    return partitioned_join(
+        docs, labels, "doc_id", "doc_id", merge, num_buckets=32,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("cluster_id", pa.int64())]),
+    ).sort("doc_id")
+
+
 def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
     """Exact-substring deduplication (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" shape,

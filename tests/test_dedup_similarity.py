@@ -357,6 +357,41 @@ def test_dup_clusters_both_plans_identical():
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
 
 
+def test_leakage_safe_split_invariants():
+    from granulate_char_ocr_ray.pipelines.dedup import (
+        dup_clusters, leakage_safe_split)
+
+    got = leakage_safe_split(SF).to_pandas()
+    docs = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id"]).to_pandas()
+    # every doc appears exactly once
+    assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+    # clusters never straddle the split
+    per_cluster = got.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # split decided by the Knuth hash of the cluster id
+    h = (got["cluster_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32) % np.uint64(100)
+    assert (np.where(h < 20, "test", "train") == got["split"]).all()
+    # cluster ids agree with dup_clusters for pair-graph members
+    cl = dup_clusters(SF, threshold=0.8).to_pandas()
+    merged = got.merge(cl, on="doc_id", suffixes=("", "_cc"))
+    assert (merged["cluster_id"] == merged["cluster_id_cc"]).all()
+    # and both dup sides actually exist in the fixture
+    assert {"train", "test"} == set(got["split"])
+
+
+def test_leakage_safe_split_both_plans_identical():
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.dedup import leakage_safe_split
+
+    bc = leakage_safe_split(SF).to_pandas().reset_index(drop=True)
+    part = leakage_safe_split(SF, broadcast_threshold=0).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, part, check_dtype=False)
+
+
 def test_contamination_check():
     import duckdb
     from granulate_char_ocr_ray.pipelines.dedup import contamination_check
