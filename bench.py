@@ -294,6 +294,10 @@ def _secondary_list():
          lambda: relational.weighted_median_price(SF_DIR).to_pandas()),
         ("event_transition_probs",
          lambda: events.event_transition_probs(SF_DIR).to_pandas()),
+        ("lm_quality_tiers",
+         lambda: analysis.lm_quality_tiers(SF_DIR).count()),
+        ("leakage_safe_split",
+         lambda: dedup.leakage_safe_split(SF_DIR).count()),
     ]
 
 
