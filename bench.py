@@ -409,7 +409,15 @@ def _prepare_scaling_corpus(replicate: int) -> str:
         "lang": pa.array([langs[i % len(langs)] for i in range(n_docs)]),
         "source": pa.array([sources[i % len(sources)] for i in range(n_docs)]),
         "n_chars": pa.array([len(s) for s in doc_texts], pa.int64()),
-    }), out, row_group_size=50_000)
+        # 5k-row groups (~2 MB text): Ray fuses ReadParquet->MapBatches
+        # and cannot split a parquet read below row-group granularity,
+        # so a 50k-row-group file capped every fused map stage at
+        # 320k/50k = 7 concurrent tasks NO MATTER the CPU count —
+        # measured as a hard 8->32 scaling ceiling (minhash 0.41)
+        # that vanished with data-sized groups. Real multi-file corpora
+        # parallelize by file; a single-file benchmark must carry its
+        # parallelism in its row groups.
+    }), out, row_group_size=5_000)
     return out_dir
 
 

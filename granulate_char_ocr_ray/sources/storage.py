@@ -146,15 +146,23 @@ def expr_to_sql(expr: Any) -> str:
 
 
 def rows_to_blocks(path: str, rows_per_block: int = 20_000,
-                   max_blocks: int = 512) -> int:
+                   max_blocks: int = 512,
+                   bytes_per_block: int = 2 << 20) -> int:
     """Data-sized block count for a parquet read: ~rows_per_block rows
-    per task, capped. Keeps tiny tables to a handful of tasks while a
-    100 TB table still fans out to the cap (per-task overhead amortized
-    either way); result correctness never depends on block count (all
-    engine reduces are associative — enforced by the two-parallelism
-    parity gate)."""
-    return max(1, min(max_blocks, parquet_num_rows(path)
-                      // rows_per_block + 1))
+    AND ~bytes_per_block uncompressed bytes per task (whichever gives
+    more blocks), capped. Keeps tiny tables to a handful of tasks while
+    a 100 TB table still fans out to the cap (per-task overhead
+    amortized either way). The bytes term matters for text tables fed
+    to CPU-heavy kernels (scoring, shingling): a 320k-row / 136 MB
+    corpus is 17 blocks by rows alone — HALF a 32-CPU node sits idle
+    under every map stage (measured: filter_lm_quality 8->32 CPU
+    efficiency 0.39 before, row-count blocks; the bytes term restores
+    >=2 blocks per CPU). Result correctness never depends on block
+    count (all engine reduces are associative — enforced by the
+    two-parallelism parity gate)."""
+    rows_blocks = parquet_num_rows(path) // rows_per_block
+    bytes_blocks = parquet_data_bytes(path) // bytes_per_block
+    return max(1, min(max_blocks, max(rows_blocks, bytes_blocks) + 1))
 
 
 def scaled_parts(units: int, units_per_part: int,
