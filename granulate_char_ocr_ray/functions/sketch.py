@@ -301,17 +301,29 @@ def simhash64_batch(texts) -> np.ndarray:
     parent = parent[nonempty]
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(hs):
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        votes = np.zeros((n_docs, 64), dtype=np.int64)
-        np.add.at(votes, parent, 2 * bits - 1)
-        out = ((votes > 0).astype(np.uint64)
-               * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
-            axis=1, dtype=np.uint64)
-        # docs with zero tokens must stay 0 (scalar rule)
-        has_tok = np.zeros(n_docs, dtype=bool)
-        has_tok[parent] = True
-        out[~has_tok] = np.uint64(0)
+        # parent (list_parent_indices) is non-decreasing, so per-doc
+        # vote sums are contiguous segments: add.reduceat beats the
+        # np.add.at scatter (which dispatches per element) and needs no
+        # (n_docs, 64) dense votes table. Tiled like the minhash
+        # kernel: the (tile, 64) int32 bit matrix stays L2-resident.
+        seg_docs, seg_starts = np.unique(parent, return_index=True)
+        votes = np.zeros((len(seg_docs), 64), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        TILE = 1 << 11
+        for t0 in range(0, len(hs), TILE):
+            t1 = min(t0 + TILE, len(hs))
+            bits = ((hs[t0:t1, None] >> shifts)
+                    & np.uint64(1)).astype(np.int32)
+            s_lo = int(np.searchsorted(seg_starts, t0, side="right")) - 1
+            s_hi = int(np.searchsorted(seg_starts, t1, side="left"))
+            loc = seg_starts[s_lo:s_hi] - t0
+            if len(loc) and loc[0] < 0:
+                loc = loc.copy()
+                loc[0] = 0
+            votes[s_lo:s_hi] += np.add.reduceat(2 * bits - 1, loc, axis=0)
+        pos = (votes > 0).astype(np.uint64)
+        out[seg_docs] = (pos << np.arange(64, dtype=np.uint64)[None, :]
+                         ).sum(axis=1, dtype=np.uint64)
     return out.view(np.int64)
 
 
