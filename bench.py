@@ -301,6 +301,45 @@ def _secondary_list():
     ]
 
 
+def _burn_task(_: int) -> float:
+    """One perfectly-parallel CPU-bound work unit (vectorized uint64
+    mix over a 24 MB buffer — no BLAS threads, no shared state)."""
+    import numpy as np
+    x = np.arange(3_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(60):
+        x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        x ^= x >> np.uint64(31)
+    return time.time() - t0
+
+
+def host_ceiling(lo_cpu: int, hi_cpu: int) -> dict:
+    """Measured MAXIMUM achievable lo->hi scaling efficiency on this
+    host *right now*: a perfectly-parallel multiprocessing burn (one
+    task per worker) at both worker counts. This sandbox is a KVM
+    guest with invisible steal (steal=0 in /proc/stat while vCPU
+    throughput drops up to 5x) — in a contended window even ideal code
+    measures far below 1.0 (observed burn ceilings 0.41-0.5), so every
+    query efficiency must be read AGAINST the ceiling of its window,
+    and scaling evidence is only collected when the ceiling itself is
+    healthy (see run_scaling_queries' quiet-window gate)."""
+    import multiprocessing as mp
+
+    walls = {}
+    for n in (lo_cpu, hi_cpu):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            p.map(_burn_task, range(n))
+            walls[n] = time.time() - t0
+    # throughput = tasks/sec; efficiency = throughput ratio / cpu ratio
+    thr_lo, thr_hi = lo_cpu / walls[lo_cpu], hi_cpu / walls[hi_cpu]
+    return {
+        "ceiling": round((thr_hi / thr_lo) / (hi_cpu / lo_cpu), 3),
+        f"burn_{lo_cpu}w_s": round(walls[lo_cpu], 2),
+        f"burn_{hi_cpu}w_s": round(walls[hi_cpu], 2),
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes
     (the sandbox stand-in for N vs 4N cluster nodes)."""
@@ -340,8 +379,29 @@ def run_scaling() -> dict:
         f"sec_{hi_cpu}cpu": t_hi,
         f"docs_per_s_{lo_cpu}cpu": results[lo_cpu]["docs_per_s"],
         f"docs_per_s_{hi_cpu}cpu": results[hi_cpu]["docs_per_s"],
+        "host_ceiling": host_ceiling(lo_cpu, hi_cpu),
         "sf": SF_DIR,
     }
+
+
+def _wait_quiet_window(lo_cpu: int, hi_cpu: int) -> dict:
+    """Poll the burn ceiling until the host is quiet enough for a
+    meaningful scaling A/B (or the wait budget runs out). Controlled by
+    GRAFT_SCALING_MIN_CEILING (default 0.8 — below that even perfectly
+    parallel code cannot register) and GRAFT_SCALING_MAX_WAIT_S
+    (default 0: measure once, don't wait)."""
+    min_ceiling = float(os.environ.get("GRAFT_SCALING_MIN_CEILING", "0.8"))
+    max_wait = float(os.environ.get("GRAFT_SCALING_MAX_WAIT_S", "0"))
+    deadline = time.time() + max_wait
+    best = host_ceiling(lo_cpu, hi_cpu)
+    while best["ceiling"] < min_ceiling and time.time() < deadline:
+        time.sleep(60)
+        c = host_ceiling(lo_cpu, hi_cpu)
+        if c["ceiling"] > best["ceiling"]:
+            best = c
+        if c["ceiling"] >= min_ceiling:
+            return c
+    return best
 
 
 def _prepare_scaling_corpus(replicate: int) -> str:
@@ -438,6 +498,7 @@ def run_scaling_queries() -> dict:
     lo_cpu, hi_cpu = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
+    ceiling = _wait_quiet_window(lo_cpu, hi_cpu)
     per_level: dict[int, dict] = {}
     for ncpu in (lo_cpu, hi_cpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -456,7 +517,8 @@ def run_scaling_queries() -> dict:
         per_level[ncpu] = best
     ratio = hi_cpu / lo_cpu
     out = {"metric": f"per-query scaling {lo_cpu}->{hi_cpu} cpus",
-           "unit": "efficiency", "sf": SF_DIR, "queries": {}}
+           "unit": "efficiency", "sf": SF_DIR,
+           "host_ceiling": ceiling, "queries": {}}
     for q in per_level[lo_cpu]:
         t_lo, t_hi = per_level[lo_cpu][q], per_level[hi_cpu][q]
         out["queries"][q] = {
