@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_counts": analysis.token_counts,
         "doc_quality": analysis.doc_quality,
+        "gopher_quality_rules": analysis.gopher_quality_rules,
         "lang_id": analysis.lang_id_scores,
         "fingerprints": analysis.fingerprints,
         "docs_by_lang": analysis.docs_by_lang,
@@ -490,6 +491,52 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
                          / length(text), 4) AS upper_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "gopher_quality_rules": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS word_count,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                            AS DOUBLE) AS nws,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            AS DOUBLE)
+                         + (length(text) - length(replace(text, '...', '')))
+                           / 3 AS symbols,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE
+                         list_sum(list_transform(
+                             string_split_regex(trim(text), '\\s+'),
+                             w -> CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                                       THEN 1 ELSE 0 END))
+                       END AS alpha_words,
+                       list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'and')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'be')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'have')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'of')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'that')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'the')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'to')::INT
+                       + list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'with')::INT
+                       AS stop_hits
+                FROM documents)
+            SELECT doc_id,
+                   CAST(word_count AS BIGINT) AS word_count,
+                   round(CASE WHEN word_count = 0 THEN 0
+                              ELSE nws / word_count END, 4) AS mean_word_len,
+                   round(CASE WHEN word_count = 0 THEN 0
+                              ELSE symbols / word_count END, 4) AS symbol_ratio,
+                   round(CASE WHEN word_count = 0 THEN 0
+                              ELSE alpha_words / word_count END, 4) AS alpha_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CASE WHEN word_count = 0 THEN 0 ELSE
+                     CAST(word_count BETWEEN 50 AND 100000
+                          AND nws / word_count BETWEEN 3 AND 10
+                          AND symbols / word_count <= 0.1
+                          AND alpha_words / word_count >= 0.8
+                          AND stop_hits >= 2 AS BIGINT)
+                   END AS passes
+            FROM g ORDER BY doc_id
         """,
         "docs_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -297,6 +297,71 @@ def lang_id_batch(texts) -> tuple[list[str], np.ndarray]:
     return pred, best_score
 
 
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized Gopher/MassiveText quality-rule signals (Rae et al.,
+    arXiv:2112.11446, Appendix A.1.1) over an Arrow string array:
+
+    - ``word_count``: \\s+ tokens of the trimmed text (0 for empty),
+    - ``mean_word_len``: non-whitespace chars / word_count,
+    - ``symbol_ratio``: ('#' + non-overlapping '...') / word_count,
+    - ``alpha_frac``: fraction of words containing [a-zA-Z],
+    - ``stop_hits``: DISTINCT Gopher stopwords present (of 8).
+
+    The reference corpus carries no newline structure, so the two
+    line-level Gopher rules (bullet-start / ellipsis-end fractions)
+    have no analogue here and are omitted. Arrow kernels + bincount
+    segment reduces only — no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    wc = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    wc[empty] = 0
+    ws = pc.count_substring_regex(texts, r"\s").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    symbols = (
+        pc.count_substring(texts, "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(texts, "...").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+        zero_copy_only=False)
+    if len(parent):
+        alpha_words = np.bincount(
+            parent, weights=alpha.astype(np.float64), minlength=n_docs)
+    else:
+        alpha_words = np.zeros(n_docs)
+    flat_lower = pc.utf8_lower(flat)
+    stop_hits = np.zeros(n_docs, dtype=np.int64)
+    for sw in GOPHER_STOPWORDS:
+        member = pc.equal(flat_lower, sw).to_numpy(zero_copy_only=False)
+        if len(parent):
+            stop_hits += (np.bincount(
+                parent, weights=member.astype(np.float64),
+                minlength=n_docs) > 0)
+    safe_wc = np.where(wc == 0, 1.0, wc.astype(np.float64))
+    zero = wc == 0
+    return {
+        "word_count": wc,
+        "mean_word_len": np.where(zero, 0.0, (n - ws) / safe_wc),
+        "symbol_ratio": np.where(zero, 0.0, symbols / safe_wc),
+        "alpha_frac": np.where(zero, 0.0, alpha_words / safe_wc),
+        "stop_hits": stop_hits,
+    }
+
+
 def crc64(text: str) -> int:
     """Stable 64-bit content hash (blake2b, 8-byte digest).
 

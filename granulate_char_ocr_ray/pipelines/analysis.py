@@ -17,6 +17,7 @@ from ray.data.aggregate import Sum
 from ..functions.numeric import round_half_up
 from ..functions.textstats import (
     fingerprint64_batch,
+    gopher_rules_batch,
     hash64_batch,
     lang_id_batch,
     quality_features_batch,
@@ -71,6 +72,44 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(q, batch_format="pyarrow")
+
+
+def gopher_quality_rules(sf_dir: str, min_words: int = 50,
+                         max_words: int = 100_000) -> rd.Dataset:
+    """Gopher/MassiveText repetition-free quality rules (Rae et al.,
+    arXiv:2112.11446 Appendix A.1.1) per document: word-count bounds,
+    mean word length in [3, 10], symbol-to-word ratio <= 0.1, >= 80%
+    alphabetic words, >= 2 distinct Gopher stopwords. Emits the rule
+    signals for EVERY doc plus an int ``passes`` flag — one stateless
+    map over the corpus, no shuffle (the filter a 100 TB pipeline runs
+    before any dedup). ``passes`` is computed on the UNROUNDED float
+    signals (engine and SQL both derive them from exact integers, so
+    boundary comparisons agree bit-for-bit); only the emitted columns
+    round for the hash compare."""
+
+    def g(batch: pa.Table) -> pa.Table:
+        f = gopher_rules_batch(batch.column("text"))
+        passes = (
+            (f["word_count"] >= min_words) & (f["word_count"] <= max_words)
+            & (f["mean_word_len"] >= 3.0) & (f["mean_word_len"] <= 10.0)
+            & (f["symbol_ratio"] <= 0.1)
+            & (f["alpha_frac"] >= 0.8)
+            & (f["stop_hits"] >= 2))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "word_count": pa.array(f["word_count"], pa.int64()),
+                "mean_word_len": pa.array(
+                    round_half_up(f["mean_word_len"], 4)),
+                "symbol_ratio": pa.array(round_half_up(f["symbol_ratio"], 4)),
+                "alpha_frac": pa.array(round_half_up(f["alpha_frac"], 4)),
+                "stop_hits": pa.array(f["stop_hits"], pa.int64()),
+                "passes": pa.array(passes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        g, batch_format="pyarrow")
 
 
 def lang_id_scores(sf_dir: str) -> rd.Dataset:

@@ -62,6 +62,63 @@ def test_lang_id_heuristic_on_crafted_text():
     assert lang_id("")[0] == "und"
 
 
+def test_gopher_rules_batch_vs_python_scalar():
+    """Vectorized Gopher signals match a plain-Python re-derivation on
+    crafted edge cases (empty, whitespace-only, multibyte, repeated
+    stopwords counted once, '...' runs)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.textstats import (
+        GOPHER_STOPWORDS, gopher_rules_batch)
+
+    texts = [
+        "the cat sat on the mat and it was good",
+        "",
+        "   \t  ",
+        "café naïve résumé über",
+        "### #### ...... ... #",
+        "to to to to to to",
+        "a b c 123 456 !!! the of",
+        "x" * 300,
+    ]
+    f = gopher_rules_batch(pa.array(texts))
+    for i, t in enumerate(texts):
+        words = t.strip().split() if t.strip() else []
+        wc = len(words)
+        assert f["word_count"][i] == wc
+        if wc:
+            nws = len(re.sub(r"\s", "", t))
+            sym = t.count("#") + t.count("...")
+            alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+            stops = sum(1 for sw in GOPHER_STOPWORDS
+                        if sw in (w.lower() for w in words))
+            assert np.isclose(f["mean_word_len"][i], nws / wc)
+            assert np.isclose(f["symbol_ratio"][i], sym / wc)
+            assert np.isclose(f["alpha_frac"][i], alpha / wc)
+            assert f["stop_hits"][i] == stops
+        else:
+            assert f["mean_word_len"][i] == 0.0
+            assert f["stop_hits"][i] == 0
+
+
+def test_gopher_quality_rules_pipeline(con):
+    from granulate_char_ocr_ray.pipelines.analysis import gopher_quality_rules
+
+    got = gopher_quality_rules(SF).to_pandas()
+    assert len(got) == con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert set(got["passes"].unique()) <= {0, 1}
+    # passes implies every individual rule holds on the emitted signals
+    p = got[got["passes"] == 1]
+    assert (p["word_count"] >= 50).all()
+    assert p["mean_word_len"].between(3.0, 10.0).all()
+    assert (p["symbol_ratio"] <= 0.1 + 1e-9).all()
+    assert (p["alpha_frac"] >= 0.8 - 1e-9).all()
+    assert (p["stop_hits"] >= 2).all()
+
+
 def test_fingerprints_deterministic():
     from granulate_char_ocr_ray.functions.textstats import fingerprint64
     from granulate_char_ocr_ray.pipelines.analysis import fingerprints
