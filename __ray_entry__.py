@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": training.chunk_docs,
         "pii_redact": training.pii_redact,
         "repetition_stats": training.repetition_stats,
+        "ngram_repetition": training.ngram_repetition,
         "pack_sequences": training.pack_sequences,
         # --- training-corpus writer (S7) + augmentation maps (M11) ---
         "training_corpus_stats": training.training_corpus_stats,
@@ -1174,6 +1175,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(CAST(top AS DOUBLE) / n_tokens, 4), 0.0)
                      AS top_ratio
             FROM base b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id
+        """,
+        "ngram_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents WHERE trim(text) != ''
+            ), g2 AS (
+              SELECT doc_id,
+                     ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS g
+              FROM base, UNNEST(range(1, greatest(len(ts), 1))) AS t(i)
+            ), c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+            ), s2 AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS top2,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+              FROM c2 GROUP BY 1
+            ), g3 AS (
+              SELECT doc_id,
+                     ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
+                       || ' ' || ts[CAST(i + 2 AS INT)] AS g
+              FROM base, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+            ), s3 AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, max(c) AS top3,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+              FROM c3 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n2, 0) AS n_2grams,
+                   coalesce(round(CAST(top2 AS DOUBLE) / n2, 4), 0.0)
+                     AS top2_frac,
+                   coalesce(round(CAST(dup2 AS DOUBLE) / n2, 4), 0.0)
+                     AS dup2_frac,
+                   coalesce(n3, 0) AS n_3grams,
+                   coalesce(round(CAST(top3 AS DOUBLE) / n3, 4), 0.0)
+                     AS top3_frac,
+                   coalesce(round(CAST(dup3 AS DOUBLE) / n3, 4), 0.0)
+                     AS dup3_frac
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "pack_sequences": f"""
             WITH n AS (

@@ -94,24 +94,44 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     """
 
     def to_grams(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        g_doc, g_gram = [], []
-        for d, t in zip(doc_ids, texts):
-            t = t or ""
-            if len(t) < k:
-                # docs shorter than the shingle width have no k-grams —
-                # matches the SQL oracle's length(text) >= k filter
-                continue
-            hs = shingle_hashes(t, k)
-            g_doc.extend([d] * len(hs))
-            g_gram.extend(int(h) for h in hs.view(np.int64))
-        return pa.Table.from_pydict(
-            {"doc_id": g_doc, "gram": g_gram},
-            schema=pa.schema([("doc_id", pa.int64()), ("gram", pa.int64())]),
-        )
+        # vectorized batch shingle kernel (rolling hash over the flat
+        # byte buffer + lexsort distinct) — the oracle compares gram
+        # STRINGS, so the engine hash only needs injectivity, not a
+        # particular function. Byte windows == char windows on ASCII
+        # (all fixtures); on multibyte text treat k as a byte length
+        # (same documented assumption as substring_dups).
+        from ..functions.textstats import string_bytes, window_hashes_flat
 
-    grams = _docs(sf_dir).map_batches(to_grams, batch_format="pyarrow")
+        schema = pa.schema([("doc_id", pa.int64()), ("gram", pa.int64())])
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.int64())}, schema=schema)
+        # distinct (doc, gram) within the block — docs shorter than k
+        # emit no windows, matching the oracle's length(text) >= k
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[seg], pa.int64()),
+             "gram": pa.array(h.view(np.int64), pa.int64())}, schema=schema)
+
+    # pair-generation work below is O(sum df^2) — superlinear in input
+    # bytes — so the read's output-block count is floored well above
+    # rows_to_blocks' byte sizing: the groupby(gpart) sort emits one
+    # block (hence one map_groups task) per INPUT block, and a small
+    # corpus read as one block serializes the whole pair explosion
+    # (measured 12.9 s single-task UDF at sf0.01 vs ~1 s at 32-way)
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=max(rows_to_blocks(path), 32))
+    grams = docs.map_batches(to_grams, batch_format="pyarrow")
 
     # shingle-set sizes: distributed aggregate kept as a DATASET and
     # hash-partition-joined onto the pair set below — one row per doc

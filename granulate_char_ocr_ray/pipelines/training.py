@@ -177,6 +177,82 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         stats, batch_format="pyarrow").sort("doc_id")
 
 
+def ngram_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher word-n-gram repetition signals (arXiv:2112.11446 A.1.2)
+    per document for n = 2 and n = 3: total n-gram occurrences, the
+    fraction of occurrences claimed by the most frequent n-gram, and
+    the fraction of occurrences belonging to any DUPLICATED n-gram
+    (count > 1). Fractions are in n-gram OCCURRENCES — the paper's
+    character-weighted, overlap-deduplicated variant is not
+    SQL-expressible; the occurrence form ranks documents identically
+    on near-uniform token lengths and is the form the oracle verifies.
+
+    Fully vectorized, shuffle-free (each doc lives in one batch): one
+    token split + flat 64-bit token hashes per batch, n-gram keys from
+    shifted-view mixes, per-(doc, gram) run lengths via one lexsort,
+    per-doc max / dup-sum via reduceat and bincount. Gram identity is
+    by 64-bit hash (collision-free whp; oracle compares the strings).
+
+    Output: (doc_id, n_2grams, top2_frac, dup2_frac, n_3grams,
+    top3_frac, dup3_frac), sorted by doc_id."""
+    from ..functions.textstats import hash64_batch
+
+    F = np.uint64(1099511628211)
+
+    def per_doc(parent: np.ndarray, h: np.ndarray, n: int,
+                n_rows: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        L = len(h)
+        n_grams = np.zeros(n_rows, dtype=np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+        dup = np.zeros(n_rows, dtype=np.int64)
+        if L < n:
+            return n_grams, top, dup
+        with np.errstate(over="ignore"):
+            g = h[: L - n + 1].copy()
+            for j in range(1, n):
+                g = (g * F) ^ h[j: L - n + 1 + j]
+        valid = parent[: L - n + 1] == parent[n - 1: L]
+        docs, g = parent[: L - n + 1][valid], g[valid]
+        if not len(docs):
+            return n_grams, top, dup
+        order = np.lexsort((g, docs))
+        docs, g = docs[order], g[order]
+        starts = np.flatnonzero(
+            np.r_[True, (docs[1:] != docs[:-1]) | (g[1:] != g[:-1])])
+        counts = np.diff(np.r_[starts, len(g)])
+        run_doc = docs[starts]
+        n_grams[:] = np.bincount(docs, minlength=n_rows)
+        first = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+        top[run_doc[first]] = np.maximum.reduceat(counts, first)
+        dup[:] = np.bincount(run_doc, weights=counts * (counts > 1),
+                             minlength=n_rows).astype(np.int64)
+        return n_grams, top, dup
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        h = hash64_batch(flat)
+        parent = np.repeat(np.arange(len(batch)), raw)
+        keep = ~np.repeat(empty, raw)
+        h, parent = h[keep], parent[keep]
+        cols = {"doc_id": batch.column("doc_id")}
+        for n in (2, 3):
+            ng, top, dup = per_doc(parent, h, n, len(batch))
+            safe = np.where(ng == 0, 1, ng).astype(np.float64)
+            cols[f"n_{n}grams"] = pa.array(ng, pa.int64())
+            cols[f"top{n}_frac"] = pa.array(
+                round_half_up(np.where(ng == 0, 0.0, top / safe), 4))
+            cols[f"dup{n}_frac"] = pa.array(
+                round_half_up(np.where(ng == 0, 0.0, dup / safe), 4))
+        return pa.Table.from_pydict(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").sort("doc_id")
+
+
 def pack_sequences(sf_dir: str, capacity: int = 512,
                    block: int = 4096) -> rd.Dataset:
     """GPT-style sequence packing: concatenate all documents in doc_id

@@ -65,6 +65,55 @@ def test_repetition_stats_against_bruteforce():
         assert abs(g["top_ratio"] - max(c.values()) / len(toks)) < 5e-5
 
 
+def test_ngram_repetition_against_bruteforce():
+    """Fixture corpus + crafted edge cases (empty, 1-token, 2-token,
+    all-repeated) vs a plain-Python Counter re-derivation."""
+    from collections import Counter
+
+    from granulate_char_ocr_ray.pipelines.training import ngram_repetition
+
+    def brute(text, n):
+        toks = text.strip().split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0, 0.0, 0.0
+        c = Counter(grams)
+        total = len(grams)
+        dup = sum(v for v in c.values() if v > 1)
+        return total, max(c.values()) / total, dup / total
+
+    got = ngram_repetition(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    for _, row in docs.head(20).iterrows():
+        g = got.loc[row["doc_id"]]
+        for n in (2, 3):
+            total, top, dup = brute(row["text"], n)
+            assert g[f"n_{n}grams"] == total
+            assert abs(g[f"top{n}_frac"] - top) <= 5e-5 + 1e-12
+            assert abs(g[f"dup{n}_frac"] - dup) <= 5e-5 + 1e-12
+
+    # crafted edge cases through the real pipeline (temp corpus)
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["", "  ", "one", "one two", "a a a a a", "x y x y x y"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            f"{d}/documents.parquet")
+        out = ngram_repetition(d).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        g = out.loc[i]
+        for n in (2, 3):
+            total, top, dup = brute(t, n)
+            assert g[f"n_{n}grams"] == total
+            assert abs(g[f"top{n}_frac"] - top) <= 5e-5 + 1e-12
+            assert abs(g[f"dup{n}_frac"] - dup) <= 5e-5 + 1e-12
+
+
 def test_pack_sequences_offsets_and_block_invariance():
     from granulate_char_ocr_ray.pipelines.training import pack_sequences
 
