@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "docs_by_lang": analysis.docs_by_lang,
         "unigram_logprob_scores": analysis.unigram_logprob_scores,
+        "dsir_importance_weights": analysis.dsir_importance_weights,
         "tfidf_top_terms": analysis.tfidf_top_terms,
         "token_freq_of_freq": analysis.token_freq_of_freq,
         "length_histogram": analysis.length_histogram,
@@ -946,6 +947,22 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(c) AS s FROM freq)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    round(avg(ln(c / s)), 6) AS logprob
+            FROM tok JOIN freq USING (w) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dsir_importance_weights": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+                     CAST(lang = 'en' AS BIGINT) AS is_t
+              FROM documents WHERE trim(text) <> ''),
+            freq AS (SELECT w, count(*) AS c, sum(is_t) AS ct
+                     FROM tok GROUP BY w),
+            tot AS (SELECT sum(c) AS nr, sum(ct) AS nt,
+                           CAST(count(*) AS DOUBLE) AS v FROM freq)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln((ct + 0.5) / (nt + 0.5 * v))
+                             - ln((c + 0.5) / (nr + 0.5 * v))), 6) AS lnw
             FROM tok JOIN freq USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
         """,

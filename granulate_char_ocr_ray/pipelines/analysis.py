@@ -388,6 +388,84 @@ def _unigram_scores_unsorted(sf_dir: str,
         score, batch_format="pyarrow")
 
 
+def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
+                            alpha: float = 0.5) -> rd.Dataset:
+    """DSIR-style importance weight per document (Xie et al.,
+    arXiv:2302.03169): mean per-token log-likelihood ratio
+    ln p_target(tok) - ln p_raw(tok) between a TARGET distribution
+    (here: the ``target_lang`` subset's unigram LM — the stand-in for
+    DSIR's target-domain corpus) and the RAW corpus unigram LM, both
+    add-``alpha`` smoothed over the shared vocabulary. Documents that
+    look like the target domain score high; importance resampling
+    keeps docs proportional to exp(weight).
+
+    Scale plan (same as :func:`unigram_logprob_scores`): ONE token
+    explode carrying the target flag reduces to vocabulary cardinality
+    via the two-phase hash aggregate (count + target-count in the same
+    exchange); the (token-hash -> ln ratio) table broadcasts once via
+    ``ray.put`` (vocabulary-sized; DSIR's hashed-feature variant caps
+    it at a fixed 2^k buckets at web scale); the scoring pass is a
+    vectorized sorted-array lookup + segment cumsum per block — no
+    second shuffle. Output: (doc_id, n_tokens, lnw) sorted by doc_id;
+    empty docs excluded (no tokens to weigh)."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_t = pc.equal(pc.filter(batch.column("lang"), mask),
+                        target_lang).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"token": pc.list_flatten(lists),
+             "t": pa.array(np.repeat(is_t.astype(np.int64), lens))})
+
+    tokens = _docs(sf_dir, ["lang", "text"]).map_batches(
+        explode_tokens, batch_format="pyarrow")
+    vocab = hash_groupby_agg(tokens, ["token"],
+                             {"c": ("token", "count"), "ct": ("t", "sum")},
+                             num_parts=16).to_pandas()
+    c = vocab["c"].to_numpy(dtype=np.float64)
+    ct = vocab["ct"].to_numpy(dtype=np.float64)
+    n_raw, n_tgt, v = float(c.sum()), float(ct.sum()), float(len(vocab))
+    vh = hash64_batch(pa.array(vocab["token"], pa.string()))
+    order = np.argsort(vh)
+    lnr = (np.log((ct + alpha) / (n_tgt + alpha * v))
+           - np.log((c + alpha) / (n_raw + alpha * v)))[order]
+    ref = ray.put((vh[order], lnr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[mask_np]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        th = hash64_batch(pc.list_flatten(lists))
+        vhs, vls = ray.get(ref)
+        pos = np.searchsorted(vhs, th)
+        pos[pos >= len(vhs)] = len(vhs) - 1 if len(vhs) else 0
+        ends = np.cumsum(lens)
+        cs = np.concatenate([np.zeros(1), np.cumsum(vls[pos])])
+        sums = cs[ends] - cs[ends - lens]
+        return pa.Table.from_pydict(
+            {"doc_id": ids.astype(np.int64),
+             "n_tokens": lens,
+             "lnw": round_half_up(sums / lens, 6)},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("lnw", pa.float64())]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").sort("doc_id")
+
+
 def token_freq_of_freq(sf_dir: str) -> rd.Dataset:
     """Frequency-of-frequencies histogram over the corpus vocabulary
     (the Zipf-tail audit a data pipeline runs before choosing vocab

@@ -119,6 +119,26 @@ def test_gopher_quality_rules_pipeline(con):
     assert (p["stop_hits"] >= 2).all()
 
 
+def test_dsir_importance_weights_separate_target_lang():
+    """The whole point of the importance weight: docs from the target
+    distribution (lang='en') must score higher on average than docs
+    from other languages, and weights must be finite everywhere
+    (add-alpha smoothing covers target-zero tokens)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        dsir_importance_weights)
+
+    got = dsir_importance_weights(SF, target_lang="en").to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    m = got.merge(docs, on="doc_id")
+    assert np.isfinite(m["lnw"]).all()
+    en = m.loc[m["lang"] == "en", "lnw"].mean()
+    rest = m.loc[m["lang"] != "en", "lnw"].mean()
+    assert en > rest
+
+
 def test_fingerprints_deterministic():
     from granulate_char_ocr_ray.functions.textstats import fingerprint64
     from granulate_char_ocr_ray.pipelines.analysis import fingerprints
