@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": analysis.docs_by_lang,
         "unigram_logprob_scores": analysis.unigram_logprob_scores,
         "dsir_importance_weights": analysis.dsir_importance_weights,
+        "cap_docs_per_source": analysis.cap_docs_per_source,
         "tfidf_top_terms": analysis.tfidf_top_terms,
         "token_freq_of_freq": analysis.token_freq_of_freq,
         "length_histogram": analysis.length_histogram,
@@ -965,6 +966,27 @@ def oracle_sql() -> dict[str, str]:
                              - ln((c + 0.5) / (nr + 0.5 * v))), 6) AS lnw
             FROM tok JOIN freq USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+              SELECT vec_id, CAST(i AS BIGINT) AS i,
+                     CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS xi
+              FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round((sum(a.xi * b.xi)
+                          - sum(a.xi) * sum(b.xi) / count(*))
+                         / (count(*) - 1), 8) AS cov
+            FROM x a JOIN x b USING (vec_id)
+            GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        "cap_docs_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10 ORDER BY doc_id
         """,
         "token_freq_of_freq": """
             WITH tok AS (

@@ -298,6 +298,12 @@ def _secondary_list():
          lambda: analysis.lm_quality_tiers(SF_DIR).count()),
         ("leakage_safe_split",
          lambda: dedup.leakage_safe_split(SF_DIR).count()),
+        ("gopher_quality_rules",
+         lambda: analysis.gopher_quality_rules(SF_DIR).count()),
+        ("ngram_repetition",
+         lambda: training.ngram_repetition(SF_DIR).count()),
+        ("dsir_importance_weights",
+         lambda: analysis.dsir_importance_weights(SF_DIR).count()),
     ]
 
 

@@ -210,7 +210,7 @@ def filter_quality(sf_dir: str, min_tokens: int = 20,
         return batch.select(["doc_id"]).filter(pa.array(mask))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        keep, batch_format="pyarrow").sort("doc_id")
+        keep, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
@@ -304,8 +304,10 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
 
 
 def unigram_logprob_scores(sf_dir: str) -> rd.Dataset:
-    """Sorted public form of :func:`_unigram_scores_unsorted`."""
-    return _unigram_scores_unsorted(sf_dir).sort("doc_id")
+    """Sorted public form of :func:`_unigram_scores_unsorted` (coalesce
+    before the tiny final sort — the range exchange on 64 near-empty
+    blocks costs ~2.4 s of pure constant at sf0.1)."""
+    return _unigram_scores_unsorted(sf_dir).repartition(4).sort("doc_id")
 
 
 def _unigram_scores_unsorted(sf_dir: str,
@@ -463,7 +465,25 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
                               ("lnw", pa.float64())]))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow").sort("doc_id")
+        score, batch_format="pyarrow").repartition(4).sort("doc_id")
+
+
+def cap_docs_per_source(sf_dir: str, cap: int = 10) -> rd.Dataset:
+    """Per-domain document quota (the C4/RefinedWeb hot-domain cap): at
+    most ``cap`` documents per source, keeping the lowest doc_ids —
+    the skew-control step a web-scale pipeline runs so no domain
+    dominates the training mix. Distributed top-n-per-key via
+    :func:`stages.hashagg.hash_groupby_topn` (local per-block top-n
+    bounds the exchange to cap x |sources| rows per block — never a
+    corpus-sized shuffle even when one domain is 90% of the crawl).
+    Output: (doc_id, source) sorted by doc_id."""
+    from ..stages.hashagg import hash_groupby_topn
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    kept = hash_groupby_topn(ds, ["source"], ["doc_id"], [True], cap,
+                             num_parts=16)
+    return kept.select_columns(["doc_id", "source"]) \
+        .repartition(4).sort("doc_id")
 
 
 def token_freq_of_freq(sf_dir: str) -> rd.Dataset:
@@ -559,7 +579,7 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     )
     best = hash_groupby_best(scored, ["doc_id"], ["tfidf", "token"],
                              ascending=[False, True], num_parts=16)
-    return best.sort("doc_id")
+    return best.repartition(4).sort("doc_id")
 
 
 def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
@@ -862,7 +882,7 @@ def filter_lm_quality(sf_dir: str, drop_below: float = 0.1
 
     return scores.map_batches(
         lambda df: df[df["logprob"] >= threshold],
-        batch_format="pandas").sort("doc_id")
+        batch_format="pandas").repartition(4).sort("doc_id")
 
 
 def _lang_tier_cuts(hist: pd.DataFrame) -> dict[str, tuple[float, float]]:
@@ -932,7 +952,7 @@ def lm_quality_tiers(sf_dir: str) -> rd.Dataset:
             np.where(lp >= t_mid, "middle", "tail"))
         return df
 
-    return scores.map_batches(attach, batch_format="pandas").sort("doc_id")
+    return scores.map_batches(attach, batch_format="pandas").repartition(4).sort("doc_id")
 
 
 def tier_mix_weights(sf_dir: str) -> pa.Table:
@@ -1212,7 +1232,7 @@ def doc_len_zscore_outliers(sf_dir: str, z_cut: float = 2.0) -> rd.Dataset:
         return table_from_pandas(out, preserve_index=False)
 
     return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
-            .map_batches(zfilter, batch_format="pyarrow").sort("doc_id"))
+            .map_batches(zfilter, batch_format="pyarrow").repartition(4).sort("doc_id"))
 
 
 def dup_rate_by_source(sf_dir: str) -> rd.Dataset:

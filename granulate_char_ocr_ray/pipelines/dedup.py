@@ -683,7 +683,7 @@ def contamination_check(sf_dir: str, bench_pct: int = 2, k: int = 24,
                               ("n_hits", pa.int64())]))
 
     return docs.map_batches(
-        count_hits, batch_format="pyarrow").sort("doc_id")
+        count_hits, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def _local_min_label(src: np.ndarray, dst: np.ndarray
@@ -803,7 +803,7 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
             {"doc_id": t.column("node"), "cluster_id": t.column("label")},
             schema=pa.schema([("doc_id", pa.int64()),
                               ("cluster_id", pa.int64())])),
-        batch_format="pyarrow").sort("doc_id")
+        batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def pagerank_dups(sf_dir: str, threshold: float = 0.8, iters: int = 3,
@@ -914,7 +914,7 @@ def pagerank_dups(sf_dir: str, threshold: float = 0.8, iters: int = 3,
                  t.column("r").to_numpy(zero_copy_only=False), 9)},
             schema=pa.schema([("doc_id", pa.int64()),
                               ("rank", pa.float64())])),
-        batch_format="pyarrow").sort("doc_id")
+        batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
@@ -947,7 +947,7 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         hit = (ds_[pos] == ids) if len(ds_) else np.zeros(len(ids), bool)
         return batch.filter(pa.array(~hit))
 
-    return docs.map_batches(anti, batch_format="pyarrow").sort("doc_id")
+    return docs.map_batches(anti, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
@@ -1009,7 +1009,7 @@ def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
                 {"doc_id": ids, "cluster_id": cluster,
                  "split": _split_of(cluster)}, schema=out_schema)
 
-        return docs.map_batches(tag, batch_format="pyarrow").sort("doc_id")
+        return docs.map_batches(tag, batch_format="pyarrow").repartition(4).sort("doc_id")
 
     def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         m = lf.merge(rf, on="doc_id", how="left")
@@ -1024,7 +1024,7 @@ def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
         left_schema=pa.schema([("doc_id", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("cluster_id", pa.int64())]),
-    ).sort("doc_id")
+    ).repartition(4).sort("doc_id")
 
 
 def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
@@ -1116,7 +1116,7 @@ def substring_dups(sf_dir: str, k: int = 48) -> rd.Dataset:
                             {"_n": ("doc_id", "count")}, num_parts=8)
     return uniq.map_batches(
         lambda df: df[["doc_id"]].astype({"doc_id": "int64"}),
-        batch_format="pandas").sort("doc_id")
+        batch_format="pandas").repartition(4).sort("doc_id")
 
 
 def fuzzy_token_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:

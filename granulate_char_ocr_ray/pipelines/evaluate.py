@@ -100,7 +100,7 @@ def ocr_char_accuracy(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return _recognized(sf_dir).map_batches(acc, batch_format="pyarrow").sort("doc_id")
+    return _recognized(sf_dir).map_batches(acc, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def ocr_eval_stats(sf_dir: str) -> rd.Dataset:

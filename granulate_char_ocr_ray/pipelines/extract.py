@@ -251,7 +251,7 @@ def extract_kind(docs: rd.Dataset, kind: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
-    return spans.select_columns(["doc_id", "text"]).sort("doc_id")
+    return spans.select_columns(["doc_id", "text"]).repartition(4).sort("doc_id")
 
 
 def extract_from_sf(sf_dir: str, **kwargs) -> rd.Dataset:

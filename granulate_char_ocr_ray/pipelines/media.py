@@ -63,7 +63,7 @@ def media_dimensions(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
     )
     return media.map_batches(
         MediaDimensions, batch_format="pyarrow", concurrency=concurrency
-    ).sort("doc_id")
+    ).repartition(4).sort("doc_id")
 
 
 def media_dimensions_png(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
@@ -101,7 +101,7 @@ def media_dimensions_png(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
         MediaDimensions, batch_format="pyarrow", concurrency=concurrency)
     return dims.map_batches(
         lambda t: t.select(["doc_id", "height", "width", "n_glyphs"]),
-        batch_format="pyarrow").sort("doc_id")
+        batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def media_dimensions_jpeg(sf_dir: str, quality: int = 95,
@@ -143,7 +143,7 @@ def media_dimensions_jpeg(sf_dir: str, quality: int = 95,
         MediaDimensions, batch_format="pyarrow", concurrency=concurrency)
     return dims.map_batches(
         lambda t: t.select(["doc_id", "height", "width", "n_glyphs"]),
-        batch_format="pyarrow").sort("doc_id")
+        batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 class MediaResize:
@@ -194,7 +194,7 @@ def media_thumbnails(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
     )
     return media.map_batches(
         MediaResize, batch_format="pyarrow", concurrency=concurrency
-    ).sort("doc_id")
+    ).repartition(4).sort("doc_id")
 
 
 def frame_sample(media_ref: str, every_n: int = 8) -> list[np.ndarray]:
@@ -288,7 +288,7 @@ def media_frame_sample(sf_dir: str, every_n: int = 2,
     packed = media.map_batches(to_container, batch_format="pyarrow")
     return packed.map_batches(
         FrameSampleStage, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"every_n": every_n}).sort("doc_id")
+        fn_constructor_kwargs={"every_n": every_n}).repartition(4).sort("doc_id")
 
 
 class AudioFeatureStage:
@@ -342,7 +342,7 @@ def media_audio_energy(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
     packed = media.map_batches(to_wav, batch_format="pyarrow")
     return packed.map_batches(
         AudioFeatureStage, batch_format="pyarrow",
-        concurrency=concurrency).sort("doc_id")
+        concurrency=concurrency).repartition(4).sort("doc_id")
 
 
 def docs_without_media(sf_dir: str, bloom_fp: float = 0.01,
@@ -396,7 +396,7 @@ def docs_without_media(sf_dir: str, bloom_fp: float = 0.01,
             hit = (ks[pos] == ids) if len(ks) else np.zeros(len(ids), bool)
             return batch.filter(pa.array(~hit))
 
-        return docs.map_batches(anti_bc, batch_format="pyarrow").sort("doc_id")
+        return docs.map_batches(anti_bc, batch_format="pyarrow").repartition(4).sort("doc_id")
 
     # distributed Bloom build: fixed-size partial filter per block
     # (sized for 1M keys at the target fp; resize upstream if the media

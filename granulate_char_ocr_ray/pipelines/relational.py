@@ -426,7 +426,7 @@ def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
                 % np.uint64(1 << 32) % np.uint64(100)
         return batch.filter(pa.array(h < pct))
 
-    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(keep, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def stratified_sample_docs(sf_dir: str, k: int = 5) -> rd.Dataset:

@@ -554,8 +554,9 @@ def embedding_covariance(sf_dir: str) -> rd.Dataset:
     pattern (relational.quantity_price_stats), the statistic behind
     whitening / PCA preprocessing of embedding corpora. Output:
     (i, j, cov rounded to 8) for all d x d entries, ordered (i, j).
-    Not expressible in ANSI SQL over a list column — verified against
-    single-process numpy in pytest instead."""
+    Verified two ways: against single-process numpy in pytest and
+    against a DuckDB list-subscript oracle (unnest positions ->
+    per-(i, j) moment sums) in the parity gate."""
     n, s, ss = _embedding_moments(sf_dir)
     cov = (ss - np.outer(s, s) / n) / (n - 1.0)
     d = len(s)

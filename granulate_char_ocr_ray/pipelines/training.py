@@ -92,7 +92,7 @@ def chunk_docs(sf_dir: str, size: int = 200, step: int = 150) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         functools.partial(chunk_batch, size=size, step=step),
-        batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+        batch_format="pyarrow").repartition(4).sort(["doc_id", "chunk_id"])
 
 
 def _with_pii(batch: pa.Table) -> pa.Table:
@@ -129,7 +129,7 @@ def pii_redact(sf_dir: str) -> rd.Dataset:
             names=["doc_id", "clean_text", "n_emails", "n_phones"])
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        scrub, batch_format="pyarrow").sort("doc_id")
+        scrub, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def repetition_stats(sf_dir: str) -> rd.Dataset:
@@ -174,7 +174,7 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        stats, batch_format="pyarrow").sort("doc_id")
+        stats, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def ngram_repetition(sf_dir: str) -> rd.Dataset:
@@ -250,7 +250,7 @@ def ngram_repetition(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pydict(cols)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        stats, batch_format="pyarrow").sort("doc_id")
+        stats, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def pack_sequences(sf_dir: str, capacity: int = 512,
@@ -313,7 +313,7 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
         })
 
     return with_n.groupby("rng").map_groups(
-        place, batch_format="pandas").sort("doc_id")
+        place, batch_format="pandas").repartition(4).sort("doc_id")
 
 
 class TrainingCorpusStage:
@@ -505,7 +505,7 @@ def bpe_token_counts(sf_dir: str) -> rd.Dataset:
             names=["doc_id", "n_bpe_tokens"])
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        count, batch_format="pyarrow").sort("doc_id")
+        count, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
 def llm_prep_pipeline(sf_dir: str, min_tokens: int = 20,
@@ -553,7 +553,7 @@ def llm_prep_pipeline(sf_dir: str, min_tokens: int = 20,
 
     return deduped.map_batches(
         functools.partial(chunk_batch, size=size, step=step),
-        batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+        batch_format="pyarrow").repartition(4).sort(["doc_id", "chunk_id"])
 
 
 def learn_bpe_merges(sf_dir: str, n_merges: int = 12) -> rd.Dataset:

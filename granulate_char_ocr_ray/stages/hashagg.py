@@ -232,6 +232,40 @@ def hash_groupby_best(
     return _part_exchange(partials, final, exchange, num_parts)
 
 
+def hash_groupby_topn(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    n: int,
+    num_parts: int = 64,
+    exchange: str = "sort",
+) -> rd.Dataset:
+    """Keep the best ``n`` ROWS per distinct key combination
+    (generalizes :func:`hash_groupby_best` from 1 to n; same
+    associativity argument — local top-n per block bounds each block's
+    contribution to ``n x |keys present|`` rows, the shuffle keys on
+    the coarse key-hash, the final combine re-picks top-n per key).
+    The distributed form of ``row_number() OVER (PARTITION BY keys
+    ORDER BY order_by) <= n``; pass a unique trailing tie-breaker in
+    ``order_by`` for a deterministic result."""
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return df.groupby(keys, as_index=False, sort=False).head(n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _top(batch.to_pandas())
+        g["_part"] = _stable_partition(g, keys, num_parts)
+        return table_from_pandas(g, preserve_index=False)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return _top(part).drop(columns=["_part"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _part_exchange(partials, final, exchange, num_parts)
+
+
 def hash_groupby_mode(
     ds: rd.Dataset,
     keys: list[str],

@@ -84,3 +84,23 @@ def test_hash_exchange_matches_sort_exchange():
     pd.testing.assert_frame_equal(a, b)
     assert DataContext.get_current().shuffle_strategy == before
     assert before != ShuffleStrategy.HASH_SHUFFLE
+
+
+def test_hash_groupby_topn_matches_pandas_and_block_invariance():
+    from granulate_char_ocr_ray.stages.hashagg import hash_groupby_topn
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 37, size=5000),
+        "v": rng.permutation(5000),
+    })
+    want = (df.sort_values(["v"], kind="mergesort")
+              .groupby("k", as_index=False, sort=False).head(3)
+              .sort_values(["k", "v"]).reset_index(drop=True))
+    for nblocks in (1, 3, 17):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        got = hash_groupby_topn(ds, ["k"], ["v"], [True], 3,
+                                num_parts=8).to_pandas()
+        got = got[["k", "v"]].sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype(np.int64),
+                                      want.astype(np.int64))
