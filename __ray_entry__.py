@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_text": extract_docs_text,
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
+        "incremental_dedup": dedup.incremental_dedup,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, threshold=0.8),
         "minhash_lsh_dups": lambda sf: dedup.minhash_lsh_dups(sf, threshold=0.8),
         "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -462,6 +463,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "incremental_dedup": """
+            WITH newdocs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT min(doc_id) AS doc_id FROM newdocs
+            WHERE text NOT IN (
+              SELECT text FROM documents WHERE doc_id % 4 <> 0)
+            GROUP BY text ORDER BY doc_id
+        """,
         "ngram_jaccard_dups": """
             WITH grams AS (
               SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g

@@ -1196,3 +1196,111 @@ def fuzzy_token_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
 
     return (cand.map_batches(verify, batch_format="pandas")
             .sort(["token_a", "token_b"]))
+
+
+def incremental_dedup(sf_dir: str, mod: int = 4, bloom_fp: float = 0.01,
+                      broadcast_threshold: int = 1_000_000) -> rd.Dataset:
+    """Cross-snapshot (incremental) exact dedup — the `web snapshot N
+    vs the union of snapshots < N` shape a rolling 100-TB crawl ingest
+    runs every cycle. Docs with ``doc_id % mod == 0`` model the NEW
+    snapshot; the rest are the BASE corpus already ingested. Output:
+    doc_id of each new doc whose content is absent from the base,
+    first-occurrence (min doc_id) within the new snapshot, sorted.
+
+    Scale plan: neither side ever ships text — one map_batches pass
+    reduces the corpus to (doc_id, 64-bit content hash) and is pinned
+    (16 B/row; CLAUDE.md: materialize REDUCED tables only). The base
+    index is then EITHER a driver-sorted key array broadcast once via
+    ray.put (at or below ``broadcast_threshold`` rows — vectorized
+    searchsorted probe per new batch) OR, above it, a distributed
+    OR-merged Bloom filter (fixed few hundred KiB regardless of base
+    size): bloom-ABSENT new docs are definitively novel and stream
+    straight through; only the bloom-positive minority pays an exact
+    hash-partitioned anti-join to remove false positives. Both plans
+    end in the same two-phase min-doc reduce for intra-snapshot
+    first-occurrence. Same 64-bit-equality caveat as exact_dedup.
+    Reference analog: exact set-dedup D2, create_tesseract_data.py:156,
+    generalized to two corpora."""
+    from ..functions.sketch import bloom_add, bloom_contains, bloom_create
+    from ..stages.join import partitioned_join
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = hash64_batch(batch.column("text")).view(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(hashes, type=pa.int64())],
+            names=["doc_id", "text_hash"])
+
+    hashed = _docs(sf_dir).map_batches(
+        add_hash, batch_format="pyarrow").materialize()
+
+    def side(new: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % mod == 0) if new else (ids % mod != 0)
+            return batch.filter(pa.array(mask))
+        return split
+
+    base = hashed.map_batches(side(False), batch_format="pyarrow")
+    new = hashed.map_batches(side(True), batch_format="pyarrow")
+
+    if base.count() <= broadcast_threshold:
+        keys = np.unique(base.to_pandas()["text_hash"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def anti_bc(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            if not len(ks):
+                return batch
+            pos = np.searchsorted(ks, h)
+            pos[pos >= len(ks)] = len(ks) - 1
+            return batch.filter(pa.array(ks[pos] != h))
+
+        survivors = new.map_batches(anti_bc, batch_format="pyarrow")
+    else:
+        n_capacity = 10_000_000
+
+        def partial_bloom(batch: pa.Table) -> pa.Table:
+            filt = bloom_create(n_capacity, bloom_fp)
+            bloom_add(filt, batch.column("text_hash").to_numpy(
+                zero_copy_only=False).view(np.uint64))
+            return pa.Table.from_pydict({"filt": [filt.tobytes()]})
+
+        parts = base.map_batches(
+            partial_bloom, batch_format="pyarrow").to_pandas()
+        merged = bloom_create(n_capacity, bloom_fp)
+        for blob in parts["filt"]:
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+        bloom_ref = ray.put(merged)
+
+        def split_by_bloom(batch: pa.Table) -> pa.Table:
+            filt = ray.get(bloom_ref)
+            maybe = bloom_contains(filt, batch.column("text_hash").to_numpy(
+                zero_copy_only=False).view(np.uint64))
+            return batch.append_column("maybe", pa.array(maybe, pa.bool_()))
+
+        flagged = new.map_batches(
+            split_by_bloom, batch_format="pyarrow").materialize()
+        definite = flagged.map_batches(
+            lambda t: t.filter(pc.invert(t["maybe"])).select(
+                ["doc_id", "text_hash"]), batch_format="pyarrow")
+        candidates = flagged.map_batches(
+            lambda t: t.filter(t["maybe"]).select(["doc_id", "text_hash"]),
+            batch_format="pyarrow")
+
+        def anti(new_df: pd.DataFrame, base_df: pd.DataFrame) -> pd.DataFrame:
+            keep = ~new_df["text_hash"].isin(base_df["text_hash"].unique())
+            return new_df[keep]
+
+        confirmed = partitioned_join(
+            candidates, base.map_batches(
+                lambda t: t.select(["text_hash"]), batch_format="pyarrow"),
+            "text_hash", "text_hash", anti, num_buckets=16,
+            left_schema=pa.schema(
+                [("doc_id", pa.int64()), ("text_hash", pa.int64())]),
+            right_schema=pa.schema([("text_hash", pa.int64())]))
+        survivors = definite.union(confirmed)
+
+    out = hash_groupby_agg(survivors, ["text_hash"],
+                           {"doc_id": ("doc_id", "min")})
+    return out.select_columns(["doc_id"]).repartition(4).sort("doc_id")

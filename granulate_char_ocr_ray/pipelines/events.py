@@ -2,13 +2,18 @@
 sessionization over the events table.
 
 Ray Data has no watermark/window primitives; the engine expresses
-windows as derived-key grouped aggregates (tumbling) and per-key
-ordered ``map_groups`` (sessions) — the documented pattern for
-stream-shaped workloads (SURVEY.md §2.9: the reference has no streaming
-constructs; these are graft additions). Partitioning assumption:
-sessionization requires all events of a user in one group — provided by
-the groupby(user_id) hash shuffle; within-group ordering is established
-by an explicit sort on ts inside the group function.
+windows as derived-key grouped aggregates (tumbling) and coarse
+user-bucketed ordered scans (sessions / as-of / range probes / window
+frames) — the documented pattern for stream-shaped workloads
+(SURVEY.md §2.9: the reference has no streaming constructs; these are
+graft additions). Partitioning assumption: per-user semantics require
+all events of a user in one group; that is provided by ONE
+hash(user) % B coarse-bucket shuffle (B fixed, small) — NOT a native
+per-user-key groupby, which dispatches a Python call per user and is
+pathologically slow at web-scale user cardinality (CLAUDE.md footgun).
+Inside a bucket every operator is a single vectorized ordered scan
+over ALL of the bucket's users at once, with per-user resets expressed
+as boundary masks on the sorted (user, ts, event_id) order.
 """
 
 from __future__ import annotations
@@ -56,76 +61,143 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def _user_bucketed(ds: rd.Dataset, nbuckets: int = 16) -> "rd.grouped_data.GroupedData":
+    """Tag each row with hash(user_id) % nbuckets and group by the tag.
+
+    ONE coarse shuffle co-locates every user's events while keeping the
+    group count fixed at ``nbuckets`` regardless of user cardinality —
+    the scale-safe replacement for ``groupby("user_id")`` (whose native
+    dispatch is per-key Python at web-scale cardinality)."""
+    from ..stages.hashagg import _stable_partition
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], nbuckets)
+        return df
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("_ubucket")
+
+
+def _segment_starts(u: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new user segment begins in a sorted
+    user-id array."""
+    starts = np.ones(len(u), dtype=bool)
+    starts[1:] = u[1:] != u[:-1]
+    return starts
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Gap-based sessionization: a new session starts when the time
-    since the user's previous event exceeds ``gap_minutes``. Output:
-    (user_id, n_events, n_sessions)."""
+    since the user's previous event exceeds ``gap_minutes``. Users
+    co-locate through one coarse hash(user) % 16 shuffle; each bucket
+    runs a single vectorized ordered scan over ALL its users (session
+    breaks = gap OR user change; per-user totals via segment reduceat).
+    Output: (user_id, n_events, n_sessions)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": np.array([len(g)], dtype=np.int64),
-                "n_sessions": np.array([1 + int(gaps.sum())], dtype=np.int64),
-            }
-        )
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        starts = _segment_starts(u)
+        new_s = starts.copy()
+        new_s[1:] |= ts[1:] - ts[:-1] > gap_ns
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(u)))
+        return pd.DataFrame({
+            "user_id": u[idx],
+            "n_events": counts.astype(np.int64),
+            "n_sessions": np.add.reduceat(
+                new_s.astype(np.int64), idx),
+        })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _user_bucketed(ds).map_groups(per_bucket, batch_format="pandas")
 
 
 def purchases_with_prev_click(sf_dir: str) -> rd.Dataset:
     """AS-OF join within the events stream: for every 'purchase' event,
     the value of the same user's latest STRICTLY PRIOR 'click' event
-    (null if none). Implemented as groupby(user_id) + per-group ordered
-    forward-fill — the partitioned as-of join pattern; ordering is
-    (ts, event_id) so ties are deterministic. Output: (event_id,
-    user_id, prev_click_value)."""
+    (null if none) — ordering (ts, event_id) so ties are deterministic.
+
+    One coarse user-bucket shuffle; inside a bucket the as-of lookup is
+    a single vectorized scan over the (user, ts, event_id)-sorted rows:
+    ``maximum.accumulate`` over click positions gives every row its
+    latest click at-or-before, a one-row shift makes it strictly prior,
+    and a segment-start mask nulls lookups that would cross a user
+    boundary. Output: (event_id, user_id, prev_click_value)."""
     ds = read_table(f"{sf_dir}/events.parquet",
                     columns=["event_id", "user_id", "ts", "event_type", "value"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        clicks = g["value"].where(g["event_type"] == "click")
-        prev = clicks.shift(1).ffill()
-        out = g[g["event_type"] == "purchase"].copy()
-        out["prev_click_value"] = prev[out.index]
-        return out[["event_id", "user_id", "prev_click_value"]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        click_pos = np.where(et == "click", pos, np.int64(-1))
+        last_incl = np.maximum.accumulate(click_pos)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = last_incl[:-1]
+        starts = _segment_starts(u)
+        seg_first = pos[starts]
+        seg_of_row = np.repeat(seg_first, np.diff(
+            np.append(seg_first, n)))
+        prev[prev < seg_of_row] = -1
+        keep = et == "purchase"
+        pk = prev[keep]
+        out_val = np.where(pk >= 0, val[np.maximum(pk, 0)], np.nan)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": u[keep],
+            "prev_click_value": out_val,
+        })
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort(
-        "event_id"
-    )
+    return _user_bucketed(ds).map_groups(
+        per_bucket, batch_format="pandas").sort("event_id")
 
 
 def clicks_before_purchase(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
     """Range join within the events stream: for each 'purchase', the
     number of the same user's 'click' events in the half-open window
-    (ts - window, ts]. Partitioned by user (groupby shuffle); inside a
-    group the range probe is two vectorized searchsorted calls on the
-    sorted click timestamps. Output: (event_id, user_id, n_clicks)."""
+    (ts - window, ts].
+
+    One coarse user-bucket shuffle; inside a bucket the range probe is
+    vectorized across ALL users at once: timestamps densify to ranks
+    against the bucket's unique-ts axis, (user, rank) collapse to one
+    monotone int64 composite key, and the per-purchase count is two
+    ``searchsorted`` calls into the bucket's sorted click-key array —
+    no per-user loop. Output: (event_id, user_id, n_clicks)."""
     ds = read_table(f"{sf_dir}/events.parquet",
                     columns=["event_id", "user_id", "ts", "event_type"])
+    win = np.timedelta64(window_minutes, "m")
 
-    def probe(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = np.sort(g.loc[g["event_type"] == "click", "ts"].to_numpy())
-        p = g[g["event_type"] == "purchase"]
-        upper = p["ts"].to_numpy()
-        lower = upper - np.timedelta64(window_minutes, "m")
-        n = (np.searchsorted(clicks, upper, side="right")
-             - np.searchsorted(clicks, lower, side="right"))
-        return pd.DataFrame(
-            {
-                "event_id": p["event_id"].astype(np.int64),
-                "user_id": p["user_id"].astype(np.int64),
-                "n_clicks": n.astype(np.int64),
-            }
-        )
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]")
+        uidx, _ = pd.factorize(g["user_id"].to_numpy(dtype=np.int64))
+        uidx = uidx.astype(np.int64)
+        axis = np.unique(ts)
+        stride = np.int64(len(axis) + 1)
+        is_click = (g["event_type"].to_numpy() == "click")
+        ckeys = np.sort(uidx[is_click] * stride
+                        + np.searchsorted(axis, ts[is_click]))
+        keep = g["event_type"].to_numpy() == "purchase"
+        pu = uidx[keep] * stride
+        # clicks with ts <= t have rank < searchsorted(axis, t, 'right')
+        hi = np.searchsorted(ckeys, pu + np.searchsorted(
+            axis, ts[keep], side="right"))
+        lo = np.searchsorted(ckeys, pu + np.searchsorted(
+            axis, ts[keep] - win, side="right"))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": g["user_id"].to_numpy(dtype=np.int64)[keep],
+            "n_clicks": (hi - lo).astype(np.int64),
+        })
 
-    return ds.groupby("user_id").map_groups(probe, batch_format="pandas").sort(
-        "event_id"
-    )
+    return _user_bucketed(ds).map_groups(
+        per_bucket, batch_format="pandas").sort("event_id")
 
 
 # pivot requires a DECLARED value domain on a distributed engine (the
@@ -184,32 +256,62 @@ def user_event_windows(sf_dir: str) -> rd.Dataset:
     ``round(value*100)``) so the result is exact under ANY summation
     order — a windowed double sum would expose the fp-association
     difference between this scan and DuckDB's segment-tree window
-    aggregator. Output: (event_id, user_id, prev_value,
-    cum_value_cents, movavg3_value).
+    aggregator.
+
+    One coarse user-bucket shuffle; inside a bucket every frame is a
+    vectorized scan over the (user, ts, event_id)-sorted rows with
+    per-user resets as boundary masks: lag masks the first row of each
+    segment, the running sum subtracts each segment's prefix base, and
+    the 3-row window is two shifted adds gated on position-in-segment.
+    Output: (event_id, user_id, prev_value, cum_value_cents,
+    movavg3_value).
     """
     ds = read_table(f"{sf_dir}/events.parquet",
                     columns=["event_id", "user_id", "ts", "value"])
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = pd.Series(
-            round_half_up(g["value"].to_numpy() * 100.0, 0)
-        ).astype(np.int64)
-        msum = cents.rolling(3, min_periods=1).sum().to_numpy()
-        n = np.minimum(np.arange(len(g)) + 1, 3)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        cents = np.asarray(
+            round_half_up(val * 100.0, 0)).astype(np.int64)
+        n = len(g)
+        starts = _segment_starts(u)
+        idx = np.flatnonzero(starts)
+        seg_first = np.repeat(idx, np.diff(np.append(idx, n)))
+        pos_in_seg = np.arange(n, dtype=np.int64) - seg_first
+
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = val[:-1]
+        prev[starts] = np.nan
+
+        csum = np.cumsum(cents)
+        base = np.where(seg_first > 0, csum[seg_first - 1], 0)
+        cum = csum - base
+
+        msum = cents.astype(np.int64).copy()
+        m1 = np.zeros(n, dtype=np.int64)
+        m1[1:] = cents[:-1]
+        m2 = np.zeros(n, dtype=np.int64)
+        m2[2:] = cents[:-2]
+        msum += np.where(pos_in_seg >= 1, m1, 0)
+        msum += np.where(pos_in_seg >= 2, m2, 0)
+        frame_n = np.minimum(pos_in_seg + 1, 3)
+
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "prev_value": g["value"].shift(1).to_numpy(),
-                "cum_value_cents": cents.cumsum().to_numpy(),
-                "movavg3_value": round_half_up(msum / (100.0 * n), 2),
+                "user_id": u,
+                "prev_value": prev,
+                "cum_value_cents": cum,
+                "movavg3_value": round_half_up(
+                    msum / (100.0 * frame_n), 2),
             }
         )
 
-    return ds.groupby("user_id").map_groups(win, batch_format="pandas").sort(
-        "event_id"
-    )
+    return _user_bucketed(ds).map_groups(
+        per_bucket, batch_format="pandas").sort("event_id")
 
 
 def events_sliding(sf_dir: str, window_hours: int = 2,
