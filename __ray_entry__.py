@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
         "ann_ivf_topk": similarity.ivf_cosine_topk,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_pca": similarity.embedding_pca,
         # --- text analysis ---
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_deciles": relational.quantity_deciles,
         "purchases_prev_click": events.purchases_with_prev_click,
         "clicks_before_purchase": events.clicks_before_purchase,
+        "event_rate_anomalies": events.event_rate_anomalies,
         # --- mode aggregate (G5) + deterministic sampling (O5) ---
         "modal_event_type_per_user": relational.modal_event_type_per_user,
         "sample_docs": relational.sample_docs,
@@ -857,6 +859,40 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts > e.ts - INTERVAL 60 MINUTE AND c.ts <= e.ts
             WHERE e.event_type = 'purchase'
             GROUP BY e.event_id, e.user_id ORDER BY e.event_id
+        """,
+        "event_rate_anomalies": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, hour, n_events,
+                     sum(n_events) OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                     count(*) OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+              FROM hourly
+            )
+            SELECT event_type, hour, n_events,
+                   round(trail_sum / CAST(trail_n AS DOUBLE), 4) AS trail_mean,
+                   (n_events * trail_n > 2 * trail_sum) AS is_spike
+            FROM w WHERE trail_n > 0
+            ORDER BY event_type, hour
+        """,
+        "semantic_decontaminate": """
+            WITH bench AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS be
+              FROM embeddings WHERE vec_id < 10
+            )
+            SELECT e.vec_id,
+                   round(max(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), be)), 4) AS max_cos
+            FROM embeddings e, bench
+            WHERE e.vec_id >= 10
+            GROUP BY e.vec_id
+            HAVING round(max(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), be)), 4) >= 0.3
+            ORDER BY e.vec_id
         """,
         "purchases_prev_click": """
             SELECT event_id, user_id, prev_click_value FROM (

@@ -859,3 +859,67 @@ def session_time_coverage(sf_dir: str, gap_minutes: int = 30
         "n_islands": pa.array([len(merged)], pa.int64()),
         "covered_minutes": pa.array(
             round_half_up([covered_ns / 60e9], 4), pa.float64())})
+
+
+def event_rate_anomalies(sf_dir: str, trail: int = 24,
+                         factor: int = 2) -> rd.Dataset:
+    """Trailing-window rate-spike detection over the event stream: for
+    each (event_type, hour) bucket, compare the hourly event count to
+    the mean of the previous ``trail`` present hourly counts (SQL
+    ``ROWS BETWEEN trail PRECEDING AND 1 PRECEDING``) and flag hours
+    running above ``factor`` x that mean — the streaming
+    anomaly-detection shape lowered to batch.
+
+    Scale plan: the heavy distributed step is the two-phase hourly
+    count reduce (shuffle volume one row per (block, type, hour), never
+    raw events); the reduced series is calendar-bounded (hours x
+    event types — ~44k rows PER YEAR at any corpus size), so the
+    windowed scan collapses it to one block and runs a single
+    vectorized clipped-prefix-sum pass over all types at once. The
+    spike gate is ALL-INTEGER (n * trail_n > factor * trail_sum) — no
+    float threshold to disagree with the oracle at the boundary; the
+    reported trail_mean is display-rounded only. Rows without history
+    (each type's first hour) are dropped, mirroring the oracle's
+    ``trail_n > 0`` filter. Output: (event_type, hour, n_events,
+    trail_mean, is_spike) sorted by (event_type, hour)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("ts", "size"))
+        return table_from_pandas(g, preserve_index=False)
+
+    hourly = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n_events": ("n_events", "sum")},
+        num_parts=16)
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hour"]).reset_index(drop=True)
+        n = df["n_events"].to_numpy(dtype=np.int64)
+        et = df["event_type"].to_numpy()
+        starts = _segment_starts(et)
+        idx = np.flatnonzero(starts)
+        seg_first = np.repeat(idx, np.diff(np.append(idx, len(df))))
+        pos = np.arange(len(df), dtype=np.int64)
+        lo = np.maximum(seg_first, pos - trail)
+        prefix = np.concatenate(([0], np.cumsum(n)))
+        trail_sum = prefix[pos] - prefix[lo]
+        trail_n = pos - lo
+        keep = trail_n > 0
+        mean = trail_sum[keep] / trail_n[keep]
+        return pd.DataFrame({
+            "event_type": et[keep],
+            "hour": df["hour"].to_numpy()[keep],
+            "n_events": n[keep],
+            "trail_mean": np.asarray(round_half_up(mean, 4)),
+            "is_spike": (n[keep] * trail_n[keep]
+                         > factor * trail_sum[keep]),
+        })
+
+    return hourly.repartition(1).map_batches(
+        windowed, batch_format="pandas")

@@ -743,3 +743,50 @@ def knn_join(sf_dir: str, num_blocks: int = 8,
             "cos_sim": round_half_up(df["cos"].to_numpy(), 4)})
 
     return best.map_batches(final, batch_format="pandas").sort("vec_id")
+
+
+def semantic_decontaminate(sf_dir: str, n_bench: int = 10,
+                           threshold: float = 0.3) -> rd.Dataset:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose max cosine against a held-out benchmark embedding set
+    reaches ``threshold`` — the semantic complement of the n-gram
+    decontamination pipeline (dedup.decontaminate). The benchmark is
+    ``vec_id < n_bench`` (deterministic stand-in for an external eval
+    set's embeddings).
+
+    Scale plan: the flagged side is benchmark-sized by construction —
+    the benchmark matrix is L2-normalized ONCE on the driver and
+    broadcast via ray.put; each corpus batch then takes a single
+    (rows x n_bench) matmul and keeps only its flagged rows. No
+    shuffle anywhere: the output is filter-sized and the final sort is
+    output-sized. The gate compares the ROUNDED (4dp) score, which is
+    exchangeable with rounding after max (round is monotone), so the
+    engine and the SQL oracle agree at the threshold boundary.
+    Output: (vec_id, max_cos) sorted by vec_id."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_bench)
+    bench = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    bnorm = np.linalg.norm(bench, axis=1, keepdims=True)
+    bnorm[bnorm == 0] = 1.0
+    bench_ref = ray.put(bench / bnorm)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bt = ray.get(bench_ref)
+        ids, mat = _batch_matrix(batch)
+        keep = ids >= n_bench
+        ids, mat = ids[keep], mat[keep]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mc = ((mat / norms) @ bt.T).max(axis=1) if len(ids) else np.zeros(0)
+        mc = np.asarray(round_half_up(mc, 4))
+        hit = mc >= threshold
+        return pa.Table.from_pydict(
+            {"vec_id": ids[hit].astype(np.int64), "max_cos": mc[hit]},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("max_cos", pa.float64())]))
+
+    return _embeddings(sf_dir).map_batches(
+        flag, batch_format="pyarrow").repartition(4).sort("vec_id")

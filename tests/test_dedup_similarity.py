@@ -595,3 +595,27 @@ def test_fuzzy_token_pairs_no_false_negatives():
     assert (got["token_a"].tolist() == want["token_a"].tolist()
             and got["token_b"].tolist() == want["token_b"].tolist()
             and got["dist"].tolist() == want["dist"].tolist())
+
+
+def test_incremental_dedup_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.pipelines.dedup import incremental_dedup
+
+    got = incremental_dedup(SF).to_pandas()["doc_id"].tolist()
+    base_texts = set(
+        docs_df.loc[docs_df["doc_id"] % 4 != 0, "text"])
+    new = docs_df[docs_df["doc_id"] % 4 == 0]
+    survivors = new[~new["text"].isin(base_texts)]
+    want = sorted(survivors.groupby("text")["doc_id"].min())
+    assert got == want
+    assert got == sorted(got)  # output contract: sorted by doc_id
+
+
+def test_incremental_dedup_bloom_path_identical(docs_df):
+    # broadcast_threshold=0 forces the Bloom + exact-anti-join plan;
+    # both plans must produce identical survivors
+    from granulate_char_ocr_ray.pipelines.dedup import incremental_dedup
+
+    bc = incremental_dedup(SF).to_pandas()["doc_id"].tolist()
+    bl = incremental_dedup(
+        SF, broadcast_threshold=0).to_pandas()["doc_id"].tolist()
+    assert bc == bl

@@ -278,3 +278,55 @@ def test_event_props_k_stats_json_extraction(con):
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["sum_k"] > 0).all()
+
+
+def test_event_rate_anomalies_matches_bruteforce():
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.events import event_rate_anomalies
+
+    got = event_rate_anomalies(SF).to_pandas().reset_index(drop=True)
+
+    ev = pads.dataset(f"{SF}/events.parquet").to_table(
+        columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby(["event_type", "hour"], as_index=False).agg(
+        n_events=("ts", "size")).sort_values(
+        ["event_type", "hour"]).reset_index(drop=True)
+    rows = []
+    for et, g in hourly.groupby("event_type"):
+        n = g["n_events"].to_numpy()
+        for i in range(1, len(g)):
+            lo = max(0, i - 24)
+            ts_, tn = int(n[lo:i].sum()), i - lo
+            rows.append((et, g["hour"].iloc[i], int(n[i]),
+                         round(ts_ / tn, 4), n[i] * tn > 2 * ts_))
+    want = pd.DataFrame(rows, columns=[
+        "event_type", "hour", "n_events", "trail_mean", "is_spike"])
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), want.astype({"n_events": "int64"}),
+        check_dtype=False)
+
+
+def test_semantic_decontaminate_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        semantic_decontaminate)
+
+    got = semantic_decontaminate(SF).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    m = np.array(t["embedding"].tolist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    bench = m[ids < 10]
+    corpus, cids = m[ids >= 10], ids[ids >= 10]
+    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    mc = np.round((cn @ bn.T).max(axis=1), 4)
+    keep = mc >= 0.3
+    assert got["vec_id"].tolist() == sorted(cids[keep].tolist())
+    want = dict(zip(cids[keep], mc[keep]))
+    for r in got.itertuples():
+        assert abs(want[r.vec_id] - r.max_cos) < 1e-9
