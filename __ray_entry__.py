@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": media.media_thumbnails,
         "media_frame_sample": media.media_frame_sample,
         "media_audio_energy": media.media_audio_energy,
+        # image-content near-dup (pHash) — no SQL oracle (pixel-domain
+        # DCT fingerprint); brute-force pytest is the correctness gate
+        "image_phash_dups": media.image_phash_dups,
         "docs_without_media": media.docs_without_media,
         # --- deeper relational + IVF assignment ---
         "q6_revenue": relational.q6_revenue,

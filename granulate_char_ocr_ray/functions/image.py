@@ -653,3 +653,36 @@ def augment_glyph(img: np.ndarray, seed: int, max_shift: int = 2,
         flips = rng.random(out.shape) < noise_p
         out = np.where(flips, 255 - out, out).astype(np.uint8)
     return out
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n), cached."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        c *= np.sqrt(2.0 / n)
+        c[0] *= np.sqrt(0.5)
+        _DCT32 = c
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """DCT perceptual hash (pHash): area-resize to 32x32, 2-D DCT-II
+    (two matrix multiplies against the cached orthonormal basis), keep
+    the top-left 8x8 low-frequency block, threshold each coefficient
+    against the MEDIAN of the 63 AC coefficients (DC excluded from the
+    median but still emitted as bit 0 vs the median) -> 64-bit hash.
+    Robust to rescaling and small pixel noise where hash8x8 (aHash)
+    reacts; the standard image near-dup fingerprint."""
+    small = resize_area(img, 32, 32)
+    c = _dct_matrix(32)
+    coef = c @ small @ c.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    return np.uint64(
+        np.packbits(bits.astype(np.uint8)).view(">u8")[0])

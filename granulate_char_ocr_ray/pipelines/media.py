@@ -11,6 +11,7 @@ README.md / SURVEY.md §7.0).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -442,3 +443,124 @@ def docs_without_media(sf_dir: str, bloom_fp: float = 0.01,
                                  anti, num_buckets=8,
                                  left_schema=sch, right_schema=sch)
     return definite.union(confirmed).repartition(4).sort("doc_id")
+
+
+class PhashStage:
+    """Actor stage: decode each media payload and emit its 64-bit DCT
+    perceptual hash (functions/image.phash64). The DCT basis matrix is
+    built once per actor (module cache), payload decode + hash run per
+    batch — the stateful map_batches shape for image featurization."""
+
+    def __init__(self) -> None:
+        from ..functions.image import _dct_matrix
+
+        _dct_matrix(32)  # warm the cached basis in this actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.image import phash64
+
+        ids, hashes = [], []
+        for doc_id, ref in zip(batch.column("doc_id").to_pylist(),
+                               batch.column("media_ref").to_pylist()):
+            img = decode_media_ref(ref or "")
+            if img is None:
+                continue
+            ids.append(doc_id)
+            hashes.append(np.uint64(phash64(img)).view(np.int64))
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "phash": pa.array(hashes, pa.int64())},
+            schema=pa.schema([("doc_id", pa.string()),
+                              ("phash", pa.int64())]))
+
+
+def image_phash_dups(sf_dir: str, max_dist: int = 7, bands: int = 8,
+                     concurrency=(1, 8)) -> rd.Dataset:
+    """Image near-dup pairs by DCT perceptual hash: (d1, d2, hamming)
+    for every media pair whose pHash Hamming distance is at most
+    ``max_dist`` — the multimodal sibling of simhash_near_dups. With
+    ``bands`` 8-bit bands the blocking is EXACT for max_dist <= bands-1
+    (pigeonhole: <= 7 flipped bits leave >= 1 of 8 bands untouched, so
+    every qualifying pair collides in some bucket).
+
+    Scale plan: images collapse to 8-byte fingerprints in the actor
+    pool (decode never crosses the wire); the banding exchange carries
+    (doc_id, band_key, phash) rows; buckets group by band key inside 64
+    coarse partitions and verify pairs with the vectorized XOR +
+    byte-table popcount kernel; the final (d1, d2) dedup is a two-phase
+    hash reduce. Reference analog: near-dedup of detected circles D1
+    (extract_from_reference.py:53-70), lifted to content-based image
+    identity."""
+    from ..functions.sketch import hamming64_batch
+    from ..stages.hashagg import hash_groupby_agg
+
+    if max_dist > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands is only exact for max_dist <= "
+            f"{bands - 1}; got {max_dist}")
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans, batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow")
+    hashed = media.map_batches(
+        PhashStage, batch_format="pyarrow", concurrency=concurrency)
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        vals = np.empty((n, bands), dtype=np.int64)
+        for i in range(bands):
+            vals[:, i] = ((h >> np.uint64(i * width)) & mask).astype(np.int64)
+        key = vals + (np.arange(bands, dtype=np.int64)[None, :] << 32)
+        ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(np.repeat(ids, bands), pa.string()),
+             "band": pa.array(key.ravel(), pa.int64()),
+             "bpart": pa.array(key.ravel() % 64, pa.int64()),
+             "phash": pa.array(np.repeat(h.view(np.int64), bands), pa.int64())})
+
+    banded = hashed.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"d1": pd.Series(dtype=object),
+                              "d2": pd.Series(dtype=object),
+                              "hamming": pd.Series(dtype=np.int64)})
+        if not len(part):
+            return empty
+        band = part["band"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy()
+        sigs = part["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, band))
+        band, ids, sigs = band[order], ids[order], sigs[order]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
+        d1s, d2s, hams = [], [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            gs = starts[sizes == m]
+            iu, ju = np.triu_indices(int(m), k=1)
+            idx = gs[:, None] + np.arange(int(m))[None, :]
+            a = idx[:, iu].ravel()
+            b = idx[:, ju].ravel()
+            ham = hamming64_batch(sigs[a], sigs[b])
+            keep = ham <= max_dist
+            ia, ib = ids[a][keep], ids[b][keep]
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            d1s.append(lo)
+            d2s.append(hi)
+            hams.append(ham[keep])
+        if not d1s:
+            return empty
+        return pd.DataFrame({"d1": np.concatenate(d1s),
+                             "d2": np.concatenate(d2s),
+                             "hamming": np.concatenate(hams)})
+
+    pairs = banded.groupby("bpart").map_groups(
+        bucket_verify, batch_format="pandas")
+    out = hash_groupby_agg(pairs, ["d1", "d2"],
+                           {"hamming": ("hamming", "min")})
+    return out.repartition(1).sort(["d1", "d2"])

@@ -330,3 +330,37 @@ def test_semantic_decontaminate_matches_bruteforce():
     want = dict(zip(cids[keep], mc[keep]))
     for r in got.itertuples():
         assert abs(want[r.vec_id] - r.max_cos) < 1e-9
+
+
+def test_image_phash_dups_matches_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.functions.glyphs import decode_media_ref
+    from granulate_char_ocr_ray.functions.image import phash64
+    from granulate_char_ocr_ray.pipelines.media import image_phash_dups
+    from granulate_char_ocr_ray.synth import derive_docs_batch
+
+    got = image_phash_dups(SF).to_pandas()
+    got_pairs = {(r.d1, r.d2): r.hamming for r in got.itertuples()}
+
+    t = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "text"])
+    tab = derive_docs_batch(t.column("doc_id").to_numpy(),
+                            t.column("text").to_pylist())
+    items = []
+    for did, row in zip(tab.column("doc_id").to_pylist(),
+                        tab.column("spans").to_pylist()):
+        for s in row:
+            if s["kind"] == "media":
+                img = decode_media_ref(s["media_ref"])
+                items.append((did, int(phash64(img))))
+    want = {}
+    for (da, ha), (db, hb) in itertools.combinations(items, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 7:
+            d1, d2 = sorted((da, db))
+            want[(d1, d2)] = d
+    assert got_pairs == want
+    assert len(want) > 0  # fixture must exercise the operator
