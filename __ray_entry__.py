@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": similarity.embedding_pca,
         # --- text analysis ---
         "token_counts": analysis.token_counts,
+        "lexicon_score": analysis.lexicon_score,
         "doc_quality": analysis.doc_quality,
         "gopher_quality_rules": analysis.gopher_quality_rules,
         "lang_id": analysis.lang_id_scores,
@@ -500,6 +501,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "lexicon_score": """
+            WITH lex(term, w) AS (VALUES
+              ('fast', 3), ('big', 2), ('merge', 1),
+              ('slow', -3), ('dup', -2), ('error', -1)),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ),
+            scores AS (
+              SELECT t.doc_id, sum(COALESCE(l.w, 0)) AS s,
+                     count(*) AS n
+              FROM toks t LEFT JOIN lex l ON t.tok = l.term
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, round(CAST(s AS DOUBLE) / n, 4) AS lex_score
+            FROM scores ORDER BY doc_id
+        """,
         "doc_quality": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -1505,3 +1505,64 @@ def source_topp_vocab(sf_dir: str, p: float = 0.9) -> rd.Dataset:
     return (per_token.groupby("source")
             .map_groups(per_source, batch_format="pandas")
             .sort("source"))
+
+
+#: Embedded scoring lexicon — the broadcast-small-model shape: a linear
+#: text classifier (fastText-style bag-of-words with per-term weights)
+#: reduced to a deterministic term->weight table so the oracle can
+#: express it as VALUES + LEFT JOIN. A real model swaps the table for
+#: learned weights; the Ray plumbing (per-batch flatten + weight
+#: lookup + segment reduce) is identical.
+SCORING_LEXICON = (
+    ("fast", 3), ("big", 2), ("merge", 1),
+    ("slow", -3), ("dup", -2), ("error", -1),
+)
+
+
+def lexicon_score(sf_dir: str) -> rd.Dataset:
+    """Per-doc linear lexicon score: sum of per-token weights from
+    SCORING_LEXICON divided by the doc's whitespace token count,
+    rounded to 4 decimals — the linear-classifier scoring stage of a
+    quality-filter pipeline, run as a shuffle-free map.
+
+    Vectorized batch path: Arrow split_pattern_regex + list_flatten
+    (no Python per-row loop), token->weight lookup via a single
+    searchsorted probe against the 64-bit-hashed lexicon terms (the
+    same hashed-broadcast-lookup pattern a 100k-term learned lexicon
+    would use; the table ships once in the task closure), and a
+    bincount segment reduce back to docs. Empty docs are excluded (no
+    tokens -> no score), mirroring the oracle's trim(text) <> ''
+    gate. Output: (doc_id, lex_score) sorted by doc_id."""
+    terms = np.array([t for t, _ in SCORING_LEXICON])
+    th = hash64_batch(pa.array(terms))
+    order = np.argsort(th)
+    lex_hashes = th[order]
+    lex_weights = np.array(
+        [w for _, w in SCORING_LEXICON], dtype=np.float64)[order]
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        nonempty = pc.not_equal(text, "")
+        batch = batch.filter(nonempty)
+        text = text.filter(nonempty)
+        if not len(batch):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lex_score": pa.array([], pa.float64())})
+        toks = pc.split_pattern_regex(text, r"\s+")
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        h = hash64_batch(flat)
+        pos = np.searchsorted(lex_hashes, h)
+        pos[pos >= len(lex_hashes)] = 0
+        w = np.where(lex_hashes[pos] == h, lex_weights[pos], 0.0)
+        docidx = np.repeat(np.arange(len(batch)), n)
+        sums = np.bincount(docidx, weights=w, minlength=len(batch))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "lex_score": pa.array(
+                 np.asarray(round_half_up(sums / n, 4)), pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").repartition(4).sort("doc_id")

@@ -1813,3 +1813,24 @@ def test_exact_pair_joins_refuse_above_row_bound():
         embedding_cosine_dups(SF, max_rows=10)
     with pytest.raises(ValueError, match="max_rows"):
         knn_join(SF, max_rows=10)
+
+
+def test_lexicon_score_matches_bruteforce():
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.functions.numeric import round_half_up
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        SCORING_LEXICON, lexicon_score)
+
+    got = lexicon_score(SF).to_pandas()
+    docs = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+    lex = dict(SCORING_LEXICON)
+    want = {}
+    for r in docs.itertuples():
+        toks = r.text.strip().split()
+        if toks:
+            want[r.doc_id] = float(round_half_up(
+                [sum(lex.get(t, 0) for t in toks) / len(toks)], 4)[0])
+    assert got["doc_id"].tolist() == sorted(want)
+    for r in got.itertuples():
+        assert abs(want[r.doc_id] - r.lex_score) < 1e-9
