@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.lsh_cosine_topk,
         "ann_ivf_topk": similarity.ivf_cosine_topk,
         "semantic_decontaminate": similarity.semantic_decontaminate,
+        "hard_negatives": similarity.hard_negatives,
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_pca": similarity.embedding_pca,
         # --- text analysis ---
@@ -595,6 +596,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id != 0
             ORDER BY cos_sim DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS qid, label AS qlab,
+                     CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id >= 10
+            ), s AS (
+              SELECT q.qid,
+                     CASE WHEN c.label = q.qlab THEN 'pos' ELSE 'neg' END
+                       AS kind,
+                     c.vec_id,
+                     round(list_cosine_similarity(ce, qe), 4) AS cos
+              FROM q, c
+            ), r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY qid, kind ORDER BY cos DESC, vec_id) AS rn
+              FROM s
+            )
+            SELECT qid, kind, vec_id, cos FROM r WHERE rn = 1
+            ORDER BY qid, kind
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -790,3 +790,81 @@ def semantic_decontaminate(sf_dir: str, n_bench: int = 10,
 
     return _embeddings(sf_dir).map_batches(
         flag, batch_format="pyarrow").repartition(4).sort("vec_id")
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 10) -> rd.Dataset:
+    """Contrastive pair mining for embedding-model training data: for
+    each query vector (vec_id < n_queries, with its label), the single
+    most-similar corpus vector of the SAME label (the positive) and of
+    a DIFFERENT label (the hard negative — close in embedding space,
+    wrong class). Ties break on (rounded cos desc, vec_id asc) so the
+    result is partition-order independent.
+
+    Scale plan: the query matrix + labels broadcast once (ray.put);
+    each corpus batch does one (rows x n_queries) matmul and reduces
+    LOCALLY to at most 2 rows per query (best same / best diff), so
+    the exchange is 2 x n_queries x blocks tiny rows and the final
+    keep-best pass runs on one coalesced block — the partial-top-k
+    shape of cosine_topk extended with a label split. Output:
+    (qid, kind, vec_id, cos) with kind in ('pos', 'neg'), sorted."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < n_queries)
+    order = np.argsort(t.column("vec_id").to_numpy())
+    qids = t.column("vec_id").to_numpy()[order].astype(np.int64)
+    qlabs = t.column("label").to_numpy()[order].astype(np.int64)
+    qmat = np.array(t.column("embedding").to_pylist(),
+                    dtype=np.float64)[order]
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    bundle_ref = ray.put((qids, qlabs, qmat / qn))
+
+    schema = pa.schema([("qid", pa.int64()), ("kind", pa.string()),
+                        ("vec_id", pa.int64()), ("cos", pa.float64())])
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        qi, ql, qm = ray.get(bundle_ref)
+        ids, mat = _batch_matrix(batch)
+        labs = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = ids >= n_queries
+        ids, labs, mat = ids[keep], labs[keep], mat[keep]
+        if not len(ids):
+            return schema.empty_table()
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = np.asarray(round_half_up((mat / norms) @ qm.T, 4))
+        rows_q, rows_k, rows_v, rows_c = [], [], [], []
+        for j in range(len(qi)):
+            same = labs == ql[j]
+            for kind, mask in (("pos", same), ("neg", ~same)):
+                if not mask.any():
+                    continue
+                c = cos[mask, j]
+                cand_ids = ids[mask]
+                best = np.lexsort((cand_ids, -c))[0]
+                rows_q.append(qi[j])
+                rows_k.append(kind)
+                rows_v.append(int(cand_ids[best]))
+                rows_c.append(float(c[best]))
+        return pa.Table.from_pydict(
+            {"qid": rows_q, "kind": rows_k,
+             "vec_id": rows_v, "cos": rows_c}, schema=schema)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(
+            ["qid", "kind", "cos", "vec_id"],
+            ascending=[True, True, False, True])
+        return df.groupby(["qid", "kind"], as_index=False).first()[
+            ["qid", "kind", "vec_id", "cos"]]
+
+    partial = read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).map_batches(
+        local_best, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(
+        finish, batch_format="pandas").sort(["qid", "kind"])

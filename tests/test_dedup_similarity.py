@@ -619,3 +619,31 @@ def test_incremental_dedup_bloom_path_identical(docs_df):
     bl = incremental_dedup(
         SF, broadcast_threshold=0).to_pandas()["doc_id"].tolist()
     assert bc == bl
+
+
+def test_hard_negatives_matches_bruteforce():
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import hard_negatives
+
+    got = hard_negatives(SF).to_pandas()
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"]).to_pandas(
+    ).sort_values("vec_id").reset_index(drop=True)
+    m = np.array(t["embedding"].tolist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    labs = t["label"].to_numpy()
+    q, c = ids < 10, ids >= 10
+    cos = np.round(m[c] @ m[q].T, 4)
+    want = []
+    for j, (qid, qlab) in enumerate(zip(ids[q], labs[q])):
+        for kind, mask in (("neg", labs[c] != qlab),
+                           ("pos", labs[c] == qlab)):
+            if not mask.any():
+                continue
+            cc, ci = cos[mask, j], ids[c][mask]
+            best = np.lexsort((ci, -cc))[0]
+            want.append((qid, kind, ci[best], cc[best]))
+    want.sort()
+    got_rows = [(r.qid, r.kind, r.vec_id, r.cos) for r in got.itertuples()]
+    assert got_rows == want
