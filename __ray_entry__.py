@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "incremental_dedup": dedup.incremental_dedup,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, threshold=0.8),
+        "ngram_containment_dups": dedup.ngram_containment_dups,
         "minhash_lsh_dups": lambda sf: dedup.minhash_lsh_dups(sf, threshold=0.8),
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dups": dedup.simhash_near_dups,
@@ -497,6 +498,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = d1
             JOIN sizes s2 ON s2.doc_id = d2
             WHERE c / (s1.n + s2.n - c) >= 0.8
+        """,
+        "ngram_containment_dups": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+              FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)
+              WHERE length(text) >= 3
+            ), sizes AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS DOUBLE) AS c
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT d1, d2, round(c / least(s1.n, s2.n), 4) AS containment
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = d1
+            JOIN sizes s2 ON s2.doc_id = d2
+            WHERE c / least(s1.n, s2.n) >= 0.9
         """,
         "token_counts": (
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "

@@ -81,7 +81,8 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
 def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
                        max_doc_freq: int | None = None,
-                       broadcast_threshold: int = 1_000_000) -> rd.Dataset:
+                       broadcast_threshold: int = 1_000_000,
+                       score: str = "jaccard") -> rd.Dataset:
     """EXACT n-gram Jaccard similarity join via an inverted gram index.
 
     explode distinct (gram_hash, doc_id) -> groupby gram -> emit doc
@@ -91,7 +92,22 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     join on d1/d2 instead). ``max_doc_freq`` drops stop-grams (buckets
     larger than the cap); leave None for exactness (the SQL oracle).
     Output: (d1, d2, jaccard) with d1 < d2, rounded to 4 decimals.
+
+    ``score="containment"`` swaps the scoring kernel for max-containment
+    inter / min(|A|, |B|) (output column ``containment``) — the
+    asymmetric partial-copy detector: a short doc fully embedded in a
+    long one scores 1.0 where Jaccard dilutes toward |A|/|B| (the
+    reason RefinedWeb-style pipelines gate on containment as well as
+    Jaccard). Same exchange plan; only the finish arithmetic differs.
     """
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
+    col = score
+
+    def score_of(c: np.ndarray, n1: np.ndarray, n2: np.ndarray) -> np.ndarray:
+        if score == "containment":
+            return c / np.minimum(n1, n2)
+        return c / (n1 + n2 - c)
 
     def to_grams(batch: pa.Table) -> pa.Table:
         # vectorized batch shingle kernel (rolling hash over the flat
@@ -211,13 +227,13 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
                 zero_copy_only=False).astype(np.float64)
             n1 = np.array([lut[d] for d in d1], dtype=np.float64)
             n2 = np.array([lut[d] for d in d2], dtype=np.float64)
-            jac = c / (n1 + n2 - c)
+            jac = score_of(c, n1, n2)
             keep = jac >= threshold
             return pa.Table.from_pydict(
                 {"d1": d1[keep], "d2": d2[keep],
-                 "jaccard": round_half_up(jac[keep], 4)},
+                 col: round_half_up(jac[keep], 4)},
                 schema=pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
-                                  ("jaccard", pa.float64())]))
+                                  (col, pa.float64())]))
 
         return inter.map_batches(to_jaccard, batch_format="pyarrow")
 
@@ -235,13 +251,13 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
             size_df.rename(columns={"doc_id": "d2", "n_grams": "n2"}),
             on="d2", how="inner")
         c = m["inter"].to_numpy(dtype=np.float64)
-        jac = c / (m["n1"].to_numpy(dtype=np.float64)
-                   + m["n2"].to_numpy(dtype=np.float64) - c)
+        jac = score_of(c, m["n1"].to_numpy(dtype=np.float64),
+                       m["n2"].to_numpy(dtype=np.float64))
         keep = jac >= threshold
         return pd.DataFrame({
             "d1": m["d1"].to_numpy(dtype=np.int64)[keep],
             "d2": m["d2"].to_numpy(dtype=np.int64)[keep],
-            "jaccard": round_half_up(jac[keep], 4),
+            col: round_half_up(jac[keep], 4),
         })
 
     size_schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
@@ -1304,3 +1320,14 @@ def incremental_dedup(sf_dir: str, mod: int = 4, bloom_fp: float = 0.01,
     out = hash_groupby_agg(survivors, ["text_hash"],
                            {"doc_id": ("doc_id", "min")})
     return out.select_columns(["doc_id"]).repartition(4).sort("doc_id")
+
+
+def ngram_containment_dups(sf_dir: str, k: int = 3, threshold: float = 0.9,
+                           **kw) -> rd.Dataset:
+    """EXACT n-gram max-containment join: pairs with
+    inter / min(|A|, |B|) >= threshold — the partial-copy detector
+    (a quote or subset document embedded in a longer one). Thin
+    front-end over :func:`ngram_jaccard_dups`'s exchange plan with the
+    containment scoring kernel. Output: (d1, d2, containment)."""
+    return ngram_jaccard_dups(sf_dir, k=k, threshold=threshold,
+                              score="containment", **kw)

@@ -647,3 +647,17 @@ def test_hard_negatives_matches_bruteforce():
     want.sort()
     got_rows = [(r.qid, r.kind, r.vec_id, r.cos) for r in got.itertuples()]
     assert got_rows == want
+
+
+def test_ngram_containment_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.functions.sketch import char_shingles
+    from granulate_char_ocr_ray.pipelines.dedup import ngram_containment_dups
+
+    got = ngram_containment_dups(SF, threshold=0.9).to_pandas()
+    got_pairs = {(r.d1, r.d2) for r in got.itertuples()}
+    shingles = {r.doc_id: char_shingles(r.text) for r in docs_df.itertuples()}
+    want_pairs = set()
+    for (da, sa), (db, sb) in itertools.combinations(shingles.items(), 2):
+        if len(sa & sb) / min(len(sa), len(sb)) >= 0.9:
+            want_pairs.add(tuple(sorted((da, db))))
+    assert got_pairs == want_pairs
