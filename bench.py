@@ -304,6 +304,16 @@ def _secondary_list():
          lambda: training.ngram_repetition(SF_DIR).count()),
         ("dsir_importance_weights",
          lambda: analysis.dsir_importance_weights(SF_DIR).count()),
+        ("incremental_dedup",
+         lambda: dedup.incremental_dedup(SF_DIR).count()),
+        ("ngram_containment_dups",
+         lambda: dedup.ngram_containment_dups(SF_DIR).count()),
+        ("image_phash_dups",
+         lambda: media.image_phash_dups(SF_DIR).count()),
+        ("user_event_windows",
+         lambda: events.user_event_windows(SF_DIR).count()),
+        ("event_rate_anomalies",
+         lambda: events.event_rate_anomalies(SF_DIR).count()),
     ]
 
 
