@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": relational.top_orders_per_priority,
         # --- BPE-ish token budget + composed LLM-prep pipeline ---
         "bpe_token_counts": training.bpe_token_counts,
+        "mixture_manifest": training.mixture_manifest,
         "learn_bpe_merges": training.learn_bpe_merges,
         "embedding_quantize": similarity.embedding_quantize,
         "llm_prep_pipeline": training.llm_prep_pipeline,
@@ -471,6 +472,23 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "mixture_manifest": """
+            WITH tot AS (SELECT sum(n_chars) AS tc FROM documents),
+            w(lang, wt) AS (VALUES ('en', 50), ('de', 15), ('fr', 15),
+                                   ('es', 10), ('zh', 10)),
+            ranked AS (
+              SELECT lang, doc_id, n_chars,
+                     sum(n_chars) OVER (PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS before_sum
+              FROM documents
+            )
+            SELECT r.lang, r.doc_id, r.n_chars
+            FROM ranked r JOIN w ON w.lang = r.lang, tot
+            WHERE COALESCE(before_sum, 0) < (tot.tc * w.wt) // 1000
+            ORDER BY r.lang, r.doc_id
+        """,
         "incremental_dedup": """
             WITH newdocs AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0

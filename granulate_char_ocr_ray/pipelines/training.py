@@ -631,3 +631,118 @@ def bpe_merge_loop(word_counts: list, n_merges: int) -> list:
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+#: Per-language target mixture, in per-mille of TOTAL corpus chars —
+#: the output of a mixing policy (DoReMi / tier-mix weights) frozen to
+#: a deterministic table so the manifest below is oracle-checkable.
+MIXTURE_WEIGHTS = (("en", 50), ("de", 15), ("fr", 15),
+                   ("es", 10), ("zh", 10))
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def mixture_manifest(sf_dir: str,
+                     weights=MIXTURE_WEIGHTS) -> rd.Dataset:
+    """Training-mixture manifest: for each language, greedily select
+    docs in Knuth-multiplicative-hash order (== a deterministic uniform
+    sample) until the language's char budget — ``weight`` per-mille of
+    TOTAL corpus chars — is filled; the doc that crosses the boundary
+    is included (selection rule: running char total BEFORE the doc is
+    strictly under budget). Output: (lang, doc_id, n_chars), sorted.
+
+    Scale plan (no per-lang global sort): the hash is uniform on
+    [0, 2^32), so a (lang x 256-bucket) char histogram — ONE two-phase
+    reduce over a 3-column projection — locates each language's
+    boundary bucket on the driver. Docs in buckets strictly below the
+    boundary stream straight to the output; only the ~1/256 boundary
+    sliver per language ships to a per-lang local sort + prefix-sum
+    gate (the same crossing-bucket-sliver pattern as
+    price_trimmed_mean / weighted_median). Budgets are exact integers
+    end-to-end (chars, per-mille weights, floor division), so the SQL
+    window-cumsum oracle agrees at every boundary."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    wmap = dict(weights)
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(path, columns=["doc_id", "lang", "n_chars"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        h = (ids * _KNUTH) & _M32
+        return batch.append_column(
+            "hbucket", pa.array((h >> np.uint64(24)).astype(np.int64)))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    hist = hash_groupby_agg(
+        bucketed.map_batches(lambda t: t.select(
+            ["lang", "hbucket", "n_chars"]), batch_format="pyarrow"),
+        ["lang", "hbucket"], {"chars": ("n_chars", "sum")},
+        num_parts=4).to_pandas()
+
+    total_chars = int(hist["chars"].sum())
+    plan: dict[str, tuple[int, int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        budget = (total_chars * wmap.get(lang, 0)) // 1000
+        g = g.sort_values("hbucket")
+        cum = g["chars"].cumsum().to_numpy(dtype=np.int64)
+        before = cum - g["chars"].to_numpy(dtype=np.int64)
+        cross = np.flatnonzero((before < budget) & (cum > budget))
+        if len(cross):
+            b_star = int(g["hbucket"].iloc[cross[0]])
+            chars_before = int(before[cross[0]])
+        else:
+            # budget falls exactly on a bucket edge (or past the end):
+            # no sliver — everything with before < budget is whole-bucket
+            sel = np.flatnonzero(cum <= budget)
+            b_star = int(g["hbucket"].iloc[sel[-1]]) + 1 if len(sel) else -1
+            chars_before = 0
+        plan[lang] = (b_star, chars_before, budget)
+    plan_ref = ray.put(plan)
+
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("n_chars", pa.int64())])
+
+    def route(batch: pa.Table, want_sliver: bool) -> pa.Table:
+        p = ray.get(plan_ref)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        hb = batch.column("hbucket").to_numpy(zero_copy_only=False)
+        # factorize -> |langs|-sized lut, no per-row Python
+        codes, uniq = pd.factorize(langs)
+        lut = np.array([p.get(l, (-1, 0, 0))[0] for l in uniq],
+                       dtype=np.int64)
+        bstar = lut[codes]
+        mask = (hb == bstar) if want_sliver else (hb < bstar)
+        return batch.filter(pa.array(mask)).select(
+            ["lang", "doc_id", "n_chars"]).cast(schema)
+
+    selected = bucketed.map_batches(
+        lambda t: route(t, False), batch_format="pyarrow")
+    sliver = bucketed.map_batches(
+        lambda t: route(t, True), batch_format="pyarrow")
+
+    def gate_sliver(g: pd.DataFrame) -> pa.Table:
+        p = ray.get(plan_ref)
+        out = []
+        for lang, gl in g.groupby("lang"):
+            _, chars_before, budget = p[lang]
+            ids = gl["doc_id"].to_numpy(dtype=np.int64)
+            h = (ids.view(np.uint64) * _KNUTH) & _M32
+            order = np.lexsort((ids, h))
+            chars = gl["n_chars"].to_numpy(dtype=np.int64)[order]
+            before = chars_before + np.concatenate(
+                ([0], np.cumsum(chars)[:-1]))
+            keep = before < budget
+            out.append(pd.DataFrame({
+                "lang": lang, "doc_id": ids[order][keep],
+                "n_chars": chars[keep]}))
+        if not out:
+            return schema.empty_table()
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
+                                    schema=schema, preserve_index=False)
+
+    gated = sliver.repartition(1).map_batches(
+        gate_sliver, batch_format="pandas")
+    return selected.union(gated).repartition(4).sort(["lang", "doc_id"])

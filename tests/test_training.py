@@ -295,3 +295,35 @@ def test_learn_bpe_merges_matches_local():
     want = bpe_merge_loop(list(wc.items()), 8)
     assert [tuple(r) for r in got[["left", "right"]].to_numpy()] == want
     assert (got["merged"] == got["left"] + got["right"]).all()
+
+
+def test_mixture_manifest_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.training import (
+        MIXTURE_WEIGHTS, mixture_manifest)
+
+    got = mixture_manifest(SF).to_pandas()
+    docs = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    total = int(docs["n_chars"].sum())
+    want = []
+    for lang, wt in MIXTURE_WEIGHTS:
+        g = docs[docs["lang"] == lang]
+        if not len(g):
+            continue
+        budget = (total * wt) // 1000
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids.view(np.uint64) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((ids, h))
+        chars = g["n_chars"].to_numpy(dtype=np.int64)[order]
+        before = np.concatenate(([0], np.cumsum(chars)[:-1]))
+        keep = before < budget
+        for d, c in zip(ids[order][keep], chars[keep]):
+            want.append((lang, int(d), int(c)))
+        # greedy fill: selected chars reach the budget (last doc crosses)
+        assert chars[keep].sum() >= min(budget, chars.sum())
+    want.sort()
+    assert [(r.lang, r.doc_id, r.n_chars)
+            for r in got.itertuples()] == want
