@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dups": lambda sf: dedup.minhash_lsh_dups(sf, threshold=0.8),
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dups": dedup.simhash_near_dups,
+        "paragraph_dedup": dedup.paragraph_dedup,
         # --- similarity search ---
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
@@ -535,6 +536,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = d1
             JOIN sizes s2 ON s2.doc_id = d2
             WHERE c / least(s1.n, s2.n) >= 0.9
+        """,
+        "paragraph_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), p AS (
+              SELECT doc_id, tk,
+                     unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT)))
+                       AS pidx
+              FROM toks
+            ), paras AS (
+              SELECT doc_id, pidx,
+                     array_to_string(
+                       tk[CAST(pidx * 16 + 1 AS BIGINT)
+                          :CAST(least((pidx + 1) * 16, len(tk)) AS BIGINT)],
+                       ' ') AS para
+              FROM p
+            ), flagged AS (
+              SELECT doc_id, pidx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pidx) AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pidx), '') AS clean_text,
+                   count(*) AS n_paras,
+                   count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "token_counts": (
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "

@@ -1331,3 +1331,123 @@ def ngram_containment_dups(sf_dir: str, k: int = 3, threshold: float = 0.9,
     containment scoring kernel. Output: (d1, d2, containment)."""
     return ngram_jaccard_dups(sf_dir, k=k, threshold=threshold,
                               score="containment", **kw)
+
+
+def paragraph_dedup(sf_dir: str, para_tokens: int = 16,
+                    doc_buckets: int = 64) -> rd.Dataset:
+    """Exact paragraph-level deduplication with document reassembly —
+    the RefinedWeb / MassiveWeb "remove duplicated passages corpus-wide,
+    keep the first occurrence" recipe (Penedo et al. 2023,
+    arXiv:2306.01116 §3.3). Paragraphs are disjoint ``para_tokens``-token
+    windows (the synthetic corpus carries no newline structure; on real
+    web text the splitter swaps for a ``\\n\\n`` split — same plan).
+
+    A paragraph occurrence survives iff it is the corpus-wide FIRST
+    occurrence of that exact string, ordered by (doc_id, pidx); each
+    document is then rebuilt from its surviving paragraphs in original
+    order. Unlike :func:`substring_dups` (which FLAGS offending docs),
+    this op EDITS content — the output is a cleaned corpus.
+
+    Two corpus-sized exchanges — the minimum for "global string dedup,
+    then per-doc regroup on a different key":
+
+    1. per block, one Arrow ``split_pattern`` + a ListArray re-slice +
+       ``binary_join`` explode paragraphs with no per-row Python
+       (paragraph windows tile each doc's flat token range contiguously,
+       so re-slicing is just a new offsets vector over the SAME flat
+       token buffer — zero-copy);
+    2. paragraph-partitioned exchange keyed on hash64(para) % NPART
+       (the hash only routes — dedup groups on the string, so the
+       result is exact, no collision caveat); per partition one
+       mergesort + ``duplicated()`` marks every non-first occurrence;
+    3. coarse doc-bucketed exchange (``_stable_partition``, fixed
+       ``doc_buckets`` groups — never a per-doc native groupby); per
+       bucket one sorted grouped string-join rebuilds all docs at once.
+
+    Reference tie-in: the reference dedups whole artifacts only
+    (create_tesseract_data.py:156); sub-document dedup is the graft
+    extension required by the LLM-data literature.
+
+    Output: (doc_id, clean_text, n_paras, n_kept) sorted by doc_id.
+    """
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=rows_to_blocks(path))
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
+    P = para_tokens
+
+    empty = pa.Table.from_pydict({
+        "doc_id": pa.array([], pa.int64()),
+        "pidx": pa.array([], pa.int64()),
+        "para": pa.array([], pa.string()),
+        "ppart": pa.array([], pa.int64())})
+
+    def explode_paras(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        cnt = np.diff(offs)                      # tokens per doc (>= 1)
+        npar = -(-cnt // P)                      # ceil division
+        doc = np.repeat(ids, npar)
+        cum = np.concatenate(([0], np.cumsum(npar)))
+        pidx = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], npar)
+        starts = np.repeat(offs[:-1], npar) + pidx * P
+        para_offsets = np.append(starts, offs[-1]).astype(np.int32)
+        plist = pa.ListArray.from_arrays(
+            pa.array(para_offsets, pa.int32()), toks.values)
+        para = pc.binary_join(plist, " ")
+        h = hash64_batch(para)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc, pa.int64()),
+            "pidx": pa.array(pidx, pa.int64()),
+            "para": para,
+            "ppart": pa.array((h % np.uint64(NPART)).astype(np.int64),
+                              pa.int64())})
+
+    paras = docs.map_batches(explode_paras, batch_format="pyarrow")
+
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "pidx": pd.Series(dtype=np.int64),
+                "para": pd.Series(dtype=object),
+                "keep": pd.Series(dtype=bool),
+                "_dbucket": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["para", "doc_id", "pidx"],
+                                kind="mergesort")
+        out = part[["doc_id", "pidx", "para"]].copy()
+        out["keep"] = ~part["para"].duplicated().to_numpy()
+        out["_dbucket"] = _stable_partition(out, ["doc_id"], doc_buckets)
+        return out
+
+    flagged = paras.groupby("ppart").map_groups(
+        flag, batch_format="pandas")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "clean_text": pd.Series(dtype=object),
+                "n_paras": pd.Series(dtype=np.int64),
+                "n_kept": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["doc_id", "pidx"], kind="mergesort")
+        kept = g[g["keep"]]
+        joined = kept.groupby("doc_id", sort=False)["para"].agg(" ".join)
+        agg = g.groupby("doc_id", sort=True).agg(
+            n_paras=("pidx", "size"), n_kept=("keep", "sum"))
+        agg["clean_text"] = agg.index.map(joined).fillna("")
+        out = agg.reset_index()
+        out["n_paras"] = out["n_paras"].astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[["doc_id", "clean_text", "n_paras", "n_kept"]]
+
+    return flagged.groupby("_dbucket").map_groups(
+        assemble, batch_format="pandas").repartition(4).sort("doc_id")

@@ -661,3 +661,33 @@ def test_ngram_containment_matches_bruteforce(docs_df):
         if len(sa & sb) / min(len(sa), len(sb)) >= 0.9:
             want_pairs.add(tuple(sorted((da, db))))
     assert got_pairs == want_pairs
+
+
+def test_paragraph_dedup_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.pipelines.dedup import paragraph_dedup
+
+    P = 16
+    # brute force: first corpus-wide occurrence of each exact paragraph
+    # (ordered by doc_id, pidx) survives; docs rebuild in pidx order
+    occurrences = []
+    for doc_id, text in zip(docs_df["doc_id"], docs_df["text"]):
+        tk = text.split(" ")
+        for i in range(-(-len(tk) // P)):
+            occurrences.append((doc_id, i, " ".join(tk[i * P:(i + 1) * P])))
+    first = {}
+    for doc_id, i, para in sorted(occurrences):
+        first.setdefault(para, (doc_id, i))
+    want = {}
+    for doc_id, i, para in occurrences:
+        kept = first[para] == (doc_id, i)
+        n, k, parts = want.get(doc_id, (0, 0, []))
+        want[doc_id] = (n + 1, k + kept, parts + ([para] if kept else []))
+
+    got = paragraph_dedup(SF, para_tokens=P).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        n, k, parts = want[row.doc_id]
+        assert (row.n_paras, row.n_kept) == (n, k)
+        assert row.clean_text == " ".join(parts)
+    # the corpus actually exercises removal
+    assert got["n_kept"].sum() < got["n_paras"].sum()
