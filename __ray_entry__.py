@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_counts": analysis.token_counts,
         "lexicon_score": analysis.lexicon_score,
+        # rows-only: iterative quantized-gradient training, not
+        # SQL-expressible (the driver records the weaker rows check)
+        "train_quality_classifier": analysis.train_quality_classifier,
         "doc_quality": analysis.doc_quality,
         "gopher_quality_rules": analysis.gopher_quality_rules,
         "lang_id": analysis.lang_id_scores,

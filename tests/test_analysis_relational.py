@@ -1834,3 +1834,34 @@ def test_lexicon_score_matches_bruteforce():
     assert got["doc_id"].tolist() == sorted(want)
     for r in got.itertuples():
         assert abs(want[r.doc_id] - r.lex_score) < 1e-9
+
+
+def test_train_quality_classifier_deterministic_and_learns():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.functions.linear import logreg_fit_quantized
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        _quality_clf_xy, train_quality_classifier)
+
+    sf = "/root/testdata/sf0.001"
+    got = train_quality_classifier(sf).to_pandas().set_index("feature")
+
+    # brute force: the shared quantized kernel over the whole corpus at
+    # once must reproduce the engine's weights exactly (quantized int64
+    # partials are partition-independent by construction)
+    t = pads.dataset(f"{sf}/documents.parquet").to_table(columns=["text"])
+    X, y = _quality_clf_xy(t.column("text"))
+    mu, w = logreg_fit_quantized(X, y, iters=40, lr=4.0)
+    from granulate_char_ocr_ray.functions.numeric import round_half_up
+    want = round_half_up(np.concatenate([mu, w]), 6)
+    have = got["value"].to_numpy()[:len(want)]
+    assert np.array_equal(have, want)
+
+    # the distilled model must beat the majority class by a wide margin
+    base = max(y.mean(), 1 - y.mean())
+    assert got.loc["train_acc", "value"] >= base + 0.2
+
+    # distributed fold path emits bit-identical output to the local path
+    dist = train_quality_classifier(sf, local_threshold=0).to_pandas()
+    assert np.array_equal(dist["value"].to_numpy(),
+                          got["value"].to_numpy())
