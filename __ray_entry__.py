@@ -341,10 +341,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_probs": events.event_transition_probs,
         "quantity_mad_outliers": relational.quantity_mad_outliers,
         "price_trimmed_mean": relational.price_trimmed_mean,
+        "price_winsorized_mean": relational.price_winsorized_mean,
         # --- corpus audits / concentration / skyline ---
         "doc_len_zscore_outliers": analysis.doc_len_zscore_outliers,
         "dup_rate_by_source": analysis.dup_rate_by_source,
         "source_token_entropy": analysis.source_token_entropy,
+        "source_kl_divergence": analysis.source_kl_divergence,
         "revenue_gini": relational.revenue_gini,
         "price_size_skyline": relational.price_size_skyline,
         # --- interval union / weighted median / rank fusion ---
@@ -2010,6 +2012,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice BETWEEN lo AND hi
             GROUP BY lo, hi
         """,
+        "price_winsorized_mean": """
+            WITH c AS (
+              SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+                     quantile_cont(o_totalprice, 0.95) AS hi
+              FROM orders)
+            SELECT round(lo, 4) AS lo_cut, round(hi, 4) AS hi_cut,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(least(greatest(o_totalprice, lo), hi)), 4)
+                     AS winsorized_mean
+            FROM orders CROSS JOIN c
+            GROUP BY lo, hi
+        """,
         "doc_len_zscore_outliers": """
             WITH s AS (SELECT lang, avg(n_chars) AS mu,
                               stddev_samp(n_chars) AS sd
@@ -2027,6 +2041,29 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (count(*) - count(DISTINCT text))
                          / count(*), 4) AS dup_pct
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "source_kl_divergence": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), st AS (
+              SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+              FROM toks GROUP BY 1, 2
+            ), tt AS (
+              SELECT tok, sum(c) AS ct FROM st GROUP BY 1
+            ), s AS (
+              SELECT st.source,
+                     sum(st.c) AS ns,
+                     sum(st.c * ln(st.c)) AS s1,
+                     sum(st.c * ln(tt.ct)) AS s2
+              FROM st JOIN tt USING (tok) GROUP BY 1
+            ), tot AS (SELECT sum(ns) AS n FROM s)
+            SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+                   round((s1 - s2) / ns - ln(ns) + ln(tot.n), 6)
+                     AS kl_nats
+            FROM s CROSS JOIN tot ORDER BY source
         """,
         "source_token_entropy": """
             WITH tok AS (

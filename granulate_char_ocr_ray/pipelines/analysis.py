@@ -1686,3 +1686,90 @@ def train_quality_classifier(sf_dir: str, iters: int = 40, lr: float = 4.0,
     return rd.from_arrow(pa.Table.from_pydict({
         "feature": pa.array(names, pa.string()),
         "value": pa.array(round_half_up(vals, 6), pa.float64())}))
+
+
+def source_kl_divergence(sf_dir: str, token_buckets: int = 64
+                         ) -> rd.Dataset:
+    """KL divergence (nats) of each source's unigram token distribution
+    from the corpus-wide distribution — the drift/skew audit a data
+    mixture runs per ingest source (a templated or off-domain crawl
+    shows up as a high-KL outlier; the CCNet/DSIR family uses the same
+    quantity to weight domains).
+
+    KL(P_s || P_c) factors into mergeable pieces:
+    (Σ c·ln c − Σ c·ln C_t)/N_s − ln N_s + ln N, where c is the
+    (source, token) count, C_t the corpus count of the token, N_s and
+    N the source/corpus totals. Plan: the (source, token) table
+    reduces ONCE (vocabulary-sized two-phase hash aggregate — the
+    only corpus-scale exchange, shared shape with
+    :func:`source_token_entropy`); a token-bucketed exchange of that
+    REDUCED table co-locates every source's count of a token, so C_t
+    is a local per-bucket groupby and no join materializes; per-source
+    partials then fold to |sources| rows. Output:
+    (source, n_tokens, kl_nats) sorted by source."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        src = pc.filter(batch.column("source"), keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
+            "token": pc.list_flatten(toks).to_pandas()})
+        g = df.groupby(["source", "token"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "c"}),
+                                 preserve_index=False)
+
+    per_token = hash_groupby_agg(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["source", "token"], {"c": ("c", "sum")}, num_parts=16)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_tbucket"] = _stable_partition(df, ["token"], token_buckets)
+        return df
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "n_s": pd.Series(dtype=np.int64),
+                "s1": pd.Series(dtype=np.float64),
+                "s2": pd.Series(dtype=np.float64)})
+        c = g["c"].to_numpy(dtype=np.float64)
+        # corpus count of each token: all of a token's rows share a
+        # bucket, so this per-bucket groupby IS the global C_t
+        ct = g.groupby("token")["c"].transform("sum").to_numpy(
+            dtype=np.float64)
+        out = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_s": g["c"].to_numpy(dtype=np.int64),
+            "s1": c * np.log(c),
+            "s2": c * np.log(ct)})
+        return out.groupby("source", as_index=False).agg(
+            n_s=("n_s", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+
+    parts = (per_token.map_batches(bucket, batch_format="pandas")
+             .groupby("_tbucket").map_groups(
+                 bucket_partials, batch_format="pandas")
+             .repartition(2).groupby("source").aggregate(
+                 Sum("n_s", alias_name="n_s"),
+                 Sum("s1", alias_name="s1"),
+                 Sum("s2", alias_name="s2")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ns = df["n_s"].to_numpy(dtype=np.float64)
+        n = float(ns.sum())     # one batch holds all |sources| rows
+        kl = (df["s1"].to_numpy() - df["s2"].to_numpy()) / ns \
+            - np.log(ns) + np.log(n)
+        return table_from_pandas(pd.DataFrame({
+            "source": df["source"],
+            "n_tokens": df["n_s"].astype(np.int64),
+            "kl_nats": round_half_up(kl, 6)}), preserve_index=False)
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pyarrow").sort("source")

@@ -3593,28 +3593,24 @@ def quantity_mad_outliers(sf_dir: str, k_sigma: float = 3.0) -> rd.Dataset:
     return hist.map_batches(select, batch_format="pyarrow")
 
 
-def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
-                       num_buckets: int = 4096) -> rd.Dataset:
-    """Trimmed mean of l_extendedprice between the EXACT interpolated
-    [q_lo, q_hi] percentiles — the robust-mean shape for a CONTINUOUS
-    column, where the bounded-domain histogram trick (quantity_deciles)
-    does not apply because distinct values grow with the data.
+def _percentile_cont_cutoffs(ds: "rd.Dataset", col: str, qs: list,
+                             num_buckets: int) -> tuple:
+    """EXACT interpolated ``percentile_cont`` order statistics of a
+    CONTINUOUS column without materializing it (the shared engine under
+    the robust-mean family):
 
-    Plan (exact at any scale, no full-column materialization):
       1. one narrow pass folds per-block (count, min, max) partials;
       2. one pass histograms values into ``num_buckets`` uniform
          buckets over [min, max] — the reduce moves at most
          num_buckets rows regardless of input size; cumulative bucket
          counts locate the buckets holding the order statistics
-         floor/ceil(q*(n-1)) for both cutoffs;
-      3. one pass pulls ONLY those (at most 4) buckets' values — an
+         floor/ceil(q*(n-1)) for every requested q;
+      3. one pass pulls ONLY those buckets' values — an
          O(n/num_buckets) expected sliver — and interpolates the exact
-         percentile_cont cutoffs from their within-bucket ranks;
-      4. one pass computes the filtered sum/count BETWEEN the cutoffs.
-    Output: one row (lo_cut, hi_cut, n_kept, trimmed_mean)."""
-    path = f"{sf_dir}/lineitem.parquet"
-    col = "l_extendedprice"
-    ds = read_table(path, columns=[col])
+         cutoffs from their within-bucket ranks.
+
+    Returns (n, cutoffs) with cutoffs aligned to ``qs``."""
+    from ..stages.hashagg import hash_groupby_agg
 
     # pass 1: global count/min/max from per-block partials
     def mm(batch: pa.Table) -> pa.Table:
@@ -3640,7 +3636,6 @@ def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
         return pa.Table.from_pydict({"b": pa.array(b, pa.int64()),
                                      "c": pa.array(c, pa.int64())})
 
-    from ..stages.hashagg import hash_groupby_agg
     bh = hash_groupby_agg(
         ds.map_batches(bcounts, batch_format="pyarrow"),
         ["b"], {"c": ("c", "sum")}, num_parts=4,
@@ -3653,7 +3648,7 @@ def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
         return int(bids[int(np.searchsorted(cum, k + 1))])
 
     need_ranks = []
-    for q in (q_lo, q_hi):
+    for q in qs:
         pos = q * (n - 1)
         need_ranks += [int(np.floor(pos)), min(int(np.floor(pos)) + 1, n - 1)]
     need_buckets = sorted({bucket_for_rank(k) for k in need_ranks})
@@ -3679,12 +3674,30 @@ def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
         return float(inside[k - base_rank[bkt]])
 
     cuts = []
-    for q in (q_lo, q_hi):
+    for q in qs:
         pos = q * (n - 1)
         k = int(np.floor(pos))
         a, b_ = order_stat(k), order_stat(min(k + 1, n - 1))
         cuts.append(a + (pos - k) * (b_ - a))
-    t_lo, t_hi = cuts
+    return n, cuts
+
+
+def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
+                       num_buckets: int = 4096) -> rd.Dataset:
+    """Trimmed mean of l_extendedprice between the EXACT interpolated
+    [q_lo, q_hi] percentiles — the robust-mean shape for a CONTINUOUS
+    column, where the bounded-domain histogram trick (quantity_deciles)
+    does not apply because distinct values grow with the data.
+
+    Exact at any scale with no full-column materialization: cutoffs
+    come from :func:`_percentile_cont_cutoffs` (3 narrow passes), then
+    one pass computes the filtered sum/count BETWEEN the cutoffs.
+    Output: one row (lo_cut, hi_cut, n_kept, trimmed_mean)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    col = "l_extendedprice"
+    ds = read_table(path, columns=[col])
+    _, (t_lo, t_hi) = _percentile_cont_cutoffs(
+        ds, col, [q_lo, q_hi], num_buckets)
 
     # pass 4: filtered sum/count between the exact cutoffs
     def keep(batch: pa.Table) -> pa.Table:
@@ -3702,6 +3715,40 @@ def price_trimmed_mean(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
         "n_kept": pa.array([kept], pa.int64()),
         "trimmed_mean": pa.array(round_half_up([total / kept if kept else 0.0],
                                                4), pa.float64()),
+    })
+
+
+
+def price_winsorized_mean(sf_dir: str, q_lo: float = 0.05,
+                          q_hi: float = 0.95,
+                          num_buckets: int = 4096) -> pa.Table:
+    """Winsorized mean of o_totalprice: values below the exact
+    interpolated q_lo percentile clip UP to it, values above q_hi clip
+    DOWN — the robust-mean variant that keeps every row (trimming
+    drops the tails instead). Cutoffs come from
+    :func:`_percentile_cont_cutoffs` (3 narrow passes); one more pass
+    folds per-block (sum of clipped values, count) partials. Output:
+    one row (lo_cut, hi_cut, n, winsorized_mean)."""
+    path = f"{sf_dir}/orders.parquet"
+    col = "o_totalprice"
+    ds = read_table(path, columns=[col])
+    n, (t_lo, t_hi) = _percentile_cont_cutoffs(
+        ds, col, [q_lo, q_hi], num_buckets)
+
+    def clip_sum(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "s": pa.array([float(np.clip(v, t_lo, t_hi).sum())]),
+            "k": pa.array([len(v)], pa.int64())})
+
+    f = ds.map_batches(clip_sum, batch_format="pyarrow").to_pandas()
+    total, k = float(f["s"].sum()), int(f["k"].sum())
+    return pa.Table.from_pydict({
+        "lo_cut": pa.array(round_half_up([t_lo], 4), pa.float64()),
+        "hi_cut": pa.array(round_half_up([t_hi], 4), pa.float64()),
+        "n": pa.array([k], pa.int64()),
+        "winsorized_mean": pa.array(
+            round_half_up([total / k if k else 0.0], 4), pa.float64()),
     })
 
 

@@ -1865,3 +1865,48 @@ def test_train_quality_classifier_deterministic_and_learns():
     dist = train_quality_classifier(sf, local_threshold=0).to_pandas()
     assert np.array_equal(dist["value"].to_numpy(),
                           got["value"].to_numpy())
+
+
+def test_price_winsorized_mean_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.relational import (
+        price_winsorized_mean)
+
+    v = pads.dataset("/root/testdata/sf0.001/orders.parquet").to_table(
+        columns=["o_totalprice"]).column("o_totalprice").to_numpy()
+    lo, hi = np.quantile(v, [0.05, 0.95], method="linear")
+    want = np.clip(v, lo, hi).mean()
+    got = price_winsorized_mean("/root/testdata/sf0.001").to_pandas()
+    assert got["n"].iloc[0] == len(v)
+    assert abs(got["lo_cut"].iloc[0] - lo) < 1e-3
+    assert abs(got["hi_cut"].iloc[0] - hi) < 1e-3
+    assert abs(got["winsorized_mean"].iloc[0] - want) < 1e-3
+
+
+def test_source_kl_divergence_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        source_kl_divergence)
+
+    df = pads.dataset("/root/testdata/sf0.001/documents.parquet").to_table(
+        columns=["source", "text"]).to_pandas()
+    rows = []
+    for src, text in zip(df["source"], df["text"]):
+        for tok in text.split():
+            rows.append((src, tok))
+    st = pd.DataFrame(rows, columns=["source", "tok"]).groupby(
+        ["source", "tok"], as_index=False).size()
+    ct = st.groupby("tok")["size"].sum()
+    n = st["size"].sum()
+    got = source_kl_divergence("/root/testdata/sf0.001").to_pandas()
+    for row in got.itertuples():
+        g = st[st["source"] == row.source]
+        p = g["size"].to_numpy() / g["size"].sum()
+        q = ct.loc[g["tok"]].to_numpy() / n
+        want = float((p * np.log(p / q)).sum())
+        assert abs(row.kl_nats - want) < 1e-5, row.source
+        assert row.n_tokens == g["size"].sum()
+    assert (got["kl_nats"] > 0).all()
