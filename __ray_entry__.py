@@ -321,6 +321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "retention_cohorts": events.retention_cohorts,
         "rolling_active_users": events.rolling_active_users,
+        # rows-only: HLL estimate is approximate by construction (the
+        # exact variant distinct_users_per_event_type IS SQL-gated)
+        "approx_distinct_users_by_type":
+            events.approx_distinct_users_by_type,
         "filter_lm_quality": analysis.filter_lm_quality,
         "lm_quality_tiers": analysis.lm_quality_tiers,
         "tier_mix_weights": analysis.tier_mix_weights,

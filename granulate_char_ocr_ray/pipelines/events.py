@@ -923,3 +923,52 @@ def event_rate_anomalies(sf_dir: str, trail: int = 24,
 
     return hourly.repartition(1).map_batches(
         windowed, batch_format="pandas")
+
+
+def approx_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct users per event_type via GROUPED mergeable
+    HyperLogLog sketches — the sketch-inside-a-groupby pattern: each
+    batch folds one 4 KiB register array per event_type it sees, the
+    exchange then moves only (groups x blocks) sketch rows instead of
+    every (event_type, user) pair, and per-group register-max merges
+    finish the estimate. The exact variant
+    (relational.distinct_users_per_event_type) shuffles the full
+    distinct-pair table; at 100 TB the sketch exchange is smaller by
+    the ratio corpus-pairs : 4 KiB x groups x blocks and is the only
+    plan that stays narrow for billion-user cardinalities (~1.6%
+    standard error at p=12; accuracy pytest vs exact). Output:
+    (event_type, approx_distinct) sorted."""
+    from ..functions.sketch import (
+        hll_add_hashes,
+        hll_create,
+        hll_estimate,
+        hll_merge,
+    )
+    from ..functions.textstats import _splitmix64
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_s = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            h = _splitmix64(g["user_id"].to_numpy(np.int64).view(np.uint64))
+            regs = hll_create()
+            hll_add_hashes(regs, h)
+            rows_t.append(et)
+            rows_s.append(regs.tobytes())
+        return pd.DataFrame({"event_type": rows_t, "sketch": rows_s})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_create()
+        for blob in g["sketch"]:
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "approx_distinct": np.array([round(hll_estimate(regs))],
+                                        dtype=np.int64)})
+
+    return (ds.map_batches(sketch_batch, batch_format="pandas")
+            .repartition(2).groupby("event_type")
+            .map_groups(merge, batch_format="pandas")
+            .repartition(1).sort("event_type"))

@@ -364,3 +364,21 @@ def test_image_phash_dups_matches_bruteforce():
             want[(d1, d2)] = d
     assert got_pairs == want
     assert len(want) > 0  # fixture must exercise the operator
+
+
+def test_approx_distinct_users_by_type_accuracy():
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.events import (
+        approx_distinct_users_by_type)
+
+    sf = "/root/testdata/sf0.001"
+    got = approx_distinct_users_by_type(sf).to_pandas()
+    df = pads.dataset(f"{sf}/events.parquet").to_table(
+        columns=["event_type", "user_id"]).to_pandas()
+    exact = df.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    for row in got.itertuples():
+        e = exact[row.event_type]
+        # p=12 HLL: ~1.6% std error; 5% bound is > 3 sigma
+        assert abs(row.approx_distinct - e) <= max(0.05 * e, 1), \
+            row.event_type
