@@ -314,6 +314,12 @@ def _secondary_list():
          lambda: events.user_event_windows(SF_DIR).count()),
         ("event_rate_anomalies",
          lambda: events.event_rate_anomalies(SF_DIR).count()),
+        ("paragraph_dedup",
+         lambda: dedup.paragraph_dedup(SF_DIR).count()),
+        ("train_quality_classifier",
+         lambda: analysis.train_quality_classifier(SF_DIR).count()),
+        ("source_kl_divergence",
+         lambda: analysis.source_kl_divergence(SF_DIR).count()),
     ]
 
 
