@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dimensions_jpeg": media.media_dimensions_jpeg,
         "media_thumbnails": media.media_thumbnails,
         "media_frame_sample": media.media_frame_sample,
+        # rows-only: keyframe choice is pixel-domain (no SQL form)
+        "media_keyframes": media.media_keyframes,
         "media_audio_energy": media.media_audio_energy,
         # image-content near-dup (pHash) — no SQL oracle (pixel-domain
         # DCT fingerprint); brute-force pytest is the correctness gate

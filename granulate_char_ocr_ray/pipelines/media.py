@@ -564,3 +564,82 @@ def image_phash_dups(sf_dir: str, max_dist: int = 7, bands: int = 8,
     out = hash_groupby_agg(pairs, ["d1", "d2"],
                            {"hamming": ("hamming", "min")})
     return out.repartition(1).sort(["d1", "d2"])
+
+
+class KeyframeStage:
+    """Actor stage: decode each frame container and select keyframes by
+    inter-frame difference energy — frame 0 plus the k-1 frames with
+    the largest mean |frame_i - frame_{i-1}| (ties -> lower index), the
+    standard shot-boundary heuristic. Pixel math is vectorized per
+    container; the per-ref loop is the irreducible decode dispatch of
+    an opaque-binary column (same shape as FrameSampleStage)."""
+
+    def __init__(self, k: int = 3) -> None:
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import base64
+
+        from ..functions.codecs import decode_frames
+
+        n_frames, keyframes = [], []
+        for ref in batch.column("media_ref").to_pylist():
+            frames = decode_frames(base64.b64decode((ref or "")[10:]))
+            n = len(frames)
+            n_frames.append(n)
+            if n == 0:
+                keyframes.append("")
+                continue
+            if n > 1:
+                stack = np.stack(frames).astype(np.int16)
+                d = np.abs(np.diff(stack, axis=0)).reshape(n - 1, -1).mean(
+                    axis=1)
+                # top k-1 diffs, ties to the LOWER frame index
+                order = np.lexsort((np.arange(n - 1), -d))[:self.k - 1]
+                idx = np.sort(np.concatenate(([0], order + 1)))
+            else:
+                idx = np.array([0])
+            keyframes.append(",".join(str(int(i)) for i in idx))
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "n_frames": pa.array(n_frames, pa.int64()),
+             "keyframes": pa.array(keyframes, pa.string())})
+
+
+def media_keyframes(sf_dir: str, k: int = 3,
+                    concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_frames, keyframes) per media doc: frames travel as
+    the same real binary container as :func:`media_frame_sample`
+    (length-prefixed PGM frames, base64-wrapped), the actor pool
+    decodes and picks the k highest-motion frames. Keyframe indices
+    depend on pixel content, so this is brute-force pytest-verified
+    (no SQL closed form); the plumbing — schema, batch size, actor
+    signature — is the exact video-column shape a compressed codec
+    would drop into."""
+    import base64
+
+    from ..functions.codecs import encode_frames
+    from ..functions.glyphs import MEDIA_PREFIX, render_letter_tile
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans,
+                                            batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")),
+        batch_format="pyarrow")
+
+    def to_container(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            word = (ref or "")[len(MEDIA_PREFIX):]
+            frames = [render_letter_tile(c) for c in word]
+            out.append("framesb64:"
+                       + base64.b64encode(encode_frames(frames)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    packed = media.map_batches(to_container, batch_format="pyarrow")
+    return packed.map_batches(
+        KeyframeStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"k": k}).repartition(4).sort("doc_id")

@@ -382,3 +382,39 @@ def test_approx_distinct_users_by_type_accuracy():
         # p=12 HLL: ~1.6% std error; 5% bound is > 3 sigma
         assert abs(row.approx_distinct - e) <= max(0.05 * e, 1), \
             row.event_type
+
+
+def test_keyframe_stage_picks_highest_motion_frames():
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+    from granulate_char_ocr_ray.functions.codecs import encode_frames
+    from granulate_char_ocr_ray.pipelines.media import (
+        KeyframeStage, media_keyframes)
+
+    # frames: constant 0, 0 (no motion), jump to 200 (big), 201
+    # (tiny), jump to 50 (medium) -> top-2 diffs are frames 2 and 4
+    levels = [0, 0, 200, 201, 50]
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in levels]
+    blob = "framesb64:" + base64.b64encode(encode_frames(frames)).decode()
+    batch = pa.Table.from_pydict(
+        {"doc_id": ["d0"], "media_ref": [blob]})
+    out = KeyframeStage(k=3)(batch).to_pandas()
+    assert out["n_frames"].iloc[0] == 5
+    assert out["keyframes"].iloc[0] == "0,2,4"
+
+    # tie-break: equal diffs resolve to the LOWER index
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in [0, 10, 20, 30]]
+    blob = "framesb64:" + base64.b64encode(encode_frames(frames)).decode()
+    out = KeyframeStage(k=2)(pa.Table.from_pydict(
+        {"doc_id": ["d1"], "media_ref": [blob]})).to_pandas()
+    assert out["keyframes"].iloc[0] == "0,1"
+
+    # pipeline end-to-end: every media doc emits ascending indices
+    got = media_keyframes("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    for row in got.itertuples():
+        idx = [int(i) for i in row.keyframes.split(",")]
+        assert idx[0] == 0 and idx == sorted(idx)
+        assert len(idx) <= min(3, row.n_frames)
