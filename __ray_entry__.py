@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": analysis.dup_rate_by_source,
         "source_token_entropy": analysis.source_token_entropy,
         "source_kl_divergence": analysis.source_kl_divergence,
+        "source_gram_coverage": analysis.source_gram_coverage,
         "revenue_gini": relational.revenue_gini,
         "price_size_skyline": relational.price_size_skyline,
         # --- interval union / weighted median / rank fusion ---
@@ -2047,6 +2048,22 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (count(*) - count(DISTINCT text))
                          / count(*), 4) AS dup_pct
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "source_gram_coverage": """
+            WITH g AS (
+              SELECT DISTINCT source, substr(text, CAST(i AS INT), 3) AS gm
+              FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+              WHERE length(text) >= 3
+            ), m AS (
+              SELECT gm, min(source) AS source FROM g GROUP BY 1
+            ), c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_new_grams
+              FROM m GROUP BY 1
+            ), tot AS (SELECT sum(n_new_grams) AS n FROM c)
+            SELECT source, n_new_grams,
+                   round(CAST(sum(n_new_grams) OVER (ORDER BY source)
+                              AS DOUBLE) / tot.n, 6) AS cum_coverage
+            FROM c CROSS JOIN tot ORDER BY source
         """,
         "source_kl_divergence": """
             WITH toks AS (

@@ -1773,3 +1773,77 @@ def source_kl_divergence(sf_dir: str, token_buckets: int = 64
 
     return parts.repartition(1).map_batches(
         final, batch_format="pyarrow").sort("source")
+
+
+def source_gram_coverage(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Greedy source coverage curve — for the fixed lexicographic
+    source order, how many NOVEL k-grams each source contributes (its
+    grams not present in any earlier source) and the cumulative
+    coverage fraction. The data-valuation signal behind greedy corpus
+    selection (each source's marginal utility under a submodular
+    coverage objective).
+
+    Plan: each block emits its DISTINCT (gram-hash, source) pairs via
+    the vectorized rolling-hash shingle kernel (shared with
+    :func:`dedup.substring_dups`, same 64-bit gram-identity caveat);
+    ONE gram-partitioned exchange lexsorts each partition so the
+    min-source per gram run and the per-source novel counts fall out
+    of one pass; a |sources|-row combine then computes the running
+    coverage on a single final block. Output:
+    (source, n_new_grams, cum_coverage) sorted by source."""
+    from ..functions.textstats import string_bytes, window_hashes_flat
+    from ..sources.storage import parquet_data_bytes, scaled_parts
+    from ..stages.hashagg import hash_groupby_agg
+
+    path = f"{sf_dir}/documents.parquet"
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"g": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "gpart": pa.array([], pa.int64())})
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        return pa.Table.from_pydict({
+            "g": pa.array(h.view(np.int64), pa.int64()),
+            "source": pa.array(src[seg], pa.string()),
+            "gpart": pa.array((h % np.uint64(NPART)).astype(np.int64),
+                              pa.int64())})
+
+    pairs = read_table(path, columns=["source", "text"],
+                       num_blocks=rows_to_blocks(path)).map_batches(
+        gram_pairs, batch_format="pyarrow")
+
+    def min_source_counts(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "n_new": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["g", "source"], kind="mergesort")
+        winner = ~part["g"].duplicated().to_numpy()
+        return (part.loc[winner].groupby("source", as_index=False)
+                .size().rename(columns={"size": "n_new"}))
+
+    per_src = hash_groupby_agg(
+        pairs.groupby("gpart").map_groups(
+            min_source_counts, batch_format="pandas"),
+        ["source"], {"n_new": ("n_new", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("source", kind="mergesort")
+        n = df["n_new"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_new_grams": n,
+            "cum_coverage": round_half_up(
+                np.cumsum(n) / float(n.sum()), 6)})
+
+    return per_src.repartition(1).map_batches(
+        final, batch_format="pandas").sort("source")

@@ -1910,3 +1910,25 @@ def test_source_kl_divergence_matches_bruteforce():
         assert abs(row.kl_nats - want) < 1e-5, row.source
         assert row.n_tokens == g["size"].sum()
     assert (got["kl_nats"] > 0).all()
+
+
+def test_source_gram_coverage_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        source_gram_coverage)
+
+    df = pads.dataset("/root/testdata/sf0.001/documents.parquet").to_table(
+        columns=["source", "text"]).to_pandas()
+    first = {}
+    for src in sorted(df["source"].unique()):
+        for text in df.loc[df["source"] == src, "text"]:
+            for i in range(len(text) - 2):
+                first.setdefault(text[i:i + 3], src)
+    want = {}
+    for src in first.values():
+        want[src] = want.get(src, 0) + 1
+    got = source_gram_coverage("/root/testdata/sf0.001").to_pandas()
+    assert dict(zip(got["source"], got["n_new_grams"])) == want
+    assert abs(got["cum_coverage"].iloc[-1] - 1.0) < 1e-9
+    assert (np.diff(got["cum_coverage"]) > 0).all()
