@@ -327,6 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact variant distinct_users_per_event_type IS SQL-gated)
         "approx_distinct_users_by_type":
             events.approx_distinct_users_by_type,
+        "inter_event_gap_stats": events.inter_event_gap_stats,
+        # rows-only: the reranker is the model seam (deterministic
+        # stand-in scorer; brute-force pytest)
+        "rerank_search": analysis.rerank_search,
         "filter_lm_quality": analysis.filter_lm_quality,
         "lm_quality_tiers": analysis.lm_quality_tiers,
         "tier_mix_weights": analysis.tier_mix_weights,
@@ -2048,6 +2052,21 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (count(*) - count(DISTINCT text))
                          / count(*), 4) AS dup_pct
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "inter_event_gap_stats": """
+            WITH g AS (
+              SELECT CAST(floor(date_part('epoch',
+                       ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)))
+                     AS BIGINT) AS sec
+              FROM events
+            )
+            SELECT CAST(count(sec) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(sec, 0.5) AS BIGINT)
+                     AS median_gap_s,
+                   CAST(quantile_disc(sec, 0.95) AS BIGINT)
+                     AS p95_gap_s
+            FROM g WHERE sec IS NOT NULL
         """,
         "source_gram_coverage": """
             WITH g AS (

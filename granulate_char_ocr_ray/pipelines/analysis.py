@@ -1847,3 +1847,86 @@ def source_gram_coverage(sf_dir: str, k: int = 3) -> rd.Dataset:
 
     return per_src.repartition(1).map_batches(
         final, batch_format="pandas").sort("source")
+
+
+class RerankStage:
+    """Actor-pool second-stage ranker — the cross-encoder seam of a
+    retrieve->rerank pipeline. The sandbox has no torch, so the scorer
+    is a deterministic stand-in (query-term frequency + adjacent
+    query-term phrase bonus + a retrieval-score prior); a real model
+    drops into ``__init__`` (load once per actor) / ``__call__``
+    (batched inference) unchanged — the same seam contract as
+    stages/classify.GlyphClassifierStage."""
+
+    def __init__(self, terms: tuple, bm25_by_doc: dict) -> None:
+        self.terms = np.asarray(terms)
+        self.bm25 = bm25_by_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        lists = pc.split_pattern_regex(trimmed, r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        if len(flat):
+            member = np.isin(flat, self.terms)
+            tf = np.add.reduceat(member.astype(np.int64), starts)
+            # adjacency bonus: consecutive tokens both query terms and
+            # inside the same doc. Pad the pair array to |flat| slots,
+            # then zero every doc's LAST slot (the pair there crosses
+            # into the next doc; the final doc's is the pad itself).
+            pairs = np.append(member[:-1] & member[1:], False)
+            ends = starts + lens - 1
+            pairs[ends[lens > 0]] = False
+            adj = np.add.reduceat(pairs.astype(np.int64), starts)
+            tf[lens == 0] = 0
+            adj[lens == 0] = 0
+        else:
+            tf = adj = np.zeros(n, dtype=np.int64)
+        prior = pd.Series(ids).map(self.bm25).fillna(0.0).to_numpy()
+        score = tf + 2.0 * adj + 0.1 * prior
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bm25": pa.array(round_half_up(prior, 4), pa.float64()),
+            "rerank_score": pa.array(round_half_up(score, 4),
+                                     pa.float64())})
+
+
+def rerank_search(sf_dir: str, terms: tuple = ("spark", "hash", "window"),
+                  k_retrieve: int = 50, k: int = 10,
+                  concurrency=(1, 4)) -> rd.Dataset:
+    """Two-stage retrieval: BM25 recall (top ``k_retrieve``) followed
+    by an actor-pool reranker over the candidates — the standard
+    retrieve->rerank composition of an LLM-data search stack. The
+    candidate set is k_retrieve rows BY CONSTRUCTION, so attaching
+    text is a broadcast semi-join (candidate-id set ships in the task
+    closure; one corpus scan filters) and the rerank pool sees a
+    bounded input regardless of corpus size. Output:
+    (doc_id, bm25, rerank_score) top-k by rerank_score desc, doc_id
+    asc ties."""
+    cand = bm25_search(sf_dir, terms=terms, k=k_retrieve).to_pandas()
+    bm25_by_doc = dict(zip(cand["doc_id"].astype(np.int64),
+                           cand["score"].astype(float)))
+    id_set = np.sort(cand["doc_id"].to_numpy(dtype=np.int64))
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, id_set)))
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        only_candidates, batch_format="pyarrow"
+    ).map_batches(
+        RerankStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"terms": terms,
+                               "bm25_by_doc": bm25_by_doc})
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rerank_score", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return scored.repartition(1).map_batches(
+        top, batch_format="pandas")

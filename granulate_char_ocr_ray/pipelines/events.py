@@ -972,3 +972,58 @@ def approx_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
             .repartition(2).groupby("event_type")
             .map_groups(merge, batch_format="pandas")
             .repartition(1).sort("event_type"))
+
+
+def inter_event_gap_stats(sf_dir: str) -> rd.Dataset:
+    """Global distribution of per-user inter-event gaps — the
+    event-stream cadence audit (bot bursts show as a collapsed median;
+    abandoned accounts stretch the tail). Gap = seconds between a
+    user's consecutive events in (ts, event_id) order.
+
+    Plan: ONE coarse user-bucket exchange; inside each bucket the gaps
+    of ALL users fall out of one sorted diff with a segment-boundary
+    mask (no per-user loop); gaps then reduce to an integer-seconds
+    VALUE HISTOGRAM (distinct-gap cardinality, not corpus cardinality)
+    from which exact quantile_disc ranks select the median/p95 on the
+    driver — the bounded-domain trick of quantity_deciles_by_flag.
+    Output: one row (n_gaps, median_gap_s, p95_gap_s)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id"])
+
+    def gap_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"sec": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000   # floor to seconds
+        same_user = u[1:] == u[:-1]
+        sec, c = np.unique(gaps[same_user], return_counts=True)
+        return pd.DataFrame({"sec": sec.astype(np.int64),
+                             "c": c.astype(np.int64)})
+
+    hist = hash_groupby_agg(
+        _user_bucketed(ds).map_groups(gap_hist, batch_format="pandas"),
+        ["sec"], {"c": ("c", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sec")
+        c = df["c"].to_numpy(dtype=np.int64)
+        sec = df["sec"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def qdisc(q: float) -> int:
+            rank = int(np.ceil(q * n))
+            return int(sec[int(np.searchsorted(cum, rank))])
+
+        return pd.DataFrame({
+            "n_gaps": np.array([n], dtype=np.int64),
+            "median_gap_s": np.array([qdisc(0.5)], dtype=np.int64),
+            "p95_gap_s": np.array([qdisc(0.95)], dtype=np.int64)})
+
+    return hist.repartition(1).map_batches(final, batch_format="pandas")

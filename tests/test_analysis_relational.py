@@ -1932,3 +1932,54 @@ def test_source_gram_coverage_matches_bruteforce():
     assert dict(zip(got["source"], got["n_new_grams"])) == want
     assert abs(got["cum_coverage"].iloc[-1] - 1.0) < 1e-9
     assert (np.diff(got["cum_coverage"]) > 0).all()
+
+
+def test_rerank_search_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        bm25_search, rerank_search)
+
+    sf = "/root/testdata/sf0.001"
+    terms = ("spark", "hash", "window")
+    cand = bm25_search(sf, terms=terms, k=50).to_pandas()
+    prior = dict(zip(cand["doc_id"], cand["score"]))
+    docs = pads.dataset(f"{sf}/documents.parquet").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["doc_id"].isin(prior)]
+    rows = []
+    for row in docs.itertuples():
+        toks = row.text.split()
+        tf = sum(t in terms for t in toks)
+        adj = sum(a in terms and b in terms
+                  for a, b in zip(toks, toks[1:]))
+        rows.append((row.doc_id, round(tf + 2 * adj
+                                       + 0.1 * prior[row.doc_id], 4)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    got = rerank_search(sf, terms=terms, k_retrieve=50, k=10).to_pandas()
+    assert list(zip(got["doc_id"], got["rerank_score"])) == rows[:10]
+    # reranker must actually reorder vs the retrieval prior
+    bm_order = sorted(got["doc_id"], key=lambda d: -prior[d])
+    assert list(got["doc_id"]) != bm_order or len(got) <= 1
+
+
+def test_inter_event_gap_stats_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.events import (
+        inter_event_gap_stats)
+
+    sf = "/root/testdata/sf0.001"
+    df = pads.dataset(f"{sf}/events.parquet").to_table(
+        columns=["user_id", "ts", "event_id"]).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    u = df["user_id"].to_numpy()
+    gaps = (us[1:] - us[:-1]) // 1_000_000
+    gaps = np.sort(gaps[u[1:] == u[:-1]])
+    got = inter_event_gap_stats(sf).to_pandas()
+    n = len(gaps)
+    assert got["n_gaps"].iloc[0] == n
+    assert got["median_gap_s"].iloc[0] == gaps[
+        int(np.ceil(0.5 * n)) - 1]
+    assert got["p95_gap_s"].iloc[0] == gaps[int(np.ceil(0.95 * n)) - 1]
