@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type":
             events.approx_distinct_users_by_type,
         "inter_event_gap_stats": events.inter_event_gap_stats,
+        "events_with_last_order": events.events_with_last_order,
         # rows-only: the reranker is the model seam (deterministic
         # stand-in scorer; brute-force pytest)
         "rerank_search": analysis.rerank_search,
@@ -2052,6 +2053,19 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (count(*) - count(DISTINCT text))
                          / count(*), 4) AS dup_pct
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "events_with_last_order": """
+            WITH od AS (
+              SELECT o_custkey, o_orderdate,
+                     max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   od.o_orderdate AS last_order_date,
+                   round(od.cents / 100.0, 2) AS last_order_total
+            FROM events e ASOF LEFT JOIN od
+              ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+            ORDER BY e.event_id
         """,
         "inter_event_gap_stats": """
             WITH g AS (

@@ -1027,3 +1027,87 @@ def inter_event_gap_stats(sf_dir: str) -> rd.Dataset:
             "p95_gap_s": np.array([qdisc(0.95)], dtype=np.int64)})
 
     return hist.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def events_with_last_order(sf_dir: str) -> rd.Dataset:
+    """Cross-table AS-OF join: enrich every event with the same
+    customer's most recent order at-or-before the event time — the
+    canonical point-in-time feature-attach (feature stores call it the
+    time-travel join; Ray Data has no as-of primitive, so the engine
+    lowers it explicitly).
+
+    Plan: orders pre-reduce to one row per (custkey, orderdate) (max
+    total in integer cents — removes right-side timestamp ties, which
+    an ASOF join otherwise resolves arbitrarily); both tables tag with
+    the SAME hash(user) coarse bucket and union, so ONE exchange
+    co-locates each user's events with their orders; per bucket one
+    ``pd.merge_asof(by=user)`` — a single sort-merge over all the
+    bucket's users, no per-user loop. Output: (event_id, user_id,
+    last_order_date, last_order_total) sorted by event_id, NULLs when
+    the user never ordered before the event."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def order_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.rint(
+            df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            cents=("cents", "max"))
+        return g
+
+    od = hash_groupby_agg(
+        orders.map_batches(order_cents, batch_format="pandas"),
+        ["o_custkey", "o_orderdate"], {"cents": ("cents", "max")},
+        num_parts=8)
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["o_custkey"].astype(np.int64),
+            "t": df["o_orderdate"],
+            "event_id": np.int64(-1),
+            "cents": df["cents"].astype(np.int64)})
+        out["_ubucket"] = _stable_partition(out, ["user_id"], 16)
+        return out
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "t": df["ts"],
+            "event_id": df["event_id"].astype(np.int64),
+            "cents": np.int64(0)})
+        out["_ubucket"] = _stable_partition(out, ["user_id"], 16)
+        return out
+
+    both = ev.map_batches(tag_events, batch_format="pandas").union(
+        od.map_batches(tag_orders, batch_format="pandas"))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        is_ev = g["event_id"].to_numpy() >= 0
+        e = g.loc[is_ev, ["event_id", "user_id", "t"]].sort_values(
+            "t", kind="mergesort")
+        o = g.loc[~is_ev, ["user_id", "t", "cents"]].sort_values(
+            "t", kind="mergesort")
+        o = o.assign(odate=o["t"])
+        if not len(e):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "last_order_date": pd.Series(dtype="datetime64[us]"),
+                "last_order_total": pd.Series(dtype=np.float64)})
+        m = pd.merge_asof(e, o, on="t", by="user_id",
+                          direction="backward")
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64),
+            "user_id": m["user_id"].astype(np.int64),
+            "last_order_date": m["odate"].astype("datetime64[us]"),
+            "last_order_total": round_half_up(
+                m["cents"].to_numpy(dtype=np.float64) / 100.0, 2)})
+
+    return both.groupby("_ubucket").map_groups(
+        asof, batch_format="pandas").repartition(4).sort("event_id")

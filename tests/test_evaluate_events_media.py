@@ -418,3 +418,51 @@ def test_keyframe_stage_picks_highest_motion_frames():
         idx = [int(i) for i in row.keyframes.split(",")]
         assert idx[0] == 0 and idx == sorted(idx)
         assert len(idx) <= min(3, row.n_frames)
+
+
+def test_events_with_last_order_boundary_semantics(tmp_path):
+    """The fixture's order dates all precede the event window, so every
+    event matches the user's LAST order — exercise the real as-of
+    boundaries (exact-match inclusive, strictly-later excluded, no
+    order at all -> NULL) on a synthetic interleaved pair of tables."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from granulate_char_ocr_ray.pipelines.events import (
+        events_with_last_order)
+
+    d = str(tmp_path)
+    ts = lambda s: np.datetime64(f"2024-01-{s:02d}", "us")
+    events = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        "ts": [ts(5), ts(10), ts(20), ts(7), ts(9)],
+        "event_type": ["view"] * 5,
+        "value": [0.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(4, dtype=np.int64),
+        "o_custkey": np.array([1, 1, 2, 2], dtype=np.int64),
+        "o_orderstatus": ["F"] * 4,
+        "o_totalprice": [100.25, 200.5, 300.75, 400.0],
+        "o_orderdate": [ts(10), ts(15), ts(8), ts(7)],
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    pq.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                   f"{d}/events.parquet")
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   f"{d}/orders.parquet")
+
+    got = events_with_last_order(d).to_pandas()
+    # event 0 (day 5): user 1 has no order yet -> NULL
+    assert pd.isna(got.loc[0, "last_order_total"])
+    # event 1 (day 10): exact-date order matches (>= is inclusive)
+    assert got.loc[1, "last_order_total"] == 100.25
+    # event 2 (day 20): picks day-15 order, not the earlier one
+    assert got.loc[2, "last_order_total"] == 200.5
+    # event 3 (user 2, day 7): day-8 order is LATER -> only day-7
+    assert got.loc[3, "last_order_total"] == 400.0
+    # event 4 (user 3): no orders at all -> NULL
+    assert pd.isna(got.loc[4, "last_order_total"])
