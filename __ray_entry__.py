@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "exact_dedup": dedup.exact_dedup,
         "incremental_dedup": dedup.incremental_dedup,
+        # rows-only: MinHash estimates are approximate by construction
+        # (the exact incremental twin above IS SQL-gated)
+        "incremental_minhash_dups": dedup.incremental_minhash_dups,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, threshold=0.8),
         "ngram_containment_dups": dedup.ngram_containment_dups,
         "minhash_lsh_dups": lambda sf: dedup.minhash_lsh_dups(sf, threshold=0.8),

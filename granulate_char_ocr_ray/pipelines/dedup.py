@@ -1451,3 +1451,123 @@ def paragraph_dedup(sf_dir: str, para_tokens: int = 16,
 
     return flagged.groupby("_dbucket").map_groups(
         assemble, batch_format="pandas").repartition(4).sort("doc_id")
+
+
+def incremental_minhash_dups(sf_dir: str, mod: int = 4, k: int = 3,
+                             num_perm: int = 128, bands: int = 16,
+                             threshold: float = 0.5) -> rd.Dataset:
+    """Cross-snapshot (incremental) NEAR-dedup: which docs of the NEW
+    snapshot (``doc_id % mod == 0``, the convention of
+    :func:`incremental_dedup`) near-duplicate a BASE-corpus doc — the
+    every-cycle ingest gate of a rolling crawl, where exact hashing
+    misses boilerplate-edited recrawls.
+
+    Same banding exchange as :func:`_minhash_lsh_fused` with the rows
+    side-tagged; the per-bucket verify generates ONLY cross-side
+    (new x base) candidate pairs with a fully-vectorized
+    segment-arithmetic kernel (per band run of nb base + nn new rows,
+    the nb*nn cross pairs come from one repeat/mod construction — no
+    per-run Python, and none of the base x base work a naive "run full
+    LSH then filter sides" plan would pay, which at 100 TB dominates
+    because the base corpus is the big side). At sigtable scale the
+    same side tag rides the (doc_id, band) rows of the signature-table
+    plan unchanged.
+
+    Output: (new_doc, base_doc, est_jaccard) distinct pairs with
+    estimate >= threshold, sorted."""
+    from ..functions.sketch import band_keys_batch, minhash_signatures_batch
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures_batch(batch.column("text"), k, num_perm)
+        keys = band_keys_batch(sigs, bands)
+        qsig = (sigs & np.uint64(0xFF)).astype(np.uint8)
+        rep = np.repeat(qsig, bands, axis=0)
+        offs = np.arange(0, (len(rep) + 1) * num_perm, num_perm,
+                         dtype=np.int32)
+        qarr = pa.Array.from_buffers(
+            pa.binary(), len(rep),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(rep.tobytes())])
+        band = keys.ravel()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": np.repeat(ids, bands).astype(np.int64),
+                "new": np.repeat(ids % mod == 0, bands),
+                "band": band,
+                "bpart": (band % 64).astype(np.int64),
+                "qsig": qarr,
+            },
+            schema=pa.schema([
+                ("doc_id", pa.int64()), ("new", pa.bool_()),
+                ("band", pa.int64()), ("bpart", pa.int64()),
+                ("qsig", pa.binary())]))
+
+    banded = _docs(sf_dir).map_batches(to_band_rows,
+                                       batch_format="pyarrow")
+
+    def cross_verify(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"new_doc": pd.Series(dtype=np.int64),
+                              "base_doc": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
+        if not len(part):
+            return empty
+        band = part["band"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        new = part["new"].to_numpy(dtype=bool)
+        sigs = np.frombuffer(b"".join(part["qsig"]), dtype=np.uint8
+                             ).reshape(len(part), num_perm)
+        # sort base rows before new rows inside each band run, dedup
+        # repeated (band, doc) rows from multiple agreeing bands
+        order = np.lexsort((ids, new, band))
+        band, ids, new, sigs = (band[order], ids[order], new[order],
+                                sigs[order])
+        uniq = np.ones(len(band), dtype=bool)
+        uniq[1:] = (band[1:] != band[:-1]) | (ids[1:] != ids[:-1]) \
+            | (new[1:] != new[:-1])
+        band, ids, new, sigs = band[uniq], ids[uniq], new[uniq], sigs[uniq]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
+        nb = np.add.reduceat((~new).astype(np.int64), starts)
+        nb[sizes == 0] = 0
+        nn = sizes - nb
+        p = nb * nn                      # cross pairs per band run
+        total = int(p.sum())
+        if total == 0:
+            return empty
+        out_n, out_b, out_e = [], [], []
+        # chunk over runs so each pair batch stays ~4M sig compares
+        run_ids = np.flatnonzero(p)
+        csum = np.cumsum(p[run_ids])
+        step = max(1, int(4_000_000 // num_perm))
+        lo = 0
+        while lo < len(run_ids):
+            hi = lo + 1
+            while hi < len(run_ids) and (
+                    csum[hi - 1] - (csum[lo - 1] if lo else 0)) < step:
+                hi += 1
+            rs = run_ids[lo:hi]
+            pr = p[rs]
+            run_of = np.repeat(np.arange(len(rs)), pr)
+            q = np.arange(int(pr.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(pr)[:-1])), pr)
+            nbr = nb[rs][run_of]
+            a = starts[rs][run_of] + nbr + q // nbr      # new row
+            b = starts[rs][run_of] + q % nbr             # base row
+            est = (sigs[a] == sigs[b]).mean(axis=1)
+            keep = est >= threshold
+            out_n.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_e.append(np.round(est[keep], 4))
+            lo = hi
+        got = pd.DataFrame({"new_doc": np.concatenate(out_n),
+                            "base_doc": np.concatenate(out_b),
+                            "est_jaccard": np.concatenate(out_e)})
+        return got if len(got) else empty
+
+    pairs = banded.groupby("bpart").map_groups(
+        cross_verify, batch_format="pandas")
+    return hash_groupby_agg(
+        pairs, ["new_doc", "base_doc"],
+        {"est_jaccard": ("est_jaccard", "min")},
+        num_parts=4).repartition(1).sort(["new_doc", "base_doc"])

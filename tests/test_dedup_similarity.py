@@ -691,3 +691,21 @@ def test_paragraph_dedup_matches_bruteforce(docs_df):
         assert row.clean_text == " ".join(parts)
     # the corpus actually exercises removal
     assert got["n_kept"].sum() < got["n_paras"].sum()
+
+
+def test_incremental_minhash_matches_full_lsh_cross_pairs():
+    from granulate_char_ocr_ray.pipelines.dedup import (
+        incremental_minhash_dups, minhash_lsh_dups)
+
+    got = incremental_minhash_dups(SF, mod=4, threshold=0.5).to_pandas()
+    full = minhash_lsh_dups(SF, threshold=0.5).to_pandas()
+    want = {}
+    for r in full.itertuples():
+        n1, n2 = r.d1 % 4 == 0, r.d2 % 4 == 0
+        if n1 != n2:   # exactly one side new
+            new, base = (r.d1, r.d2) if n1 else (r.d2, r.d1)
+            want[(new, base)] = r.est_jaccard
+    have = {(r.new_doc, r.base_doc): r.est_jaccard
+            for r in got.itertuples()}
+    assert have == want
+    assert len(have) > 0
