@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_dups": dedup.simhash_near_dups,
         "paragraph_dedup": dedup.paragraph_dedup,
+        "boilerplate_removal": dedup.boilerplate_removal,
+        "dup_window_fraction": dedup.dup_window_fraction,
         # --- similarity search ---
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
@@ -584,6 +586,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_paras,
                    count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
             FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "boilerplate_removal": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), p AS (
+              SELECT doc_id, tk,
+                     unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT)))
+                       AS pidx
+              FROM toks
+            ), paras AS (
+              SELECT doc_id, pidx,
+                     array_to_string(
+                       tk[CAST(pidx * 16 + 1 AS BIGINT)
+                          :CAST(least((pidx + 1) * 16, len(tk)) AS BIGINT)],
+                       ' ') AS para
+              FROM p
+            ), df AS (
+              SELECT para, count(DISTINCT doc_id) AS nd
+              FROM paras GROUP BY para
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN nd < 2 THEN paras.para END,
+                                       ' ' ORDER BY pidx), '') AS clean_text,
+                   count(*) AS n_paras,
+                   count(CASE WHEN nd < 2 THEN 1 END) AS n_kept
+            FROM paras JOIN df USING (para)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dup_window_fraction": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(1, length(text) - 48 + 2)) AS i
+              FROM documents WHERE length(text) >= 48
+            ), w AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS BIGINT), 48) AS gram
+              FROM pos
+            ), df AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY gram
+            )
+            SELECT w.doc_id,
+                   count(*) AS n_grams,
+                   count(CASE WHEN df.nd > 1 THEN 1 END) AS n_dup_grams,
+                   round(CAST(count(CASE WHEN df.nd > 1 THEN 1 END) AS DOUBLE)
+                         / count(*), 4) AS dup_frac
+            FROM w JOIN df USING (gram)
+            GROUP BY w.doc_id ORDER BY w.doc_id
         """,
         "token_counts": (
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens "

@@ -316,6 +316,10 @@ def _secondary_list():
          lambda: events.event_rate_anomalies(SF_DIR).count()),
         ("paragraph_dedup",
          lambda: dedup.paragraph_dedup(SF_DIR).count()),
+        ("boilerplate_removal",
+         lambda: dedup.boilerplate_removal(SF_DIR).count()),
+        ("dup_window_fraction",
+         lambda: dedup.dup_window_fraction(SF_DIR).count()),
         ("train_quality_classifier",
          lambda: analysis.train_quality_classifier(SF_DIR).count()),
         ("source_kl_divergence",

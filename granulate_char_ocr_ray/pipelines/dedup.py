@@ -1333,6 +1333,69 @@ def ngram_containment_dups(sf_dir: str, k: int = 3, threshold: float = 0.9,
                               score="containment", **kw)
 
 
+def _para_window_exploder(P: int, NPART: int):
+    """Batch fn exploding docs into disjoint P-token windows:
+    (doc_id, pidx, para, ppart) — shared by :func:`paragraph_dedup`
+    and :func:`boilerplate_removal`. Window slicing is a new offsets
+    vector over the SAME flat token buffer (zero-copy re-slice)."""
+    empty = pa.Table.from_pydict({
+        "doc_id": pa.array([], pa.int64()),
+        "pidx": pa.array([], pa.int64()),
+        "para": pa.array([], pa.string()),
+        "ppart": pa.array([], pa.int64())})
+
+    def explode_paras(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        cnt = np.diff(offs)                      # tokens per doc (>= 1)
+        npar = -(-cnt // P)                      # ceil division
+        doc = np.repeat(ids, npar)
+        cum = np.concatenate(([0], np.cumsum(npar)))
+        pidx = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], npar)
+        starts = np.repeat(offs[:-1], npar) + pidx * P
+        para_offsets = np.append(starts, offs[-1]).astype(np.int32)
+        plist = pa.ListArray.from_arrays(
+            pa.array(para_offsets, pa.int32()), toks.values)
+        para = pc.binary_join(plist, " ")
+        h = hash64_batch(para)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc, pa.int64()),
+            "pidx": pa.array(pidx, pa.int64()),
+            "para": para,
+            "ppart": pa.array((h % np.uint64(NPART)).astype(np.int64),
+                              pa.int64())})
+
+    return explode_paras
+
+
+def _assemble_clean_docs(g: pd.DataFrame) -> pd.DataFrame:
+    """Per doc-bucket: rebuild (doc_id, clean_text, n_paras, n_kept)
+    from flagged (doc_id, pidx, para, keep) windows — one sorted
+    grouped string-join per bucket, never a per-doc groupby."""
+    if not len(g):
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "clean_text": pd.Series(dtype=object),
+            "n_paras": pd.Series(dtype=np.int64),
+            "n_kept": pd.Series(dtype=np.int64)})
+    g = g.sort_values(["doc_id", "pidx"], kind="mergesort")
+    kept = g[g["keep"]]
+    joined = kept.groupby("doc_id", sort=False)["para"].agg(" ".join)
+    agg = g.groupby("doc_id", sort=True).agg(
+        n_paras=("pidx", "size"), n_kept=("keep", "sum"))
+    agg["clean_text"] = agg.index.map(joined).fillna("")
+    out = agg.reset_index()
+    out["n_paras"] = out["n_paras"].astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    return out[["doc_id", "clean_text", "n_paras", "n_kept"]]
+
+
 def paragraph_dedup(sf_dir: str, para_tokens: int = 16,
                     doc_buckets: int = 64) -> rd.Dataset:
     """Exact paragraph-level deduplication with document reassembly —
@@ -1376,42 +1439,9 @@ def paragraph_dedup(sf_dir: str, para_tokens: int = 16,
     docs = read_table(path, columns=["doc_id", "text"],
                       num_blocks=rows_to_blocks(path))
     NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
-    P = para_tokens
 
-    empty = pa.Table.from_pydict({
-        "doc_id": pa.array([], pa.int64()),
-        "pidx": pa.array([], pa.int64()),
-        "para": pa.array([], pa.string()),
-        "ppart": pa.array([], pa.int64())})
-
-    def explode_paras(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return empty
-        ids = batch.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        toks = pc.split_pattern(batch.column("text"), " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        cnt = np.diff(offs)                      # tokens per doc (>= 1)
-        npar = -(-cnt // P)                      # ceil division
-        doc = np.repeat(ids, npar)
-        cum = np.concatenate(([0], np.cumsum(npar)))
-        pidx = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], npar)
-        starts = np.repeat(offs[:-1], npar) + pidx * P
-        para_offsets = np.append(starts, offs[-1]).astype(np.int32)
-        plist = pa.ListArray.from_arrays(
-            pa.array(para_offsets, pa.int32()), toks.values)
-        para = pc.binary_join(plist, " ")
-        h = hash64_batch(para)
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(doc, pa.int64()),
-            "pidx": pa.array(pidx, pa.int64()),
-            "para": para,
-            "ppart": pa.array((h % np.uint64(NPART)).astype(np.int64),
-                              pa.int64())})
-
-    paras = docs.map_batches(explode_paras, batch_format="pyarrow")
+    paras = docs.map_batches(_para_window_exploder(para_tokens, NPART),
+                             batch_format="pyarrow")
 
     def flag(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
@@ -1431,26 +1461,9 @@ def paragraph_dedup(sf_dir: str, para_tokens: int = 16,
     flagged = paras.groupby("ppart").map_groups(
         flag, batch_format="pandas")
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype=np.int64),
-                "clean_text": pd.Series(dtype=object),
-                "n_paras": pd.Series(dtype=np.int64),
-                "n_kept": pd.Series(dtype=np.int64)})
-        g = g.sort_values(["doc_id", "pidx"], kind="mergesort")
-        kept = g[g["keep"]]
-        joined = kept.groupby("doc_id", sort=False)["para"].agg(" ".join)
-        agg = g.groupby("doc_id", sort=True).agg(
-            n_paras=("pidx", "size"), n_kept=("keep", "sum"))
-        agg["clean_text"] = agg.index.map(joined).fillna("")
-        out = agg.reset_index()
-        out["n_paras"] = out["n_paras"].astype(np.int64)
-        out["n_kept"] = out["n_kept"].astype(np.int64)
-        return out[["doc_id", "clean_text", "n_paras", "n_kept"]]
-
     return flagged.groupby("_dbucket").map_groups(
-        assemble, batch_format="pandas").repartition(4).sort("doc_id")
+        _assemble_clean_docs, batch_format="pandas").repartition(4).sort(
+            "doc_id")
 
 
 def incremental_minhash_dups(sf_dir: str, mod: int = 4, k: int = 3,
@@ -1571,3 +1584,166 @@ def incremental_minhash_dups(sf_dir: str, mod: int = 4, k: int = 3,
         pairs, ["new_doc", "base_doc"],
         {"est_jaccard": ("est_jaccard", "min")},
         num_parts=4).repartition(1).sort(["new_doc", "base_doc"])
+
+
+def boilerplate_removal(sf_dir: str, para_tokens: int = 16,
+                        min_df: int = 2, doc_buckets: int = 64) -> rd.Dataset:
+    """Corpus-frequency boilerplate strip: remove EVERY occurrence of a
+    paragraph window that appears in >= ``min_df`` distinct documents,
+    then rebuild each document from its surviving windows — the CCNet /
+    C4 "drop lines shared across many pages" rule (Wenzek et al. 2019,
+    arXiv:1911.00359 §3: discard paragraphs duplicated across shards;
+    C4 removes any line seen more than once). Complements
+    :func:`paragraph_dedup`, which KEEPS the first occurrence — the
+    dedup recipe; boilerplate (nav bars, cookie banners, footers)
+    must lose ALL occurrences because no single page owns it.
+
+    Same two-exchange plan as :func:`paragraph_dedup` (window explode
+    is shared): a window-partitioned exchange computes distinct-doc
+    frequency per exact window string (exact — a window's rows are
+    never split across partitions), then a coarse doc-bucketed
+    exchange rebuilds documents with one sorted grouped string-join
+    per bucket. Both exchanges carry the window text once; at 100 TB
+    the frequency pass could carry (hash, doc) pairs only, at the cost
+    of the join-back this fused form avoids.
+
+    Reference tie-in: the reference dedups whole artifacts only
+    (create_tesseract_data.py:156); sub-document boilerplate removal
+    is the graft extension from the LLM-data literature.
+
+    Output: (doc_id, clean_text, n_paras, n_kept) sorted by doc_id.
+    """
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=rows_to_blocks(path))
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
+
+    paras = docs.map_batches(_para_window_exploder(para_tokens, NPART),
+                             batch_format="pyarrow")
+
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "pidx": pd.Series(dtype=np.int64),
+                "para": pd.Series(dtype=object),
+                "keep": pd.Series(dtype=bool),
+                "_dbucket": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["para", "doc_id", "pidx"],
+                                kind="mergesort")
+        para = part["para"].to_numpy()
+        doc = part["doc_id"].to_numpy(dtype=np.int64)
+        n = len(part)
+        new_para = np.ones(n, dtype=bool)
+        new_para[1:] = para[1:] != para[:-1]
+        # distinct docs per window run: count doc changes inside the run
+        new_doc = new_para.copy()
+        new_doc[1:] |= doc[1:] != doc[:-1]
+        gid = np.cumsum(new_para) - 1
+        ndoc = np.bincount(gid, weights=new_doc).astype(np.int64)
+        out = part[["doc_id", "pidx", "para"]].copy()
+        out["keep"] = (ndoc < min_df)[gid]
+        out["_dbucket"] = _stable_partition(out, ["doc_id"], doc_buckets)
+        return out
+
+    flagged = paras.groupby("ppart").map_groups(flag, batch_format="pandas")
+    return flagged.groupby("_dbucket").map_groups(
+        _assemble_clean_docs, batch_format="pandas").repartition(4).sort(
+            "doc_id")
+
+
+def dup_window_fraction(sf_dir: str, k: int = 48) -> rd.Dataset:
+    """Per-document duplicated-text fraction: of each doc's DISTINCT
+    k-byte windows, the share whose window string also occurs in at
+    least one OTHER document — the corpus-audit metric of the
+    exact-substring dedup literature (Lee et al. 2022, arXiv:2107.06499
+    report the fraction of train text that is part of a cross-document
+    duplicate; this is that number per doc, the signal used to decide
+    whether to EDIT (cut spans) or DROP a document).
+
+    Reuses :func:`substring_dups`'s plan verbatim through the gram
+    exchange: vectorized rolling-hash shingles, distinct (gram, doc)
+    pairs, ONE gram-partitioned exchange. The per-partition reduce
+    here marks every row of a multi-doc gram run (rows are distinct
+    docs by construction, so run length == distinct-doc frequency) and
+    folds immediately to per-doc partial counts — the exchange output
+    is O(docs), not O(grams). A final narrow hash aggregate sums the
+    partials.
+
+    Same byte-window / 64-bit-hash caveats as :func:`substring_dups`
+    (ASCII fixtures; collision probability ~n²/2⁶⁴).
+
+    Docs shorter than k bytes have no windows and are absent from the
+    output (matching the SQL oracle's join semantics).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_frac) sorted by doc_id.
+    """
+    from ..functions.textstats import string_bytes, window_hashes_flat
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=rows_to_blocks(path))
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"g": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "gpart": pa.array([], pa.int64())})
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        return pa.Table.from_pydict({
+            "g": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[seg], pa.int64()),
+            "gpart": pa.array((h % NPART).astype(np.int64), pa.int64())})
+
+    pairs = docs.map_batches(gram_pairs, batch_format="pyarrow")
+
+    def count_dups(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_grams": pd.Series(dtype=np.int64),
+                "n_dup_grams": pd.Series(dtype=np.int64)})
+        g = part["g"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, g))
+        g, ids = g[order], ids[order]
+        run = np.ones(len(g), dtype=bool)          # True at run starts
+        run[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(run) - 1
+        runlen = np.bincount(gid)
+        dup = (runlen > 1)[gid]                    # row's gram is multi-doc
+        # fold to per-doc partials inside the partition
+        uid, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv)
+        ndup = np.bincount(inv, weights=dup).astype(np.int64)
+        return pd.DataFrame({"doc_id": uid, "n_grams": n.astype(np.int64),
+                             "n_dup_grams": ndup})
+
+    partials = pairs.groupby("gpart").map_groups(
+        count_dups, batch_format="pandas")
+    totals = hash_groupby_agg(
+        partials, ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup_grams", "sum")},
+        num_parts=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"doc_id": "int64", "n_grams": "int64",
+                        "n_dup_grams": "int64"})
+        df["dup_frac"] = round_half_up(
+            df["n_dup_grams"].to_numpy() / df["n_grams"].to_numpy(), 4)
+        return df[["doc_id", "n_grams", "n_dup_grams", "dup_frac"]]
+
+    return totals.map_batches(
+        finish, batch_format="pandas").repartition(4).sort("doc_id")

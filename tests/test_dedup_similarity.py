@@ -709,3 +709,61 @@ def test_incremental_minhash_matches_full_lsh_cross_pairs():
             for r in got.itertuples()}
     assert have == want
     assert len(have) > 0
+
+
+def test_boilerplate_removal_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.pipelines.dedup import boilerplate_removal
+
+    P = 16
+    # brute force: a window survives iff its exact string occurs in
+    # fewer than min_df=2 distinct docs (ALL occurrences of cross-doc
+    # boilerplate are removed, unlike paragraph_dedup's keep-first)
+    occurrences = []
+    for doc_id, text in zip(docs_df["doc_id"], docs_df["text"]):
+        tk = text.split(" ")
+        for i in range(-(-len(tk) // P)):
+            occurrences.append((doc_id, i, " ".join(tk[i * P:(i + 1) * P])))
+    docs_per_para = {}
+    for doc_id, _, para in occurrences:
+        docs_per_para.setdefault(para, set()).add(doc_id)
+    want = {}
+    for doc_id, i, para in occurrences:
+        kept = len(docs_per_para[para]) < 2
+        n, k, parts = want.get(doc_id, (0, 0, []))
+        want[doc_id] = (n + 1, k + kept, parts + ([para] if kept else []))
+
+    got = boilerplate_removal(SF, para_tokens=P).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        n, k, parts = want[row.doc_id]
+        assert (row.n_paras, row.n_kept) == (n, k)
+        assert row.clean_text == " ".join(parts)
+    # the corpus actually exercises removal, and boilerplate removal is
+    # strictly more aggressive than keep-first dedup
+    assert got["n_kept"].sum() < got["n_paras"].sum()
+
+
+def test_dup_window_fraction_matches_bruteforce(docs_df):
+    from granulate_char_ocr_ray.pipelines.dedup import dup_window_fraction
+
+    K = 48
+    grams = {}           # doc_id -> set of distinct k-char windows
+    for doc_id, text in zip(docs_df["doc_id"], docs_df["text"]):
+        if len(text) >= K:
+            grams[doc_id] = {text[i:i + K] for i in range(len(text) - K + 1)}
+    docs_per_gram = {}
+    for doc_id, gs in grams.items():
+        for g in gs:
+            docs_per_gram.setdefault(g, set()).add(doc_id)
+
+    got = dup_window_fraction(SF, k=K).to_pandas()
+    assert set(got["doc_id"]) == set(grams)
+    for row in got.itertuples():
+        gs = grams[row.doc_id]
+        ndup = sum(1 for g in gs if len(docs_per_gram[g]) > 1)
+        assert row.n_grams == len(gs)
+        assert row.n_dup_grams == ndup
+        assert abs(row.dup_frac - round(ndup / len(gs), 4)) <= 5e-5
+    # corpus exercises both pure and duplicated docs
+    assert got["n_dup_grams"].sum() > 0
+    assert (got["n_dup_grams"] < got["n_grams"]).any()
