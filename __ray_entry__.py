@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.lsh_cosine_topk,
         "ann_ivf_topk": similarity.ivf_cosine_topk,
         "semantic_decontaminate": similarity.semantic_decontaminate,
+        "mutual_nn_pairs": similarity.mutual_nn_pairs,
         "hard_negatives": similarity.hard_negatives,
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_pca": similarity.embedding_pca,
@@ -2425,6 +2426,40 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY v ORDER BY cs DESC, w) AS rn
                   FROM c)
             WHERE rn = 1 ORDER BY vec_id
+        """,
+        "mutual_nn_pairs": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE label = 0
+            ), t AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE label = 1
+            ), c AS (
+              SELECT s.vec_id AS sv, t.vec_id AS tv,
+                     list_cosine_similarity(s.e, t.e) AS cs
+              FROM s, t
+            ), fa AS (
+              SELECT sv, tv, cs, row_number() OVER (
+                       PARTITION BY sv ORDER BY cs DESC, tv) AS rn
+              FROM c
+            ), fb AS (
+              SELECT sv, tv, cs, row_number() OVER (
+                       PARTITION BY tv ORDER BY cs DESC, sv) AS rn
+              FROM c
+            ), ma AS (
+              SELECT sv, avg(cs) AS am FROM fa WHERE rn <= 4 GROUP BY sv
+            ), mb AS (
+              SELECT tv, avg(cs) AS bm FROM fb WHERE rn <= 4 GROUP BY tv
+            )
+            SELECT fa.sv AS src_id, fa.tv AS tgt_id,
+                   round(fa.cs, 4) AS cos_sim,
+                   round(fa.cs / ((ma.am + mb.bm) / 2), 4) AS margin
+            FROM fa
+            JOIN fb ON fb.tv = fa.tv AND fb.sv = fa.sv AND fb.rn = 1
+            JOIN ma ON ma.sv = fa.sv
+            JOIN mb ON mb.tv = fa.tv
+            WHERE fa.rn = 1
+            ORDER BY src_id
         """,
         "kwic_snippets": """
             WITH d AS (

@@ -868,3 +868,176 @@ def hard_negatives(sf_dir: str, n_queries: int = 10) -> rd.Dataset:
         local_best, batch_format="pyarrow")
     return partial.repartition(1).map_batches(
         finish, batch_format="pandas").sort(["qid", "kind"])
+
+
+def mutual_nn_pairs(sf_dir: str, src_label: int = 0, tgt_label: int = 1,
+                    k: int = 4, num_blocks: int = 4, num_parts: int = 8,
+                    max_rows: int = EXACT_PAIRS_MAX_ROWS) -> rd.Dataset:
+    """Bitext-style parallel-pair mining between two embedding
+    populations: mutual cross-side 1-NN pairs scored with the
+    ratio-margin criterion of Artetxe & Schwenk 2019 (arXiv:1811.01136
+    §3: margin(x, y) = cos(x, y) / mean of the two sides' k-NN
+    neighborhood cosines) — the standard recipe for mining aligned
+    sentence pairs (e.g. CCMatrix) from two monolingual corpora. The
+    ``label`` column stands in for the language id.
+
+    Exact cross-pairs plan (|S| x |T| dot products — guarded like
+    every exact pair join here; the 100-TB path buckets with ann IVF
+    first). Block-pair lowering: src rows replicate to B target
+    blocks, tgt rows to B source blocks, ONE exchange on the B^2
+    pairkey space; each group emits only its members' LOCAL top-k
+    candidate rows (cos desc, id asc), so the merge stage sees
+    O((|S|+|T|) * kB) narrow rows, never the cross product. A
+    side+qid-partitioned reduce merges local top-k lists (each group's
+    local top-k is a superset of its members of the global top-k, so
+    the merge is exact), yielding per row its best neighbor and
+    top-k mean; a final (x-partitioned) merge keeps pairs best in
+    BOTH directions.
+
+    Output: (src_id, tgt_id, cos_sim, margin) sorted by src_id.
+    """
+    from ..sources.storage import parquet_data_bytes, scaled_parts
+    from ..stages.hashagg import _stable_partition
+
+    _guard_exact_pairs(sf_dir, "mutual_nn_pairs", max_rows)
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+    B = num_blocks
+
+    def to_block_pairs(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        keep = (lab == src_label) | (lab == tgt_label)
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"pairkey": np.empty(0, np.int64),
+                 "side": pa.array([], pa.string()),
+                 "vec_id": np.empty(0, np.int64),
+                 "embedding": pa.array([], pa.list_(pa.float64()))})
+        ids, mat = _batch_matrix(batch)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        is_src = lab == src_label
+        blk = (ids % B).astype(np.int64)
+        others = np.arange(B, dtype=np.int64)
+        # src row in sblk joins groups sblk*B + t for all t;
+        # tgt row in tblk joins groups s*B + tblk for all s
+        pairkey = np.where(np.repeat(is_src, B),
+                           np.repeat(blk * B, B) + np.tile(others, len(ids)),
+                           np.repeat(blk, B) + np.tile(others * B, len(ids)))
+        rep_ids = np.repeat(ids.astype(np.int64), B)
+        rep_side = np.repeat(np.where(is_src, "s", "t"), B)
+        rep_mat = np.repeat(mat, B, axis=0)
+        return pa.Table.from_pydict({
+            "pairkey": pairkey,
+            "side": pa.array(rep_side),
+            "vec_id": rep_ids,
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep_mat.ravel(), pa.float64()), mat.shape[1])})
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"side": pa.array([], pa.string()),
+             "qid": np.empty(0, np.int64),
+             "cand": np.empty(0, np.int64),
+             "cos": np.empty(0, np.float64),
+             "qpart": np.empty(0, np.int64)})
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        col = g.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), -1)
+        ms, mt = side == "s", side == "t"
+        if not ms.any() or not mt.any():
+            return empty
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        normed = mat / nn[:, None]
+        out_side, out_qid, out_cand, out_cos = [], [], [], []
+        for tag, qm, qi, cm, ci in (("s", normed[ms], ids[ms],
+                                     normed[mt], ids[mt]),
+                                    ("t", normed[mt], ids[mt],
+                                     normed[ms], ids[ms])):
+            # candidates ordered by id so a stable top-k sort breaks
+            # cosine ties toward the smaller id
+            o = np.argsort(ci)
+            cos = qm @ cm[o].T
+            ci = ci[o]
+            kk = min(k, cos.shape[1])
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            out_side.append(np.full(len(qi) * kk, tag))
+            out_qid.append(np.repeat(qi, kk))
+            out_cand.append(ci[top].ravel())
+            out_cos.append(np.take_along_axis(cos, top, axis=1).ravel())
+        qid = np.concatenate(out_qid).astype(np.int64)
+        return pa.Table.from_pydict({
+            "side": pa.array(np.concatenate(out_side)),
+            "qid": qid,
+            "cand": np.concatenate(out_cand).astype(np.int64),
+            "cos": np.concatenate(out_cos),
+            "qpart": ((qid * np.int64(2) +
+                       (np.concatenate(out_side) == "t")) %
+                      num_parts).astype(np.int64)})
+
+    def merge_topk(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "x": pd.Series(dtype=np.int64),
+                "y": pd.Series(dtype=np.int64),
+                "side": pd.Series(dtype=object),
+                "cos": pd.Series(dtype=np.float64),
+                "kmean": pd.Series(dtype=np.float64),
+                "mpart": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["side", "qid", "cos", "cand"],
+                                ascending=[True, True, False, True],
+                                kind="mergesort")
+        # distinct (cand) per (side, qid): the same candidate appears in
+        # multiple pairkey groups never (each tgt id lives in ONE block),
+        # so rows are already distinct; take global top-k per key
+        rank = part.groupby(["side", "qid"], sort=False).cumcount()
+        topk = part[rank < k]
+        g = topk.groupby(["side", "qid"], sort=False)
+        best = g.head(1).copy()
+        best["kmean"] = g["cos"].mean().to_numpy()
+        s = best["side"].to_numpy()
+        qid = best["qid"].to_numpy(dtype=np.int64)
+        cand = best["cand"].to_numpy(dtype=np.int64)
+        x = np.where(s == "s", qid, cand)
+        y = np.where(s == "s", cand, qid)
+        return pd.DataFrame({
+            "x": x, "y": y, "side": s,
+            "cos": best["cos"].to_numpy(),
+            "kmean": best["kmean"].to_numpy(),
+            "mpart": (x % num_parts).astype(np.int64)})
+
+    def mutual(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "src_id": pd.Series(dtype=np.int64),
+                "tgt_id": pd.Series(dtype=np.int64),
+                "cos_sim": pd.Series(dtype=np.float64),
+                "margin": pd.Series(dtype=np.float64)})
+        a = part[part["side"] == "s"]
+        b = part[part["side"] == "t"]
+        m = a.merge(b, on=["x", "y"], suffixes=("_s", "_t"))
+        if not len(m):
+            return pd.DataFrame({
+                "src_id": pd.Series(dtype=np.int64),
+                "tgt_id": pd.Series(dtype=np.int64),
+                "cos_sim": pd.Series(dtype=np.float64),
+                "margin": pd.Series(dtype=np.float64)})
+        denom = (m["kmean_s"].to_numpy() + m["kmean_t"].to_numpy()) / 2.0
+        return pd.DataFrame({
+            "src_id": m["x"].to_numpy(dtype=np.int64),
+            "tgt_id": m["y"].to_numpy(dtype=np.int64),
+            "cos_sim": round_half_up(m["cos_s"].to_numpy(), 4),
+            "margin": round_half_up(m["cos_s"].to_numpy() / denom, 4)})
+
+    cand = emb.map_batches(to_block_pairs, batch_format="pyarrow")
+    local = cand.groupby("pairkey").map_groups(local_topk,
+                                               batch_format="pyarrow")
+    reduced = local.groupby("qpart").map_groups(merge_topk,
+                                                batch_format="pandas")
+    return reduced.groupby("mpart").map_groups(
+        mutual, batch_format="pandas").repartition(1).sort("src_id")

@@ -767,3 +767,45 @@ def test_dup_window_fraction_matches_bruteforce(docs_df):
     # corpus exercises both pure and duplicated docs
     assert got["n_dup_grams"].sum() > 0
     assert (got["n_dup_grams"] < got["n_grams"]).any()
+
+
+def test_mutual_nn_pairs_matches_bruteforce():
+    import numpy as np
+    import pyarrow.dataset as pads
+    from granulate_char_ocr_ray.pipelines.similarity import mutual_nn_pairs
+
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table()
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    K = 4
+    s, tg = lab == 0, lab == 1
+    si, ti = ids[s], ids[tg]
+    cos = mat[s] @ mat[tg].T
+
+    def side_stats(c, cand_ids):
+        o = np.argsort(cand_ids)
+        c, cand_ids = c[:, o], cand_ids[o]
+        top = np.argsort(-c, axis=1, kind="stable")[:, :K]
+        best = cand_ids[top[:, 0]]
+        kmean = np.take_along_axis(c, top, axis=1).mean(axis=1)
+        bcos = c[np.arange(len(c)), top[:, 0]]
+        return best, bcos, kmean
+
+    bs, cs_, ms = side_stats(cos, ti)            # src -> tgt
+    bt, _, mt = side_stats(cos.T, si)            # tgt -> src
+    want = []
+    for i, x in enumerate(si):
+        y = bs[i]
+        j = np.where(ti == y)[0][0]
+        if bt[j] == x:
+            margin = cs_[i] / ((ms[i] + mt[j]) / 2)
+            want.append((x, y, round(cs_[i], 4), round(margin, 4)))
+    want.sort()
+
+    got = mutual_nn_pairs(SF).to_pandas()
+    got_rows = [(r.src_id, r.tgt_id, r.cos_sim, r.margin)
+                for r in got.itertuples()]
+    assert len(want) > 0
+    assert got_rows == want
