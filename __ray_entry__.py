@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data preparation (chunk / scrub / filter / pack) ---
         "chunk_docs": training.chunk_docs,
         "pii_redact": training.pii_redact,
+        "collapse_repeat_tokens": training.collapse_repeat_tokens,
         "repetition_stats": training.repetition_stats,
         "ngram_repetition": training.ngram_repetition,
         "pack_sequences": training.pack_sequences,
@@ -362,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus audits / concentration / skyline ---
         "doc_len_zscore_outliers": analysis.doc_len_zscore_outliers,
         "dup_rate_by_source": analysis.dup_rate_by_source,
+        "filter_attrition_report": analysis.filter_attrition_report,
         "source_token_entropy": analysis.source_token_entropy,
         "source_kl_divergence": analysis.source_kl_divergence,
         "source_gram_coverage": analysis.source_gram_coverage,
@@ -587,6 +589,73 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_paras,
                    count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
             FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "filter_attrition_report": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS nch,
+                     len(string_split(text, ' ')) AS ntok,
+                     len(list_distinct(string_split(text, ' '))) AS ndis
+              FROM documents
+            ), f AS (
+              SELECT doc_id, text,
+                     (nch >= 200) AS p1,
+                     (ntok BETWEEN 30 AND 10000) AS p2,
+                     (CAST(ndis AS DOUBLE) / ntok >= 0.35) AS p3
+              FROM base
+            ), surv AS (
+              SELECT doc_id, text FROM f WHERE p1 AND p2 AND p3
+            ), pos AS (
+              SELECT doc_id, text,
+                     unnest(range(1, length(text) - 48 + 2)) AS i
+              FROM surv WHERE length(text) >= 48
+            ), w AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS BIGINT), 48) AS gram
+              FROM pos
+            ), df AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd FROM w GROUP BY gram
+            ), dfrac AS (
+              SELECT w.doc_id,
+                     CAST(count(CASE WHEN nd > 1 THEN 1 END) AS DOUBLE)
+                       / count(*) AS fr
+              FROM w JOIN df USING (gram) GROUP BY w.doc_id
+            ), c AS (
+              SELECT count(*) AS n0,
+                     count(*) FILTER (p1) AS n1,
+                     count(*) FILTER (p1 AND p2) AS n2,
+                     count(*) FILTER (p1 AND p2 AND p3) AS n3
+              FROM f
+            ), c4 AS (
+              SELECT count(*) FILTER (fr >= 0.8) AS rem4 FROM dfrac
+            )
+            SELECT * FROM (
+              SELECT 1 AS rule_idx, 'min_chars' AS rule,
+                     n0 AS n_in, n0 - n1 AS n_removed, n1 AS n_out FROM c
+              UNION ALL SELECT 2, 'word_bounds', n1, n1 - n2, n2 FROM c
+              UNION ALL SELECT 3, 'type_token_ratio', n2, n2 - n3, n3 FROM c
+              UNION ALL SELECT 4, 'dup_windows', n3, rem4, n3 - rem4
+                FROM c, c4
+            ) ORDER BY rule_idx
+        """,
+        "collapse_repeat_tokens": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(range(1, len(tk) + 1)) AS i
+              FROM d
+            ), f AS (
+              SELECT doc_id, tok, i,
+                     lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS p
+              FROM t
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN tok IS DISTINCT FROM p THEN tok END,
+                              ' ' ORDER BY i) AS clean_text,
+                   count(*) AS n_tokens,
+                   count(CASE WHEN tok IS DISTINCT FROM p THEN 1 END)
+                     AS n_kept
+            FROM f GROUP BY doc_id ORDER BY doc_id
         """,
         "boilerplate_removal": """
             WITH toks AS (

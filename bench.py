@@ -318,6 +318,10 @@ def _secondary_list():
          lambda: dedup.paragraph_dedup(SF_DIR).count()),
         ("boilerplate_removal",
          lambda: dedup.boilerplate_removal(SF_DIR).count()),
+        ("collapse_repeat_tokens",
+         lambda: training.collapse_repeat_tokens(SF_DIR).count()),
+        ("filter_attrition_report",
+         lambda: analysis.filter_attrition_report(SF_DIR)),
         ("dup_window_fraction",
          lambda: dedup.dup_window_fraction(SF_DIR).count()),
         ("train_quality_classifier",

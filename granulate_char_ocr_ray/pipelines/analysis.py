@@ -1930,3 +1930,144 @@ def rerank_search(sf_dir: str, terms: tuple = ("spark", "hash", "window"),
 
     return scored.repartition(1).map_batches(
         top, batch_format="pandas")
+
+
+def filter_attrition_report(sf_dir: str, min_chars: int = 200,
+                            word_lo: int = 30, word_hi: int = 10_000,
+                            ttr_min: float = 0.35, k: int = 48,
+                            dup_max: float = 0.8) -> pd.DataFrame:
+    """Sequential quality-funnel attrition report: how many docs each
+    cleaning rule removes, applied in pipeline order — the per-stage
+    removal table every corpus release publishes (cf. RefinedWeb
+    arXiv:2306.01116 Table 2 / FineWeb's ablation funnel). Rules:
+
+    1. ``min_chars``        — length(text) >= min_chars;
+    2. ``word_bounds``      — token count in [word_lo, word_hi];
+    3. ``type_token_ratio`` — distinct/total tokens >= ttr_min
+       (the Gopher-family repetition proxy);
+    4. ``dup_windows``      — share of the doc's distinct k-byte
+       windows duplicated within the SURVIVOR set < dup_max (dedup
+       runs after filtering, so duplication is measured against what
+       the earlier rules kept — matching a real pipeline's ordering).
+
+    Scale plan: rules 1-3 are one stateless pass folding to per-batch
+    1-row count partials (O(blocks) driver state). Rule 4 reuses the
+    :func:`...dedup.dup_window_fraction` plan restricted to survivors:
+    gram-partitioned exchange, O(docs) per-doc partials, narrow hash
+    aggregate, then a final 1-row count fold. The combined report is
+    four rows assembled from two scalar aggregates — never a
+    corpus-sized driver materialization.
+
+    Output: (rule_idx, rule, n_in, n_removed, n_out) ordered by stage.
+    """
+    from ..functions.textstats import (hash64_batch, string_bytes,
+                                       window_hashes_flat)
+    from ..sources.storage import parquet_data_bytes, scaled_parts
+    from ..stages.hashagg import hash_groupby_agg
+
+    path = f"{sf_dir}/documents.parquet"
+    NPART = scaled_parts(parquet_data_bytes(path), 8 << 20)
+
+    def flags(batch: pa.Table):
+        txt = batch.column("text")
+        nch = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        ntok = np.diff(offs)
+        h = hash64_batch(toks.values)
+        seg = np.repeat(np.arange(len(ntok)), ntok)
+        order = np.lexsort((h, seg))
+        s2, h2 = seg[order], h[order]
+        first = np.ones(len(s2), dtype=bool)
+        first[1:] = (s2[1:] != s2[:-1]) | (h2[1:] != h2[:-1])
+        ndis = np.bincount(s2[first], minlength=len(ntok))
+        p1 = nch >= min_chars
+        p2 = (ntok >= word_lo) & (ntok <= word_hi)
+        p3 = ndis / ntok >= ttr_min
+        return p1, p2, p3
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        p1, p2, p3 = flags(batch)
+        return pa.Table.from_pydict({
+            "n0": pa.array([batch.num_rows], pa.int64()),
+            "n1": pa.array([int(p1.sum())], pa.int64()),
+            "n2": pa.array([int((p1 & p2).sum())], pa.int64()),
+            "n3": pa.array([int((p1 & p2 & p3).sum())], pa.int64())})
+
+    docs = read_table(path, columns=["doc_id", "text"],
+                      num_blocks=rows_to_blocks(path))
+    counts = docs.map_batches(
+        count_partial, batch_format="pyarrow").to_pandas().sum()
+    n0, n1, n2, n3 = (int(counts[c]) for c in ("n0", "n1", "n2", "n3"))
+
+    def survivor_grams(batch: pa.Table) -> pa.Table:
+        p1, p2, p3 = flags(batch)
+        batch = batch.filter(pa.array(p1 & p2 & p3))
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        if len(h) == 0:
+            return pa.Table.from_pydict(
+                {"g": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "gpart": pa.array([], pa.int64())})
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        seg, h = seg[first], h[first]
+        return pa.Table.from_pydict({
+            "g": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[seg], pa.int64()),
+            "gpart": pa.array((h % NPART).astype(np.int64), pa.int64())})
+
+    def count_dups(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_grams": pd.Series(dtype=np.int64),
+                "n_dup_grams": pd.Series(dtype=np.int64)})
+        g = part["g"].to_numpy(dtype=np.int64)
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, g))
+        g, ids = g[order], ids[order]
+        run = np.ones(len(g), dtype=bool)
+        run[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(run) - 1
+        runlen = np.bincount(gid)
+        dup = (runlen > 1)[gid]
+        uid, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv)
+        ndup = np.bincount(inv, weights=dup).astype(np.int64)
+        return pd.DataFrame({"doc_id": uid, "n_grams": n.astype(np.int64),
+                             "n_dup_grams": ndup})
+
+    docs_b = read_table(path, columns=["doc_id", "text"],
+                        num_blocks=rows_to_blocks(path))
+    pairs = docs_b.map_batches(survivor_grams, batch_format="pyarrow")
+    partials = pairs.groupby("gpart").map_groups(
+        count_dups, batch_format="pandas")
+    totals = hash_groupby_agg(
+        partials, ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup_grams", "sum")},
+        num_parts=8)
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frac = df["n_dup_grams"].to_numpy() / df["n_grams"].to_numpy()
+        return pd.DataFrame({"rem": [int((frac >= dup_max).sum())]})
+
+    rem4 = int(totals.map_batches(
+        dup_partial, batch_format="pandas").to_pandas()["rem"].sum())
+
+    return pd.DataFrame({
+        "rule_idx": pd.array([1, 2, 3, 4], dtype="int64"),
+        "rule": ["min_chars", "word_bounds", "type_token_ratio",
+                 "dup_windows"],
+        "n_in": pd.array([n0, n1, n2, n3], dtype="int64"),
+        "n_removed": pd.array(
+            [n0 - n1, n1 - n2, n2 - n3, rem4], dtype="int64"),
+        "n_out": pd.array([n1, n2, n3, n3 - rem4], dtype="int64")})

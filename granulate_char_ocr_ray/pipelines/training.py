@@ -746,3 +746,79 @@ def mixture_manifest(sf_dir: str,
     gated = sliver.repartition(1).map_batches(
         gate_sliver, batch_format="pandas")
     return selected.union(gated).repartition(4).sort(["lang", "doc_id"])
+
+
+def collapse_repeat_tokens(sf_dir: str) -> rd.Dataset:
+    """De-repetition editor: collapse runs of immediately repeated
+    tokens to a single occurrence ("the the the" -> "the") — the
+    stutter-cleanup rule applied to crawled/ASR/generated text before
+    training (a within-doc complement of the corpus-frequency rules;
+    cf. the repetition removal family in Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, which gates on repeat fractions).
+
+    Embarrassingly parallel — ZERO exchanges: each batch splits to a
+    flat token buffer once, compares adjacent token slices vectorized
+    over the flat offsets (no per-row Python), rebuilds each doc with
+    one ``binary_join`` over a filtered ListArray, and emits counts.
+    At 100 TB this is a pure streaming map with perfect scaling.
+
+    Output: (doc_id, clean_text, n_tokens, n_kept) sorted by doc_id.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64())})
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        from ..functions.textstats import string_bytes
+
+        vals = toks.values                      # flat token StringArray
+        buf, voffs = string_bytes(vals)
+        n = len(vals)
+        # token i repeats token i-1 iff same byte length and identical
+        # bytes; compare lengths first, then only equal-length pairs
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            ln = np.diff(voffs)
+            cand = np.flatnonzero(ln[1:] == ln[:-1]) + 1
+            # exclude document-boundary positions (first token of a doc
+            # never repeats the previous doc's last token)
+            doc_start = np.zeros(n, dtype=bool)
+            doc_start[offs[:-1]] = True
+            cand = cand[~doc_start[cand]]
+            if len(cand):
+                # vectorized byte comparison over gathered windows
+                w = ln[cand]
+                m = int(w.max()) if len(w) else 0
+                idx = np.arange(m)
+                a = buf[np.minimum(voffs[cand][:, None] + idx,
+                                   voffs[-1] - 1)]
+                b = buf[np.minimum(voffs[cand - 1][:, None] + idx,
+                                   voffs[-1] - 1)]
+                valid = idx[None, :] < w[:, None]
+                eq = ((a == b) | ~valid).all(axis=1)
+                keep[cand[eq]] = False
+        # rebuild docs: filter the flat tokens, re-slice with adjusted
+        # offsets (cumulative kept count at each old offset)
+        kept_cum = np.concatenate(([0], np.cumsum(keep)))
+        new_offs = kept_cum[offs].astype(np.int32)
+        kept_vals = vals.filter(pa.array(keep))
+        plist = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                         kept_vals)
+        clean = pc.binary_join(plist, " ")
+        n_tok = np.diff(offs)
+        n_kept = np.diff(kept_cum[offs])
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "clean_text": clean,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64())})
+
+    return docs.map_batches(collapse, batch_format="pyarrow").sort("doc_id")

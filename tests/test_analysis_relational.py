@@ -1983,3 +1983,33 @@ def test_inter_event_gap_stats_matches_bruteforce():
     assert got["median_gap_s"].iloc[0] == gaps[
         int(np.ceil(0.5 * n)) - 1]
     assert got["p95_gap_s"].iloc[0] == gaps[int(np.ceil(0.95 * n)) - 1]
+
+
+def test_filter_attrition_report_chain_consistency():
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        filter_attrition_report)
+
+    docs_df = pd.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+    got = filter_attrition_report(SF)
+    assert list(got["rule"]) == ["min_chars", "word_bounds",
+                                 "type_token_ratio", "dup_windows"]
+    # the funnel chains: each stage's n_out is the next stage's n_in,
+    # and removed + out == in at every stage
+    assert (got["n_in"] - got["n_removed"] == got["n_out"]).all()
+    assert list(got["n_out"][:-1]) == list(got["n_in"][1:])
+    assert got["n_in"].iloc[0] == len(docs_df)
+    # rules 1-3 match a pandas brute force
+    import numpy as np
+    nch = docs_df["text"].str.len()
+    ntok = docs_df["text"].str.split(" ").map(len)
+    ttr = docs_df["text"].str.split(" ").map(
+        lambda t: len(set(t)) / len(t))
+    p1 = nch >= 200
+    p2 = p1 & ntok.between(30, 10000)
+    p3 = p2 & (ttr >= 0.35)
+    assert got["n_out"].iloc[0] == int(p1.sum())
+    assert got["n_out"].iloc[1] == int(p2.sum())
+    assert got["n_out"].iloc[2] == int(p3.sum())

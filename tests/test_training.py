@@ -327,3 +327,23 @@ def test_mixture_manifest_matches_bruteforce():
     want.sort()
     assert [(r.lang, r.doc_id, r.n_chars)
             for r in got.itertuples()] == want
+
+
+def test_collapse_repeat_tokens_invariants():
+    from granulate_char_ocr_ray.pipelines.training import (
+        collapse_repeat_tokens)
+
+    got = collapse_repeat_tokens(SF).to_pandas()
+    import pandas as pd
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+    merged = got.merge(docs, on="doc_id")
+    removed = 0
+    for row in merged.itertuples():
+        toks = row.text.split(" ")
+        want = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        assert row.clean_text == " ".join(want)
+        assert (row.n_tokens, row.n_kept) == (len(toks), len(want))
+        removed += len(toks) - len(want)
+    assert removed > 0          # the corpus exercises collapsing
