@@ -376,6 +376,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_mean_price_by_priority": relational.loo_mean_price_by_priority,
         "benford_first_digit": relational.benford_first_digit,
         "source_topp_vocab": analysis.source_topp_vocab,
+        # --- round-3 wave 3: CDC / graph / stats / audit ---
+        "snapshot_diff": dedup.snapshot_diff,
+        "triangle_count": relational.triangle_count,
+        "lang_source_mi": analysis.lang_source_mi,
+        "oov_rate_per_doc": analysis.oov_rate_per_doc,
+        "table_profile": relational.table_profile,
+        "price_equidepth_histogram":
+            relational.price_equidepth_histogram,
+        "ewma_user_value": events.ewma_user_value,
+        "debounced_event_counts": events.debounced_event_counts,
     }
 
 
@@ -2675,6 +2685,156 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER (ORDER BY o_totalprice), 6)
                      AS cume
             FROM orders ORDER BY o_orderkey
+        """,
+        "snapshot_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 5 THEN upper(text)
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 3
+              UNION ALL
+              SELECT doc_id + 100000000, text FROM documents
+              WHERE doc_id % 19 = 4)
+            SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM documents b FULL OUTER JOIN newsnap n
+                 ON b.doc_id = n.doc_id
+            WHERE b.doc_id IS NULL OR n.doc_id IS NULL
+                  OR b.text <> n.text
+            ORDER BY doc_id
+        """,
+        "triangle_count": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM e w1 JOIN e w2
+                         ON w1.p1 = w2.p1 AND w1.p2 < w2.p2)
+                        AS BIGINT) AS n_wedges,
+                   CAST((SELECT count(*) FROM e e1
+                         JOIN e e2 ON e1.p2 = e2.p1
+                         JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+                        AS BIGINT) AS n_triangles
+        """,
+        "lang_source_mi": """
+            WITH c AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+            hl AS (SELECT log2(t.tot) - sum(m.n * log2(m.n)) / t.tot
+                     AS h
+                   FROM (SELECT lang, CAST(sum(n) AS DOUBLE) AS n
+                         FROM c GROUP BY 1) m, t GROUP BY t.tot),
+            hs AS (SELECT log2(t.tot) - sum(m.n * log2(m.n)) / t.tot
+                     AS h
+                   FROM (SELECT source, CAST(sum(n) AS DOUBLE) AS n
+                         FROM c GROUP BY 1) m, t GROUP BY t.tot),
+            hls AS (SELECT log2(t.tot)
+                           - sum(CAST(c.n AS DOUBLE)
+                                 * log2(CAST(c.n AS DOUBLE))) / t.tot
+                      AS h
+                    FROM c, t GROUP BY t.tot)
+            SELECT CAST(t.tot AS BIGINT) AS n_docs,
+                   round(hl.h, 4) AS h_lang_bits,
+                   round(hs.h, 4) AS h_source_bits,
+                   round(hl.h + hs.h - hls.h, 4) AS mi_bits
+            FROM t, hl, hs, hls
+        """,
+        "oov_rate_per_doc": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+            v AS (SELECT token FROM tc
+                  QUALIFY row_number()
+                          OVER (ORDER BY c DESC, token) <= 20)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE v.token IS NULL)
+                        AS BIGINT) AS n_oov,
+                   round(CAST(count(*) FILTER (WHERE v.token IS NULL)
+                              AS DOUBLE) / count(*), 4) AS oov_rate
+            FROM tok t LEFT JOIN v ON t.token = v.token
+            GROUP BY 1 ORDER BY 1
+        """,
+        "table_profile": """
+            WITH p AS (
+              SELECT 'o_orderkey' AS "column", 'count' AS metric,
+                     CAST(count(o_orderkey) AS DOUBLE) AS value
+              FROM orders
+              UNION ALL SELECT 'o_orderkey', 'n_nulls',
+                CAST(count(*) - count(o_orderkey) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_orderkey', 'min',
+                CAST(min(o_orderkey) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_orderkey', 'max',
+                CAST(max(o_orderkey) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_totalprice', 'count',
+                CAST(count(o_totalprice) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_totalprice', 'n_nulls',
+                CAST(count(*) - count(o_totalprice) AS DOUBLE)
+                FROM orders
+              UNION ALL SELECT 'o_totalprice', 'min',
+                CAST(min(o_totalprice) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_totalprice', 'max',
+                CAST(max(o_totalprice) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_totalprice', 'mean',
+                round(avg(o_totalprice), 4) FROM orders
+              UNION ALL SELECT 'o_custkey', 'n_distinct',
+                CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+              UNION ALL SELECT 'o_orderstatus', 'n_distinct',
+                CAST(count(DISTINCT o_orderstatus) AS DOUBLE)
+                FROM orders
+              UNION ALL SELECT 'o_orderpriority', 'n_distinct',
+                CAST(count(DISTINCT o_orderpriority) AS DOUBLE)
+                FROM orders
+              UNION ALL SELECT 'o_orderdate', 'n_distinct',
+                CAST(count(DISTINCT o_orderdate) AS DOUBLE)
+                FROM orders)
+            SELECT * FROM p ORDER BY "column", metric
+        """,
+        "price_equidepth_histogram": """
+            WITH r AS (SELECT l_extendedprice AS p,
+                              rank() OVER (ORDER BY l_extendedprice)
+                                AS rk,
+                              count(*) OVER () AS n
+                       FROM lineitem)
+            SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(p), 2) AS lo, round(max(p), 2) AS hi
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "ewma_user_value": """
+            WITH r AS (SELECT user_id, value,
+                              row_number()
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                                - 1 AS k
+                       FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value * pow(0.9, k))
+                         / sum(pow(0.9, k)), 4) AS ewma
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "debounced_event_counts": """
+            WITH l AS (SELECT event_type,
+                              epoch(ts - lag(ts)
+                                    OVER (PARTITION BY user_id,
+                                                       event_type
+                                          ORDER BY ts, event_id))
+                                AS gap
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(*) FILTER (WHERE gap IS NULL OR gap > 60)
+                        AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE gap IS NOT NULL
+                                         AND gap <= 60)
+                        AS BIGINT) AS n_dropped
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

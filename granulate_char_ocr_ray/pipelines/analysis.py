@@ -2071,3 +2071,118 @@ def filter_attrition_report(sf_dir: str, min_chars: int = 200,
         "n_removed": pd.array(
             [n0 - n1, n1 - n2, n2 - n3, rem4], dtype="int64"),
         "n_out": pd.array([n1, n2, n3, n3 - rem4], dtype="int64")})
+
+
+def lang_source_mi(sf_dir: str) -> rd.Dataset:
+    """Mutual information (bits) between the lang and source columns —
+    the dataset-audit signal for "does provenance determine language"
+    (high MI = sources are language-siloed; a mixing pipeline wants to
+    know before stratifying). Generalizes the reference's per-class
+    count reports (evaluate_new_testdata.py:120-134) to a two-variable
+    dependence measure.
+
+    Plan: ONE narrow pass folds per-batch (lang, source) contingency
+    partials (cells bounded by |langs|x|sources|, never by rows), a
+    tiny combine, then the closed-form finish H(L) + H(S) - H(L,S)
+    with every entropy computed as log2(N) - sum(n*log2(n))/N on exact
+    integer counts. Output: one row (n_docs, h_lang_bits,
+    h_source_bits, mi_bits)."""
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "n"}))
+
+    agg = ds.map_batches(cells, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False)["n"].sum()
+        n = g["n"].to_numpy(dtype=np.float64)
+        tot = n.sum()
+
+        def ent(counts: np.ndarray) -> float:
+            return float(np.log2(tot)
+                         - (counts * np.log2(counts)).sum() / tot)
+
+        hl = ent(g.groupby("lang")["n"].sum().to_numpy(
+            dtype=np.float64))
+        hs = ent(g.groupby("source")["n"].sum().to_numpy(
+            dtype=np.float64))
+        hls = ent(n)
+        return pd.DataFrame({
+            "n_docs": [np.int64(tot)],
+            "h_lang_bits": round_half_up(np.array([hl]), 4),
+            "h_source_bits": round_half_up(np.array([hs]), 4),
+            "mi_bits": round_half_up(np.array([hl + hs - hls]), 4),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def oov_rate_per_doc(sf_dir: str, top_n: int = 20) -> rd.Dataset:
+    """Out-of-vocabulary token rate per document against the corpus
+    top-``top_n`` vocabulary — the tokenizer-coverage / noisy-doc
+    signal (a doc whose tokens mostly fall outside the head vocabulary
+    is boilerplate, code, or the wrong language; CCNet and Gopher both
+    gate on vocabulary-coverage cousins of this).
+
+    Plan: pass 1 reduces token counts through the two-phase hash
+    aggregate (vocab-sized exchange), per-block partial top-n + one
+    tiny final top-n pins the vocabulary (ties broken by token asc —
+    fully deterministic); the vocab set (top_n strings) broadcasts
+    driver-side, and pass 2 scores every doc with a vectorized
+    isin + segment reduce — no second shuffle. Output: (doc_id,
+    n_tokens, n_oov, oov_rate) for non-empty docs, sorted doc_id."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({"token": flat.to_pandas()})
+        g = df.groupby("token", as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "c"}))
+
+    counts = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["token"], {"c": ("c", "sum")}, num_parts=8)
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "token"],
+                              ascending=[False, True]).head(top_n)
+
+    vocab_df = (counts.map_batches(top_partial, batch_format="pandas")
+                .repartition(1)
+                .map_batches(top_partial, batch_format="pandas")
+                .to_pandas())
+    vocab = set(vocab_df["token"].tolist())
+
+    def score(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        did = pc.filter(batch.column("doc_id"), keep).to_numpy(
+            zero_copy_only=False)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        inv = pd.Series(pc.list_flatten(toks).to_pandas()).isin(
+            vocab).to_numpy()
+        seg = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=seg[1:])
+        oov = np.add.reduceat(
+            (~inv).astype(np.int64), seg[:-1]) if len(n) else \
+            np.zeros(0, dtype=np.int64)
+        oov = np.where(n == 0, 0, oov)
+        return table_from_pandas(pd.DataFrame({
+            "doc_id": did.astype(np.int64),
+            "n_tokens": n,
+            "n_oov": oov.astype(np.int64),
+            "oov_rate": round_half_up(oov / n, 4),
+        }))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .repartition(4).sort("doc_id"))

@@ -1747,3 +1747,84 @@ def dup_window_fraction(sf_dir: str, k: int = 48) -> rd.Dataset:
 
     return totals.map_batches(
         finish, batch_format="pandas").repartition(4).sort("doc_id")
+
+
+def snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Change-data capture between two corpus snapshots: classify every
+    doc_id as added / removed / changed (same id, different content).
+    The "new" snapshot is derived deterministically from the base
+    corpus (drops doc_id % 17 == 3, uppercases text of doc_id % 13 ==
+    5, and clones doc_id % 19 == 4 under id + 100_000_000) so the
+    expected diff is closed-form for the oracle.
+
+    Plan (the incremental-ingestion primitive at 100 TB): both sides
+    fold each doc to an 8-byte content hash inside map_batches (raw
+    text never shuffles), rows are tagged with a side bit, and ONE
+    doc_id-partitioned exchange co-locates each id's (<=2) rows; the
+    per-partition finish classifies with vectorized masks. Content
+    equality is 64-bit-hash equality (collision odds ~n^2/2^64 — the
+    same documented trade as exact_dedup). Extends the reference's
+    re-run-over-new-testdata flow (evaluate_new_testdata.py:28-44)
+    from full recompute to delta detection.
+    Output: (doc_id, change) sorted by doc_id."""
+    from ..stages.hashagg import _stable_partition
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash64_batch(batch.column("text")).view(np.int64)
+        hu = hash64_batch(pc.utf8_upper(batch.column("text"))).view(
+            np.int64)
+        # base side
+        ids = [did]
+        hashes = [h]
+        sides = [np.zeros(len(did), dtype=np.int64)]
+        # new side: drop %17==3, upper %13==5, clone %19==4
+        keep = did % 17 != 3
+        ids.append(did[keep])
+        hashes.append(np.where(did[keep] % 13 == 5, hu[keep], h[keep]))
+        sides.append(np.ones(int(keep.sum()), dtype=np.int64))
+        cloned = did % 19 == 4
+        ids.append(did[cloned] + 100_000_000)
+        hashes.append(h[cloned])
+        sides.append(np.ones(int(cloned.sum()), dtype=np.int64))
+        out = pd.DataFrame({"doc_id": np.concatenate(ids),
+                            "h": np.concatenate(hashes),
+                            "side": np.concatenate(sides)})
+        out["_part"] = _stable_partition(out, ["doc_id"], 16)
+        from ..functions.tables import table_from_pandas
+        return table_from_pandas(out)
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "side"])
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        h = g["h"].to_numpy(dtype=np.int64)
+        side = g["side"].to_numpy(dtype=np.int64)
+        starts = np.ones(len(g), dtype=bool)
+        starts[1:] = did[1:] != did[:-1]
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(g)))
+        uid = did[idx]
+        single = counts == 1
+        added = single & (side[idx] == 1)
+        removed = single & (side[idx] == 0)
+        # pairs: base row sorts first (side 0), new second
+        pair_idx = idx[~single]
+        changed_ids = uid[~single][h[pair_idx] != h[pair_idx + 1]]
+        out = pd.DataFrame({
+            "doc_id": np.concatenate(
+                [uid[added], uid[removed], changed_ids]),
+            "change": np.concatenate(
+                [np.repeat("added", int(added.sum())),
+                 np.repeat("removed", int(removed.sum())),
+                 np.repeat("changed", len(changed_ids))]),
+        })
+        return out
+
+    tagged = docs.map_batches(both_sides, batch_format="pyarrow")
+    return (tagged.groupby("_part")
+            .map_groups(classify, batch_format="pandas")
+            .repartition(4)
+            .sort("doc_id"))

@@ -1111,3 +1111,92 @@ def events_with_last_order(sf_dir: str) -> rd.Dataset:
 
     return both.groupby("_ubucket").map_groups(
         asof, batch_format="pandas").repartition(4).sort("event_id")
+
+
+def ewma_user_value(sf_dir: str, alpha: float = 0.9) -> rd.Dataset:
+    """Exponential recency-weighted mean of each user's event values —
+    the standard freshness-decayed engagement/feature score (latest
+    event weight 1, previous alpha, then alpha^2, ...), normalized so
+    the score stays on the value scale.
+
+    Plan: ONE coarse hash(user) % 16 exchange co-locates users; each
+    bucket runs a single vectorized pass — sort by (user, ts desc,
+    event_id desc), per-segment position k via arange minus repeated
+    segment starts, weights alpha**k, numerator/denominator via
+    segment reduceat. Output: (user_id, n_events, ewma) sorted by
+    user."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        starts = _segment_starts(u)
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(u)))
+        k = np.arange(len(u), dtype=np.int64) - np.repeat(idx, counts)
+        w = np.power(alpha, k.astype(np.float64))
+        num = np.add.reduceat(w * v, idx)
+        den = np.add.reduceat(w, idx)
+        return pd.DataFrame({
+            "user_id": u[idx],
+            "n_events": counts.astype(np.int64),
+            "ewma": round_half_up(num / den, 4),
+        })
+
+    return (_user_bucketed(ds).map_groups(per_bucket,
+                                          batch_format="pandas")
+            .repartition(1).sort("user_id"))
+
+
+def debounced_event_counts(sf_dir: str, cooldown_s: int = 60
+                           ) -> rd.Dataset:
+    """Burst debounce audit: an event is KEPT if it is the first of
+    its (user, event_type) stream or arrived more than ``cooldown_s``
+    after the previous event of that stream (lag-based, so the rule is
+    order-deterministic and window-expressible — not the greedy
+    collapse, which depends on which predecessor was kept). The
+    standard click/telemetry de-bounce before counting engagement.
+
+    Plan: ONE coarse hash(user) % 16 exchange; each bucket sorts by
+    (user, type, ts, event_id) once and evaluates gaps with a
+    vectorized segment-masked diff; per-type partials fold to a
+    |types|-row combine. Output: (event_type, n_total, n_kept,
+    n_dropped) sorted by type."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    gap_ns = np.int64(cooldown_s) * np.int64(1_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        starts = np.ones(len(g), dtype=bool)
+        starts[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        kept = starts.copy()
+        kept[1:] |= ts[1:] - ts[:-1] > gap_ns
+        out = pd.DataFrame({"event_type": et,
+                            "kept": kept.astype(np.int64)})
+        p = out.groupby("event_type", as_index=False).agg(
+            n_total=("kept", "size"), n_kept=("kept", "sum"))
+        return p
+
+    partials = _user_bucketed(ds).map_groups(per_bucket,
+                                             batch_format="pandas")
+
+    from ..stages.hashagg import hash_groupby_agg
+    agg = hash_groupby_agg(partials, ["event_type"],
+                           {"n_total": ("n_total", "sum"),
+                            "n_kept": ("n_kept", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_total": "int64", "n_kept": "int64"})
+        df["n_dropped"] = (df["n_total"] - df["n_kept"]).astype(
+            np.int64)
+        return df[["event_type", "n_total", "n_kept", "n_dropped"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("event_type"))

@@ -3339,18 +3339,11 @@ def q2_min_supplier_per_part(sf_dir: str, max_size: int = 10,
             .sort(["s_acctbal", "p_partkey"], descending=[True, False]))
 
 
-def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
-    """Market-basket co-occurrence: part pairs appearing together in at
-    least ``min_count`` orders — the classic self-join-within-group
-    shape (frequent-itemset mining at pair size 2). Plan: the distinct
-    (orderkey, partkey) pairs reduce through the two-phase hash
-    aggregate, re-partition on ORDERKEY alone (every part of an order
-    lands in one bucket), each bucket expands its orders' pairs
-    VECTORIZED (one self-merge per bucket, p1 < p2 — quadratic only in
-    the per-order basket size, bounded by order width), and the pair
-    counts reduce through a final hash aggregate with the HAVING prune
-    inside the finish. No raw lineitem row is ever shuffled twice.
-    Output: (p1, p2, n_orders) sorted n desc, p1, p2."""
+def _co_purchase_edges(sf_dir: str, min_count: int) -> rd.Dataset:
+    """Shared edge builder for :func:`co_purchase_pairs` and
+    :func:`triangle_count`: distinct part pairs co-ordered at least
+    ``min_count`` times, oriented p1 < p2, as an UNSORTED dataset of
+    (p1, p2, n_orders). See co_purchase_pairs for the plan notes."""
     from ..stages.hashagg import _stable_partition, hash_groupby_agg
 
     items = read_table(f"{sf_dir}/lineitem.parquet",
@@ -3392,10 +3385,114 @@ def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
         df["n_orders"] = df["n_orders"].astype(np.int64)
         return df[["p1", "p2", "n_orders"]]
 
-    return (counts.map_batches(final, batch_format="pandas")
+    return counts.map_batches(final, batch_format="pandas")
+
+
+def co_purchase_pairs(sf_dir: str, min_count: int = 3) -> rd.Dataset:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least ``min_count`` orders — the classic self-join-within-group
+    shape (frequent-itemset mining at pair size 2). Plan: the distinct
+    (orderkey, partkey) pairs reduce through the two-phase hash
+    aggregate, re-partition on ORDERKEY alone (every part of an order
+    lands in one bucket), each bucket expands its orders' pairs
+    VECTORIZED (one self-merge per bucket, p1 < p2 — quadratic only in
+    the per-order basket size, bounded by order width), and the pair
+    counts reduce through a final hash aggregate with the HAVING prune
+    inside the finish. No raw lineitem row is ever shuffled twice.
+    Output: (p1, p2, n_orders) sorted n desc, p1, p2."""
+    return (_co_purchase_edges(sf_dir, min_count)
             .repartition(1)
             .sort(["n_orders", "p1", "p2"],
                   descending=[True, False, False]))
+
+
+def triangle_count(sf_dir: str, min_count: int = 2) -> rd.Dataset:
+    """Triangle census of the co-purchase graph (vertices = parts,
+    edges = pairs co-ordered >= ``min_count`` times): the classic
+    distributed-graph primitive behind clustering coefficients and
+    community detection (Suri & Vassilvitskii, WWW'11 MapReduce
+    triangle counting). Generalizes the reference's pairwise confusion
+    analysis (evaluate_new_testdata.py:120-163) from pair counts to
+    closed-triple structure.
+
+    Plan: edges are oriented p1 < p2 at construction (each triangle
+    a<b<c counted exactly once). Wedge phase: ONE exchange partitions
+    edges by the PIVOT vertex p1; each partition expands wedges
+    (a,b,c) = (a,b)x(a,c), b<c, via a vectorized per-pivot self-merge
+    — quadratic only in pivot degree (the documented skew axis; a
+    degree-ordered orientation is the standard mitigation and our
+    id-orientation approximates it on this graph). Closing phase: ONE
+    exchange co-partitions wedges keyed (b,c) with edges keyed
+    (p1,p2); each partition counts wedge/edge key matches with a
+    sorted searchsorted probe — no all-pairs work. Wedge volume never
+    sits in one place: both exchanges are hash-partitioned.
+    Output: one row (n_edges, n_wedges, n_triangles)."""
+    from ..stages.hashagg import _stable_partition
+
+    edges = _co_purchase_edges(sf_dir, min_count).materialize()
+
+    def make_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["p1", "p2"]]
+        m = df.merge(df, on="p1")
+        m = m[m["p2_x"] < m["p2_y"]]
+        out = pd.DataFrame({"a": m["p2_x"].to_numpy(dtype=np.int64),
+                            "b": m["p2_y"].to_numpy(dtype=np.int64),
+                            "is_edge": np.int64(0)})
+        return out
+
+    def tag_pivot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["p1", "p2"]].copy()
+        df["_part"] = _stable_partition(df, ["p1"], 16)
+        return df
+
+    wedges = (edges.map_batches(tag_pivot, batch_format="pandas")
+              .groupby("_part")
+              .map_groups(make_wedges, batch_format="pandas"))
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["p1"].to_numpy(dtype=np.int64),
+                            "b": df["p2"].to_numpy(dtype=np.int64),
+                            "is_edge": np.int64(1)})
+        return out
+
+    both = wedges.union(edges.map_batches(tag_edge,
+                                          batch_format="pandas"))
+
+    def tag_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kpart"] = _stable_partition(df, ["a", "b"], 16)
+        return df
+
+    def close_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # composite 128-bit key folded to one int64 pair-lexsort probe:
+        # sort the partition's EDGE keys once, binary-search every
+        # wedge key against them (ids are < 2**31 so (a<<32)|b is exact)
+        k = (g["a"].to_numpy(dtype=np.int64) << np.int64(32)) | \
+            g["b"].to_numpy(dtype=np.int64)
+        is_e = g["is_edge"].to_numpy(dtype=np.int64) == 1
+        ek = np.sort(k[is_e])
+        wk = k[~is_e]
+        pos = np.searchsorted(ek, wk)
+        pos = np.clip(pos, 0, max(len(ek) - 1, 0))
+        hit = int((ek[pos] == wk).sum()) if len(ek) else 0
+        return pd.DataFrame({"n_wedges": [np.int64(len(wk))],
+                             "n_triangles": [np.int64(hit)]})
+
+    closed = (both.map_batches(tag_key, batch_format="pandas")
+              .groupby("_kpart")
+              .map_groups(close_partial, batch_format="pandas"))
+
+    n_edges = edges.count()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_edges": [np.int64(n_edges)],
+            "n_wedges": [np.int64(df["n_wedges"].sum())],
+            "n_triangles": [np.int64(df["n_triangles"].sum())],
+        })
+
+    return closed.repartition(1).map_batches(finish,
+                                             batch_format="pandas")
 
 
 def order_price_cume_dist(sf_dir: str) -> rd.Dataset:
@@ -4024,3 +4121,133 @@ def benford_first_digit(sf_dir: str) -> rd.Dataset:
         return g.sort_values("digit").reset_index(drop=True)
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def table_profile(sf_dir: str) -> rd.Dataset:
+    """ANALYZE-style one-pass column profile of the orders table —
+    the optimizer/data-quality statistics block every warehouse emits
+    (row counts, null counts, min/max, means, exact NDVs). Engine twin
+    of the reference's corpus summary print (evaluate_new_testdata.py:
+    82-104) generalized to arbitrary columns.
+
+    Plan: ONE read + ONE map_batches folds, per block, (a) closed-form
+    numeric partials (count/nulls/min/max/sum) and (b) the per-block
+    DISTINCT VALUE sets of the NDV columns encoded as rows — bounded
+    by column cardinality x blocks, never by row count (the documented
+    assumption: NDV columns are categorical/date-grade; a high-card
+    NDV needs the HLL sketch path instead). One repartition(1) combine
+    finishes both kinds. Output: (column, metric, value) long-form,
+    sorted."""
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderpriority", "o_orderdate",
+                             "o_totalprice"])
+    ndv_cols = ["o_custkey", "o_orderstatus", "o_orderpriority",
+                "o_orderdate"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rows: list[tuple[str, str, float, str]] = []
+        n = batch.num_rows
+        for col in ("o_orderkey", "o_totalprice"):
+            a = batch.column(col)
+            rows.append((col, "count", float(n - a.null_count), ""))
+            rows.append((col, "n_nulls", float(a.null_count), ""))
+            rows.append((col, "min", float(pc.min(a).as_py()), ""))
+            rows.append((col, "max", float(pc.max(a).as_py()), ""))
+        rows.append(("o_totalprice", "sum",
+                     float(pc.sum(batch.column("o_totalprice")).as_py()),
+                     ""))
+        out = pd.DataFrame(rows, columns=["column", "metric", "value",
+                                          "sval"])
+        vals = []
+        for col in ndv_cols:
+            u = pc.unique(batch.column(col)).cast(pa.string())
+            vals.append(pd.DataFrame({
+                "column": col, "metric": "__val", "value": 0.0,
+                "sval": u.to_pandas()}))
+        return table_from_pandas(pd.concat([out] + vals,
+                                           ignore_index=True))
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["metric"] != "__val"]
+        g = stats.groupby(["column", "metric"])["value"]
+        out = []
+        for (col, met), s in g:
+            if met in ("count", "n_nulls"):
+                out.append((col, met, float(s.sum())))
+            elif met == "min":
+                out.append((col, met, float(s.min())))
+            elif met == "max":
+                out.append((col, met, float(s.max())))
+        cnt = stats[(stats["column"] == "o_totalprice")
+                    & (stats["metric"] == "count")]["value"].sum()
+        tot = stats[(stats["column"] == "o_totalprice")
+                    & (stats["metric"] == "sum")]["value"].sum()
+        out.append(("o_totalprice", "mean",
+                    float(round_half_up(np.array([tot / cnt]), 4)[0])))
+        dv = df[df["metric"] == "__val"]
+        for col, s in dv.groupby("column")["sval"]:
+            out.append((col, "n_distinct", float(s.nunique())))
+        res = pd.DataFrame(out, columns=["column", "metric", "value"])
+        return res.sort_values(["column", "metric"]).reset_index(
+            drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def price_equidepth_histogram(sf_dir: str, nbins: int = 10) -> rd.Dataset:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice — the
+    optimizer-statistics primitive (NTILE boundaries with DETERMINISTIC
+    tie handling: every row of one value shares the bin of that
+    value's MIN rank, so the result is independent of scan order,
+    unlike raw NTILE).
+
+    Plan: prices are exact integer cents, so per-block (cents, count)
+    partials reduce through the two-phase hash aggregate to a
+    value-histogram sized by DISTINCT price count; one tiny
+    repartition(1) finish computes cumulative ranks on the sorted
+    histogram and folds bins locally. No row-level sort, no full-column
+    shuffle — the same domain-bounded-histogram trick as
+    order_price_cume_dist. Output: (bin, n_rows, lo, hi)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_extendedprice"])
+
+    def cents_counts(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(p * 100.0).astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.Table.from_pydict({
+            "cents": pa.array(v, pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = hash_groupby_agg(
+        ds.map_batches(cents_counts, batch_format="pyarrow"),
+        ["cents"], {"c": ("c", "sum")}, num_parts=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents").reset_index(drop=True)
+        c = df["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        rank_min = cum_before + 1  # rank() of every row of this value
+        bins = (rank_min - 1) * np.int64(nbins) // np.int64(n) + 1
+        cents = df["cents"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"bin": bins, "cents": cents, "c": c})
+        g = out.groupby("bin", as_index=False).agg(
+            n_rows=("c", "sum"), lo_c=("cents", "min"),
+            hi_c=("cents", "max"))
+        return pd.DataFrame({
+            "bin": g["bin"].astype(np.int64),
+            "n_rows": g["n_rows"].astype(np.int64),
+            "lo": round_half_up(g["lo_c"].to_numpy() / 100.0, 2),
+            "hi": round_half_up(g["hi_c"].to_numpy() / 100.0, 2),
+        }).sort_values("bin").reset_index(drop=True)
+
+    return hist.repartition(1).map_batches(finish,
+                                           batch_format="pandas")

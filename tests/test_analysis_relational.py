@@ -2013,3 +2013,18 @@ def test_filter_attrition_report_chain_consistency():
     assert got["n_out"].iloc[0] == int(p1.sum())
     assert got["n_out"].iloc[1] == int(p2.sum())
     assert got["n_out"].iloc[2] == int(p3.sum())
+
+
+@pytest.mark.parametrize("name", [
+    "snapshot_diff", "triangle_count", "lang_source_mi",
+    "oov_rate_per_doc", "table_profile", "price_equidepth_histogram",
+    "ewma_user_value", "debounced_event_counts",
+])
+def test_round3_wave3_oracle_parity(con, name):
+    """The round-3 wave-3 queries (CDC diff, triangle census, MI audit,
+    OOV rate, table profile, equi-depth histogram, EWMA score, burst
+    debounce) match their registered DuckDB oracles at sf0.001 — the
+    same comparison the driver gate runs at sf0.01."""
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
