@@ -386,6 +386,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.price_equidepth_histogram,
         "ewma_user_value": events.ewma_user_value,
         "debounced_event_counts": events.debounced_event_counts,
+        "snm_candidate_pairs": dedup.snm_candidate_pairs,
+        "sales_cube": relational.sales_cube,
+        # rows-only: CMS estimates are approximate by construction
+        # (exact twin is the vocab reduce inside; accuracy pytest)
+        "cms_token_counts": analysis.cms_token_counts,
+        "media_audio_silence_segments":
+            media.media_audio_silence_segments,
     }
 
 
@@ -2835,6 +2842,44 @@ def oracle_sql() -> dict[str, str]:
                                          AND gap <= 60)
                         AS BIGINT) AS n_dropped
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "snm_candidate_pairs": """
+            WITH k AS (SELECT doc_id, substr(trim(text), 1, 16) AS key
+                       FROM documents),
+            r AS (SELECT doc_id, key,
+                         row_number() OVER (ORDER BY key, doc_id)
+                           AS pos
+                  FROM k)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.pos - a.pos AS BIGINT) AS dist
+            FROM r a JOIN r b
+                 ON b.pos > a.pos AND b.pos - a.pos <= 3
+            WHERE levenshtein(a.key, b.key) <= 4
+            ORDER BY doc_a, doc_b
+        """,
+        "sales_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        "media_audio_silence_segments": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     AS doc_id,
+                   CAST(4 * length(translate(CAST(doc_id AS VARCHAR),
+                        '0123456789', 'ABCDEFGHIJ')) AS BIGINT)
+                     AS n_frames,
+                   CAST(length(translate(CAST(doc_id AS VARCHAR),
+                        '0123456789', 'ABCDEFGHIJ')) AS BIGINT)
+                     AS n_segments,
+                   CAST(0.5 AS DOUBLE) AS voiced_frac
+            FROM documents WHERE doc_id % 3 = 0
+            ORDER BY doc_id
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

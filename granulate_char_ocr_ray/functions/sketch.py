@@ -615,3 +615,58 @@ def mg_merge(a: dict[str, int], b: dict[str, int],
         sub = vals[k]
         out = {key: v - sub for key, v in out.items() if v > sub}
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# sketch: est(x) >= true(x) always; est(x) <= true(x) + eps*N with
+# probability 1 - delta for eps = e/width, delta = exp(-depth).
+# Merge of a union stream = elementwise SUM of the count matrices.
+# ---------------------------------------------------------------------------
+
+_CMS_SALTS = np.arange(1, 64, dtype=np.uint64) * np.uint64(
+    0x9E3779B97F4A7C15)
+
+
+def cms_create(depth: int = 4, width: int = 1024) -> np.ndarray:
+    """Zeroed (depth, width) int64 count matrix."""
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_cols(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices: one salted xorshift remix per row."""
+    h = hashes.astype(np.uint64)
+    cols = np.empty((depth, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            x = h ^ _CMS_SALTS[d]
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            cols[d] = (x % np.uint64(width)).astype(np.int64)
+    return cols
+
+
+def cms_add_hashes(sk: np.ndarray, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> np.ndarray:
+    """Add pre-hashed items (optionally with multiplicities) in place;
+    fully vectorized via np.add.at per row."""
+    depth, width = sk.shape
+    if counts is None:
+        counts = np.ones(len(hashes), dtype=np.int64)
+    cols = _cms_cols(hashes, depth, width)
+    for d in range(depth):
+        np.add.at(sk[d], cols[d], counts)
+    return sk
+
+
+def cms_estimate_hashes(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows of the hashed cells."""
+    depth, width = sk.shape
+    cols = _cms_cols(hashes, depth, width)
+    ests = np.stack([sk[d][cols[d]] for d in range(depth)])
+    return ests.min(axis=0)
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sketch of the concatenated streams == elementwise sum."""
+    return a + b

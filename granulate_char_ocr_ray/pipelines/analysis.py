@@ -2186,3 +2186,79 @@ def oov_rate_per_doc(sf_dir: str, top_n: int = 20) -> rd.Dataset:
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow")
             .repartition(4).sort("doc_id"))
+
+
+def cms_token_counts(sf_dir: str, depth: int = 4, width: int = 1024,
+                     top: int = 10) -> rd.Dataset:
+    """Count-Min-sketch token-frequency audit: build one mergeable CMS
+    over the whole token stream (one (depth x width) int64 matrix per
+    block, elementwise-SUM merged — the shuffle carries sketches,
+    never tokens) and report the sketch estimate next to the exact
+    count for the corpus's top-``top`` tokens. The CMS guarantee
+    (est >= exact; overcount <= e/width * N w.h.p.) is asserted in
+    pytest; approximate by construction, so rows-only for the driver
+    gate.
+
+    Plan: ONE narrow pass folds both the per-block sketch AND the
+    per-block token counts; the vocab-sized exact reduce picks the
+    deterministic top-``top`` (count desc, token asc); sketches
+    repartition(1)-sum and the probe is a vectorized min-over-rows
+    lookup. Output: (token, exact_c, cms_est)."""
+    from ..functions.sketch import cms_add_hashes, cms_create, \
+        cms_estimate_hashes
+    from ..stages.hashagg import hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({"token": flat.to_pandas()})
+        g = df.groupby("token", as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "c"}))
+
+    counts = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["token"], {"c": ("c", "sum")}, num_parts=8).materialize()
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        # blocks here are already (token, count) partials, so the CMS
+        # folds weighted hashes — identical to adding the raw stream
+        sk = cms_create(depth, width)
+        h = hash64_batch(batch.column("token"))
+        cms_add_hashes(sk, h, batch.column("c").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.Table.from_pydict(
+            {"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    sketches = counts.map_batches(sketch_block, batch_format="pyarrow")
+
+    # deterministic probe set: driver-side top-N on the REDUCED table
+    # (vocab-sized; built eagerly once, closed over by the finish)
+    t = (counts.map_batches(
+        lambda df: df.sort_values(["c", "token"],
+                                  ascending=[False, True]).head(top),
+        batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+        lambda df: df.sort_values(["c", "token"],
+                                  ascending=[False, True]).head(top),
+        batch_format="pandas")
+        .to_pandas())
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        merged = cms_create(depth, width)
+        for b in df["sk"]:
+            merged += np.frombuffer(b, dtype=np.int64).reshape(
+                depth, width)
+        h = hash64_batch(pa.array(t["token"].tolist(), pa.string()))
+        est = cms_estimate_hashes(merged, h)
+        return pd.DataFrame({
+            "token": t["token"].to_numpy(),
+            "exact_c": t["c"].to_numpy(dtype=np.int64),
+            "cms_est": est.astype(np.int64),
+        }).sort_values("token").reset_index(drop=True)
+
+    return sketches.repartition(1).map_batches(probe,
+                                               batch_format="pandas")

@@ -1828,3 +1828,148 @@ def snapshot_diff(sf_dir: str) -> rd.Dataset:
             .map_groups(classify, batch_format="pandas")
             .repartition(4)
             .sort("doc_id"))
+
+
+def snm_candidate_pairs(sf_dir: str, window: int = 3, max_lev: int = 4,
+                        klen: int = 16) -> rd.Dataset:
+    """Sorted-neighborhood-method record linkage (Hernandez & Stolfo,
+    SIGMOD'95): sort the corpus by a blocking key (first ``klen`` chars
+    of the trimmed text), emit every pair within ``window`` positions
+    of the GLOBAL sort order, and verify with
+    levenshtein(key_a, key_b) <= ``max_lev``. The classic
+    entity-resolution blocking scheme the LSH family doesn't cover
+    (rank adjacency, not hash collision).
+
+    Plan — distributed SNM without a global row-number: ranges are
+    contiguous key intervals keyed by the FIRST BYTE of the blocking
+    key (deterministic, order-preserving; skew rides on the key
+    distribution and is the documented trade — a production run would
+    split hot prefixes on two bytes). ONE exchange co-locates each
+    range; every range sorts locally ONCE and (a) emits its intra-range
+    window pairs via shifted-array comparisons + one batched-DP
+    levenshtein verify, and (b) exports only its first/last ``window``
+    rows with their offsets-from-edge. Cross-boundary pairs — the only
+    pairs a per-range plan misses — are reconstructed exactly from
+    those O(window x ranges) edge rows in a tiny repartition(1) finish:
+    for ADJACENT non-empty ranges, rank distance = offset-from-end(a)
+    + offset-from-start(b) + 1. The key comparison is codepoint-based
+    (ASCII fixtures; byte==char there — same caveat as substring_dups).
+    Output: (doc_a, doc_b, dist) with doc_a earlier in sort order,
+    sorted by (doc_a, doc_b)."""
+    from ..functions.tables import table_from_pandas
+    from ..functions.textstats import levenshtein_batch
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        key = pc.utf8_slice_codeunits(trimmed, 0, klen)
+        ks = key.to_pandas()
+        rng = np.array([ord(s[0]) if s else 0 for s in ks],
+                       dtype=np.int64)
+        return table_from_pandas(pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "key": ks, "rng": rng}))
+
+    def _verified_pairs(da: np.ndarray, db: np.ndarray,
+                        ka: list, kb: list,
+                        dist: np.ndarray) -> pd.DataFrame:
+        if len(da) == 0:
+            return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                                 "doc_b": np.zeros(0, np.int64),
+                                 "dist": np.zeros(0, np.int64)})
+        lev = levenshtein_batch(ka, kb)
+        m = lev <= max_lev
+        return pd.DataFrame({"doc_a": da[m], "doc_b": db[m],
+                             "dist": dist[m]})
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        keys = g["key"].tolist()
+        n = len(g)
+        frames = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            frames.append(_verified_pairs(
+                did[:-d], did[d:], keys[:-d], keys[d:],
+                np.full(n - d, d, dtype=np.int64)))
+        pairs = (pd.concat(frames, ignore_index=True) if frames
+                 else _verified_pairs(np.zeros(0, np.int64),
+                                      np.zeros(0, np.int64), [], [],
+                                      np.zeros(0, np.int64)))
+        pairs["kind"] = np.int64(0)
+        pairs["rng"] = np.int64(0)
+        pairs["side"] = np.int64(0)
+        pairs["off"] = np.int64(0)
+        pairs["n"] = np.int64(0)
+        pairs["key"] = ""
+        w = min(window, n)
+        edge_rows = []
+        for side, sel, off in (
+                (0, np.arange(w), np.arange(w)),
+                (1, np.arange(n - w, n), n - 1 - np.arange(n - w, n))):
+            edge_rows.append(pd.DataFrame({
+                "doc_a": did[sel], "doc_b": np.int64(0),
+                "dist": np.int64(0), "kind": np.int64(1),
+                "rng": g["rng"].iloc[0], "side": np.int64(side),
+                "off": off.astype(np.int64), "n": np.int64(n),
+                "key": [keys[i] for i in sel]}))
+        return pd.concat([pairs] + edge_rows, ignore_index=True)
+
+    both = (docs.map_batches(keyed, batch_format="pyarrow")
+            .groupby("rng")
+            .map_groups(per_range, batch_format="pandas")
+            .materialize())  # pairs + O(window x ranges) edge rows only
+
+    pairs = both.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+            ["doc_a", "doc_b", "dist"]),
+        batch_format="pyarrow")
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == 1]
+        rngs = np.sort(df["rng"].unique())
+        sizes = {int(r): int(df[df["rng"] == r]["n"].iloc[0])
+                 for r in rngs}
+        out = []
+        # pairs may span MORE than two ranges when intermediate ranges
+        # hold fewer than `window` rows: rank distance = off_end(a)
+        # + rows in strictly-intermediate ranges + off_start(b) + 1
+        for i in range(len(rngs)):
+            gap = 0
+            for j in range(i + 1, len(rngs)):
+                if gap >= window:
+                    break
+                lo, hi = rngs[i], rngs[j]
+                a = df[(df["rng"] == lo) & (df["side"] == 1)]
+                b = df[(df["rng"] == hi) & (df["side"] == 0)]
+                if not a.empty and not b.empty:
+                    m = a.merge(b, how="cross", suffixes=("_a", "_b"))
+                    d = (m["off_a"] + gap + m["off_b"]
+                         + 1).to_numpy(dtype=np.int64)
+                    keep = d <= window
+                    m = m[keep]
+                    out.append(_verified_pairs(
+                        m["doc_a_a"].to_numpy(dtype=np.int64),
+                        m["doc_a_b"].to_numpy(dtype=np.int64),
+                        m["key_a"].tolist(), m["key_b"].tolist(),
+                        d[keep]))
+                gap += sizes[int(rngs[j])]
+        if not out:
+            return _verified_pairs(np.zeros(0, np.int64),
+                                   np.zeros(0, np.int64), [], [],
+                                   np.zeros(0, np.int64))
+        return pd.concat(out, ignore_index=True)
+
+    boundary = (both.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(cross_pairs, batch_format="pandas"))
+
+    return (pairs.union(boundary)
+            .repartition(1).sort(["doc_a", "doc_b"]))

@@ -643,3 +643,78 @@ def media_keyframes(sf_dir: str, k: int = 3,
     return packed.map_batches(
         KeyframeStage, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"k": k}).repartition(4).sort("doc_id")
+
+
+class SilenceSegmentStage:
+    """Actor stage: voice-activity-style segmentation — decode the WAV,
+    window to 25 ms frames, threshold frame RMS, count contiguous
+    voiced runs. The VAD/diarization front-end shape: model-free, so
+    the plumbing (actor pool, per-batch decode, vectorized run count)
+    is fully real."""
+
+    def __init__(self, frame_ms: int = 25, rms_min: float = 1.0) -> None:
+        self.frame_ms = frame_ms
+        self.rms_min = rms_min
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_segments, voiced_frac = [], [], []
+        for ref in batch.column("media_ref").to_pylist():
+            feats = audio_features(ref or "", self.frame_ms)
+            voiced = feats[:, 0] > self.rms_min
+            segs = int(voiced[0]) + int(
+                (voiced[1:] & ~voiced[:-1]).sum()) if len(voiced) else 0
+            n_frames.append(len(feats))
+            n_segments.append(segs)
+            voiced_frac.append(
+                float(voiced.mean()) if len(voiced) else 0.0)
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"),
+             "n_frames": pa.array(n_frames, pa.int64()),
+             "n_segments": pa.array(n_segments, pa.int64()),
+             "voiced_frac": pa.array(np.round(voiced_frac, 4),
+                                     pa.float64())})
+
+
+def media_audio_silence_segments(sf_dir: str,
+                                 concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_frames, n_segments, voiced_frac) per media doc: each
+    doc carries a deterministic PCM WAV of one 50 ms burst (amplitude
+    1000) + 50 ms silence PER GLYPH LETTER, so at 16 kHz / 25 ms frames
+    the closed form is n_frames = 4k, n_segments = k, voiced_frac =
+    0.5 for word length k — the segmentation plumbing is SQL-verified
+    end-to-end through the REAL RIFF encode -> decode path (extends
+    media_audio_energy's scheme; reference media handling at
+    backend/application/services/ocr_service.py:97-119)."""
+    import base64
+
+    from ..functions.codecs import encode_wav_pcm16
+    from ..functions.glyphs import MEDIA_PREFIX
+
+    spans = derive_docs(sf_dir).map_batches(explode_spans,
+                                            batch_format="pyarrow")
+    media = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")),
+        batch_format="pyarrow")
+
+    def to_burst_wav(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = []
+        for ref in refs:
+            word = (ref or "")[len(MEDIA_PREFIX):]
+            k = len(word)
+            burst = np.concatenate(
+                [np.full(800, 1000, dtype=np.int16),
+                 np.zeros(800, dtype=np.int16)])
+            samples = np.tile(burst, max(k, 1)) if k else \
+                np.zeros(0, dtype=np.int16)
+            out.append("wavb64:"
+                       + base64.b64encode(
+                           encode_wav_pcm16(samples)).decode())
+        return batch.set_column(
+            batch.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(out, pa.string()))
+
+    packed = media.map_batches(to_burst_wav, batch_format="pyarrow")
+    return packed.map_batches(
+        SilenceSegmentStage, batch_format="pyarrow",
+        concurrency=concurrency).repartition(4).sort("doc_id")

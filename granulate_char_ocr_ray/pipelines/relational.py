@@ -4251,3 +4251,57 @@ def price_equidepth_histogram(sf_dir: str, nbins: int = 10) -> rd.Dataset:
 
     return hist.repartition(1).map_batches(finish,
                                            batch_format="pandas")
+
+
+def sales_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping
+    sets — (flag, status), (flag), (status), () — in ONE pass, the
+    warehouse reporting primitive completing the ROLLUP already in the
+    engine. NULL grouping keys are emitted as the literal 'ALL' so the
+    row identity survives the order-insensitive hash compare.
+
+    Plan: each block folds all four grouping sets locally (cells
+    bounded by the 3x2 key domain x 4 sets), one repartition(1)
+    combine finishes — no shuffle wider than the cube itself.
+    Output: (l_returnflag, l_linestatus, n, sum_qty, revenue)."""
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        frames = []
+        for keys in ((["l_returnflag", "l_linestatus"]),
+                     (["l_returnflag"]), (["l_linestatus"]), ([])):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    n=("rev", "size"), sum_qty=("l_quantity", "sum"),
+                    revenue=("rev", "sum"))
+            else:
+                g = pd.DataFrame({
+                    "n": [len(df)],
+                    "sum_qty": [df["l_quantity"].sum()],
+                    "revenue": [df["rev"].sum()]})
+            for col in ("l_returnflag", "l_linestatus"):
+                if col not in g.columns:
+                    g[col] = "ALL"
+            frames.append(g[["l_returnflag", "l_linestatus", "n",
+                             "sum_qty", "revenue"]])
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            n=("n", "sum"), sum_qty=("sum_qty", "sum"),
+            revenue=("revenue", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_qty"] = round_half_up(g["sum_qty"].to_numpy(), 2)
+        g["revenue"] = round_half_up(g["revenue"].to_numpy(), 2)
+        return g.sort_values(["l_returnflag", "l_linestatus"]
+                             ).reset_index(drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -2028,3 +2028,54 @@ def test_round3_wave3_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize("name", [
+    "snm_candidate_pairs", "sales_cube",
+])
+def test_round3_wave4_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_cms_token_counts_bounds():
+    """CMS guarantees: est >= exact always; overcount bounded by
+    e/width * N (with depth=4 rows the failure probability is
+    exp(-4) per item — deterministic here since the corpus is fixed)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import \
+        cms_token_counts
+
+    df = cms_token_counts(SF).to_pandas()
+    assert len(df) == 10
+    assert (df["cms_est"] >= df["exact_c"]).all()
+    n_total = int(
+        pd.read_parquet(f"{SF}/documents.parquet")["text"]
+        .str.strip().str.split().map(len).sum())
+    bound = np.e / 1024 * n_total
+    assert ((df["cms_est"] - df["exact_c"]) <= bound).all()
+
+
+def test_cms_kernel_merge_identity():
+    """Sum-merged block sketches == one sketch over the whole stream."""
+    import numpy as np
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        cms_add_hashes, cms_create, cms_estimate_hashes, cms_merge)
+    from granulate_char_ocr_ray.functions.textstats import hash64_batch
+
+    rng = np.random.default_rng(7)
+    items = [f"tok{i}" for i in rng.integers(0, 200, 5000)]
+    h = hash64_batch(pa.array(items, pa.string()))
+    whole = cms_add_hashes(cms_create(), h.copy())
+    a = cms_add_hashes(cms_create(), h[:2000].copy())
+    b = cms_add_hashes(cms_create(), h[2000:].copy())
+    assert (cms_merge(a, b) == whole).all()
+    probe = hash64_batch(pa.array(["tok5", "tok50", "tok199"]))
+    exact = np.array([items.count("tok5"), items.count("tok50"),
+                      items.count("tok199")])
+    est = cms_estimate_hashes(whole, probe)
+    assert (est >= exact).all()

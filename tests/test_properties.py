@@ -247,3 +247,27 @@ def test_merge_intervals_matches_bruteforce(raw):
             islands.append([s, e])
     got = [[int(r.s), int(r.e)] for r in one_step.itertuples()]
     assert got == islands
+
+
+def test_silence_segment_stage_known_bursts():
+    """One 50ms burst + 50ms silence per letter at 16kHz/25ms frames:
+    n_frames = 4k, n_segments = k, voiced_frac = 0.5."""
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.codecs import encode_wav_pcm16
+    from granulate_char_ocr_ray.pipelines.media import SilenceSegmentStage
+
+    k = 3
+    burst = np.concatenate([np.full(800, 1000, dtype=np.int16),
+                            np.zeros(800, dtype=np.int16)])
+    wav = encode_wav_pcm16(np.tile(burst, k))
+    batch = pa.Table.from_pydict({
+        "doc_id": ["doc-x"],
+        "media_ref": ["wavb64:" + base64.b64encode(wav).decode()]})
+    out = SilenceSegmentStage()(batch).to_pydict()
+    assert out["n_frames"] == [4 * k]
+    assert out["n_segments"] == [k]
+    assert out["voiced_frac"] == [0.5]
