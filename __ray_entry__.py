@@ -393,6 +393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": analysis.cms_token_counts,
         "media_audio_silence_segments":
             media.media_audio_silence_segments,
+        "vertex_clustering": relational.vertex_clustering,
+        "late_event_counts": events.late_event_counts,
+        "sample_docs_per_source": analysis.sample_docs_per_source,
+        "source_ablation_impact": analysis.source_ablation_impact,
     }
 
 
@@ -2880,6 +2884,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0.5 AS DOUBLE) AS voiced_frac
             FROM documents WHERE doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        "vertex_clustering": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+                    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+                    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+            tv AS (SELECT v AS part,
+                          CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT a AS v FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri) GROUP BY 1),
+            dg AS (SELECT v AS part,
+                          CAST(count(*) AS BIGINT) AS degree
+                   FROM (SELECT p1 AS v FROM e
+                         UNION ALL SELECT p2 FROM e) GROUP BY 1)
+            SELECT tv.part, tv.n_triangles, dg.degree,
+                   round(2.0 * tv.n_triangles
+                         / (dg.degree * (dg.degree - 1)), 4)
+                     AS clustering
+            FROM tv JOIN dg USING (part)
+            ORDER BY n_triangles DESC, part LIMIT 20
+        """,
+        "late_event_counts": """
+            WITH w AS (SELECT event_type, ts,
+                              max(ts) OVER (PARTITION BY user_id
+                                            ORDER BY event_id
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND 1 PRECEDING)
+                                AS mx
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(*) FILTER (WHERE mx IS NOT NULL
+                                         AND epoch(mx - ts) > 300)
+                        AS BIGINT) AS n_late,
+                   round(CAST(count(*) FILTER (WHERE mx IS NOT NULL
+                                      AND epoch(mx - ts) > 300)
+                              AS DOUBLE) / count(*), 4) AS late_frac
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "sample_docs_per_source": """
+            WITH s AS (SELECT source, doc_id,
+                              CAST((doc_id * 2654435761) % 4294967296
+                                   AS BIGINT) AS skey
+                       FROM documents)
+            SELECT source, doc_id, skey FROM s
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY skey, doc_id) <= 5
+            ORDER BY source, skey
+        """,
+        "source_ablation_impact": """
+            WITH g AS (SELECT source,
+                              CAST(sum(n_chars) AS DOUBLE) AS s,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(s) AS ts, sum(n) AS tn FROM g)
+            SELECT g.source, CAST(g.n AS BIGINT) AS n_docs,
+                   round(t.ts / t.tn, 4) AS mean_all,
+                   round((t.ts - g.s) / (t.tn - g.n), 4)
+                     AS mean_without,
+                   round((t.ts - g.s) / (t.tn - g.n) - t.ts / t.tn, 4)
+                     AS delta_mean
+            FROM g, t ORDER BY g.source
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2262,3 +2262,79 @@ def cms_token_counts(sf_dir: str, depth: int = 4, width: int = 1024,
 
     return sketches.repartition(1).map_batches(probe,
                                                batch_format="pandas")
+
+
+def sample_docs_per_source(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Deterministic pseudo-random sample of ``k`` docs per source —
+    the per-stratum eyeball sample every corpus audit starts with. The
+    shuffle key is a Knuth multiplicative scramble of doc_id
+    ((doc_id * 2654435761) mod 2^32), SQL-expressible so the oracle is
+    exact, uniform-ish, and stable across engines and runs.
+
+    Plan: the scramble is computed vectorized per block; the
+    distributed row_number() <= k lowers to hash_groupby_topn (local
+    top-k per block -> key-hash exchange of at most k x |sources| x
+    blocks rows -> final re-pick). Output: (source, doc_id, skey)
+    sorted by (source, skey)."""
+    from ..stages.hashagg import hash_groupby_topn
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def scramble(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        skey = (did.astype(np.uint64)
+                * np.uint64(2654435761)) % np.uint64(4294967296)
+        return pa.Table.from_pydict({
+            "source": batch.column("source"),
+            "doc_id": pa.array(did.astype(np.int64), pa.int64()),
+            "skey": pa.array(skey.astype(np.int64), pa.int64())})
+
+    keyed = ds.map_batches(scramble, batch_format="pyarrow")
+    top = hash_groupby_topn(keyed, ["source"], ["skey", "doc_id"],
+                            [True, True], k, num_parts=8)
+    return top.repartition(1).sort(["source", "skey"])
+
+
+def source_ablation_impact(sf_dir: str) -> rd.Dataset:
+    """Leave-one-source-out ablation of the corpus mean doc length —
+    the cheapest data-valuation signal (how much does dropping each
+    source move a corpus statistic): delta_mean = mean(without s) -
+    mean(all). Sources whose removal RAISES the mean are dragging
+    quality down.
+
+    Plan: per-source (sum, count) partials fold through ONE
+    |sources|-bounded exchange; every LOO mean is then a closed-form
+    transform of the |sources|-row table — no second pass, no join.
+    Output: (source, n_docs, mean_all, mean_without, delta_mean)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return table_from_pandas(df.groupby("source", as_index=False)
+                                 .agg(s=("n_chars", "sum"),
+                                      n=("n_chars", "size")))
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.float64)
+        tot_s, tot_n = s.sum(), n.sum()
+        mean_all = tot_s / tot_n
+        mean_wo = (tot_s - s) / (tot_n - n)
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_docs": n.astype(np.int64),
+            "mean_all": round_half_up(
+                np.full(len(df), mean_all), 4),
+            "mean_without": round_half_up(mean_wo, 4),
+            "delta_mean": round_half_up(mean_wo - mean_all, 4),
+        }).sort_values("source").reset_index(drop=True)
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")

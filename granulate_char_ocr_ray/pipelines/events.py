@@ -1200,3 +1200,55 @@ def debounced_event_counts(sf_dir: str, cooldown_s: int = 60
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("event_type"))
+
+
+def late_event_counts(sf_dir: str, watermark_s: int = 300
+                      ) -> rd.Dataset:
+    """Streaming watermark audit: an event is LATE if its timestamp
+    trails the maximum timestamp already seen for that user (arrival
+    order = event_id) by more than ``watermark_s`` — the out-of-order
+    fraction a streaming engine must tolerate before finalizing
+    windows (Ray Data is batch, so this is the exactness check a
+    window operator's watermark choice needs).
+
+    Plan: ONE coarse hash(user) % 16 exchange; each bucket sorts by
+    (user, event_id) and computes the per-user running max with
+    cython-backed grouped cummax + shift — no Python loop; |types|-row
+    partials fold through the two-phase hash aggregate.
+    Output: (event_type, n_total, n_late, late_frac) sorted."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    wm_ns = np.int64(watermark_s) * np.int64(1_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"])
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        g = g.assign(_ts=ts)
+        prev_max = g.groupby("user_id")["_ts"].cummax().groupby(
+            g["user_id"]).shift(1)
+        late = prev_max.notna().to_numpy() & (
+            g["_ts"].to_numpy()
+            < prev_max.fillna(np.iinfo(np.int64).min).to_numpy(
+                dtype=np.int64) - wm_ns)
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        return out.groupby("event_type", as_index=False).agg(
+            n_total=("late", "size"), n_late=("late", "sum"))
+
+    partials = _user_bucketed(ds).map_groups(per_bucket,
+                                             batch_format="pandas")
+    agg = hash_groupby_agg(partials, ["event_type"],
+                           {"n_total": ("n_total", "sum"),
+                            "n_late": ("n_late", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_total": "int64", "n_late": "int64"})
+        df["late_frac"] = round_half_up(
+            df["n_late"].to_numpy() / df["n_total"].to_numpy(), 4)
+        return df[["event_type", "n_total", "n_late", "late_frac"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("event_type"))

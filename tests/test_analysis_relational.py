@@ -2079,3 +2079,13 @@ def test_cms_kernel_merge_identity():
                       items.count("tok199")])
     est = cms_estimate_hashes(whole, probe)
     assert (est >= exact).all()
+
+
+@pytest.mark.parametrize("name", [
+    "vertex_clustering", "late_event_counts",
+    "sample_docs_per_source", "source_ablation_impact",
+])
+def test_round3_wave5_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
