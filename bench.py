@@ -328,6 +328,18 @@ def _secondary_list():
          lambda: analysis.train_quality_classifier(SF_DIR).count()),
         ("source_kl_divergence",
          lambda: analysis.source_kl_divergence(SF_DIR).count()),
+        ("snapshot_diff",
+         lambda: dedup.snapshot_diff(SF_DIR).count()),
+        ("triangle_count",
+         lambda: relational.triangle_count(SF_DIR).to_pandas()),
+        ("vertex_clustering",
+         lambda: relational.vertex_clustering(SF_DIR).to_pandas()),
+        ("snm_candidate_pairs",
+         lambda: dedup.snm_candidate_pairs(SF_DIR).count()),
+        ("oov_rate_per_doc",
+         lambda: analysis.oov_rate_per_doc(SF_DIR).count()),
+        ("late_event_counts",
+         lambda: events.late_event_counts(SF_DIR).to_pandas()),
     ]
 
 
