@@ -397,6 +397,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_counts": events.late_event_counts,
         "sample_docs_per_source": analysis.sample_docs_per_source,
         "source_ablation_impact": analysis.source_ablation_impact,
+        # rows-only: PQ / KLL are approximate by construction
+        # (both have exact brute-force / rank-error pytests)
+        "pq_recall": similarity.pq_recall,
+        "approx_doclen_quantiles_by_lang":
+            analysis.approx_doclen_quantiles_by_lang,
+        "token_fertility_by_lang": analysis.token_fertility_by_lang,
+        "max_quantity_with_ties": relational.max_quantity_with_ties,
     }
 
 
@@ -483,6 +490,24 @@ def _bpe_oracle() -> str:
         + pat
         + "')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id"
     )
+
+
+def _fertility_oracle() -> str:
+    """SQL twin of token_fertility_by_lang: same RE2 pattern (both
+    engines are RE2), same whitespace word count."""
+    from granulate_char_ocr_ray.pipelines.training import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    bpe = f"len(regexp_extract_all(text, '{pat}'))"
+    words = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+             "len(regexp_split_to_array(trim(text), '\\s+')) END")
+    return f"""
+        SELECT lang, CAST(sum({words}) AS BIGINT) AS n_words,
+               CAST(sum({bpe}) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum({bpe}) AS DOUBLE) / sum({words}), 4)
+                 AS fertility
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2951,6 +2976,17 @@ def oracle_sql() -> dict[str, str]:
                    round((t.ts - g.s) / (t.tn - g.n) - t.ts / t.tn, 4)
                      AS delta_mean
             FROM g, t ORDER BY g.source
+        """,
+        "token_fertility_by_lang": _fertility_oracle(),
+        "max_quantity_with_ties": """
+            WITH r AS (SELECT l_returnflag, l_quantity,
+                              dense_rank() OVER (
+                                PARTITION BY l_returnflag
+                                ORDER BY l_quantity DESC) AS dr
+                       FROM lineitem)
+            SELECT l_returnflag, round(max(l_quantity), 2) AS max_qty,
+                   CAST(count(*) AS BIGINT) AS n_at_max
+            FROM r WHERE dr = 1 GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2338,3 +2338,97 @@ def source_ablation_impact(sf_dir: str) -> rd.Dataset:
 
     return agg.repartition(1).map_batches(finish,
                                           batch_format="pandas")
+
+
+def approx_doclen_quantiles_by_lang(sf_dir: str) -> rd.Dataset:
+    """Grouped approximate quantiles: per-language p50/p90 of doc
+    length via one mergeable KLL sketch per (lang, block) — the
+    sketch-inside-a-groupby pattern (same shape as the grouped HLL):
+    the exchange carries serialized sketches, never values, so a
+    100-TB group costs the same shuffle bytes as a 1-MB one.
+    Approximate by construction -> rows-only; the accuracy pytest
+    bounds the rank error against the exact quantile. Output:
+    (lang, n_docs, p50, p90)."""
+    from ..functions.sketch import (kll_add, kll_create,
+                                    kll_deserialize, kll_merge,
+                                    kll_quantiles, kll_serialize)
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for lang, g in df.groupby("lang"):
+            sk = kll_add(kll_create(),
+                         g["n_chars"].to_numpy(dtype=np.float64))
+            rows.append((lang, len(g), kll_serialize(sk)))
+        out = pd.DataFrame(rows, columns=["lang", "n", "sk"])
+        return pa.Table.from_pydict({
+            "lang": pa.array(out["lang"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "sk": pa.array(out["sk"], pa.binary())})
+
+    partials = ds.map_batches(sketch_block, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            merged = kll_deserialize(g["sk"].iloc[0])
+            for b in g["sk"].iloc[1:]:
+                merged = kll_merge(merged, kll_deserialize(b))
+            q = kll_quantiles(merged, [0.5, 0.9])
+            rows.append((lang, int(g["n"].sum()), float(q[0]),
+                         float(q[1])))
+        out = pd.DataFrame(rows,
+                           columns=["lang", "n_docs", "p50", "p90"])
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out.sort_values("lang").reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(finish,
+                                               batch_format="pandas")
+
+
+def token_fertility_by_lang(sf_dir: str) -> rd.Dataset:
+    """Tokenizer fertility audit: BPE-ish subword tokens per
+    whitespace word, per language — the standard multi-lingual
+    tokenizer-cost signal (a lang whose fertility is 2x pays 2x the
+    context budget). Both counts come from vectorized RE2/Arrow
+    kernels; ONE |langs|-bounded reduce.
+    Output: (lang, n_words, n_bpe_tokens, fertility)."""
+    from ..pipelines.training import BPE_RE
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        empty = pc.equal(trimmed, "")
+        words = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+"))
+        words = pc.if_else(empty, pa.scalar(0, pa.int32()), words)
+        bpe = pc.count_substring_regex(batch.column("text"), BPE_RE)
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False),
+            "w": words.to_numpy(zero_copy_only=False).astype(
+                np.int64),
+            "b": bpe.to_numpy(zero_copy_only=False).astype(np.int64)})
+        return table_from_pandas(
+            df.groupby("lang", as_index=False).agg(
+                n_words=("w", "sum"), n_bpe_tokens=("b", "sum")))
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {"n_words": ("n_words", "sum"),
+                   "n_bpe_tokens": ("n_bpe_tokens", "sum")},
+        num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_words": "int64", "n_bpe_tokens": "int64"})
+        df["fertility"] = round_half_up(
+            df["n_bpe_tokens"].to_numpy()
+            / df["n_words"].to_numpy(), 4)
+        return df[["lang", "n_words", "n_bpe_tokens", "fertility"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("lang"))

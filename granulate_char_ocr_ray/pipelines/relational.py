@@ -4424,3 +4424,36 @@ def vertex_clustering(sf_dir: str, min_count: int = 2,
 
     return merged.repartition(1).map_batches(finish,
                                              batch_format="pandas")
+
+
+def max_quantity_with_ties(sf_dir: str) -> rd.Dataset:
+    """ARGMAX-with-ties per group: the maximum l_quantity per return
+    flag AND how many rows share it — the dense_rank()=1 "top with
+    ties" semantics as ONE associative aggregate instead of a window
+    (partial = per-block (group, max, count-at-max); combine keeps the
+    larger max and sums counts only on equality — no second pass, no
+    row shuffle). Output: (l_returnflag, max_qty, n_at_max)."""
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mx = df.groupby("l_returnflag")["l_quantity"].transform("max")
+        at = df[df["l_quantity"] == mx]
+        g = at.groupby("l_returnflag", as_index=False).agg(
+            max_qty=("l_quantity", "max"),
+            n_at_max=("l_quantity", "size"))
+        return table_from_pandas(g)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.groupby("l_returnflag")["max_qty"].transform("max")
+        at = df[df["max_qty"] == mx]
+        g = at.groupby("l_returnflag", as_index=False).agg(
+            max_qty=("max_qty", "max"), n_at_max=("n_at_max", "sum"))
+        g["max_qty"] = round_half_up(g["max_qty"].to_numpy(), 2)
+        g["n_at_max"] = g["n_at_max"].astype(np.int64)
+        return g.sort_values("l_returnflag").reset_index(drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -1041,3 +1041,154 @@ def mutual_nn_pairs(sf_dir: str, src_label: int = 0, tgt_label: int = 1,
                                                 batch_format="pandas")
     return reduced.groupby("mpart").map_groups(
         mutual, batch_format="pandas").repartition(1).sort("src_id")
+
+
+def _pq_codebooks(sf_dir: str, m: int, ksub: int,
+                  iters: int) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al., TPAMI'11):
+    split d into ``m`` subspaces, run Lloyd's independently per
+    subspace — all ``m`` E-steps fold in ONE map_batches pass per
+    iteration (per-block (m*ksub) x (dsub+1) partial sums; driver
+    M-step; broadcast). Deterministic init from vec_ids 0..ksub-1.
+    Returns (m, ksub, dsub) float64."""
+    import pyarrow.dataset as pads
+
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < ksub)
+    order = np.argsort(init.column("vec_id").to_numpy())
+    mat0 = np.array(init.column("embedding").to_pylist(),
+                    dtype=np.float64)[order]
+    d = mat0.shape[1]
+    assert d % m == 0
+    dsub = d // m
+    books = mat0.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial_sums(batch: pa.Table, _m: int = m,
+                         _k: int = ksub) -> pa.Table:
+            bks = ray.get(ref)
+            _, mat = _batch_matrix(batch)
+            sub = mat.reshape(len(mat), _m, -1)
+            cols = {"sub": np.repeat(np.arange(_m, dtype=np.int64),
+                                     _k),
+                    "cluster": np.tile(np.arange(_k, dtype=np.int64),
+                                       _m)}
+            sums = np.zeros((_m, _k, sub.shape[2]))
+            counts = np.zeros((_m, _k), dtype=np.int64)
+            for j in range(_m):
+                d2 = ((sub[:, j, None, :]
+                       - bks[j][None, :, :]) ** 2).sum(axis=2)
+                best = d2.argmin(axis=1)
+                np.add.at(sums[j], best, sub[:, j])
+                counts[j] = np.bincount(best, minlength=_k)
+            cols["n"] = counts.reshape(-1)
+            flat = sums.reshape(_m * _k, -1)
+            for t in range(flat.shape[1]):
+                cols[f"s{t}"] = flat[:, t]
+            return pa.Table.from_pydict(cols)
+
+        parts = _embeddings(sf_dir).map_batches(
+            partial_sums, batch_format="pyarrow").to_pandas()
+        g = parts.groupby(["sub", "cluster"]).sum().reset_index()
+        n = g["n"].to_numpy()
+        sums = g[[f"s{t}" for t in range(dsub)]].to_numpy()
+        new = books.reshape(m * ksub, dsub).copy()
+        nz = n > 0
+        new[nz] = sums[nz] / n[nz, None]
+        books = new.reshape(m, ksub, dsub)
+    return books
+
+
+def pq_recall(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
+              nq: int = 5, topk: int = 10) -> rd.Dataset:
+    """Product-quantization audit: train PQ codebooks, encode the
+    corpus to ``m`` bytes/vector (d x 8 bytes -> m: 128x compression at
+    d=64/m=4 float64), and measure what the compression costs —
+    recall@``topk`` of asymmetric-distance search vs exact L2 for
+    ``nq`` probe vectors, plus corpus reconstruction MSE. The
+    quantization story ANN at 10^12 rows needs (IVF-PQ's second half;
+    int8 scalar quantization is already in the engine).
+
+    Plan: training folds per-subspace Lloyd's partials in one pass per
+    iter; the eval pass broadcasts codebooks + the nq exact query rows
+    and per block emits (a) local approx/exact top-k candidates (only
+    k x nq x blocks rows shuffle) and (b) scalar MSE partials; one tiny
+    finish computes overlap. Deterministic: ties pin on (dist, vec_id).
+    Output: (query_vec_id, recall_at_k, corpus_mse) rows-only
+    (approximate by construction) + accuracy pytest."""
+    import pyarrow.dataset as pads
+
+    books = _pq_codebooks(sf_dir, m, ksub, iters)
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < nq)
+    qorder = np.argsort(qt.column("vec_id").to_numpy())
+    qmat = np.array(qt.column("embedding").to_pylist(),
+                    dtype=np.float64)[qorder]
+    bref = ray.put(books)
+    qref = ray.put(qmat)
+
+    def block_eval(batch: pa.Table) -> pa.Table:
+        bks, qm = ray.get(bref), ray.get(qref)
+        ids, mat = _batch_matrix(batch)
+        n = len(mat)
+        sub = mat.reshape(n, m, -1)
+        codes = np.empty((n, m), dtype=np.int64)
+        mse_sum = 0.0
+        for j in range(m):
+            d2 = ((sub[:, j, None, :]
+                   - bks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+            mse_sum += d2[np.arange(n), codes[:, j]].sum()
+        # asymmetric distance: per-query m x ksub lookup table, gather
+        rows = []
+        for q in range(len(qm)):
+            qsub = qm[q].reshape(m, -1)
+            lut = ((qsub[:, None, :] - bks) ** 2).sum(axis=2)
+            approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            exact = ((mat - qm[q][None, :]) ** 2).sum(axis=1)
+            keep = ids != q
+            for kind, dist in ((0, approx), (1, exact)):
+                dk, ik = dist[keep], ids[keep]
+                ordk = np.lexsort((ik, dk))[:topk]
+                rows.append(pd.DataFrame({
+                    "q": np.int64(q), "kind": np.int64(kind),
+                    "vec_id": ik[ordk].astype(np.int64),
+                    "dist": dk[ordk], "mse": 0.0, "n": np.int64(0)}))
+        rows.append(pd.DataFrame({
+            "q": [np.int64(-1)], "kind": [np.int64(2)],
+            "vec_id": [np.int64(0)], "dist": [0.0],
+            "mse": [mse_sum], "n": [np.int64(n)]}))
+        from ..functions.tables import table_from_pandas
+        return table_from_pandas(pd.concat(rows, ignore_index=True))
+
+    partials = _embeddings(sf_dir).map_batches(
+        block_eval, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        msr = df[df["kind"] == 2]
+        mse = msr["mse"].sum() / msr["n"].sum()
+        out = []
+        for q in range(nq):
+            tops = {}
+            for kind in (0, 1):
+                s = df[(df["q"] == q) & (df["kind"] == kind)]
+                ordk = np.lexsort((s["vec_id"].to_numpy(),
+                                   s["dist"].to_numpy()))[:topk]
+                tops[kind] = set(s["vec_id"].to_numpy()[ordk])
+            rec = len(tops[0] & tops[1]) / topk
+            out.append((q, rec))
+        res = pd.DataFrame(out, columns=["query_vec_id",
+                                         "recall_at_k"])
+        res["query_vec_id"] = res["query_vec_id"].astype(np.int64)
+        res["recall_at_k"] = round_half_up(
+            res["recall_at_k"].to_numpy(), 4)
+        res["corpus_mse"] = round_half_up(
+            np.full(len(res), mse), 4)
+        return res
+
+    return partials.repartition(1).map_batches(finish,
+                                               batch_format="pandas")

@@ -2089,3 +2089,32 @@ def test_round3_wave5_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize("name", [
+    "token_fertility_by_lang", "max_quantity_with_ties",
+])
+def test_round3_wave6_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_approx_doclen_quantiles_rank_error(con):
+    """KLL grouped quantiles: every reported pXX sits within 5% rank
+    of the exact grouped quantile (KLL's guarantee at default k)."""
+    from granulate_char_ocr_ray.pipelines.analysis import \
+        approx_doclen_quantiles_by_lang
+
+    got = approx_doclen_quantiles_by_lang(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    for _, row in got.iterrows():
+        vals = docs[docs["lang"] == row["lang"]]["n_chars"] \
+            .sort_values().to_numpy()
+        n = len(vals)
+        assert n == row["n_docs"]
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            import numpy as np
+            rank = np.searchsorted(vals, row[col], side="left")
+            assert abs(rank / n - q) <= 0.05 + 1.0 / n

@@ -809,3 +809,56 @@ def test_mutual_nn_pairs_matches_bruteforce():
                 for r in got.itertuples()]
     assert len(want) > 0
     assert got_rows == want
+
+
+def test_pq_recall_matches_brute_force():
+    """The distributed PQ train/encode/search pipeline is bit-identical
+    to a single-process reference (same deterministic init, same
+    empty-cluster rule, same (dist, vec_id) tie pinning)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from granulate_char_ocr_ray.pipelines.similarity import pq_recall
+
+    sf = "/root/testdata/sf0.001"
+    df = pq_recall(sf).to_pandas()
+
+    t = pq_.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    m, ksub, iters = 4, 16, 5
+    books = mat[:ksub].reshape(ksub, m, -1).transpose(1, 0, 2).copy()
+    sub = mat.reshape(len(mat), m, -1)
+    for _ in range(iters):
+        new = books.copy()
+        for j in range(m):
+            d2 = ((sub[:, j, None, :] - books[j][None]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            for c in range(ksub):
+                sel = best == c
+                if sel.any():
+                    new[j][c] = sub[sel, j].mean(axis=0)
+        books = new
+    codes = np.stack([
+        np.argmin(((sub[:, j, None, :] - books[j][None]) ** 2
+                   ).sum(axis=2), axis=1) for j in range(m)], axis=1)
+    mse = 0.0
+    for j in range(m):
+        mse += (((sub[:, j] - books[j][codes[:, j]]) ** 2)
+                .sum(axis=1)).sum()
+    mse /= len(mat)
+    for q in range(5):
+        qsub = mat[q].reshape(m, -1)
+        lut = ((qsub[:, None, :] - books) ** 2).sum(axis=2)
+        approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        exact = ((mat - mat[q][None]) ** 2).sum(axis=1)
+        keep = ids != q
+        ta = set(ids[keep][np.lexsort((ids[keep], approx[keep]))[:10]])
+        te = set(ids[keep][np.lexsort((ids[keep], exact[keep]))[:10]])
+        want = round(len(ta & te) / 10, 4)
+        assert df["recall_at_k"].iloc[q] == want
+    assert abs(df["corpus_mse"].iloc[0] - round(mse, 4)) <= 1e-9
+    # compression must beat the zero-information quantizer
+    assert df["corpus_mse"].iloc[0] < mat.var(axis=0).sum()
