@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.approx_doclen_quantiles_by_lang,
         "token_fertility_by_lang": analysis.token_fertility_by_lang,
         "max_quantity_with_ties": relational.max_quantity_with_ties,
+        # rows-only: IVF-PQ is approximate (brute-force identity pytest)
+        "ivfpq_topk": similarity.ivfpq_topk,
+        "rfm_scores": relational.rfm_scores,
+        "session_bounce_rate": events.session_bounce_rate,
     }
 
 
@@ -2987,6 +2991,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(max(l_quantity), 2) AS max_qty,
                    CAST(count(*) AS BIGINT) AS n_at_max
             FROM r WHERE dr = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "rfm_scores": """
+            WITH g AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+                              count(*) AS n,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            t AS (SELECT max(last_d) AS mx, count(*) AS cnt FROM g),
+            s AS (SELECT g.*,
+                         CAST(date_diff('day', g.last_d, t.mx)
+                              AS BIGINT) AS r_days,
+                         t.cnt FROM g, t)
+            SELECT o_custkey AS c_custkey, r_days,
+                   CAST(n AS BIGINT) AS f_orders,
+                   CAST(cents AS BIGINT) AS m_cents,
+                   CAST(6 - ((rank() OVER (ORDER BY r_days) - 1)
+                             * 5 // cnt + 1) AS BIGINT) AS r_score,
+                   CAST((rank() OVER (ORDER BY n) - 1) * 5 // cnt + 1
+                        AS BIGINT) AS f_score,
+                   CAST((rank() OVER (ORDER BY cents) - 1) * 5 // cnt
+                        + 1 AS BIGINT) AS m_score
+            FROM s ORDER BY c_custkey
+        """,
+        "session_bounce_rate": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR epoch(ts - lag(ts) OVER w) > 1800
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS sid
+                  FROM e),
+            agg AS (SELECT user_id, sid, min(ts) AS t0, count(*) AS n
+                    FROM s GROUP BY 1, 2)
+            SELECT strftime(CAST(date_trunc('day', t0) AS DATE),
+                            '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT)
+                     AS n_bounce,
+                   round(CAST(count(*) FILTER (WHERE n = 1)
+                              AS DOUBLE) / count(*), 4) AS bounce_rate
+            FROM agg GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

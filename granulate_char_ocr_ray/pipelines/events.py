@@ -1252,3 +1252,65 @@ def late_event_counts(sf_dir: str, watermark_s: int = 300
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("event_type"))
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30
+                        ) -> rd.Dataset:
+    """Per-day bounce rate: fraction of sessions (30-min-gap
+    sessionization, keyed to the session's FIRST event day) containing
+    exactly one event — the canonical web-analytics KPI, here as a
+    two-level composition: per-user sessionize, then calendar
+    re-aggregate.
+
+    Plan: ONE coarse hash(user) % 16 exchange; each bucket runs the
+    same vectorized session scan as user_sessions but emits per-(start
+    day) partials (session count, bounce count via segment reduceat of
+    the one-event mask); a |days|-bounded hash aggregate finishes.
+    Output: (day, n_sessions, n_bounce, bounce_rate) sorted by day."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id"])
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        starts = _segment_starts(u)
+        new_s = starts.copy()
+        new_s[1:] |= ts[1:] - ts[:-1] > gap_ns
+        sidx = np.flatnonzero(new_s)
+        slen = np.diff(np.append(sidx, len(u)))
+        day = (ts[sidx] // np.int64(86_400_000_000_000)).astype(
+            np.int64)
+        out = pd.DataFrame({
+            "day": day,
+            "one": (slen == 1).astype(np.int64),
+            "n": np.int64(1)})
+        return out.groupby("day", as_index=False).agg(
+            n_sessions=("n", "sum"), n_bounce=("one", "sum"))
+
+    partials = _user_bucketed(ds).map_groups(per_bucket,
+                                             batch_format="pandas")
+    agg = hash_groupby_agg(partials, ["day"],
+                           {"n_sessions": ("n_sessions", "sum"),
+                            "n_bounce": ("n_bounce", "sum")},
+                           num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"day": "int64", "n_sessions": "int64",
+                        "n_bounce": "int64"})
+        out = pd.DataFrame({
+            "day": pd.to_datetime(df["day"] * 86_400_000_000_000)
+            .dt.strftime("%Y-%m-%d"),
+            "n_sessions": df["n_sessions"],
+            "n_bounce": df["n_bounce"],
+            "bounce_rate": round_half_up(
+                df["n_bounce"].to_numpy()
+                / df["n_sessions"].to_numpy(), 4)})
+        return out
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("day"))

@@ -4457,3 +4457,75 @@ def max_quantity_with_ties(sf_dir: str) -> rd.Dataset:
         return g.sort_values("l_returnflag").reset_index(drop=True)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def rfm_scores(sf_dir: str, nbins: int = 5) -> rd.Dataset:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — the canonical BI scoring table. Quintiles use the
+    deterministic rank-min rule (floor((rank-1)*5/n)+1, ties share
+    the bin of their value's MIN rank) so the result is scan-order
+    independent, unlike raw NTILE.
+
+    Plan: ONE |customers|-bounded two-phase reduce folds (last order
+    date, order count, fixed-point revenue cents) per customer; the
+    quintile cuts and scores are local transforms of the REDUCED
+    table (documented bound: |customers| rows sort in one partition —
+    at 10^9+ customers the cuts would come from the engine's
+    value-histogram rank path instead, as order_price_cume_dist does).
+    R scores ascending by days-since-last (5 = most recent).
+    Output: (c_custkey, r_days, f_orders, m_cents, r_score, f_score,
+    m_score)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderdate",
+                             "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["d"] = df["o_orderdate"].to_numpy(
+            dtype="datetime64[D]").astype(np.int64)
+        df["cents"] = np.rint(
+            df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_d=("d", "max"), n=("d", "size"),
+            cents=("cents", "sum"))
+        return table_from_pandas(g)
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], {"last_d": ("last_d", "max"),
+                        "n": ("n", "sum"),
+                        "cents": ("cents", "sum")}, num_parts=8)
+
+    def _rank_bins(v: np.ndarray, nb: int) -> np.ndarray:
+        # rank-min quintile: all rows of one value share a bin
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=np.int64)
+        sv = v[order]
+        starts = np.ones(len(v), dtype=bool)
+        starts[1:] = sv[1:] != sv[:-1]
+        rmin = np.maximum.accumulate(
+            np.where(starts, np.arange(len(v)), 0))
+        ranks[order] = rmin
+        return ranks * np.int64(nb) // np.int64(len(v)) + 1
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        last_d = df["last_d"].to_numpy(dtype=np.int64)
+        r_days = last_d.max() - last_d
+        n = df["n"].to_numpy(dtype=np.int64)
+        cents = df["cents"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype(np.int64),
+            "r_days": r_days,
+            "f_orders": n,
+            "m_cents": cents,
+            # recency: FEWER days -> HIGHER score
+            "r_score": nbins + 1 - _rank_bins(r_days, nbins),
+            "f_score": _rank_bins(n, nbins),
+            "m_score": _rank_bins(cents, nbins),
+        })
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")

@@ -1192,3 +1192,156 @@ def pq_recall(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
 
     return partials.repartition(1).map_batches(finish,
                                                batch_format="pandas")
+
+
+def ivfpq_topk(sf_dir: str, k: int = 10, kcoarse: int = 8,
+               nprobe: int = 2, m: int = 4, ksub: int = 16,
+               iters: int = 5, nq: int = 5) -> rd.Dataset:
+    """IVF-PQ composition (the 10^12-row ANN architecture: coarse
+    inverted lists prune the corpus, residual product quantization
+    compresses what remains — Jegou et al. TPAMI'11, the FAISS
+    default): coarse k-means from the engine's existing Lloyd's core,
+    PQ codebooks trained on RESIDUALS (vector minus its coarse
+    centroid), search probes the ``nprobe`` nearest cells with one
+    m x ksub lookup table per (query, cell).
+
+    Plan: coarse training reuses _kmeans_centroids (shuffle-free
+    E-step partials); residual PQ training folds all m subspaces per
+    pass with the centroids broadcast; the search pass ships only
+    k x nq x blocks candidate rows. Deterministic ties on
+    (dist, vec_id). Output: (query_vec_id, rank, vec_id, approx_d)
+    rows-only (approximate by construction; recall pytest vs exact)."""
+    import pyarrow.dataset as pads
+
+    coarse = _kmeans_centroids(sf_dir, kcoarse, iters)
+    cref = ray.put(coarse)
+
+    # --- residual PQ training: same fold as _pq_codebooks but on
+    # (x - coarse[assign(x)]) ---
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < ksub)
+    order = np.argsort(init.column("vec_id").to_numpy())
+    mat0 = np.array(init.column("embedding").to_pylist(),
+                    dtype=np.float64)[order]
+    d = mat0.shape[1]
+    dsub = d // m
+    a0 = ((mat0[:, None, :] - coarse[None, :, :]) ** 2).sum(
+        axis=2).argmin(axis=1)
+    res0 = mat0 - coarse[a0]
+    books = res0.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    def _residuals(mat: np.ndarray, c: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        cell = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(
+            axis=2).argmin(axis=1)
+        return cell, mat - c[cell]
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            bks, c = ray.get(bref), ray.get(cref)
+            _, mat = _batch_matrix(batch)
+            _, res = _residuals(mat, c)
+            sub = res.reshape(len(res), m, dsub)
+            sums = np.zeros((m, ksub, dsub))
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for j in range(m):
+                d2 = ((sub[:, j, None, :]
+                       - bks[j][None, :, :]) ** 2).sum(axis=2)
+                best = d2.argmin(axis=1)
+                np.add.at(sums[j], best, sub[:, j])
+                counts[j] = np.bincount(best, minlength=ksub)
+            cols = {"sub": np.repeat(np.arange(m, dtype=np.int64),
+                                     ksub),
+                    "cluster": np.tile(np.arange(ksub,
+                                                 dtype=np.int64), m),
+                    "n": counts.reshape(-1)}
+            flat = sums.reshape(m * ksub, dsub)
+            for t in range(dsub):
+                cols[f"s{t}"] = flat[:, t]
+            return pa.Table.from_pydict(cols)
+
+        parts = _embeddings(sf_dir).map_batches(
+            partial_sums, batch_format="pyarrow").to_pandas()
+        g = parts.groupby(["sub", "cluster"]).sum().reset_index()
+        n = g["n"].to_numpy()
+        sums = g[[f"s{t}" for t in range(dsub)]].to_numpy()
+        new = books.reshape(m * ksub, dsub).copy()
+        nz = n > 0
+        new[nz] = sums[nz] / n[nz, None]
+        books = new.reshape(m, ksub, dsub)
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < nq)
+    qorder = np.argsort(qt.column("vec_id").to_numpy())
+    qmat = np.array(qt.column("embedding").to_pylist(),
+                    dtype=np.float64)[qorder]
+    qcells = np.argsort(((qmat[:, None, :]
+                          - coarse[None, :, :]) ** 2).sum(axis=2),
+                        axis=1)[:, :nprobe]
+    bref = ray.put(books)
+    qref = ray.put((qmat, qcells))
+
+    def search(batch: pa.Table) -> pa.Table:
+        bks, c = ray.get(bref), ray.get(cref)
+        qm, qc = ray.get(qref)
+        ids, mat = _batch_matrix(batch)
+        cell, res = _residuals(mat, c)
+        sub = res.reshape(len(res), m, dsub)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            codes[:, j] = ((sub[:, j, None, :]
+                            - bks[j][None, :, :]) ** 2).sum(
+                axis=2).argmin(axis=1)
+        frames = []
+        for q in range(len(qm)):
+            probe = np.isin(cell, qc[q]) & (ids != q)
+            if not probe.any():
+                continue
+            pi = np.flatnonzero(probe)
+            # per probed CELL, the residual LUT of (q - centroid)
+            approx = np.empty(len(pi))
+            for cl in qc[q]:
+                sel = cell[pi] == cl
+                if not sel.any():
+                    continue
+                qres = (qm[q] - c[cl]).reshape(m, dsub)
+                lut = ((qres[:, None, :] - bks) ** 2).sum(axis=2)
+                approx[sel] = lut[np.arange(m)[None, :],
+                                  codes[pi[sel]]].sum(axis=1)
+            ordk = np.lexsort((ids[pi], approx))[:k]
+            frames.append(pd.DataFrame({
+                "q": np.int64(q),
+                "vec_id": ids[pi][ordk].astype(np.int64),
+                "approx_d": approx[ordk]}))
+        if not frames:
+            return pa.Table.from_pydict({
+                "q": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "approx_d": pa.array([], pa.float64())})
+        from ..functions.tables import table_from_pandas
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
+
+    partials = _embeddings(sf_dir).map_batches(
+        search, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for q in range(nq):
+            s = df[df["q"] == q]
+            ordk = np.lexsort((s["vec_id"].to_numpy(),
+                               s["approx_d"].to_numpy()))[:k]
+            sel = s.iloc[ordk]
+            out.append(pd.DataFrame({
+                "query_vec_id": np.int64(q),
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                "vec_id": sel["vec_id"].to_numpy(dtype=np.int64),
+                "approx_d": round_half_up(
+                    sel["approx_d"].to_numpy(), 4)}))
+        return pd.concat(out, ignore_index=True)
+
+    return partials.repartition(1).map_batches(finish,
+                                               batch_format="pandas")

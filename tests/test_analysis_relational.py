@@ -2118,3 +2118,12 @@ def test_approx_doclen_quantiles_rank_error(con):
             import numpy as np
             rank = np.searchsorted(vals, row[col], side="left")
             assert abs(rank / n - q) <= 0.05 + 1.0 / n
+
+
+@pytest.mark.parametrize("name", [
+    "rfm_scores", "session_bounce_rate",
+])
+def test_round3_wave7_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)

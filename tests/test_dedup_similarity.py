@@ -862,3 +862,76 @@ def test_pq_recall_matches_brute_force():
     assert abs(df["corpus_mse"].iloc[0] - round(mse, 4)) <= 1e-9
     # compression must beat the zero-information quantizer
     assert df["corpus_mse"].iloc[0] < mat.var(axis=0).sum()
+
+
+def test_ivfpq_topk_matches_brute_force():
+    """IVF-PQ (coarse Lloyd's + residual PQ + nprobe search) is
+    bit-identical to a single-process reference implementation."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from granulate_char_ocr_ray.pipelines.similarity import ivfpq_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = ivfpq_topk(sf).to_pandas()
+
+    t = pq_.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    kcoarse, m, ksub, iters, nprobe, k, nq = 8, 4, 16, 5, 2, 10, 5
+    # coarse Lloyd's (deterministic init, empty keeps previous)
+    cents = mat[:kcoarse].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(kcoarse):
+            sel = best == c
+            if sel.any():
+                new[c] = mat[sel].mean(axis=0)
+        cents = new
+    cell = ((mat[:, None, :] - cents[None]) ** 2).sum(axis=2).argmin(
+        axis=1)
+    res = mat - cents[cell]
+    sub = res.reshape(len(mat), m, -1)
+    a0 = ((mat[:ksub, None, :] - cents[None]) ** 2).sum(
+        axis=2).argmin(axis=1)
+    books = (mat[:ksub] - cents[a0]).reshape(
+        ksub, m, -1).transpose(1, 0, 2).copy()
+    for _ in range(iters):
+        new = books.copy()
+        for j in range(m):
+            d2 = ((sub[:, j, None, :] - books[j][None]) ** 2).sum(
+                axis=2)
+            best = d2.argmin(axis=1)
+            for c in range(ksub):
+                sel = best == c
+                if sel.any():
+                    new[j][c] = sub[sel, j].mean(axis=0)
+        books = new
+    codes = np.stack([
+        np.argmin(((sub[:, j, None, :] - books[j][None]) ** 2
+                   ).sum(axis=2), axis=1) for j in range(m)], axis=1)
+    dsub = mat.shape[1] // m
+    for q in range(nq):
+        qc = np.argsort(((mat[q][None, :] - cents) ** 2).sum(
+            axis=1))[:nprobe]
+        probe = np.isin(cell, qc) & (ids != q)
+        pi = np.flatnonzero(probe)
+        approx = np.empty(len(pi))
+        for cl in qc:
+            sel = cell[pi] == cl
+            if not sel.any():
+                continue
+            qres = (mat[q] - cents[cl]).reshape(m, dsub)
+            lut = ((qres[:, None, :] - books) ** 2).sum(axis=2)
+            approx[sel] = lut[np.arange(m)[None, :],
+                              codes[pi[sel]]].sum(axis=1)
+        ordk = np.lexsort((ids[pi], approx))[:k]
+        want_ids = list(ids[pi][ordk])
+        g = got[got["query_vec_id"] == q].sort_values("rank")
+        assert list(g["vec_id"]) == want_ids
+        assert np.allclose(g["approx_d"].to_numpy(),
+                           np.round(approx[ordk], 4), atol=1e-9)
