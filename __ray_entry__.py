@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": similarity.ivfpq_topk,
         "rfm_scores": relational.rfm_scores,
         "session_bounce_rate": events.session_bounce_rate,
+        "k_anonymity_audit": relational.k_anonymity_audit,
+        "incremental_source_counts": dedup.incremental_source_counts,
     }
 
 
@@ -3038,6 +3040,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) FILTER (WHERE n = 1)
                               AS DOUBLE) / count(*), 4) AS bounce_rate
             FROM agg GROUP BY 1 ORDER BY 1
+        """,
+        "k_anonymity_audit": """
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                            AS BIGINT)) AS BIGINT)
+                     AS l_distinct
+            FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+            ORDER BY 1, 2
+        """,
+        "incremental_source_counts": """
+            WITH newsnap AS (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE doc_id % 17 <> 3
+              UNION ALL
+              SELECT doc_id + 100000000, source, n_chars
+              FROM documents WHERE doc_id % 19 = 4)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM newsnap GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

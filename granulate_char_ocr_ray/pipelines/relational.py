@@ -4529,3 +4529,50 @@ def rfm_scores(sf_dir: str, nbins: int = 5) -> rd.Dataset:
 
     return agg.repartition(1).map_batches(finish,
                                           batch_format="pandas")
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Data-governance audit: quasi-identifier groups
+    (c_mktsegment, c_nationkey) smaller than ``k`` — rows re-
+    identifiable by the combination — plus each group's l-diversity
+    (distinct sensitive-value buckets, acctbal/1000) so l=1 groups
+    leak the sensitive attribute outright. The release-gate check any
+    privacy-aware pipeline runs before publishing microdata.
+
+    Plan: one pass folds (quasi, bucket) cell partials (bounded by the
+    quasi x bucket domain, never by rows), one two-phase reduce, then
+    group size + diversity fold locally from the reduced cells.
+    Output: violating groups (c_mktsegment, c_nationkey, n,
+    l_distinct), sorted."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/customer.parquet",
+                    columns=["c_mktsegment", "c_nationkey",
+                             "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = np.floor(
+            df["c_acctbal"].to_numpy() / 1000.0).astype(np.int64)
+        g = df.groupby(["c_mktsegment", "c_nationkey", "bucket"],
+                       as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "n"}))
+
+    cells = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment", "c_nationkey", "bucket"],
+        {"n": ("n", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_mktsegment", "c_nationkey"],
+                       as_index=False).agg(
+            n=("n", "sum"), l_distinct=("bucket", "nunique"))
+        g = g[g["n"] < k].copy()
+        g["c_nationkey"] = g["c_nationkey"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        g["l_distinct"] = g["l_distinct"].astype(np.int64)
+        return g.sort_values(["c_mktsegment", "c_nationkey"]
+                             ).reset_index(drop=True)
+
+    return cells.repartition(1).map_batches(finish,
+                                            batch_format="pandas")

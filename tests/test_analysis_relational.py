@@ -2127,3 +2127,12 @@ def test_round3_wave7_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize("name", [
+    "k_anonymity_audit", "incremental_source_counts",
+])
+def test_round3_wave8_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
