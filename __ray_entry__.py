@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce_rate": events.session_bounce_rate,
         "k_anonymity_audit": relational.k_anonymity_audit,
         "incremental_source_counts": dedup.incremental_source_counts,
+        "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
+        "psi_price_drift": relational.psi_price_drift,
     }
 
 
@@ -3060,6 +3062,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM newsnap GROUP BY 1 ORDER BY 1
+        """,
+        "cross_source_dup_matrix": """
+            WITH d AS (SELECT DISTINCT source, doc_id,
+                              substr(trim(text), 1, 32) AS fp
+                       FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(DISTINCT a.doc_id) AS BIGINT)
+                     AS n_docs_dup
+            FROM d a JOIN d b ON a.fp = b.fp AND a.source <> b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "psi_price_drift": """
+            WITH mm AS (SELECT min(o_totalprice) AS lo,
+                               max(o_totalprice) AS hi FROM orders),
+            b AS (SELECT CAST(least(floor((o_totalprice - mm.lo) * 10
+                                          / (mm.hi - mm.lo)), 9)
+                              AS BIGINT) AS bin,
+                         o_orderkey % 2 AS pop
+                  FROM orders, mm),
+            c AS (SELECT bin,
+                         count(*) FILTER (WHERE pop = 0) AS n_a,
+                         count(*) FILTER (WHERE pop = 1) AS n_b
+                  FROM b GROUP BY 1),
+            t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+            p AS (SELECT c.bin, c.n_a, c.n_b,
+                         CAST(c.n_a AS DOUBLE) / t.ta AS pa,
+                         CAST(c.n_b AS DOUBLE) / t.tb AS pb
+                  FROM c, t)
+            SELECT bin, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(pa, 6) AS pct_a, round(pb, 6) AS pct_b,
+                   round((pa - pb) * ln(pa / pb), 6) AS psi_term,
+                   round(sum((pa - pb) * ln(pa / pb)) OVER (), 6)
+                     AS psi_total
+            FROM p ORDER BY bin
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

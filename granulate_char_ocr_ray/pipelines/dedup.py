@@ -2037,3 +2037,69 @@ def incremental_source_counts(sf_dir: str) -> rd.Dataset:
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("source"))
+
+
+def cross_source_dup_matrix(sf_dir: str, prefix: int = 32
+                            ) -> rd.Dataset:
+    """Cross-source contamination matrix: for every ordered source
+    pair (a != b), how many of a's docs share a HEAD FINGERPRINT
+    (first ``prefix`` chars of the trimmed text — the cheap
+    lead-paragraph near-dup signal) with some doc of b — the
+    provenance-overlap audit run before mixing crawl snapshots (a
+    source that is mostly another's mirror adds tokens but no
+    information).
+
+    Plan: docs fold to 8-byte fingerprint hashes; ONE hash-partitioned
+    exchange co-locates each hash's rows; every partition expands its
+    per-hash source sets into ordered pair counts (bounded by
+    |sources|^2 per hash); a |sources|^2 reduce finishes. Doc counts
+    use the distinct (hash, source, doc) rows, so multi-copy docs
+    inside one source don't inflate cross counts.
+    Output: (source_a, source_b, n_docs_dup) sorted, pairs with
+    n > 0 only."""
+    from ..functions.tables import table_from_pandas
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        fp = pc.utf8_slice_codeunits(
+            pc.utf8_trim_whitespace(batch.column("text")), 0, prefix)
+        h = hash64_batch(fp).view(np.int64)
+        out = pd.DataFrame({
+            "h": h,
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        out["_part"] = _stable_partition(out, ["h"], 16)
+        return table_from_pandas(out)
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source", "doc_id"])
+        # per hash: docs-per-source table; a doc of source a is dup-in-b
+        # if ANY doc of b shares the hash
+        per = g.groupby(["h", "source"], as_index=False).agg(
+            nd=("doc_id", "nunique"))
+        m = per.merge(per, on="h")
+        m = m[m["source_x"] != m["source_y"]]
+        out = m.groupby(["source_x", "source_y"], as_index=False).agg(
+            n_docs_dup=("nd_x", "sum"))
+        return out.rename(columns={"source_x": "source_a",
+                                   "source_y": "source_b"})
+
+    partials = (docs.map_batches(hashed, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(pair_counts, batch_format="pandas"))
+    agg = hash_groupby_agg(partials, ["source_a", "source_b"],
+                           {"n_docs_dup": ("n_docs_dup", "sum")},
+                           num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_docs_dup"] > 0].copy()
+        df["n_docs_dup"] = df["n_docs_dup"].astype(np.int64)
+        return df[["source_a", "source_b", "n_docs_dup"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort(["source_a", "source_b"]))

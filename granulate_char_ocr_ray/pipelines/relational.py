@@ -4576,3 +4576,68 @@ def k_anonymity_audit(sf_dir: str, k: int = 10) -> rd.Dataset:
 
     return cells.repartition(1).map_batches(finish,
                                             batch_format="pandas")
+
+
+def psi_price_drift(sf_dir: str, nbins: int = 10) -> rd.Dataset:
+    """Population-stability-index drift report between two order
+    populations (odd vs even orderkey — the A/B split stand-in for
+    "last week vs this week"): PSI = sum (p_a - p_b) * ln(p_a / p_b)
+    over ``nbins`` equi-width bins of o_totalprice — the standard
+    ML-ops input-drift gate (PSI < 0.1 stable, > 0.25 shifted).
+
+    Plan: pass 1 folds the global (min, max) in per-block partials;
+    pass 2 folds per-(population, bin) counts (2 x nbins cells per
+    block); the PSI terms are a closed-form finish on the reduced
+    cells. Output: (bin, n_a, n_b, pct_a, pct_b, psi_term, psi_total)."""
+    path = f"{sf_dir}/orders.parquet"
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        p = batch.column("o_totalprice")
+        return pa.Table.from_pydict({
+            "lo": pa.array([pc.min(p).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(p).as_py()], pa.float64())})
+
+    mm = (read_table(path, columns=["o_totalprice"])
+          .map_batches(minmax, batch_format="pyarrow")
+          .to_pandas())
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        p = df["o_totalprice"].to_numpy(dtype=np.float64)
+        b = np.minimum(np.floor((p - lo) * nbins / (hi - lo)),
+                       nbins - 1).astype(np.int64)
+        pop = (df["o_orderkey"].to_numpy(dtype=np.int64)
+               % 2).astype(np.int64)
+        out = pd.DataFrame({"bin": b, "pop": pop})
+        g = out.groupby(["bin", "pop"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "n"}))
+
+    agg = (read_table(path, columns=["o_orderkey", "o_totalprice"])
+           .map_batches(bin_counts, batch_format="pyarrow")
+           .repartition(1))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["bin", "pop"], as_index=False)["n"].sum()
+        wide = g.pivot(index="bin", columns="pop",
+                       values="n").fillna(0).astype(np.int64)
+        n_a = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(
+            dtype=np.float64)
+        n_b = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(
+            dtype=np.float64)
+        pa_ = n_a / n_a.sum()
+        pb_ = n_b / n_b.sum()
+        term = (pa_ - pb_) * np.log(pa_ / pb_)
+        return pd.DataFrame({
+            "bin": wide.index.to_numpy(dtype=np.int64),
+            "n_a": n_a.astype(np.int64),
+            "n_b": n_b.astype(np.int64),
+            "pct_a": round_half_up(pa_, 6),
+            "pct_b": round_half_up(pb_, 6),
+            "psi_term": round_half_up(term, 6),
+            "psi_total": round_half_up(
+                np.full(len(wide), term.sum()), 6),
+        }).sort_values("bin").reset_index(drop=True)
+
+    return agg.map_batches(finish, batch_format="pandas")

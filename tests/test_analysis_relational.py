@@ -2136,3 +2136,12 @@ def test_round3_wave8_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize("name", [
+    "cross_source_dup_matrix", "psi_price_drift",
+])
+def test_round3_wave9_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)

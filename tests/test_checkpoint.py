@@ -327,3 +327,16 @@ def test_expr_to_sql_matches_pyarrow_semantics():
     import pytest
     with pytest.raises(NotImplementedError):
         expr_to_sql(pads.field("a").isin([1, 2, 3]))
+
+
+def test_profile_stats_parses_operators(ray_session):
+    import ray.data as rd
+
+    from granulate_char_ocr_ray.state.metrics import profile_dataset
+
+    ds = rd.range(1000).map_batches(lambda b: b)
+    prof = profile_dataset(ds)
+    assert len(prof) >= 1
+    assert (prof["wall_s"] >= 0).all()
+    assert prof["rows_out"].iloc[-1] == 1000
+    assert prof["operator"].str.contains("MapBatches").any()
