@@ -412,6 +412,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_source_counts": dedup.incremental_source_counts,
         "cross_source_dup_matrix": dedup.cross_source_dup_matrix,
         "psi_price_drift": relational.psi_price_drift,
+        "changepoint_day_split": events.changepoint_day_split,
+        "seasonal_hour_anomalies": events.seasonal_hour_anomalies,
+        # rows-only: zlib output is implementation-defined
+        "compression_ratio_quality":
+            analysis.compression_ratio_quality,
+        "data_expectations": relational.data_expectations,
+        "adjacent_chunk_pairs": training.adjacent_chunk_pairs,
+        "star_revenue_rollup": relational.star_revenue_rollup,
     }
 
 
@@ -3097,6 +3105,111 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((pa - pb) * ln(pa / pb)) OVER (), 6)
                      AS psi_total
             FROM p ORDER BY bin
+        """,
+        "changepoint_day_split": """
+            WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT day, n,
+                         CAST(row_number() OVER w AS DOUBLE) AS i,
+                         CAST(count(*) OVER () AS DOUBLE) AS m,
+                         sum(n) OVER w AS c1, sum(n * n) OVER w AS c2,
+                         sum(n) OVER () AS tot,
+                         sum(n * n) OVER () AS tot2
+                  FROM d
+                  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+            x AS (SELECT day, i, m,
+                         c1 / i AS mb, (tot - c1) / (m - i) AS ma,
+                         c2 - i * (c1 / i) * (c1 / i) AS ssb,
+                         (tot2 - c2) - (m - i)
+                           * ((tot - c1) / (m - i))
+                           * ((tot - c1) / (m - i)) AS ssa
+                  FROM s WHERE i < m),
+            y AS (SELECT day, mb, ma,
+                         CASE WHEN sqrt(((ssb + ssa)
+                                         / greatest(m - 2, 1))
+                                        * (1/i + 1/(m - i))) > 0
+                              THEN abs(mb - ma)
+                                   / sqrt(((ssb + ssa)
+                                           / greatest(m - 2, 1))
+                                          * (1/i + 1/(m - i)))
+                              ELSE 0 END AS t
+                  FROM x)
+            SELECT strftime(day, '%Y-%m-%d') AS split_day,
+                   round(mb, 4) AS mean_before,
+                   round(ma, 4) AS mean_after,
+                   round(t, 4) AS t_stat
+            FROM y QUALIFY row_number() OVER (ORDER BY t DESC, day)
+                   = 1
+        """,
+        "seasonal_hour_anomalies": """
+            WITH c AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(hour(ts) AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT hour, avg(n) AS expected FROM c GROUP BY 1)
+            SELECT strftime(c.day, '%Y-%m-%d') AS day, c.hour, c.n,
+                   round(p.expected, 4) AS expected,
+                   round(c.n / p.expected, 4) AS ratio
+            FROM c JOIN p USING (hour)
+            WHERE c.n / p.expected > 2.0
+            ORDER BY 1, 2
+        """,
+        "data_expectations": """
+            WITH p AS (
+              SELECT 'orderkey_not_null' AS check_name,
+                     CAST(count(*) - count(o_orderkey) AS BIGINT)
+                       AS n_violations FROM orders
+              UNION ALL
+              SELECT 'orderkey_unique', CAST(count(*) AS BIGINT)
+              FROM (SELECT o_orderkey FROM orders GROUP BY 1
+                    HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'totalprice_in_range',
+                     CAST(count(*) FILTER (WHERE o_totalprice <= 0
+                          OR o_totalprice >= 1e7) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'orderdate_in_range',
+                     CAST(count(*) FILTER (
+                          WHERE o_orderdate < DATE '1990-01-01'
+                          OR o_orderdate >= DATE '2010-01-01')
+                          AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'custkey_in_customer', CAST(count(*) AS BIGINT)
+              FROM (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_custkey NOT IN
+                          (SELECT c_custkey FROM customer)))
+            SELECT * FROM p ORDER BY check_name
+        """,
+        "adjacent_chunk_pairs": """
+            WITH c AS (SELECT doc_id,
+                              CAST(s // 150 AS BIGINT) AS chunk_id,
+                              substr(text, CAST(s AS INT) + 1, 200)
+                                AS chunk_text
+                       FROM documents,
+                            UNNEST(range(0, greatest(length(text), 1),
+                                         150)) AS t(s))
+            SELECT a.doc_id, a.chunk_id AS chunk_a,
+                   b.chunk_id AS chunk_b,
+                   a.chunk_text AS text_a, b.chunk_text AS text_b
+            FROM c a JOIN c b ON a.doc_id = b.doc_id
+                 AND b.chunk_id = a.chunk_id + 1
+            ORDER BY a.doc_id, chunk_a
+        """,
+        "star_revenue_rollup": """
+            SELECT p.p_brand, n.n_name, l.l_returnflag,
+                   round(sum(CAST(round(l.l_extendedprice * 100)
+                                  AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100)
+                                           AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem l
+                 JOIN part p ON p.p_partkey = l.l_partkey
+                 JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2432,3 +2432,44 @@ def token_fertility_by_lang(sf_dir: str) -> rd.Dataset:
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("lang"))
+
+
+class CompressionRatioStage:
+    """Actor stage: per-doc zlib compression ratio — the
+    model-free redundancy/quality signal (highly compressible text is
+    templated or repetitive; Gopher-class filters use the same idea
+    via repetition fractions). zlib level pinned for determinism."""
+
+    def __init__(self, level: int = 6) -> None:
+        import zlib
+
+        self._compress = lambda b: zlib.compress(b, level)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nb, nc = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            nb.append(len(raw))
+            nc.append(len(self._compress(raw)) if raw else 0)
+        nb_a = np.array(nb, dtype=np.int64)
+        nc_a = np.array(nc, dtype=np.int64)
+        ratio = np.where(nb_a > 0, nc_a / np.maximum(nb_a, 1), 0.0)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pa.array(nb_a, pa.int64()),
+            "n_compressed": pa.array(nc_a, pa.int64()),
+            "ratio": pa.array(round_half_up(ratio, 4), pa.float64())})
+
+
+def compression_ratio_quality(sf_dir: str,
+                              concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_bytes, n_compressed, ratio) per document via an
+    actor-pool zlib pass — rows-only (compressed size is
+    implementation-defined, not SQL-expressible); pytest pins
+    determinism and the ratio's monotonicity on known-redundancy
+    fixtures. Output sorted by doc_id."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(CompressionRatioStage, batch_format="pyarrow",
+                         concurrency=concurrency)
+            .repartition(4).sort("doc_id"))

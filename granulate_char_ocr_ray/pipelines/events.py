@@ -1314,3 +1314,116 @@ def session_bounce_rate(sf_dir: str, gap_minutes: int = 30
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("day"))
+
+
+def changepoint_day_split(sf_dir: str) -> rd.Dataset:
+    """Single-changepoint detection on the daily event-count series
+    (binary-segmentation step: the split day t maximizing the
+    |mean(before) - mean(after)| gap, normalized by the pooled
+    standard error) — the monitoring primitive behind "did traffic
+    shift on day X".
+
+    Plan: ONE |days|-bounded two-phase reduce builds the daily series;
+    the split scan is a closed-form pass over cumulative sums of the
+    REDUCED table (every candidate split scored from prefix sums — no
+    per-split re-aggregation). Output: one row (split_day, mean_before,
+    mean_after, t_stat) with the maximizing split (ties -> earliest
+    day)."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+        d, c = np.unique(ts.astype(np.int64), return_counts=True)
+        return pa.Table.from_pydict({
+            "day": pa.array(d, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = hash_groupby_agg(
+        ds.map_batches(day_counts, batch_format="pyarrow"),
+        ["day"], {"n": ("n", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        n = df["n"].to_numpy(dtype=np.float64)
+        days = df["day"].to_numpy(dtype=np.int64)
+        m = len(n)
+        cum = np.cumsum(n)
+        tot = cum[-1]
+        # split AFTER position i (before = 0..i, after = i+1..m-1)
+        i = np.arange(m - 1)
+        nb, na = i + 1.0, m - 1.0 - i
+        mb = cum[:-1] / nb
+        ma = (tot - cum[:-1]) / na
+        # pooled-variance t statistic from prefix sums of squares
+        cum2 = np.cumsum(n * n)
+        ssb = cum2[:-1] - nb * mb * mb
+        ssa = (cum2[-1] - cum2[:-1]) - na * ma * ma
+        dof = np.maximum(nb + na - 2.0, 1.0)
+        sp2 = (ssb + ssa) / dof
+        se = np.sqrt(sp2 * (1.0 / nb + 1.0 / na))
+        t = np.where(se > 0, np.abs(mb - ma) / se, 0.0)
+        best = int(np.argmax(t))  # argmax takes the FIRST maximum
+        return pd.DataFrame({
+            "split_day": [pd.to_datetime(
+                days[best] * np.int64(86_400_000_000_000)
+            ).strftime("%Y-%m-%d")],
+            "mean_before": round_half_up(np.array([mb[best]]), 4),
+            "mean_after": round_half_up(np.array([ma[best]]), 4),
+            "t_stat": round_half_up(np.array([t[best]]), 4),
+        })
+
+    return daily.repartition(1).map_batches(finish,
+                                            batch_format="pandas")
+
+
+def seasonal_hour_anomalies(sf_dir: str, factor: float = 2.0
+                            ) -> rd.Dataset:
+    """Seasonal-baseline anomaly detection: (day, hour) cells whose
+    event count exceeds ``factor`` x that HOUR-OF-DAY's mean across
+    all days — the calendar-profile complement to the trailing-window
+    detector (event_rate_anomalies): a 9am spike is judged against
+    9am's own baseline, not the adjacent hours.
+
+    Plan: ONE (day, hour)-bounded reduce builds the cell table; the
+    24-row hourly profile and the flags are local transforms of the
+    reduced cells. Output: (day, hour, n, expected, ratio) sorted."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        hour = (ts.astype("datetime64[h]").astype(np.int64)
+                % 24).astype(np.int64)
+        df = pd.DataFrame({"day": day, "hour": hour})
+        g = df.groupby(["day", "hour"], as_index=False).size()
+        from ..functions.tables import table_from_pandas
+        return table_from_pandas(g.rename(columns={"size": "n"}))
+
+    agg = hash_groupby_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["day", "hour"], {"n": ("n", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"day": "int64", "hour": "int64",
+                        "n": "int64"})
+        prof = df.groupby("hour")["n"].mean()
+        exp = df["hour"].map(prof).to_numpy(dtype=np.float64)
+        ratio = df["n"].to_numpy(dtype=np.float64) / exp
+        out = df[ratio > factor].copy()
+        out["expected"] = round_half_up(exp[ratio > factor], 4)
+        out["ratio"] = round_half_up(ratio[ratio > factor], 4)
+        out["day"] = pd.to_datetime(
+            out["day"] * np.int64(86_400_000_000_000)
+        ).dt.strftime("%Y-%m-%d")
+        return out[["day", "hour", "n", "expected", "ratio"]] \
+            .sort_values(["day", "hour"]).reset_index(drop=True)
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")

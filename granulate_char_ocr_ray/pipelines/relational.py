@@ -4641,3 +4641,188 @@ def psi_price_drift(sf_dir: str, nbins: int = 10) -> rd.Dataset:
         }).sort_values("bin").reset_index(drop=True)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def data_expectations(sf_dir: str) -> rd.Dataset:
+    """Constraint-validation suite over orders (the dbt-test / Great
+    Expectations shape): per-check violation counts in one report —
+    (a) o_orderkey NOT NULL, (b) o_orderkey UNIQUE, (c) o_totalprice
+    in (0, 1e7), (d) o_orderdate within [1990-01-01, 2010-01-01),
+    (e) referential integrity o_custkey -> customer.c_custkey.
+
+    Plan: checks a/c/d fold per-block counter partials (scalar rows);
+    uniqueness reduces (key, n) two-phase and counts n > 1 keys;
+    referential integrity hash-partitions BOTH key sets on the same
+    key so each partition anti-joins locally with a sorted probe — no
+    broadcast of the dimension (dimension-sized sides stay
+    partitioned; the Bloom-prefilter variant in media.docs_without_
+    media is the alternative when the probe side dominates).
+    Output: (check_name, n_violations) sorted."""
+    from ..functions.tables import table_from_pandas
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice", "o_orderdate"])
+
+    def scalar_checks(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        p = df["o_totalprice"].to_numpy(dtype=np.float64)
+        d = df["o_orderdate"].to_numpy(dtype="datetime64[D]")
+        rows = [
+            ("orderkey_not_null",
+             int(df["o_orderkey"].isna().sum())),
+            ("totalprice_in_range",
+             int(((p <= 0) | (p >= 1e7)).sum())),
+            ("orderdate_in_range",
+             int(((d < np.datetime64("1990-01-01"))
+                  | (d >= np.datetime64("2010-01-01"))).sum())),
+        ]
+        return table_from_pandas(pd.DataFrame(
+            rows, columns=["check_name", "n_violations"]))
+
+    scalars = hash_groupby_agg(
+        orders.map_batches(scalar_checks, batch_format="pyarrow"),
+        ["check_name"], {"n_violations": ("n_violations", "sum")},
+        num_parts=2)
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_orderkey", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return table_from_pandas(g)
+
+    key_counts = hash_groupby_agg(
+        orders.map_batches(key_partial, batch_format="pyarrow"),
+        ["o_orderkey"], {"n": ("n", "sum")}, num_parts=8)
+
+    def dup_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "check_name": ["orderkey_unique"],
+            "n_violations": [np.int64((df["n"] > 1).sum())]})
+
+    uniq = (key_counts.repartition(1)
+            .map_batches(dup_fold, batch_format="pandas"))
+
+    # referential integrity: co-partition fact keys and dim keys
+    def fact_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["o_custkey"]].drop_duplicates()
+        out = pd.DataFrame({"key": df["o_custkey"].to_numpy(
+            dtype=np.int64), "side": np.int64(0)})
+        out["_part"] = _stable_partition(out, ["key"], 8)
+        return table_from_pandas(out)
+
+    def dim_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["c_custkey"]].drop_duplicates()
+        out = pd.DataFrame({"key": df["c_custkey"].to_numpy(
+            dtype=np.int64), "side": np.int64(1)})
+        out["_part"] = _stable_partition(out, ["key"], 8)
+        return table_from_pandas(out)
+
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"])
+    both = (orders.map_batches(fact_keys, batch_format="pyarrow")
+            .union(customer.map_batches(dim_keys,
+                                        batch_format="pyarrow")))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        fact = np.unique(g[g["side"] == 0]["key"].to_numpy(
+            dtype=np.int64))
+        dim = np.unique(g[g["side"] == 1]["key"].to_numpy(
+            dtype=np.int64))
+        if len(dim):
+            pos = np.clip(np.searchsorted(dim, fact), 0,
+                          len(dim) - 1)
+            missing = int((dim[pos] != fact).sum())
+        else:
+            missing = len(fact)
+        return pd.DataFrame({"check_name": ["custkey_in_customer"],
+                             "n_violations": [np.int64(missing)]})
+
+    ref = hash_groupby_agg(
+        both.groupby("_part").map_groups(anti, batch_format="pandas"),
+        ["check_name"], {"n_violations": ("n_violations", "sum")},
+        num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_violations": "int64"})
+        return df.sort_values("check_name").reset_index(drop=True)
+
+    return (scalars.union(uniq).union(ref)
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas"))
+
+
+def star_revenue_rollup(sf_dir: str) -> rd.Dataset:
+    """Star-schema rollup: lineitem revenue by (p_brand, supplier
+    nation, l_returnflag) with BOTH dimension joins fused into ONE
+    map_batches pass — each dim (part -> brand, supplier -> nation ->
+    name) broadcasts once via ray.put and resolves with a vectorized
+    take per batch; the only exchange is the final
+    |brands x nations x flags|-bounded aggregate. The multi-dim
+    broadcast-join fusion a star query compiles to when every
+    dimension fits in memory (TPC-H Q9's shape without the orders
+    fact join). Output: (p_brand, n_name, l_returnflag, revenue)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    part = pads.dataset(f"{sf_dir}/part.parquet").to_table(
+        columns=["p_partkey", "p_brand"])
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"])
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"])
+
+    pk = part.column("p_partkey").to_numpy()
+    brand_lut = np.empty(pk.max() + 1, dtype=object)
+    brand_lut[pk] = part.column("p_brand").to_numpy(
+        zero_copy_only=False)
+    sk = supp.column("s_suppkey").to_numpy()
+    snat = np.zeros(sk.max() + 1, dtype=np.int64)
+    snat[sk] = supp.column("s_nationkey").to_numpy()
+    nk = nation.column("n_nationkey").to_numpy()
+    nname = np.empty(nk.max() + 1, dtype=object)
+    nname[nk] = nation.column("n_name").to_numpy(
+        zero_copy_only=False)
+    lut_ref = ray.put((brand_lut, snat, nname))
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_suppkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        bl, sn, nn = ray.get(lut_ref)
+        df = batch.to_pandas()
+        # fixed-point: price has 2dp, discount 2dp -> revenue is an
+        # exact integer in 1e-4-dollar units; int64 partials make the
+        # grouped sum bit-identical under ANY block split (the float
+        # path differed from DuckDB by one cent on .xx5 boundaries)
+        pc = np.rint(df["l_extendedprice"].to_numpy()
+                     * 100.0).astype(np.int64)
+        dc = np.rint(df["l_discount"].to_numpy()
+                     * 100.0).astype(np.int64)
+        out = pd.DataFrame({
+            "p_brand": bl[df["l_partkey"].to_numpy(dtype=np.int64)],
+            "n_name": nn[sn[df["l_suppkey"].to_numpy(
+                dtype=np.int64)]],
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "rev4": pc * (100 - dc)})
+        g = out.groupby(["p_brand", "n_name", "l_returnflag"],
+                        as_index=False)["rev4"].sum()
+        return table_from_pandas(g)
+
+    agg = hash_groupby_agg(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        ["p_brand", "n_name", "l_returnflag"],
+        {"rev4": ("rev4", "sum")}, num_parts=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = round_half_up(
+            df["rev4"].to_numpy(dtype=np.float64) / 1e4, 2)
+        return df[["p_brand", "n_name", "l_returnflag", "revenue"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1)
+            .sort(["p_brand", "n_name", "l_returnflag"]))

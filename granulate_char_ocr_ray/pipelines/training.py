@@ -822,3 +822,49 @@ def collapse_repeat_tokens(sf_dir: str) -> rd.Dataset:
             "n_kept": pa.array(n_kept, pa.int64())})
 
     return docs.map_batches(collapse, batch_format="pyarrow").sort("doc_id")
+
+
+def adjacent_chunk_pairs(sf_dir: str, size: int = 200,
+                         step: int = 150) -> rd.Dataset:
+    """Contrastive-positive pair mining: (chunk i, chunk i+1) of the
+    same document — the standard self-supervised positive pair for
+    retrieval/embedding training (adjacent windows share topic;
+    in-batch others become negatives). Pairs are generated inside the
+    SAME map_batches that chunks (a doc's windows never leave the
+    task), so the op is shuffle-free. Output: (doc_id, chunk_a,
+    chunk_b, text_a, text_b) sorted."""
+    from ..sources.storage import read_table, rows_to_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_table(path, columns=["doc_id", "text"],
+                    num_blocks=rows_to_blocks(path))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_a, out_ta, out_tb = [], [], [], []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            starts = range(0, max(len(t), 1), step)
+            chunks = [t[s:s + size] for s in starts]
+            for i in range(len(chunks) - 1):
+                out_id.append(int(did))
+                out_a.append(i)
+                out_ta.append(chunks[i])
+                out_tb.append(chunks[i + 1])
+        n = len(out_id)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_a": pa.array(out_a, pa.int64()),
+            "chunk_b": pa.array([a + 1 for a in out_a], pa.int64()),
+            "text_a": pa.array(out_ta, pa.string()),
+            "text_b": pa.array(out_tb, pa.string())}) if n else \
+            pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_a": pa.array([], pa.int64()),
+                "chunk_b": pa.array([], pa.int64()),
+                "text_a": pa.array([], pa.string()),
+                "text_b": pa.array([], pa.string())})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .repartition(4).sort(["doc_id", "chunk_a"]))

@@ -2145,3 +2145,45 @@ def test_round3_wave9_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize("name", [
+    "changepoint_day_split", "seasonal_hour_anomalies",
+])
+def test_round3_wave10_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_compression_ratio_quality_brute_force():
+    """zlib ratios match a single-process pass; repetitive text
+    compresses harder than diverse text."""
+    import zlib
+
+    from granulate_char_ocr_ray.pipelines.analysis import \
+        compression_ratio_quality
+
+    got = compression_ratio_quality(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    want_nc = docs["text"].map(
+        lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        if t else 0)
+    assert (got["n_compressed"].to_numpy()
+            == want_nc.to_numpy()).all()
+    rep = len(zlib.compress(b"spam " * 200, 6)) / 1000
+    div = len(zlib.compress(bytes(range(256)) * 4, 6)) / 1024
+    assert rep < div
+
+
+@pytest.mark.parametrize("name", [
+    "data_expectations", "adjacent_chunk_pairs",
+    "star_revenue_rollup",
+])
+def test_round3_wave11_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
