@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_expectations": relational.data_expectations,
         "adjacent_chunk_pairs": training.adjacent_chunk_pairs,
         "star_revenue_rollup": relational.star_revenue_rollup,
+        "cluster_top_terms": analysis.cluster_top_terms,
+        "skew_report": events.skew_report,
     }
 
 
@@ -3210,6 +3212,51 @@ def oracle_sql() -> dict[str, str]:
                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
                  JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "cluster_top_terms": """
+            WITH j AS (SELECT e.label, d.text FROM documents d
+                       JOIN embeddings e ON e.vec_id = d.doc_id
+                       WHERE trim(d.text) <> ''),
+            tok AS (SELECT label,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+'))
+                             AS token
+                    FROM j),
+            tc AS (SELECT label, token,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(tf) AS DOUBLE)
+                         / count(DISTINCT label) AS a FROM tc),
+            ft AS (SELECT token, CAST(sum(tf) AS DOUBLE) AS f
+                   FROM tc GROUP BY 1),
+            s AS (SELECT tc.label, tc.token,
+                         tc.tf * ln(1 + t.a / ft.f) AS score
+                  FROM tc, t JOIN ft ON ft.token = tc.token)
+            SELECT label,
+                   CAST(row_number() OVER (PARTITION BY label
+                        ORDER BY score DESC, token) AS BIGINT)
+                     AS rank,
+                   token, round(score, 4) AS score
+            FROM s QUALIFY rank <= 3 ORDER BY label, rank
+        """,
+        "skew_report": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+            s AS (SELECT user_id, n,
+                         row_number() OVER (ORDER BY n DESC, user_id)
+                           AS rank,
+                         sum(n) OVER (ORDER BY n DESC, user_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c),
+            h AS (SELECT CAST(count(*) FILTER (WHERE cum < t.tot / 2)
+                              + 1 AS BIGINT) AS keys_to_half
+                  FROM s, t GROUP BY t.tot)
+            SELECT CAST(s.rank AS BIGINT) AS rank, s.user_id,
+                   s.n AS n_events,
+                   round(100.0 * s.n / t.tot, 4) AS pct,
+                   h.keys_to_half
+            FROM s, t, h WHERE s.rank <= 10 ORDER BY s.rank
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2473,3 +2473,74 @@ def compression_ratio_quality(sf_dir: str,
             .map_batches(CompressionRatioStage, batch_format="pyarrow",
                          concurrency=concurrency)
             .repartition(4).sort("doc_id"))
+
+
+def cluster_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
+    """Class-based TF-IDF topic labels (the BERTopic c-TF-IDF shape,
+    Grootendorst 2022): for every embedding-label class, the ``top``
+    terms by W(t,c) = tf(t,c) * ln(1 + A / f(t)), where A = mean
+    tokens per class and f(t) = the term's corpus count — the "name
+    the clusters" step after any embedding clustering.
+
+    Plan: labels attach to documents through ONE hash-partitioned
+    join on doc_id (`stages/join.partitioned_join` — the label table
+    is corpus-sized, so no broadcast); per-class term counts reduce
+    vocab-sized; f(t) and A fold from the same reduced table inside
+    one repartition(1) finish (classes x vocab is small; at web scale
+    the finish keys on term like source_kl_divergence). Output:
+    (label, rank, token, score)."""
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "label"])
+
+    def merge(ld: pd.DataFrame, rd_: pd.DataFrame) -> pd.DataFrame:
+        return ld.merge(rd_, left_on="doc_id", right_on="vec_id")[
+            ["label", "text"]]
+
+    joined = partitioned_join(
+        docs, emb, "doc_id", "vec_id", merge, num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("label", pa.int64())]))
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        lab = pc.filter(batch.column("label"), keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "label": np.repeat(lab.to_numpy(zero_copy_only=False), n),
+            "token": pc.list_flatten(toks).to_pandas()})
+        g = df.groupby(["label", "token"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "tf"}))
+
+    per_class = hash_groupby_agg(
+        joined.map_batches(tok_counts, batch_format="pyarrow"),
+        ["label", "token"], {"tf": ("tf", "sum")}, num_parts=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"label": "int64", "tf": "int64"})
+        n_classes = df["label"].nunique()
+        a = df["tf"].sum() / n_classes
+        ft = df.groupby("token")["tf"].transform("sum").to_numpy(
+            dtype=np.float64)
+        df = df.assign(score=df["tf"].to_numpy(dtype=np.float64)
+                       * np.log(1.0 + a / ft))
+        df = df.sort_values(["label", "score", "token"],
+                            ascending=[True, False, True])
+        df = df.groupby("label", as_index=False).head(top)
+        df["rank"] = df.groupby("label").cumcount() + 1
+        out = pd.DataFrame({
+            "label": df["label"].to_numpy(dtype=np.int64),
+            "rank": df["rank"].to_numpy(dtype=np.int64),
+            "token": df["token"].to_numpy(),
+            "score": round_half_up(df["score"].to_numpy(), 4)})
+        return out.reset_index(drop=True)
+
+    return per_class.repartition(1).map_batches(
+        finish, batch_format="pandas").sort(["label", "rank"])

@@ -1427,3 +1427,51 @@ def seasonal_hour_anomalies(sf_dir: str, factor: float = 2.0
 
     return agg.repartition(1).map_batches(finish,
                                           batch_format="pandas")
+
+
+def skew_report(sf_dir: str, top: int = 10) -> rd.Dataset:
+    """Shuffle-skew diagnosis for a groupby key (user_id): the top
+    hot keys with their share of all rows, plus how many keys cover
+    50% of the data — the numbers that decide whether a key needs
+    salting before a wide exchange (the engine's own hot-key
+    mitigation notes reference exactly this distribution).
+
+    Plan: ONE |keys|-bounded count reduce; the hot-key pick and the
+    half-coverage scan are local transforms of the reduced table.
+    Output: (rank, user_id, n_events, pct, keys_to_half) — the last
+    column repeated (scalar audit result)."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("user_id").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.Table.from_pydict({
+            "user_id": pa.array(u.astype(np.int64), pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], {"n": ("n", "sum")}, num_parts=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"user_id": "int64", "n": "int64"})
+        df = df.sort_values(["n", "user_id"],
+                            ascending=[False, True]).reset_index(
+            drop=True)
+        tot = df["n"].sum()
+        cum = df["n"].cumsum()
+        keys_to_half = int((cum < tot / 2.0).sum()) + 1
+        head = df.head(top)
+        return pd.DataFrame({
+            "rank": np.arange(1, len(head) + 1, dtype=np.int64),
+            "user_id": head["user_id"].to_numpy(),
+            "n_events": head["n"].to_numpy(),
+            "pct": round_half_up(
+                100.0 * head["n"].to_numpy() / tot, 4),
+            "keys_to_half": np.int64(keys_to_half)})
+
+    return counts.repartition(1).map_batches(finish,
+                                             batch_format="pandas")
