@@ -422,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_revenue_rollup": relational.star_revenue_rollup,
         "cluster_top_terms": analysis.cluster_top_terms,
         "skew_report": events.skew_report,
+        "temperature_mix_weights": analysis.temperature_mix_weights,
+        "linear_attribution": events.linear_attribution,
+        # rows-only: truncation recall is approximate by construction
+        "dim_truncation_recall": similarity.dim_truncation_recall,
     }
 
 
@@ -3257,6 +3261,54 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * s.n / t.tot, 4) AS pct,
                    h.keys_to_half
             FROM s, t, h WHERE s.rank <= 10 ORDER BY s.rank
+        """,
+        "temperature_mix_weights": """
+            WITH g AS (SELECT source,
+                              CAST(sum(CASE WHEN trim(text) = ''
+                                       THEN 0
+                                       ELSE len(regexp_split_to_array(
+                                            trim(text), '\\s+')) END)
+                                   AS DOUBLE) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot,
+                         sum(pow(n / (SELECT sum(n) FROM g), 0.7))
+                           AS sm FROM g)
+            SELECT g.source, CAST(g.n AS BIGINT) AS n_tokens,
+                   round(g.n / t.tot, 6) AS share,
+                   round(pow(g.n / t.tot, 0.7) / t.sm, 6) AS weight,
+                   round((pow(g.n / t.tot, 0.7) / t.sm)
+                         / (g.n / t.tot), 4) AS sampling_factor
+            FROM g, t ORDER BY g.source
+        """,
+        "linear_attribution": """
+            WITH p AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, ts, event_id, event_type
+                  FROM events
+                  WHERE event_type IN ('view', 'click')),
+            pn AS (SELECT p.*, (SELECT count(*) FROM t
+                                WHERE t.user_id = p.user_id
+                                AND t.ts >= p.ts - INTERVAL 60 MINUTE
+                                AND t.ts < p.ts) AS n
+                   FROM p),
+            tc AS (SELECT t.event_type AS channel, t.event_id,
+                          sum(pn.value / pn.n) AS credit
+                   FROM t JOIN pn ON pn.user_id = t.user_id
+                        AND t.ts >= pn.ts - INTERVAL 60 MINUTE
+                        AND t.ts < pn.ts
+                   GROUP BY 1, 2),
+            ch AS (SELECT channel,
+                          CAST(count(*) AS BIGINT)
+                            AS n_touches_credited,
+                          sum(credit) AS credit
+                   FROM tc GROUP BY 1
+                   UNION ALL
+                   SELECT 'direct', CAST(count(*) AS BIGINT),
+                          COALESCE(sum(value), 0)
+                   FROM pn WHERE n = 0)
+            SELECT channel, n_touches_credited,
+                   round(credit, 2) AS credit
+            FROM ch ORDER BY channel
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

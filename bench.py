@@ -340,6 +340,20 @@ def _secondary_list():
          lambda: analysis.oov_rate_per_doc(SF_DIR).count()),
         ("late_event_counts",
          lambda: events.late_event_counts(SF_DIR).to_pandas()),
+        ("cross_source_dup_matrix",
+         lambda: dedup.cross_source_dup_matrix(SF_DIR).count()),
+        ("pq_recall",
+         lambda: similarity.pq_recall(SF_DIR).to_pandas()),
+        ("star_revenue_rollup",
+         lambda: relational.star_revenue_rollup(SF_DIR).count()),
+        ("rfm_scores",
+         lambda: relational.rfm_scores(SF_DIR).count()),
+        ("data_expectations",
+         lambda: relational.data_expectations(SF_DIR).to_pandas()),
+        ("cluster_top_terms",
+         lambda: analysis.cluster_top_terms(SF_DIR).to_pandas()),
+        ("compression_ratio_quality",
+         lambda: analysis.compression_ratio_quality(SF_DIR).count()),
     ]
 
 

@@ -2544,3 +2544,53 @@ def cluster_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
 
     return per_class.repartition(1).map_batches(
         finish, batch_format="pandas").sort(["label", "rank"])
+
+
+def temperature_mix_weights(sf_dir: str, alpha: float = 0.7
+                            ) -> rd.Dataset:
+    """Temperature-scaled sampling weights per source (the
+    multilingual-LM mixing rule, alpha < 1 upsamples the tail —
+    mBERT/XLM-R exponent smoothing): w_s = share_s^alpha /
+    sum(share^alpha), plus the implied up/down-sampling factor
+    w_s / share_s.
+
+    Plan: ONE |sources|-bounded token-count reduce (shares from token
+    mass, not doc counts); the smoothing is a closed-form finish.
+    Output: (source, n_tokens, share, weight, sampling_factor)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        empty = pc.equal(trimmed, "")
+        n = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(empty, pa.scalar(0, pa.int32()), n)
+        df = pd.DataFrame({
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "n": n.to_numpy(zero_copy_only=False).astype(np.int64)})
+        return table_from_pandas(
+            df.groupby("source", as_index=False)["n"].sum()
+            .rename(columns={"n": "n_tokens"}))
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_tokens": ("n_tokens", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(dtype=np.float64)
+        share = n / n.sum()
+        sm = np.power(share, alpha)
+        w = sm / sm.sum()
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_tokens": n.astype(np.int64),
+            "share": round_half_up(share, 6),
+            "weight": round_half_up(w, 6),
+            "sampling_factor": round_half_up(w / share, 4),
+        }).sort_values("source").reset_index(drop=True)
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")

@@ -1475,3 +1475,92 @@ def skew_report(sf_dir: str, top: int = 10) -> rd.Dataset:
 
     return counts.repartition(1).map_batches(finish,
                                              batch_format="pandas")
+
+
+def linear_attribution(sf_dir: str, window_minutes: int = 60
+                       ) -> rd.Dataset:
+    """Multi-touch linear attribution: each purchase's value splits
+    equally across the user's touch events (view/click) in the
+    preceding ``window_minutes``; purchases with no touches keep
+    their value unattributed ('direct'). The marketing-analytics
+    join-and-allocate shape (last-touch's fairer sibling).
+
+    Plan: ONE coarse hash(user) % 16 exchange; each bucket sorts by
+    (user, ts) once, then for every purchase counts its touch window
+    with two searchsorted probes over composite (user-offset) keys and
+    allocates credit to the touches via a vectorized interval-add
+    (difference array + cumsum) — no per-purchase loop over touches.
+    Output: (channel, n_touches_credited, credit) where channel in
+    {view, click, direct}, credit rounded to 2."""
+    from ..functions.numeric import round_half_up
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts", "value"])
+    win_ns = np.int64(window_minutes) * np.int64(60_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        is_touch = (et == "view") | (et == "click")
+        is_purch = et == "purchase"
+        # composite key makes user boundaries absolute: consecutive
+        # users sit further apart than any probe window can reach
+        # (span > max time delta + window), so a purchase's window
+        # can never leak into the previous user's key range. Bound:
+        # users-per-bucket x span must fit int64 — at 30-day data
+        # that allows ~3e3 users per bucket per ns... i.e. millions;
+        # beyond that, raise nbuckets.
+        ui = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        delta = ts - ts.min()
+        span = delta.max() + win_ns + np.int64(2)
+        key = ui * span + delta
+        tkey = key[is_touch]
+        tpos = np.flatnonzero(is_touch)
+        pk = key[is_purch]
+        lo = np.searchsorted(tkey, pk - win_ns)
+        hi = np.searchsorted(tkey, pk)  # strictly before the purchase
+        n_touch = (hi - lo).astype(np.int64)
+        pval = val[is_purch]
+        # credit each touch in [lo, hi): difference array over touch
+        # slots, one weight per purchase
+        w = np.where(n_touch > 0, pval / np.maximum(n_touch, 1), 0.0)
+        diff = np.zeros(len(tkey) + 1)
+        np.add.at(diff, lo, w)
+        np.add.at(diff, hi, -w)
+        credit = np.cumsum(diff[:-1])
+        touched = np.zeros(len(tkey) + 1, dtype=np.int64)
+        np.add.at(touched, lo, 1)
+        np.add.at(touched, hi, -1)
+        times_credited = np.cumsum(touched[:-1])
+        out = pd.DataFrame({
+            "channel": et[tpos],
+            "n": (times_credited > 0).astype(np.int64),
+            "credit": credit})
+        direct = pd.DataFrame({
+            "channel": ["direct"],
+            "n": [np.int64((n_touch == 0).sum())],
+            "credit": [float(pval[n_touch == 0].sum())]})
+        out = pd.concat([out, direct], ignore_index=True)
+        return out.groupby("channel", as_index=False).agg(
+            n_touches_credited=("n", "sum"), credit=("credit", "sum"))
+
+    partials = _user_bucketed(ds).map_groups(per_bucket,
+                                             batch_format="pandas")
+    agg = hash_groupby_agg(
+        partials, ["channel"],
+        {"n_touches_credited": ("n_touches_credited", "sum"),
+         "credit": ("credit", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_touches_credited"] = df["n_touches_credited"].astype(
+            np.int64)
+        df["credit"] = round_half_up(df["credit"].to_numpy(), 2)
+        return df[["channel", "n_touches_credited", "credit"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("channel"))

@@ -1345,3 +1345,70 @@ def ivfpq_topk(sf_dir: str, k: int = 10, kcoarse: int = 8,
 
     return partials.repartition(1).map_batches(finish,
                                                batch_format="pandas")
+
+
+def dim_truncation_recall(sf_dir: str, dims=(8, 16, 32), nq: int = 5,
+                          topk: int = 10) -> rd.Dataset:
+    """Matryoshka-style dimension-truncation audit: recall@k of
+    L2 search using only the first d' coordinates vs the full vector
+    — the cheap "can we store a prefix" question MRL embeddings make
+    first-class. Same partial-top-k plan as pq_recall: per block,
+    local top-k per (query, dim) ships k x nq x |dims| rows; one tiny
+    finish computes overlap. Deterministic ties on (dist, vec_id).
+    Output: (dim, query_vec_id, recall_at_k) rows-only + brute-force
+    pytest."""
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < nq)
+    qorder = np.argsort(qt.column("vec_id").to_numpy())
+    qmat = np.array(qt.column("embedding").to_pylist(),
+                    dtype=np.float64)[qorder]
+    qref = ray.put(qmat)
+    all_dims = list(dims) + [qmat.shape[1]]
+
+    def block_eval(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids, mat = _batch_matrix(batch)
+        frames = []
+        for d in all_dims:
+            diff = mat[:, :d]
+            for q in range(len(qm)):
+                dist = ((diff - qm[q][None, :d]) ** 2).sum(axis=1)
+                keep = ids != q
+                dk, ik = dist[keep], ids[keep]
+                ordk = np.lexsort((ik, dk))[:topk]
+                frames.append(pd.DataFrame({
+                    "dim": np.int64(d), "q": np.int64(q),
+                    "vec_id": ik[ordk].astype(np.int64),
+                    "dist": dk[ordk]}))
+        from ..functions.tables import table_from_pandas
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
+
+    partials = _embeddings(sf_dir).map_batches(
+        block_eval, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        full = all_dims[-1]
+        tops: dict[tuple, set] = {}
+        for (d, q), s in df.groupby(["dim", "q"]):
+            ordk = np.lexsort((s["vec_id"].to_numpy(),
+                               s["dist"].to_numpy()))[:topk]
+            tops[(d, q)] = set(s["vec_id"].to_numpy()[ordk])
+        out = []
+        for d in dims:
+            for q in range(len(qmat)):
+                rec = len(tops[(d, q)] & tops[(full, q)]) / topk
+                out.append((d, q, rec))
+        res = pd.DataFrame(out, columns=["dim", "query_vec_id",
+                                         "recall_at_k"])
+        res["dim"] = res["dim"].astype(np.int64)
+        res["query_vec_id"] = res["query_vec_id"].astype(np.int64)
+        res["recall_at_k"] = round_half_up(
+            res["recall_at_k"].to_numpy(), 4)
+        return res.sort_values(["dim", "query_vec_id"]).reset_index(
+            drop=True)
+
+    return partials.repartition(1).map_batches(finish,
+                                               batch_format="pandas")

@@ -935,3 +935,35 @@ def test_ivfpq_topk_matches_brute_force():
         assert list(g["vec_id"]) == want_ids
         assert np.allclose(g["approx_d"].to_numpy(),
                            np.round(approx[ordk], 4), atol=1e-9)
+
+
+def test_dim_truncation_recall_brute_force():
+    """Truncated-dim recall matches a single-process reference and is
+    monotone-ish: the full-dim prefix always recalls itself."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from granulate_char_ocr_ray.pipelines.similarity import \
+        dim_truncation_recall
+
+    sf = "/root/testdata/sf0.001"
+    got = dim_truncation_recall(sf).to_pandas()
+
+    t = pq_.read_table(f"{sf}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    for d in (8, 16, 32):
+        for q in range(5):
+            keep = ids != q
+            full = ((mat - mat[q][None]) ** 2).sum(axis=1)
+            trunc = ((mat[:, :d] - mat[q][None, :d]) ** 2).sum(axis=1)
+            tf = set(ids[keep][np.lexsort((ids[keep],
+                                           full[keep]))[:10]])
+            tt = set(ids[keep][np.lexsort((ids[keep],
+                                           trunc[keep]))[:10]])
+            want = round(len(tf & tt) / 10, 4)
+            row = got[(got["dim"] == d)
+                      & (got["query_vec_id"] == q)]
+            assert row["recall_at_k"].iloc[0] == want
