@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": events.linear_attribution,
         # rows-only: truncation recall is approximate by construction
         "dim_truncation_recall": similarity.dim_truncation_recall,
+        "bucketed_segment_revenue":
+            relational.bucketed_segment_revenue,
     }
 
 
@@ -3309,6 +3311,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, n_touches_credited,
                    round(credit, 2) AS credit
             FROM ch ORDER BY channel
+        """,
+        "bucketed_segment_revenue": """
+            SELECT c.c_mktsegment, CAST(count(*) AS BIGINT)
+                     AS n_orders,
+                   round(sum(CAST(round(o.o_totalprice * 100)
+                                  AS BIGINT)) / 100.0, 2) AS revenue
+            FROM orders o JOIN customer c
+                 ON c.c_custkey = o.o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

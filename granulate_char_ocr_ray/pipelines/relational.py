@@ -4826,3 +4826,58 @@ def star_revenue_rollup(sf_dir: str) -> rd.Dataset:
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1)
             .sort(["p_brand", "n_name", "l_returnflag"]))
+
+
+def bucketed_segment_revenue(sf_dir: str,
+                             num_buckets: int = 16) -> rd.Dataset:
+    """Order revenue per customer market segment computed through the
+    BUCKETED-STORAGE path: both tables are written hash-bucketed on
+    the customer key once (`sources/storage.write_bucketed` — the
+    Hive/Iceberg bucket-transform layout), then joined bucket-aligned
+    with ZERO exchange (`bucket_aligned_join`: one task per bucket
+    reads both sides' bucket files and merges locally). The recurring
+    big join a warehouse pays for at write time instead of per query;
+    the final aggregate is a |segments|-bounded reduce. Fixed-point
+    cents keep the sum bit-identical. Output: (c_mktsegment, n_orders,
+    revenue)."""
+    import os
+
+    from ..sources.storage import bucket_aligned_join, write_bucketed
+    from ..stages.hashagg import hash_groupby_agg
+
+    base = f"/tmp/bucketed_{os.path.basename(sf_dir.rstrip('/'))}"
+    od, cd = f"{base}/orders", f"{base}/customer"
+    # write once per sf_dir (bucket layout is a persistent artifact)
+    if not os.path.exists(od):
+        write_bucketed(
+            read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_custkey", "o_totalprice"]),
+            od, "o_custkey", num_buckets)
+    if not os.path.exists(cd):
+        write_bucketed(
+            read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"]),
+            cd, "c_custkey", num_buckets)
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame
+              ) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey",
+                       right_on="c_custkey")
+        m["cents"] = np.rint(
+            m["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return m.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum"))
+
+    joined = bucket_aligned_join(od, cd, merge, num_buckets)
+    agg = hash_groupby_agg(joined, ["c_mktsegment"],
+                           {"n_orders": ("n_orders", "sum"),
+                            "cents": ("cents", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_orders": "int64", "cents": "int64"})
+        df["revenue"] = round_half_up(
+            df["cents"].to_numpy(dtype=np.float64) / 100.0, 2)
+        return df[["c_mktsegment", "n_orders", "revenue"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("c_mktsegment"))

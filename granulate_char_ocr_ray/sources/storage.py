@@ -334,3 +334,81 @@ def write_zordered(ds: rd.Dataset, out_dir: str, key_a: str, key_b: str,
      .sort("_z")
      .drop_columns(["_z"])
      .write_parquet(out_dir, row_group_size=row_group_size))
+
+
+def write_bucketed(ds: rd.Dataset, out_dir: str, key: str,
+                   num_buckets: int = 16) -> None:
+    """Hash-bucketed write (the Hive bucketing / Iceberg bucket
+    transform): rows land in ``bucket=<i>/`` directories by the SAME
+    stable hash the engine's join/groupby partitioners use, so any two
+    tables bucketed on compatible keys with the same bucket count can
+    later join or aggregate BUCKET-ALIGNED — zero exchange at read
+    time (the shuffle is paid once at write). One exchange here
+    (groupby the bucket tag); per-bucket output goes to its own
+    directory so a failed write resumes per bucket."""
+    import os
+
+    from ..stages.hashagg import _stable_partition
+
+    def tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["_bucket"] = _stable_partition(df, [key], num_buckets)
+        return df
+
+    import pandas as pd  # noqa: F811
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        d = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        t = pa.Table.from_pandas(g.drop(columns=["_bucket"]),
+                                 preserve_index=False)
+        pq.write_table(t.replace_schema_metadata(None),
+                       os.path.join(d, "part-0.parquet"))
+        return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+    (ds.map_batches(tag, batch_format="pandas")
+     .groupby("_bucket")
+     .map_groups(write_one, batch_format="pandas")
+     .materialize())
+
+
+def bucket_aligned_join(dir_a: str, dir_b: str, merge,
+                        num_buckets: int = 16) -> rd.Dataset:
+    """Exchange-FREE join of two bucket-aligned tables: one Ray task
+    per bucket id reads ``bucket=<i>`` from both directories and
+    applies ``merge(left_df, right_df)`` locally — keys of equal value
+    are guaranteed co-located because both writes used the same stable
+    hash and bucket count (write_bucketed). The read plan is
+    embarrassingly parallel; no shuffle ever happens. The storage-
+    layout optimization every warehouse applies to its biggest
+    recurring join."""
+    import os
+
+    import pandas as pd
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.tables import table_from_pandas
+
+        outs = []
+        for b in batch.column("bucket").to_pylist():
+            pa_dir = os.path.join(dir_a, f"bucket={b}",
+                                  "part-0.parquet")
+            pb_dir = os.path.join(dir_b, f"bucket={b}",
+                                  "part-0.parquet")
+            left = pq.read_table(pa_dir).to_pandas() \
+                if os.path.exists(pa_dir) else None
+            right = pq.read_table(pb_dir).to_pandas() \
+                if os.path.exists(pb_dir) else None
+            if left is None or right is None or left.empty \
+                    or right.empty:
+                continue
+            outs.append(merge(left, right))
+        if not outs:
+            return pa.Table.from_pydict({})
+        return table_from_pandas(pd.concat(outs, ignore_index=True))
+
+    ids = rd.from_arrow(pa.Table.from_pydict(
+        {"bucket": pa.array(list(range(num_buckets)), pa.int64())}))
+    return ids.repartition(num_buckets).map_batches(
+        join_bucket, batch_format="pyarrow")

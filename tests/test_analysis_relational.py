@@ -2205,3 +2205,19 @@ def test_round3_wave13_oracle_parity(con, name):
     import __ray_entry__ as e
 
     _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_bucketed_segment_revenue_parity_and_reuse(con):
+    """Bucketed-storage join: matches the SQL oracle AND the second
+    run (reusing the bucket layout on disk) returns the identical
+    frame."""
+    import shutil
+
+    import __ray_entry__ as e
+
+    shutil.rmtree("/tmp/bucketed_sf0.001", ignore_errors=True)
+    q = e.queries()["bucketed_segment_revenue"]
+    first = q(SF).to_pandas()
+    _check(q(SF), e.oracle_sql()["bucketed_segment_revenue"], con)
+    again = q(SF).to_pandas()
+    pd.testing.assert_frame_equal(first, again)
