@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_truncation_recall": similarity.dim_truncation_recall,
         "bucketed_segment_revenue":
             relational.bucketed_segment_revenue,
+        "hive_partition_stats": analysis.hive_partition_stats,
+        "join_size_estimate": relational.join_size_estimate,
     }
 
 
@@ -3320,6 +3322,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c
                  ON c.c_custkey = o.o_custkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "hive_partition_stats": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE lang = 'en' GROUP BY 1
+        """,
+        "join_size_estimate": """
+            WITH a AS (SELECT o_orderkey AS key,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+            b AS (SELECT l_orderkey AS key,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY 1),
+            e AS (SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact
+                  FROM a JOIN b USING (key)),
+            ah AS (SELECT key % 256 AS bk, sum(n) AS n
+                   FROM a GROUP BY 1),
+            bh AS (SELECT key % 256 AS bk, sum(n) AS n
+                   FROM b GROUP BY 1),
+            s AS (SELECT CAST(sum(ah.n * bh.n) AS BIGINT) AS est
+                  FROM ah JOIN bh USING (bk))
+            SELECT e.exact AS exact_pairs, s.est AS bucket_estimate,
+                   round(100.0 * (s.est - e.exact) / e.exact, 4)
+                     AS overcount_pct
+            FROM e, s
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

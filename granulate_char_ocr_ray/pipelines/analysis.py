@@ -2594,3 +2594,43 @@ def temperature_mix_weights(sf_dir: str, alpha: float = 0.7
 
     return agg.repartition(1).map_batches(finish,
                                           batch_format="pandas")
+
+
+def hive_partition_stats(sf_dir: str, lang: str = "en") -> rd.Dataset:
+    """Doc count + char mass of ONE language read through the
+    hive-partitioned lake layout: the documents table is written
+    ``lang=<v>/`` partitioned once (sources/storage.
+    write_hive_partitioned), then the query lists and scans ONLY the
+    requested partition's directory — zero bytes of any other
+    language move (the partition-pruning half of "prune at the
+    read"; row-group pruning inside a partition is write_clustered's
+    job). Output: (lang, n_docs, total_chars)."""
+    import os
+
+    from ..sources.storage import (read_hive_partition,
+                                   write_hive_partitioned)
+
+    base = "/tmp/hive_docs_" + os.path.basename(sf_dir.rstrip("/"))
+    if not os.path.exists(base):
+        write_hive_partitioned(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            base, ["lang"])
+
+    ds = read_hive_partition(base, "lang", lang,
+                             columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "lang": pa.array([lang], pa.string()),
+            "n_docs": pa.array([len(n)], pa.int64()),
+            "total_chars": pa.array([int(n.sum())], pa.int64())})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["total_chars"] = g["total_chars"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(finish, batch_format="pandas"))

@@ -4881,3 +4881,72 @@ def bucketed_segment_revenue(sf_dir: str,
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("c_mktsegment"))
+
+
+def join_size_estimate(sf_dir: str, nbuckets: int = 256) -> rd.Dataset:
+    """Join-cardinality estimation (the optimizer statistic that
+    decides broadcast vs partitioned plans): |orders join lineitem on
+    orderkey| computed two ways WITHOUT running the join — exactly,
+    as sum over keys of n_a(k) * n_b(k) from the two (key, count)
+    reduces; and approximately from ``nbuckets`` coarse key-bucket
+    histograms (what a real optimizer keeps when per-key counts don't
+    fit — always an OVERestimate since collisions multiply).
+
+    Plan: each side folds (key % nbuckets, key, n) partials; one
+    co-partitioned exchange merges the two count tables; both
+    statistics fold from the merged table. Output: one row
+    (exact_pairs, bucket_estimate, overcount_pct)."""
+    from ..functions.tables import table_from_pandas
+    from ..stages.hashagg import _stable_partition
+
+    def side(path: str, key: str, tag: int) -> rd.Dataset:
+        def partial(batch: pa.Table) -> pa.Table:
+            k, c = np.unique(batch.column(key).to_numpy(
+                zero_copy_only=False), return_counts=True)
+            out = pd.DataFrame({"key": k.astype(np.int64),
+                                "n": c.astype(np.int64),
+                                "side": np.int64(tag)})
+            # partition by BUCKET (not key hash) so every bucket's
+            # keys land whole in one part — the bucket histogram then
+            # folds exactly from per-part pieces, and the oracle can
+            # express the same modulo arithmetic
+            out["_part"] = (out["key"] % nbuckets) % 16
+            return table_from_pandas(out)
+
+        return read_table(path, columns=[key]).map_batches(
+            partial, batch_format="pyarrow")
+
+    both = side(f"{sf_dir}/orders.parquet", "o_orderkey", 0).union(
+        side(f"{sf_dir}/lineitem.parquet", "l_orderkey", 1))
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["key", "side"], as_index=False)["n"].sum()
+        a = c[c["side"] == 0][["key", "n"]]
+        b = c[c["side"] == 1][["key", "n"]]
+        m = a.merge(b, on="key", suffixes=("_a", "_b"))
+        exact = int((m["n_a"].to_numpy(dtype=np.int64)
+                     * m["n_b"].to_numpy(dtype=np.int64)).sum())
+        # bucket histograms: sum na per bucket x sum nb per bucket
+        ab = a.assign(bk=a["key"] % nbuckets).groupby("bk")["n"].sum()
+        bb = b.assign(bk=b["key"] % nbuckets).groupby("bk")["n"].sum()
+        j = ab.to_frame("na").join(bb.to_frame("nb"), how="inner")
+        est = int((j["na"].to_numpy(dtype=np.int64)
+                   * j["nb"].to_numpy(dtype=np.int64)).sum())
+        return pd.DataFrame({"exact": [np.int64(exact)],
+                             "est": [np.int64(est)]})
+
+    parts = both.groupby("_part").map_groups(merge_counts,
+                                             batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        exact = int(df["exact"].sum())
+        est = int(df["est"].sum())
+        return pd.DataFrame({
+            "exact_pairs": [np.int64(exact)],
+            "bucket_estimate": [np.int64(est)],
+            "overcount_pct": round_half_up(
+                np.array([100.0 * (est - exact) / exact]), 4),
+        })
+
+    return parts.repartition(1).map_batches(finish,
+                                            batch_format="pandas")

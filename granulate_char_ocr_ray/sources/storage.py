@@ -412,3 +412,31 @@ def bucket_aligned_join(dir_a: str, dir_b: str, merge,
         {"bucket": pa.array(list(range(num_buckets)), pa.int64())}))
     return ids.repartition(num_buckets).map_batches(
         join_bucket, batch_format="pyarrow")
+
+
+def write_hive_partitioned(ds: rd.Dataset, out_dir: str,
+                           partition_cols: list[str]) -> None:
+    """Hive-style partitioned write (``col=value/`` directories) —
+    the lake layout that turns a partition-key filter into a pure
+    directory listing at read time (no file even opens for pruned
+    partitions). Ray's native writer handles the fan-out."""
+    ds.write_parquet(out_dir, partition_cols=partition_cols)
+
+
+def read_hive_partition(root: str, col: str, value: str,
+                        columns: list[str] | None = None
+                        ) -> rd.Dataset:
+    """Partition-pruned read: only ``col=value/`` is listed and
+    scanned — at 100 TB the difference between one partition and the
+    corpus. The partition column is re-attached as a constant (hive
+    directories don't store it in the files)."""
+    import os
+
+    path = os.path.join(root, f"{col}={value}")
+    ds = rd.read_parquet(path, columns=columns)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            col, pa.array([value] * len(batch), pa.string()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -2221,3 +2221,32 @@ def test_bucketed_segment_revenue_parity_and_reuse(con):
     _check(q(SF), e.oracle_sql()["bucketed_segment_revenue"], con)
     again = q(SF).to_pandas()
     pd.testing.assert_frame_equal(first, again)
+
+
+@pytest.mark.parametrize("name", [
+    "hive_partition_stats", "join_size_estimate",
+])
+def test_round3_wave15_oracle_parity(con, name):
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_hive_partition_prunes_files():
+    """The partition-pruned read lists ONLY the requested lang's
+    directory (no other partition's file opens)."""
+    import glob
+    import shutil
+
+    from granulate_char_ocr_ray.pipelines.analysis import \
+        hive_partition_stats
+
+    shutil.rmtree("/tmp/hive_docs_sf0.001", ignore_errors=True)
+    hive_partition_stats(SF, lang="de").to_pandas()
+    parts = sorted(p.split("=")[-1] for p in
+                   glob.glob("/tmp/hive_docs_sf0.001/lang=*"))
+    assert "de" in parts and len(parts) >= 3
+    import pyarrow.dataset as pads
+
+    files = pads.dataset("/tmp/hive_docs_sf0.001/lang=de").files
+    assert files and all("lang=de" in f for f in files)
