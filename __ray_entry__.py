@@ -430,6 +430,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.bucketed_segment_revenue,
         "hive_partition_stats": analysis.hive_partition_stats,
         "join_size_estimate": relational.join_size_estimate,
+        # --- round-3 wave 6: windows / funnels / corpus fits ---
+        "zipf_fit_by_source": analysis.zipf_fit_by_source,
+        "priority_price_ntile": relational.priority_price_ntile,
+        "lineitem_corr_matrix": relational.lineitem_corr_matrix,
+        "windowed_funnel_counts": events.windowed_funnel_counts,
+        "session_paths_topk": events.session_paths_topk,
+        # rows-only: greedy iterative selections (sequential by
+        # definition) — brute-force pytest oracles instead of SQL
+        "mmr_rerank": similarity.mmr_rerank,
+        "kcenter_coreset": similarity.kcenter_coreset,
     }
 
 
@@ -3347,6 +3357,101 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (s.est - e.exact) / e.exact, 4)
                      AS overcount_pct
             FROM e, s
+        """,
+        "zipf_fit_by_source": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            tc AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+                   FROM tok GROUP BY 1, 2),
+            rk AS (SELECT source, c,
+                          row_number() OVER (
+                            PARTITION BY source
+                            ORDER BY c DESC, token ASC) AS r
+                   FROM tc)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+                   round(regr_slope(ln(c), ln(CAST(r AS DOUBLE))), 6)
+                     AS zipf_slope
+            FROM rk WHERE r <= 100
+            GROUP BY source HAVING count(*) >= 2
+            ORDER BY source
+        """,
+        "priority_price_ntile": """
+            WITH t AS (
+              SELECT o_orderpriority, o_totalprice,
+                     ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS tile
+              FROM orders)
+            SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lineitem_corr_matrix": """
+            SELECT * FROM (
+              SELECT 'l_discount' AS x, 'l_extendedprice' AS y,
+                     round(corr(l_discount, l_extendedprice), 6)
+                       AS pearson_r FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_quantity',
+                     round(corr(l_discount, l_quantity), 6)
+                FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_tax',
+                     round(corr(l_discount, l_tax), 6) FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_quantity',
+                     round(corr(l_extendedprice, l_quantity), 6)
+                FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax',
+                     round(corr(l_extendedprice, l_tax), 6)
+                FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax',
+                     round(corr(l_quantity, l_tax), 6) FROM lineitem
+            ) ORDER BY x, y
+        """,
+        "windowed_funnel_counts": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                    AND e.ts <= v.t1 + INTERVAL 7 DAY
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    AND e.ts <= c.t2 + INTERVAL 7 DAY
+                  GROUP BY 1)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_stage1,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_stage2,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_stage3
+        """,
+        "session_paths_topk": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT user_id, event_type, ts, event_id,
+                         sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM s GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 10
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -2634,3 +2634,71 @@ def hive_partition_stats(sf_dir: str, lang: str = "en") -> rd.Dataset:
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .repartition(1).map_batches(finish, batch_format="pandas"))
+
+
+def zipf_fit_by_source(sf_dir: str, top_k: int = 100) -> rd.Dataset:
+    """Zipf-law fit per source: the OLS slope of ln(count) ~ ln(rank)
+    over each source's ``top_k`` most frequent tokens — the classic
+    corpus-health diagnostic (natural text sits near -1; templated or
+    machine-generated crawls flatten or steepen the curve; see
+    Piantadosi 2014 for the public background). Plan: one explode pass
+    folds per-batch (source, token) counts; the two-phase hash
+    aggregate reduces to one row per distinct (source, token) — the
+    only exchange, vocabulary-sized; each reduced block keeps its local
+    top-k per source under the total order (count desc, token asc), a
+    superset of the global top-k, so the final fit touches at most
+    |sources| x top_k rows in one tiny block. Sources with fewer than
+    two distinct tokens are dropped (the fit is undefined — mirrors
+    the oracle's HAVING). Output: (source, n_top, zipf_slope) sorted
+    by source, slope rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        src = pc.filter(batch.column("source"), keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": np.repeat(src.to_numpy(zero_copy_only=False), n),
+            "token": pc.list_flatten(toks).to_pandas()})
+        g = df.groupby(["source", "token"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "c"}),
+                                 preserve_index=False)
+
+    per_token = hash_groupby_agg(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            tok_counts, batch_format="pyarrow"),
+        ["source", "token"], {"c": ("c", "sum")}, num_parts=16)
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "c", "token"],
+                            ascending=[True, False, True])
+        return df.groupby("source", as_index=False).head(top_k)
+
+    small = (per_token.map_batches(topk_partial, batch_format="pandas")
+             .repartition(1))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["source", "c", "token"],
+                             ascending=[True, False, True])
+              .groupby("source", as_index=False).head(top_k))
+        x = np.log(df.groupby("source").cumcount().to_numpy() + 1.0)
+        y = np.log(df["c"].to_numpy(dtype=np.float64))
+        g = (df.assign(x=x, y=y, xy=x * y, xx=x * x)
+             .groupby("source", as_index=False)
+             .agg(n_top=("x", "size"), sx=("x", "sum"),
+                  sy=("y", "sum"), sxy=("xy", "sum"),
+                  sxx=("xx", "sum")))
+        g = g[g["n_top"] >= 2]
+        n = g["n_top"].to_numpy(dtype=np.float64)
+        slope = ((g["sxy"].to_numpy() - g["sx"].to_numpy()
+                  * g["sy"].to_numpy() / n)
+                 / (g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2 / n))
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_top": g["n_top"].astype(np.int64),
+            "zipf_slope": round_half_up(slope, 6)})
+
+    return (small.map_batches(final, batch_format="pandas")
+            .sort("source"))

@@ -1564,3 +1564,161 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("channel"))
+
+
+def windowed_funnel_counts(sf_dir: str,
+                           stages: tuple[str, str, str] = (
+                               "view", "click", "purchase"),
+                           max_gap_days: int = 7) -> "pa.Table":
+    """Time-bounded ordered funnel: stage N+1 must happen STRICTLY
+    AFTER the user's stage-N frontier AND within ``max_gap_days`` of
+    it — the conversion-window funnel every product-analytics stack
+    ships (unbounded ``funnel_counts`` is the degenerate case). Same
+    chained user-keyed min-reduce plan as funnel_counts, with the same
+    size dispatch: below the broadcast threshold the previous frontier
+    ships once as sorted (user, ts) arrays probed by searchsorted with
+    the two-sided (t_prev, t_prev + gap] cut applied vectorized; above
+    it the frontier attaches via a partitioned user join (users are
+    fact-cardinality at web scale). All comparisons on exact int64
+    nanoseconds. Output: one row (n_stage1, n_stage2, n_stage3).
+
+    Reference analogue: the staged presence counts of
+    evaluate_new_testdata.py:137-163 with ordering + recency bounds."""
+    import ray
+
+    from ..sources.storage import parquet_num_rows
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    small = (parquet_num_rows(f"{sf_dir}/events.parquet") <= 1_000_000)
+
+    gap_ns = np.int64(max_gap_days) * np.int64(86_400_000_000_000)
+
+    def _events() -> rd.Dataset:
+        from ..sources.storage import rows_to_blocks
+        path = f"{sf_dir}/events.parquet"
+        return read_table(path, columns=["user_id", "event_type", "ts"],
+                          num_blocks=rows_to_blocks(path))
+
+    def _stage_min(stage: str) -> rd.Dataset:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == stage]
+            return df.groupby("user_id", as_index=False).agg(
+                t=("ts", "min"))
+
+        return hash_groupby_agg(
+            _events().map_batches(partial, batch_format="pandas"),
+            ["user_id"], {"t": ("t", "min")}, num_parts=16)
+
+    def _next_frontier(prev: rd.Dataset, stage: str) -> rd.Dataset:
+        if small:
+            pf = prev.to_pandas()
+            uk = pf["user_id"].to_numpy(dtype=np.int64)
+            ts = pf["t"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+            o = np.argsort(uk)
+            front_ref = ray.put((uk[o], ts[o]))
+
+            def probe(df: pd.DataFrame) -> pd.DataFrame:
+                uks, tss = ray.get(front_ref)
+                df = df[df["event_type"] == stage]
+                u = df["user_id"].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(uks, u)
+                pos[pos >= len(uks)] = len(uks) - 1 if len(uks) else 0
+                hit = (uks[pos] == u) if len(uks) else np.zeros(
+                    len(u), bool)
+                ev_ts = df["ts"].to_numpy(
+                    dtype="datetime64[ns]").view(np.int64)
+                ok = np.zeros(len(u), dtype=bool)
+                ok[hit] = ((ev_ts[hit] > tss[pos[hit]])
+                           & (ev_ts[hit] <= tss[pos[hit]] + gap_ns))
+                return (df[ok].groupby("user_id", as_index=False)
+                        .agg(t=("ts", "min")))
+
+            return hash_groupby_agg(
+                _events().map_batches(probe, batch_format="pandas"),
+                ["user_id"], {"t": ("t", "min")}, num_parts=16)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == stage]
+            return df[["user_id", "ts"]]
+
+        cand = _events().map_batches(partial, batch_format="pandas")
+
+        def merge(cf: pd.DataFrame, pf: pd.DataFrame) -> pd.DataFrame:
+            m = cf.merge(pf, on="user_id", how="inner")
+            ev = m["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+            ft = m["t"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+            m = m[(ev > ft) & (ev <= ft + gap_ns)]
+            return m.groupby("user_id", as_index=False).agg(
+                t=("ts", "min"))
+
+        return partitioned_join(
+            cand, prev, "user_id", "user_id", merge, num_buckets=16,
+            left_schema=pa.schema([("user_id", pa.int64()),
+                                   ("ts", pa.timestamp("us"))]),
+            right_schema=pa.schema([("user_id", pa.int64()),
+                                    ("t", pa.timestamp("us"))]))
+
+    # frontiers are REDUCED (user-cardinality) — materialize makes each
+    # count() a free metadata read, per the repo's multi-consumer rule
+    f1 = _stage_min(stages[0]).materialize()
+    f2 = _next_frontier(f1, stages[1]).materialize()
+    f3 = _next_frontier(f2, stages[2]).materialize()
+
+    return pa.Table.from_pydict({
+        "n_stage1": pa.array([f1.count()], pa.int64()),
+        "n_stage2": pa.array([f2.count()], pa.int64()),
+        "n_stage3": pa.array([f3.count()], pa.int64())})
+
+
+def session_paths_topk(sf_dir: str, gap_minutes: int = 30,
+                       k: int = 10) -> rd.Dataset:
+    """Top-k most frequent session PATHS — the ordered event_type
+    sequence of each gap-delimited session joined with '>' — the
+    navigation-pattern report behind every clickstream product. Plan:
+    ONE coarse hash(user) % 16 shuffle co-locates users; each bucket
+    sessionizes with the same vectorized gap scan as user_sessions and
+    builds every path string with a single sorted grouped join (no
+    per-session Python); per-bucket path counts then reduce through a
+    path-keyed hash aggregate (exchange sized by DISTINCT paths, not
+    sessions) and the top-k is a per-block partial + one tiny sort.
+    Ordering inside a session is (ts, event_id) so ties are
+    deterministic. Output: (path, n_sessions) by count desc, path asc."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        new_s = _segment_starts(u)
+        new_s[1:] |= ts[1:] - ts[:-1] > gap_ns
+        sid = np.cumsum(new_s)          # global session id within bucket
+        paths = (pd.Series(g["event_type"].to_numpy(), copy=False)
+                 .groupby(sid).agg(">".join))
+        return (paths.value_counts().rename_axis("path")
+                .reset_index(name="n").astype({"n": np.int64}))
+
+    partials = _user_bucketed(ds).map_groups(per_bucket,
+                                             batch_format="pandas")
+    agg = hash_groupby_agg(partials, ["path"], {"n": ("n", "sum")},
+                           num_parts=8)
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "path"], ascending=[False, True])
+        return df.head(k)
+
+    out = (agg.map_batches(topk_partial, batch_format="pandas")
+           .repartition(1)
+           .map_batches(topk_partial, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_sessions"] = df["n"].astype(np.int64)
+        return df[["path", "n_sessions"]]
+
+    return (out.map_batches(finish, batch_format="pandas")
+            .sort(["n_sessions", "path"], descending=[True, False]))

@@ -4950,3 +4950,183 @@ def join_size_estimate(sf_dir: str, nbuckets: int = 256) -> rd.Dataset:
 
     return parts.repartition(1).map_batches(finish,
                                             batch_format="pandas")
+
+
+def lineitem_corr_matrix(sf_dir: str) -> rd.Dataset:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    measures (discount, extendedprice, quantity, tax) — the
+    column-association profile a feature-engineering / data-audit pass
+    computes before modeling. One streaming pass folds each block to a
+    SINGLE row of raw power sums (n, Σx, Σx² per column, Σxy per pair);
+    the combine is |blocks| rows to one, so there is no keyed exchange
+    at all, and the closed-form corr finish runs on scalars. Upper
+    triangle only (x < y lexicographically). Output: (x, y, pearson_r)
+    sorted by (x, y), r rounded to 6.
+
+    Generalizes the mergeable-moments family (qty_price_regression /
+    quantity_price_stats) from one pair to the full matrix; reference
+    analogue: the global stats of evaluate_new_testdata.py:82-118."""
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = {c: df[c].to_numpy(dtype=np.float64) for c in cols}
+        out = {"n": np.float64(len(df))}
+        for c in cols:
+            out[f"s_{c}"] = v[c].sum()
+            out[f"ss_{c}"] = (v[c] * v[c]).sum()
+        for a, b in pairs:
+            out[f"sp_{a}_{b}"] = (v[a] * v[b]).sum()
+        return pd.DataFrame([out])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.sum()
+        n = float(t["n"])
+        rows = []
+        for a, b in pairs:
+            cov = t[f"sp_{a}_{b}"] - t[f"s_{a}"] * t[f"s_{b}"] / n
+            va = t[f"ss_{a}"] - t[f"s_{a}"] ** 2 / n
+            vb = t[f"ss_{b}"] - t[f"s_{b}"] ** 2 / n
+            rows.append({"x": a, "y": b,
+                         "pearson_r": float(round_half_up(
+                             cov / np.sqrt(va * vb), 6))})
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas")
+            .sort(["x", "y"]))
+
+
+def _ntile_of_rank0(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE bucket (1-based) for 0-based ranks in a group of n
+    rows: the first n % k buckets hold ceil(n/k) rows, the rest
+    floor(n/k)."""
+    q, r = divmod(n, k)
+    cut = (q + 1) * r
+    lo = rank0 < cut
+    out = np.empty(len(rank0), dtype=np.int64)
+    out[lo] = rank0[lo] // (q + 1)
+    if q > 0:
+        out[~lo] = r + (rank0[~lo] - cut) // q
+    return out + 1
+
+
+def priority_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """Exact distributed NTILE(k) window — ``ntile(k) OVER (PARTITION
+    BY o_orderpriority ORDER BY o_totalprice, o_orderkey)`` — without
+    any global sort. Prices are exact at 2 decimals, so each
+    priority's ordering reduces to a DOMAIN-BOUNDED integer-cents
+    value histogram (one two-phase hash aggregate, sized by the price
+    domain not the table); tile spans resolve on the driver from
+    cumulative counts, and only tie groups that STRADDLE a tile
+    boundary — at most k-1 per priority — are re-ranked by orderkey
+    via a tiny filtered gather. Every other row's tile is a broadcast
+    histogram probe, and the output aggregate is another tiny keyed
+    exchange on (priority, tile). Money sums stay in integer cents so
+    the per-tile average is exact. Output: (o_orderpriority, tile,
+    n_orders, avg_price) sorted, avg rounded to 4."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"pri": df["o_orderpriority"].to_numpy(),
+                              "cents": c})
+                .groupby(["pri", "cents"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    hist = hash_groupby_agg(
+        orders.map_batches(hist_partial, batch_format="pandas"),
+        ["pri", "cents"], {"n": ("n", "sum")},
+        num_parts=8).to_pandas().sort_values(["pri", "cents"])
+
+    # driver: resolve each (pri, cents) tie group to a tile, or mark it
+    # boundary-straddling (its rows need orderkey ranks)
+    probe_tab: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    boundary: dict[tuple[str, int], int] = {}  # -> rank0 of first row
+    for pri, g in hist.groupby("pri", sort=False):
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        first0 = cum - cnt                      # 0-based rank of first
+        n_pri = int(cum[-1])
+        t_first = _ntile_of_rank0(first0, n_pri, k)
+        t_last = _ntile_of_rank0(cum - 1, n_pri, k)
+        tiles = np.where(t_first == t_last, t_first, np.int64(-1))
+        probe_tab[pri] = (cents, tiles, first0)
+        for c0, f0 in zip(cents[tiles == -1], first0[tiles == -1]):
+            boundary[(pri, int(c0))] = int(f0)
+    n_per_pri = {p: int(hist[hist["pri"] == p]["n"].sum())
+                 for p in hist["pri"].unique()}
+
+    # tiny gather: orderkeys of boundary-straddling tie groups only
+    bkey_tiles: dict[int, int] = {}
+    if boundary:
+        bset = set(boundary)
+
+        def grab(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(
+                np.int64)
+            pri = df["o_orderpriority"].to_numpy()
+            keep = np.fromiter(
+                ((p, int(cc)) in bset for p, cc in zip(pri, c)),
+                dtype=bool, count=len(df))
+            return pd.DataFrame({
+                "pri": pri[keep], "cents": c[keep],
+                "o_orderkey": df["o_orderkey"].to_numpy()[keep]})
+
+        tie_rows = (orders.map_batches(grab, batch_format="pandas")
+                    .to_pandas().sort_values(["pri", "cents",
+                                              "o_orderkey"]))
+        for (pri, c0), g in tie_rows.groupby(["pri", "cents"],
+                                             sort=False):
+            f0 = boundary[(pri, int(c0))]
+            r0 = f0 + np.arange(len(g), dtype=np.int64)
+            tl = _ntile_of_rank0(r0, n_per_pri[pri], k)
+            for key, t in zip(g["o_orderkey"].to_numpy(), tl):
+                bkey_tiles[int(key)] = int(t)
+
+    bkeys = np.array(sorted(bkey_tiles), dtype=np.int64)
+    btiles = np.array([bkey_tiles[int(x)] for x in bkeys],
+                      dtype=np.int64)
+    lut_ref = ray.put((probe_tab, bkeys, btiles))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        tab, bk, bt = ray.get(lut_ref)
+        c = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        pri = df["o_orderpriority"].to_numpy()
+        key = df["o_orderkey"].to_numpy(dtype=np.int64)
+        tile = np.empty(len(df), dtype=np.int64)
+        for p in pd.unique(pri):
+            m = pri == p
+            cents_s, tiles_s, _ = tab[p]
+            tile[m] = tiles_s[np.searchsorted(cents_s, c[m])]
+        ties = tile == -1
+        if ties.any():
+            tile[ties] = bt[np.searchsorted(bk, key[ties])]
+        return (pd.DataFrame({"o_orderpriority": pri, "tile": tile,
+                              "cents": c})
+                .groupby(["o_orderpriority", "tile"], as_index=False)
+                .agg(n_orders=("cents", "size"), s=("cents", "sum")))
+
+    agg = hash_groupby_agg(
+        orders.map_batches(assign, batch_format="pandas"),
+        ["o_orderpriority", "tile"],
+        {"n_orders": ("n_orders", "sum"), "s": ("s", "sum")},
+        num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["avg_price"] = round_half_up(
+            df["s"].to_numpy(dtype=np.float64)
+            / (100.0 * df["n_orders"].to_numpy()), 4)
+        return df[["o_orderpriority", "tile", "n_orders", "avg_price"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort(["o_orderpriority", "tile"]))

@@ -1412,3 +1412,162 @@ def dim_truncation_recall(sf_dir: str, dims=(8, 16, 32), nq: int = 5,
 
     return partials.repartition(1).map_batches(finish,
                                                batch_format="pandas")
+
+
+def mmr_rerank(sf_dir: str, k: int = 10, n_candidates: int = 50,
+               query_id: int = 0, lam: float = 0.7) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * cos(q, d) - (1 - lam) * max cos(d, selected)`` — the
+    standard redundancy-aware rerank for retrieval and training-data
+    selection. Distributed shape: candidate SCORING is the existing
+    partial-top-k scan (each block ships at most n_candidates rows);
+    the greedy selection is inherently sequential but runs on the
+    n_candidates x dim matrix only — driver work is
+    O(k * n_candidates * dim) regardless of corpus size. Ties broken
+    by vec_id ascending on the 6-decimal rounded MMR score. Output:
+    (rank, vec_id, relevance, mmr_score) — rows-only (greedy iterative
+    selection is not SQL-expressible; brute-force pytest oracle)."""
+    import pyarrow.dataset as pads
+
+    q = query_vector(sf_dir, query_id)
+    q_ref = ray.put(q)
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        keep = ids != query_id
+        ids, mat = ids[keep], mat[keep]
+        cos = _cosine(mat, qv)
+        if len(ids) > n_candidates:
+            idx = np.lexsort((ids, -round_half_up(cos, 6)))[:n_candidates]
+            ids, cos = ids[idx], cos[idx]
+        return pa.Table.from_pydict(
+            {"vec_id": ids.astype(np.int64), "rel": cos},
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("rel", pa.float64())]))
+
+    cand = (_embeddings(sf_dir)
+            .map_batches(local_topn, batch_format="pyarrow")
+            .sort(["rel", "vec_id"], descending=[True, False])
+            .limit(n_candidates).to_pandas())
+
+    # gather the candidate vectors (tiny: n_candidates rows) in one
+    # pushed-down read — no second full scan
+    cid = cand["vec_id"].to_numpy(dtype=np.int64)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cid.tolist()))
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    mat = np.array(t.column("embedding").to_pylist(),
+                   dtype=np.float64)[order]
+    ids_sorted = t.column("vec_id").to_numpy(
+        zero_copy_only=False)[order]
+    pos = np.searchsorted(ids_sorted, cid)
+    mat = mat[pos]                       # candidate order
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    rel = cand["rel"].to_numpy(dtype=np.float64)
+
+    picked: list[int] = []
+    max_sim = np.full(len(cid), -np.inf)
+    avail = np.ones(len(cid), dtype=bool)
+    out = []
+    for rank in range(1, min(k, len(cid)) + 1):
+        div = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = round_half_up(lam * rel - (1.0 - lam) * div, 6)
+        score_m = np.where(avail, score, -np.inf)
+        # ties: smallest vec_id among max scores
+        best = np.flatnonzero(score_m == score_m.max())
+        j = best[np.argmin(cid[best])]
+        out.append({"rank": rank, "vec_id": int(cid[j]),
+                    "relevance": float(round_half_up(rel[j], 6)),
+                    "mmr_score": float(score[j])})
+        avail[j] = False
+        picked.append(j)
+        max_sim = np.maximum(max_sim, unit @ unit[j])
+    return pd.DataFrame(out, columns=["rank", "vec_id", "relevance",
+                                      "mmr_score"])
+
+
+def kcenter_coreset(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point heuristic behind active-learning / training-subset
+    pickers): start from the smallest vec_id, then repeatedly add the
+    point FARTHEST (Euclidean) from all chosen centers. Distributed
+    shape: each of the k rounds is one streaming argmax pass — every
+    block computes its rows' min distance to the broadcast centers
+    with one matmul and ships a SINGLE (dist, vec_id) partial, so
+    driver state is O(k * dim) and per-round exchange is O(blocks).
+    The embeddings read materializes once (REDUCED projection of two
+    columns) so rounds don't re-read parquet. Ties broken by vec_id
+    ascending on the 6-decimal rounded distance. Output:
+    (sel_order, vec_id, dist_to_centers) — rows-only (iterative greedy
+    selection is not SQL-expressible; brute-force pytest oracle)."""
+    ds = _embeddings(sf_dir).materialize()
+
+    # seed: smallest vec_id
+    def min_id(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = int(ids.min()) if len(ids) else np.iinfo(np.int64).max
+        return pa.Table.from_pydict({"m": np.array([m], dtype=np.int64)})
+
+    seed = int(min(r["m"] for r in
+                   ds.map_batches(min_id, batch_format="pyarrow")
+                   .take_all()))
+
+    def grab_vec(vid: int) -> np.ndarray:
+        def grab(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            hit = np.flatnonzero(ids == vid)
+            if len(hit) == 0:
+                return batch.slice(0, 0)
+            return batch.slice(int(hit[0]), 1)
+        t = ds.map_batches(grab, batch_format="pyarrow").take_all()
+        return np.array(t[0]["embedding"], dtype=np.float64)
+
+    centers = [(seed, grab_vec(seed))]
+    rows = [{"sel_order": 1, "vec_id": seed, "dist_to_centers": 0.0}]
+    for step in range(2, k + 1):
+        cmat = np.stack([v for _, v in centers])
+        cids = np.array([i for i, _ in centers], dtype=np.int64)
+        ref = ray.put((cmat, cids))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            cm, ci = ray.get(ref)
+            ids, mat = _batch_matrix(batch)
+            keep = ~np.isin(ids, ci)
+            ids, mat = ids[keep], mat[keep]
+            empty = pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "d": pa.array([], pa.float64()),
+                "embedding": pa.array([], pa.list_(pa.float64()))})
+            if len(ids) == 0:
+                return empty
+            # min distance to any center: ||x||^2 - 2 x.c + ||c||^2
+            d2 = (np.sum(mat * mat, axis=1)[:, None]
+                  - 2.0 * mat @ cm.T
+                  + np.sum(cm * cm, axis=1)[None, :])
+            dmin = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+            dr = round_half_up(dmin, 6)
+            j = int(np.lexsort((ids, -dr))[0])
+            # the winning row carries its embedding so the driver never
+            # needs a second gather pass
+            return pa.table({
+                "vec_id": pa.array(ids[j:j + 1].astype(np.int64)),
+                "d": pa.array(dr[j:j + 1]),
+                "embedding": pa.array([mat[j].tolist()],
+                                      pa.list_(pa.float64()))})
+
+        parts = (ds.map_batches(far_partial, batch_format="pyarrow")
+                 .take_all())
+        parts.sort(key=lambda r: (-r["d"], r["vec_id"]))
+        best = parts[0]
+        best_id, best_d = int(best["vec_id"]), float(best["d"])
+        centers.append((best_id,
+                        np.array(best["embedding"], dtype=np.float64)))
+        rows.append({"sel_order": step, "vec_id": best_id,
+                     "dist_to_centers": best_d})
+    return pd.DataFrame(rows, columns=["sel_order", "vec_id",
+                                       "dist_to_centers"])

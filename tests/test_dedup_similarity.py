@@ -967,3 +967,83 @@ def test_dim_truncation_recall_brute_force():
             row = got[(got["dim"] == d)
                       & (got["query_vec_id"] == q)]
             assert row["recall_at_k"].iloc[0] == want
+
+
+def _emb_matrix():
+    t = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def test_mmr_rerank_matches_bruteforce():
+    """Greedy MMR replayed single-process over the same candidate set."""
+    from granulate_char_ocr_ray.functions.numeric import round_half_up
+    from granulate_char_ocr_ray.pipelines.similarity import mmr_rerank
+
+    k, n_cand, lam, qid = 5, 20, 0.7, 0
+    got = mmr_rerank(SF, k=k, n_candidates=n_cand, query_id=qid,
+                     lam=lam)
+    assert list(got.columns) == ["rank", "vec_id", "relevance",
+                                 "mmr_score"]
+
+    ids, mat = _emb_matrix()
+    q = mat[ids == qid][0]
+    keep = ids != qid
+    ids, mat = ids[keep], mat[keep]
+    norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    norms[norms == 0] = 1.0
+    rel = mat @ q / norms
+    # candidate set: top n_cand by (rounded rel desc, vec_id asc)
+    order = np.lexsort((ids, -round_half_up(rel, 6)))[:n_cand]
+    cid, cmat, crel = ids[order], mat[order], rel[order]
+    un = cmat / np.where(np.linalg.norm(cmat, axis=1) == 0, 1.0,
+                         np.linalg.norm(cmat, axis=1))[:, None]
+    max_sim = np.full(len(cid), -np.inf)
+    avail = np.ones(len(cid), dtype=bool)
+    want = []
+    for rank in range(1, k + 1):
+        div = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = round_half_up(lam * crel - (1 - lam) * div, 6)
+        sm = np.where(avail, score, -np.inf)
+        best = np.flatnonzero(sm == sm.max())
+        j = best[np.argmin(cid[best])]
+        want.append((rank, int(cid[j]), float(score[j])))
+        avail[j] = False
+        max_sim = np.maximum(max_sim, un @ un[j])
+    got_t = [(int(r["rank"]), int(r["vec_id"]), float(r["mmr_score"]))
+             for _, r in got.iterrows()]
+    assert got_t == want
+
+
+def test_kcenter_coreset_matches_bruteforce():
+    from granulate_char_ocr_ray.functions.numeric import round_half_up
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        kcenter_coreset)
+
+    k = 6
+    got = kcenter_coreset(SF, k=k)
+    assert list(got.columns) == ["sel_order", "vec_id",
+                                 "dist_to_centers"]
+    assert len(got) == k
+
+    ids, mat = _emb_matrix()
+    centers = [int(ids.min())]
+    want = [(1, centers[0], 0.0)]
+    for step in range(2, k + 1):
+        cm = mat[np.isin(ids, centers)]
+        d = np.sqrt(np.maximum(
+            (np.sum(mat * mat, axis=1)[:, None] - 2 * mat @ cm.T
+             + np.sum(cm * cm, axis=1)[None, :]).min(axis=1), 0.0))
+        dr = round_half_up(d, 6)
+        dr[np.isin(ids, centers)] = -np.inf
+        best = np.flatnonzero(dr == dr.max())
+        j = best[np.argmin(ids[best])]
+        centers.append(int(ids[j]))
+        want.append((step, int(ids[j]), float(dr[j])))
+    got_t = [(int(r["sel_order"]), int(r["vec_id"]),
+              float(r["dist_to_centers"])) for _, r in got.iterrows()]
+    assert got_t == want
+    # covering property: every selected center is distinct
+    assert len({v for _, v, _ in got_t}) == k

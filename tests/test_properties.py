@@ -271,3 +271,24 @@ def test_silence_segment_stage_known_bursts():
     assert out["n_frames"] == [4 * k]
     assert out["n_segments"] == [k]
     assert out["voiced_frac"] == [0.5]
+
+
+@given(st.integers(min_value=1, max_value=500),
+       st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_ntile_of_rank0_matches_sql_semantics(n, k):
+    """SQL NTILE: first n%k buckets get ceil(n/k) rows, rest floor."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        _ntile_of_rank0)
+
+    tiles = _ntile_of_rank0(np.arange(n, dtype=np.int64), n, k)
+    # non-decreasing, 1-based, spans exactly min(n, k) buckets
+    assert tiles[0] == 1
+    assert np.all(np.diff(tiles) >= 0)
+    assert tiles[-1] == min(n, k)
+    q, r = divmod(n, k)
+    sizes = np.bincount(tiles)[1:]
+    for b, s in enumerate(sizes, start=1):
+        assert s == (q + 1 if b <= r else q)
