@@ -440,6 +440,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # definition) — brute-force pytest oracles instead of SQL
         "mmr_rerank": similarity.mmr_rerank,
         "kcenter_coreset": similarity.kcenter_coreset,
+        # --- round-3 wave 7: range join / rank stats / indexing ---
+        "purchase_view_band_join": events.purchase_view_band_join,
+        "qty_price_spearman": relational.qty_price_spearman,
+        "price_theil_by_priority": relational.price_theil_by_priority,
+        "doc_row_numbers": analysis.doc_row_numbers,
+        # rows-only: absorbing-chain linear solves, not SQL-expressible
+        "markov_removal_effect": events.markov_removal_effect,
     }
 
 
@@ -3452,6 +3459,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "purchase_view_band_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   CAST(count(v.ts) AS BIGINT) AS n_views_24h,
+                   round(coalesce(sum(v.value), 0), 2)
+                     AS sum_view_value
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "qty_price_spearman": """
+            WITH r AS (
+              SELECT rank() OVER (ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_quantity) - 1)
+                         / 2.0 AS rq,
+                     rank() OVER (ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_extendedprice)
+                          - 1) / 2.0 AS rp
+              FROM lineitem)
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   round(corr(rq, rp), 6) AS spearman_rho
+            FROM r
+        """,
+        "price_theil_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice * ln(o_totalprice))
+                           / sum(o_totalprice)
+                         - ln(sum(o_totalprice) / count(*)), 6)
+                     AS theil
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "doc_row_numbers": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                     AS rn
+            FROM documents ORDER BY doc_id
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

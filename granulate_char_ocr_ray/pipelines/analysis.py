@@ -2702,3 +2702,68 @@ def zipf_fit_by_source(sf_dir: str, top_k: int = 100) -> rd.Dataset:
 
     return (small.map_batches(final, batch_format="pandas")
             .sort("source"))
+
+
+def doc_row_numbers(sf_dir: str) -> rd.Dataset:
+    """Global contiguous ROW_NUMBER() OVER (ORDER BY doc_id) — the
+    zipWithIndex primitive (stable global indexing for sharding,
+    pairing and resumable addressing) WITHOUT a global sort when the
+    lake layout already provides order. Plan: pass 1 folds one
+    (min, max, count, sorted) row per block; the driver checks the
+    blocks form non-overlapping sorted runs (true for the clustered /
+    hive layouts this repo writes and for the fixture parquet) and
+    prefix-sums the counts into per-block offsets keyed by block-min;
+    pass 2 assigns rn = offset + intra-block rank with one searchsorted
+    and one argsort per block. If the runs DO overlap, the engine
+    falls back to one range-exchange sort first — correctness never
+    depends on layout luck. Output: (doc_id, rn) by doc_id."""
+    import ray
+
+    _EMPTY_STATS = pa.table({
+        "mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()), "srt": pa.array([], pa.bool_())})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return _EMPTY_STATS
+        srt = bool(np.all(d[1:] >= d[:-1])) if len(d) > 1 else True
+        return pa.table({
+            "mn": pa.array([int(d.min())], pa.int64()),
+            "mx": pa.array([int(d.max())], pa.int64()),
+            "cnt": pa.array([len(d)], pa.int64()),
+            "srt": pa.array([srt], pa.bool_())})
+
+    def _block_stats(ds: rd.Dataset) -> pd.DataFrame:
+        return (ds.map_batches(stats, batch_format="pyarrow",
+                               batch_size=None)
+                .to_pandas().sort_values("mn").reset_index(drop=True))
+
+    ds = _docs(sf_dir, ["doc_id"])
+    st = _block_stats(ds)
+    overlapping = bool((st["mn"].to_numpy()[1:]
+                        <= st["mx"].to_numpy()[:-1]).any())
+    if overlapping:
+        ds = ds.sort("doc_id").materialize()
+        st = _block_stats(ds)
+
+    offs = np.cumsum(st["cnt"].to_numpy(dtype=np.int64)) \
+        - st["cnt"].to_numpy(dtype=np.int64)
+    mins = st["mn"].to_numpy(dtype=np.int64)
+    lut_ref = ray.put((mins, offs))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mn, of = ray.get(lut_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        base = of[np.searchsorted(mn, int(d.min()))]
+        order = np.argsort(d, kind="stable")
+        rn = np.empty(len(d), dtype=np.int64)
+        rn[order] = base + 1 + np.arange(len(d), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(d.astype(np.int64)),
+                         "rn": pa.array(rn)})
+
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None).sort("doc_id"))

@@ -1722,3 +1722,162 @@ def session_paths_topk(sf_dir: str, gap_minutes: int = 30,
 
     return (out.map_batches(finish, batch_format="pandas")
             .sort(["n_sessions", "path"], descending=[True, False]))
+
+
+def purchase_view_band_join(sf_dir: str,
+                            window_hours: int = 24) -> rd.Dataset:
+    """Range (band) join inside the event stream: for every 'purchase',
+    the count and value-sum of the same user's 'view' events in
+    [t_purchase - window, t_purchase) — the interval-predicate join
+    Ray Data has no primitive for (SURVEY custom-operator family:
+    as-of / range joins). Plan: ONE coarse hash(user) % 16 shuffle;
+    inside a bucket, rows sort once by (user, ts, event_id) and each
+    purchase probes the view side with two searchsorted calls on a
+    composite (dense-user x span + delta) key — user boundaries sit
+    further apart than any window can reach, so probes never leak
+    across users (same bound as linear_attribution: users-per-bucket x
+    span must fit int64; raise nbuckets beyond that). The window SUM
+    is a prefix-sum difference, so per-bucket work is O(rows log rows)
+    with no pair materialization. Output: (event_id, user_id,
+    n_views_24h, sum_view_value) per purchase, by event_id."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+    win_ns = np.int64(window_hours) * np.int64(3_600_000_000_000)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        is_v = et == "view"
+        is_p = et == "purchase"
+        ui = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        delta = ts - ts.min() if len(ts) else ts
+        span = (delta.max() if len(delta) else np.int64(0)) \
+            + win_ns + np.int64(2)
+        key = ui * span + delta
+        vkey = key[is_v]
+        cumv = np.concatenate(([0.0], np.cumsum(val[is_v])))
+        pk = key[is_p]
+        lo = np.searchsorted(vkey, pk - win_ns, side="left")
+        hi = np.searchsorted(vkey, pk, side="left")  # strictly before
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_p],
+            "user_id": u[is_p],
+            "n_views_24h": (hi - lo).astype(np.int64),
+            "sum_view_value": round_half_up(cumv[hi] - cumv[lo], 2)})
+
+    return (_user_bucketed(ds).map_groups(per_bucket,
+                                          batch_format="pandas")
+            .sort("event_id"))
+
+
+def markov_removal_effect(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov attribution with REMOVAL EFFECTS (Anderl et
+    al. 2016 shape): model each user's journey as a chain
+    start -> touch channels -> conversion ('purchase') / null, estimate
+    transition probabilities from observed consecutive pairs, then
+    credit each channel by how much the start->conversion absorption
+    probability drops when that channel is removed (its transitions
+    redirected to null). Distributed shape: journeys never leave the
+    cluster — ONE user-bucket exchange builds per-bucket transition
+    PAIR COUNTS (vectorized shift compare), the |states|^2-sized count
+    table reduces through a tiny keyed aggregate, and the absorbing-
+    chain solves (one (k x k) linear system per removal, k = #channels
+    + 3) run on the driver over that state-cardinality table only.
+    Journey rule: events sorted by (ts, event_id); a journey ends at
+    the first 'purchase' (conversion) and restarts after it; a user's
+    trailing unconverted touches end in null. Output: (channel,
+    removal_effect, attribution) — rows-only (absorbing-chain solve is
+    not SQL-expressible; closed-form pytest oracle on a tiny chain)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        conv = et == "purchase"
+        # state sequence per user with start/terminal injection,
+        # expressed as pair lists without building Python journeys:
+        # pair (a, b) for consecutive rows of the same user where a is
+        # not a terminal; terminal rows (purchase) emit (prev, conv)
+        # and restart the chain (next same-user row pairs with start).
+        starts = _segment_starts(u)
+        frm = np.empty(n, dtype=object)
+        frm[:] = et
+        frm[conv] = "conversion"
+        to_prev = np.empty(n, dtype=object)
+        # transitions INTO each row: from previous row unless the
+        # previous row converted or the user changed -> from 'start'
+        to_prev[0] = "start"
+        to_prev[1:] = frm[:-1]
+        restart = starts.copy()
+        restart[1:] |= conv[:-1]
+        to_prev[restart] = "start"
+        pairs = pd.DataFrame({"src": to_prev, "dst": frm})
+        # trailing unconverted rows: user's last row (or last before a
+        # user switch) that is not a conversion emits (row, null)
+        last = np.zeros(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = starts[1:]
+        tail = last & ~conv
+        nulls = pd.DataFrame({"src": et[tail], "dst": "null"})
+        allp = pd.concat([pairs, nulls], ignore_index=True)
+        return allp.groupby(["src", "dst"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    counts = hash_groupby_agg(
+        _user_bucketed(ds).map_groups(per_bucket,
+                                      batch_format="pandas"),
+        ["src", "dst"], {"n": ("n", "sum")}, num_parts=2).to_pandas()
+
+    # driver: absorbing-chain conversion probability from 'start'
+    states = sorted(set(counts["src"]) | set(counts["dst"])
+                    - {"conversion", "null"})
+    if "start" in states:
+        states.remove("start")
+    order = ["start"] + states            # transient states
+    idx = {s: i for i, s in enumerate(order)}
+    k = len(order)
+
+    def conv_prob(removed: str | None) -> float:
+        q = np.zeros((k, k))              # transient -> transient
+        r = np.zeros(k)                   # transient -> conversion
+        tot = np.zeros(k)
+        for src, dst, n in counts.itertuples(index=False):
+            if src in ("conversion", "null") or src == removed:
+                continue
+            i = idx[src]
+            tot[i] += n
+            if dst == removed or dst == "null":
+                continue                  # removed/null absorb to null
+            elif dst == "conversion":
+                r[i] += n
+            else:
+                q[i, idx[dst]] += n
+        tot[tot == 0] = 1.0
+        q /= tot[:, None]
+        r /= tot
+        # p = (I - Q)^-1 r, start component
+        p = np.linalg.solve(np.eye(k) - q, r)
+        return float(p[0])
+
+    base = conv_prob(None)
+    rows = []
+    for ch in states:
+        eff = 1.0 - (conv_prob(ch) / base if base > 0 else 0.0)
+        rows.append({"channel": ch, "removal_effect": eff})
+    tot_eff = sum(max(r["removal_effect"], 0.0) for r in rows) or 1.0
+    from ..functions.numeric import round_half_up as _r
+    return pd.DataFrame(
+        [{"channel": r["channel"],
+          "removal_effect": float(_r(r["removal_effect"], 6)),
+          "attribution": float(_r(
+              max(r["removal_effect"], 0.0) / tot_eff, 6))}
+         for r in rows]).sort_values("channel").reset_index(drop=True)

@@ -5130,3 +5130,107 @@ def priority_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort(["o_orderpriority", "tile"]))
+
+
+def qty_price_spearman(sf_dir: str) -> rd.Dataset:
+    """Exact Spearman rank correlation between l_quantity and
+    l_extendedprice WITHOUT any global sort: both columns are exact at
+    fixed decimals, so average ranks (the tie-aware ranks Spearman
+    needs) come from DOMAIN-BOUNDED value histograms — rank_avg(v) =
+    |{x < v}| + (|{x = v}| + 1) / 2. One melted pass folds both
+    histograms through a single keyed exchange sized by the two value
+    domains; ranks broadcast as sorted arrays; a second pass probes by
+    searchsorted, CENTERS the ranks by (n+1)/2 (kills the float
+    cancellation a raw power sum would hit at fact scale) and folds
+    one moment row per block. Output: (n_items, spearman_rho)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        m = pd.DataFrame({
+            "col": np.repeat(np.array(["q", "p"]), len(df)),
+            "v": np.concatenate([q, p])})
+        return (m.groupby(["col", "v"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    hist = hash_groupby_agg(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["col", "v"], {"n": ("n", "sum")},
+        num_parts=8).to_pandas().sort_values(["col", "v"])
+
+    luts = {}
+    n_total = 0
+    for col, g in hist.groupby("col", sort=False):
+        v = g["v"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum_less = np.cumsum(c) - c
+        rank_avg = cum_less + (c + 1) / 2.0
+        luts[col] = (v, rank_avg)
+        n_total = int(c.sum())
+    center = (n_total + 1) / 2.0
+    lut_ref = ray.put((luts, center))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        lu, ctr = ray.get(lut_ref)
+        q = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        vq, rq = lu["q"]
+        vp, rp = lu["p"]
+        x = rq[np.searchsorted(vq, q)] - ctr
+        y = rp[np.searchsorted(vp, p)] - ctr
+        return pd.DataFrame([{"sxy": (x * y).sum(),
+                              "sxx": (x * x).sum(),
+                              "syy": (y * y).sum()}])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.sum()
+        rho = t["sxy"] / np.sqrt(t["sxx"] * t["syy"])
+        return pd.DataFrame({
+            "n_items": np.array([n_total], dtype=np.int64),
+            "spearman_rho": round_half_up(np.array([rho]), 6)})
+
+    return (ds.map_batches(moments, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas"))
+
+
+def price_theil_by_priority(sf_dir: str) -> rd.Dataset:
+    """Theil T inequality index of order value per priority class —
+    the decomposable inequality measure (sibling of the exact Gini
+    already in revenue_gini) in its GROUPED form. Theil is fully
+    mergeable: T = Σ x·ln(x) / Σx − ln(Σx / n), so each block folds to
+    one (priority, n, Σx, Σ x·ln x) row and the only exchange is
+    |priorities| x blocks partials. Output: (o_orderpriority,
+    n_orders, theil) sorted, rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(dtype=np.float64)
+        t = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "n": 1.0, "s": x, "sxl": x * np.log(x)})
+        return t.groupby("o_orderpriority", as_index=False).sum()
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {c: (c, "sum") for c in ("n", "s", "sxl")}, num_parts=2)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        s = df["s"].to_numpy(dtype=np.float64)
+        sxl = df["sxl"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_orders": n.astype(np.int64),
+            "theil": round_half_up(sxl / s - np.log(s / n), 6)})
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .repartition(1).sort("o_orderpriority"))

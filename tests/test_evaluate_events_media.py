@@ -466,3 +466,96 @@ def test_events_with_last_order_boundary_semantics(tmp_path):
     assert got.loc[3, "last_order_total"] == 400.0
     # event 4 (user 3): no orders at all -> NULL
     assert pd.isna(got.loc[4, "last_order_total"])
+
+
+def test_markov_removal_effect_tiny_chain(tmp_path):
+    """Hand-built journeys -> independently coded absorbing-chain
+    oracle (journeys enumerated as tuples, not extracted from pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # user 0: view -> purchase            (converts via view)
+    # user 1: view -> click -> purchase   (converts via view+click)
+    # user 2: click -> (null)
+    # user 3: view -> (null)
+    rows = [
+        (0, 0, "view"), (1, 0, "purchase"),
+        (2, 1, "view"), (3, 1, "click"), (4, 1, "purchase"),
+        (5, 2, "click"),
+        (6, 3, "view"),
+    ]
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "ts": [base + pd.Timedelta(minutes=r[0]) for r in rows],
+        "event_type": [r[2] for r in rows],
+        "value": 1.0,
+    })
+    pq.write_table(pa.Table.from_pandas(df),
+                   str(tmp_path / "events.parquet"))
+
+    from granulate_char_ocr_ray.pipelines.events import (
+        markov_removal_effect)
+
+    got = markov_removal_effect(str(tmp_path))
+
+    # independent oracle: journeys as state tuples
+    journeys = [("start", "view", "conversion"),
+                ("start", "view", "click", "conversion"),
+                ("start", "click", "null"),
+                ("start", "view", "null")]
+    states = ["start", "click", "view"]
+    idx = {s: i for i, s in enumerate(states)}
+
+    def conv(removed):
+        import numpy as np
+        k = len(states)
+        q = np.zeros((k, k)); r = np.zeros(k); tot = np.zeros(k)
+        for j in journeys:
+            for a, b in zip(j, j[1:]):
+                if a in ("conversion", "null") or a == removed:
+                    continue
+                tot[idx[a]] += 1
+                if b == removed or b == "null":
+                    continue
+                if b == "conversion":
+                    r[idx[a]] += 1
+                else:
+                    q[idx[a], idx[b]] += 1
+        tot[tot == 0] = 1
+        q /= tot[:, None]; r /= tot
+        return float(np.linalg.solve(np.eye(k) - q, r)[0])
+
+    base_p = conv(None)
+    for ch in ["click", "view"]:
+        want = 1.0 - conv(ch) / base_p
+        row = got[got["channel"] == ch]
+        assert len(row) == 1
+        assert row["removal_effect"].iloc[0] == pytest.approx(want,
+                                                              abs=1e-6)
+    # attribution shares sum to 1 over positive effects
+    assert got["attribution"].sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_doc_row_numbers_fallback_on_unsorted_blocks(tmp_path):
+    """Shuffled doc_ids across row groups force the sort fallback; the
+    assignment must still be the exact global row_number."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(200).astype(np.int64)
+    t = pa.table({"doc_id": ids,
+                  "text": ["x"] * 200,
+                  "lang": ["en"] * 200,
+                  "source": ["s"] * 200,
+                  "n_chars": np.ones(200, dtype=np.int64)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   row_group_size=16)
+
+    from granulate_char_ocr_ray.pipelines.analysis import doc_row_numbers
+
+    got = doc_row_numbers(str(tmp_path)).to_pandas()
+    assert list(got["doc_id"]) == sorted(ids.tolist())
+    assert list(got["rn"]) == list(range(1, 201))
