@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_row_numbers": analysis.doc_row_numbers,
         # rows-only: absorbing-chain linear solves, not SQL-expressible
         "markov_removal_effect": events.markov_removal_effect,
+        # --- round-3 wave 8: curation composition + epoch shuffle ---
+        "dedup_best_survivors": dedup.dedup_best_survivors,
+        "epoch_shuffle_order": training.epoch_shuffle_order,
     }
 
 
@@ -3459,6 +3462,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "dedup_best_survivors": _DUP_CTE + """
+            , cl AS (SELECT node AS doc_id,
+                            CAST(min(root) AS BIGINT) AS cluster_id
+                     FROM reach GROUP BY node),
+            m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+                  FROM cl JOIN documents d USING (doc_id)),
+            w AS (SELECT doc_id,
+                         row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM m)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM w WHERE rk > 1)
+            ORDER BY doc_id
+        """,
+        "epoch_shuffle_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY ((doc_id + 1000003) * 2654435761)
+                              % 4294967296, doc_id) AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
         """,
         "purchase_view_band_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -354,6 +354,18 @@ def _secondary_list():
          lambda: analysis.cluster_top_terms(SF_DIR).to_pandas()),
         ("compression_ratio_quality",
          lambda: analysis.compression_ratio_quality(SF_DIR).count()),
+        ("purchase_view_band_join",
+         lambda: events.purchase_view_band_join(SF_DIR).count()),
+        ("session_paths_topk",
+         lambda: events.session_paths_topk(SF_DIR).to_pandas()),
+        ("priority_price_ntile",
+         lambda: relational.priority_price_ntile(SF_DIR).to_pandas()),
+        ("zipf_fit_by_source",
+         lambda: analysis.zipf_fit_by_source(SF_DIR).to_pandas()),
+        ("epoch_shuffle_order",
+         lambda: training.epoch_shuffle_order(SF_DIR).count()),
+        ("kcenter_coreset",
+         lambda: similarity.kcenter_coreset(SF_DIR, k=8)),
     ]
 
 

@@ -2103,3 +2103,45 @@ def cross_source_dup_matrix(sf_dir: str, prefix: int = 32
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort(["source_a", "source_b"]))
+
+
+def dedup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Quality-aware cluster-representative selection: of each near-dup
+    cluster keep the LONGEST document (n_chars desc, doc_id asc tie) —
+    the RefinedWeb / C4 "keep the most complete copy" heuristic —
+    instead of dedup_survivors' min-id label. Plan: the cluster table
+    from :func:`dup_clusters` is bounded by docs-that-have-a-dup, so
+    the quality attach is one FILTERED gather (member docs only, pushed
+    into the parquet read), the per-cluster argmax runs local on that
+    reduced table, and the corpus anti-filters against the loser set
+    exactly like dedup_survivors (broadcast below threshold, Bloom +
+    partitioned join above). Output: (doc_id) sorted."""
+    import pyarrow.dataset as pads
+
+    clusters = dup_clusters(sf_dir, threshold=threshold).to_pandas()
+    if len(clusters):
+        member_ids = clusters["doc_id"].to_numpy(dtype=np.int64)
+        t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "n_chars"],
+            filter=pads.field("doc_id").isin(member_ids.tolist()))
+        q = t.to_pandas().merge(clusters, on="doc_id")
+        q = q.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        losers = q[q.duplicated("cluster_id", keep="first")]
+        drop = np.sort(losers["doc_id"].to_numpy(dtype=np.int64))
+    else:
+        drop = np.empty(0, dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ds_, ids)
+        pos[pos >= len(ds_)] = len(ds_) - 1 if len(ds_) else 0
+        hit = (ds_[pos] == ids) if len(ds_) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(~hit))
+
+    return (docs.map_batches(anti, batch_format="pyarrow")
+            .repartition(4).sort("doc_id"))

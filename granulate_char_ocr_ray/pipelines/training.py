@@ -868,3 +868,71 @@ def adjacent_chunk_pairs(sf_dir: str, size: int = 200,
 
     return (ds.map_batches(pairs, batch_format="pyarrow")
             .repartition(4).sort(["doc_id", "chunk_a"]))
+
+
+def epoch_shuffle_order(sf_dir: str, epoch: int = 1) -> rd.Dataset:
+    """Deterministic epoch-seeded global shuffle order — the
+    reproducible permutation a multi-epoch training loader needs
+    (same (corpus, epoch) -> same order on any cluster size, no RNG
+    state to ship). The shuffle key is the Knuth multiplicative hash
+    ``((doc_id + epoch * 1000003) * 2654435761) mod 2^32`` (same
+    multiplier as train_test_split / leakage_safe_split so splits and
+    shuffles stay consistent); position assignment is ONE range
+    exchange on the key (sorting by an incompressible hash IS the
+    shuffle — there is no cheaper exact global permutation) followed by
+    the block-offset prefix-scan of doc_row_numbers: one stats row per
+    sorted block, offsets broadcast, rn = offset + intra-block rank.
+    Output: (doc_id, pos) by doc_id."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids + np.int64(epoch) * np.int64(1000003))
+                * np.int64(2654435761)) % np.int64(1 << 32)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "k": pa.array(key_of(ids.astype(np.int64)))})
+
+    keyed = (ds.map_batches(add_key, batch_format="pyarrow")
+             .sort(["k", "doc_id"]).materialize())
+
+    _EMPTY = pa.table({"mnk": pa.array([], pa.int64()),
+                       "mnd": pa.array([], pa.int64()),
+                       "cnt": pa.array([], pa.int64())})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        # blocks arrive sorted by (k, doc_id): row 0 IS the block min;
+        # the (k, doc_id) PAIR keys the offset table exactly, so equal
+        # hash keys straddling a block boundary can't mis-anchor
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return _EMPTY
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"mnk": pa.array([int(k[0])], pa.int64()),
+                         "mnd": pa.array([int(d[0])], pa.int64()),
+                         "cnt": pa.array([len(k)], pa.int64())})
+
+    st = (keyed.map_batches(stats, batch_format="pyarrow",
+                            batch_size=None)
+          .to_pandas().sort_values(["mnk", "mnd"])
+          .reset_index(drop=True))
+    cnt = st["cnt"].to_numpy(dtype=np.int64)
+    offs = np.cumsum(cnt) - cnt
+    lut_ref = ray.put({(int(a), int(b)): int(o) for a, b, o in zip(
+        st["mnk"], st["mnd"], offs)})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        lut = ray.get(lut_ref)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        base = lut[(int(k[0]), int(d[0]))]
+        pos = base + 1 + np.arange(len(k), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(d.astype(np.int64)),
+                         "pos": pa.array(pos)})
+
+    return (keyed.map_batches(assign, batch_format="pyarrow",
+                              batch_size=None).sort("doc_id"))

@@ -347,3 +347,20 @@ def test_collapse_repeat_tokens_invariants():
         assert (row.n_tokens, row.n_kept) == (len(toks), len(want))
         removed += len(toks) - len(want)
     assert removed > 0          # the corpus exercises collapsing
+
+
+def test_epoch_shuffle_order_permutation_and_determinism():
+    from granulate_char_ocr_ray.pipelines.training import (
+        epoch_shuffle_order)
+
+    SF = "/root/testdata/sf0.001"
+    e1a = epoch_shuffle_order(SF, epoch=1).to_pandas()
+    e1b = epoch_shuffle_order(SF, epoch=1).to_pandas()
+    e2 = epoch_shuffle_order(SF, epoch=2).to_pandas()
+    n = len(e1a)
+    # exact permutation of 1..n
+    assert sorted(e1a["pos"]) == list(range(1, n + 1))
+    assert sorted(e2["pos"]) == list(range(1, n + 1))
+    # same epoch -> identical order; different epoch -> different order
+    assert e1a.equals(e1b)
+    assert not e1a["pos"].equals(e2["pos"])
