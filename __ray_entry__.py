@@ -450,6 +450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 8: curation composition + epoch shuffle ---
         "dedup_best_survivors": dedup.dedup_best_survivors,
         "epoch_shuffle_order": training.epoch_shuffle_order,
+        # --- round-3 wave 9: lakehouse write path + warehouse loads ---
+        "merge_upsert": dedup.merge_upsert,
+        "user_value_scd2": events.user_value_scd2,
+        "ab_test_report": events.ab_test_report,
+        "bigram_logprob_scores": analysis.bigram_logprob_scores,
+        "daily_value_percentiles": events.daily_value_percentiles,
     }
 
 
@@ -3462,6 +3468,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "daily_value_percentiles": """
+            WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              round(value, 2) AS value FROM events)
+            SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+                   round(percentile_cont(0.5)
+                         WITHIN GROUP (ORDER BY value), 4) AS p50,
+                   round(percentile_cont(0.9)
+                         WITHIN GROUP (ORDER BY value), 4) AS p90,
+                   round(percentile_cont(0.99)
+                         WITHIN GROUP (ORDER BY value), 4) AS p99
+            FROM v GROUP BY day ORDER BY day
+        """,
+        "bigram_logprob_scores": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            bg AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM d, UNNEST(range(1, len(toks))) AS t(i)
+              WHERE len(toks) >= 2),
+            cb AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+                   FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(c) AS n FROM cb GROUP BY 1),
+            sc AS (SELECT bg.doc_id, ln(cb.c / cc.n) AS lp
+                   FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS bigram_logprob
+            FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "merge_upsert": """
+            WITH upd AS (
+              SELECT doc_id, n_chars + 1 AS n_chars FROM documents
+              WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 10000000, n_chars FROM documents
+              WHERE doc_id % 11 = 0)
+            SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+                   CAST(coalesce(u.n_chars, b.n_chars) AS BIGINT)
+                     AS n_chars
+            FROM documents b FULL JOIN upd u ON u.doc_id = b.doc_id
+            ORDER BY doc_id
+        """,
+        "user_value_scd2": """
+            WITH x AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value / 100) AS BIGINT) AS v
+                       FROM events),
+            y AS (SELECT *, CASE WHEN v = lag(v) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                       THEN 0 ELSE 1 END AS chg FROM x),
+            z AS (SELECT *, sum(chg) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS grp FROM y),
+            i AS (SELECT user_id, v AS state, grp,
+                         min(ts) AS valid_from
+                  FROM z GROUP BY 1, 2, 3)
+            SELECT user_id, state, valid_from,
+                   coalesce(lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from),
+                     TIMESTAMP '2200-01-01') AS valid_to
+            FROM i ORDER BY user_id, valid_from
+        """,
+        "ab_test_report": """
+            WITH u AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY 1)
+            SELECT CAST((user_id * 2654435761) % 4294967296 % 2
+                        AS BIGINT) AS variant,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   round(sum(conv) * 1.0 / count(*), 6) AS conv_rate
+            FROM u GROUP BY 1 ORDER BY 1
         """,
         "dedup_best_survivors": _DUP_CTE + """
             , cl AS (SELECT node AS doc_id,

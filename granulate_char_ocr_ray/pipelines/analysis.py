@@ -2767,3 +2767,89 @@ def doc_row_numbers(sf_dir: str) -> rd.Dataset:
 
     return (ds.map_batches(assign, batch_format="pyarrow",
                            batch_size=None).sort("doc_id"))
+
+
+def bigram_logprob_scores(sf_dir: str) -> rd.Dataset:
+    """Bigram LM fluency score per doc: mean ln p(w2 | w1) under the
+    corpus's own MLE bigram model — the next step up from the unigram
+    CCNet proxy (:func:`unigram_logprob_scores`); word salad that
+    passes a unigram filter (common words, shuffled) fails here
+    because its TRANSITIONS are rare. Scale plan mirrors the unigram
+    path: bigram frequencies reduce to bigram-vocabulary cardinality
+    through ONE two-phase (w1, w2)-keyed aggregate (strings joined
+    with \\x1f — the repo's object-key separator); context counts
+    c(w1) fold from that reduced table on the driver; the
+    (hash64(pair) -> ln p) array broadcasts once (at web scale: cap to
+    top-K pairs with an OOV floor, vocabulary-sized by construction);
+    the scoring pass is one Arrow join_element_wise + sorted-array
+    lookup + segment cumsum per block — no second shuffle, no per-row
+    Python. Docs with fewer than two tokens are excluded (no
+    transition to score). Output: (doc_id, n_bigrams, bigram_logprob)
+    by doc_id, score rounded to 6."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    def _doc_bigram_parts(batch: pa.Table, with_ids: bool):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        n = len(flat)
+        # positions whose successor is in the SAME doc
+        ends = np.cumsum(lens)
+        last = np.zeros(n, dtype=bool)
+        if n:
+            last[ends - 1] = True
+        w1 = flat.filter(pa.array(~last))
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[ends - lens] = True
+        w2 = flat.filter(pa.array(~first))
+        pair = pc.binary_join_element_wise(w1, w2, "\x1f")
+        if not with_ids:
+            return pair
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask_np]
+        return pair, ids, np.maximum(lens - 1, 0)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"pair": _doc_bigram_parts(batch, with_ids=False)})
+
+    pairs = _docs(sf_dir, ["text"]).map_batches(explode_pairs,
+                                                batch_format="pyarrow")
+    vocab = hash_groupby_agg(pairs, ["pair"], {"c": ("pair", "count")},
+                             num_parts=16).to_pandas()
+    w1 = vocab["pair"].str.split("\x1f", n=1).str[0]
+    ctx = vocab.assign(w1=w1).groupby("w1")["c"].transform("sum")
+    lnp = np.log(vocab["c"].to_numpy(dtype=np.float64)
+                 / ctx.to_numpy(dtype=np.float64))
+    ph = hash64_batch(pa.array(vocab["pair"], pa.string()))
+    order = np.argsort(ph)
+    ref = ray.put((ph[order], lnp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pair, ids, blens = _doc_bigram_parts(batch, with_ids=True)
+        keep = blens > 0
+        ids, blens = ids[keep], blens[keep]
+        th = hash64_batch(pair)
+        vhs, vls = ray.get(ref)
+        pos = np.searchsorted(vhs, th)
+        pos[pos >= len(vhs)] = len(vhs) - 1 if len(vhs) else 0
+        lp = vls[pos] if len(vhs) else np.zeros(len(th))
+        ends = np.cumsum(blens)
+        cs = np.concatenate([np.zeros(1), np.cumsum(lp)])
+        sums = cs[ends] - cs[ends - blens]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_bigrams": pa.array(blens),
+            "bigram_logprob": pa.array(round_half_up(
+                sums / blens, 6))})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .repartition(4).sort("doc_id"))

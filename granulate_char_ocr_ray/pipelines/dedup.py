@@ -2145,3 +2145,48 @@ def dedup_best_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
 
     return (docs.map_batches(anti, batch_format="pyarrow")
             .repartition(4).sort("doc_id"))
+
+
+def merge_upsert(sf_dir: str) -> rd.Dataset:
+    """MERGE INTO (CDC apply): reconcile a base snapshot with an
+    upsert batch — updated keys take the update's values, new keys
+    insert, untouched keys pass through — the lakehouse write-side
+    counterpart of :func:`snapshot_diff`. The demo delta derives
+    deterministically from the corpus (doc_id % 7 rows update with
+    n_chars + 1; doc_id % 11 rows re-insert shifted by 10 000 000), but
+    the PLAN treats it as a genuinely separate table: ONE
+    hash-partitioned doc_id exchange co-locates base and delta rows,
+    each bucket resolves the upsert with a vectorized outer merge
+    (update wins), and no side ever broadcasts — at 100 TB both
+    snapshot and delta are fact-sized. Output: (doc_id, n_chars) of
+    the merged snapshot, by doc_id."""
+    from ..stages.join import partitioned_join
+
+    base = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+
+    def make_delta(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        upd = ids % 7 == 0
+        ins = ids % 11 == 0
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids[upd], ids[ins] + 10_000_000]).astype(np.int64)),
+            "u_chars": pa.array(np.concatenate(
+                [nc[upd] + 1, nc[ins]]).astype(np.int64))})
+
+    delta = base.map_batches(make_delta, batch_format="pyarrow")
+
+    def upsert(bf: pd.DataFrame, df_: pd.DataFrame) -> pd.DataFrame:
+        m = bf.merge(df_, on="doc_id", how="outer")
+        n = m["u_chars"].where(m["u_chars"].notna(), m["n_chars"])
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype(np.int64),
+            "n_chars": n.astype(np.int64)})
+
+    sch = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    dsch = pa.schema([("doc_id", pa.int64()), ("u_chars", pa.int64())])
+    return partitioned_join(base, delta, "doc_id", "doc_id", upsert,
+                            num_buckets=16, left_schema=sch,
+                            right_schema=dsch).sort("doc_id")

@@ -1881,3 +1881,150 @@ def markov_removal_effect(sf_dir: str) -> pd.DataFrame:
           "attribution": float(_r(
               max(r["removal_effect"], 0.0) / tot_eff, 6))}
          for r in rows]).sort_values("channel").reset_index(drop=True)
+
+
+def user_value_scd2(sf_dir: str) -> rd.Dataset:
+    """SCD-2 dimension build (gaps-and-islands): compress each user's
+    event stream into validity intervals of the coarse value state
+    ``floor(value / 100)`` — consecutive events in the same state fold
+    into one row (user_id, state, valid_from, valid_to), the
+    slowly-changing-dimension type-2 shape every warehouse load job
+    needs. Plan: ONE coarse hash(user) % 16 shuffle; inside a bucket a
+    single vectorized ordered scan marks island starts (user change OR
+    state change), reduceats the first timestamp per island and takes
+    each island's valid_to from the NEXT island of the same user (open
+    intervals close at the 2200-01-01 sentinel — the ns-safe stand-in
+    for SQL's 9999 high date). Output sorted by (user_id, valid_from)."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "value"])
+    sentinel = np.datetime64("2200-01-01T00:00:00", "ns")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]")
+        v = np.floor(g["value"].to_numpy(dtype=np.float64)
+                     / 100.0).astype(np.int64)
+        starts = _segment_starts(u)
+        isl = starts.copy()
+        isl[1:] |= v[1:] != v[:-1]
+        idx = np.flatnonzero(isl)
+        iu = u[idx]
+        ifrom = ts[idx]
+        ito = np.empty(len(idx), dtype="datetime64[ns]")
+        ito[:-1] = ifrom[1:]
+        ito[-1] = sentinel
+        # islands whose NEXT island belongs to another user close open
+        nxt_other = np.empty(len(idx), dtype=bool)
+        nxt_other[:-1] = iu[1:] != iu[:-1]
+        nxt_other[-1] = True
+        ito[nxt_other] = sentinel
+        return pd.DataFrame({"user_id": iu, "state": v[idx],
+                             "valid_from": ifrom, "valid_to": ito})
+
+    return (_user_bucketed(ds).map_groups(per_bucket,
+                                          batch_format="pandas")
+            .sort(["user_id", "valid_from"]))
+
+
+def ab_test_report(sf_dir: str) -> rd.Dataset:
+    """Deterministic A/B assignment + conversion report: users split
+    into two variants by the repo's standard Knuth multiplicative hash
+    (consistent with train_test_split / leakage_safe_split), conversion
+    = the user has at least one 'purchase'. ONE user-cardinality
+    exchange reduces each user to a (variant, converted) flag row; the
+    |variants| aggregate and rate finish are tiny. Output:
+    (variant, n_users, n_converted, conv_rate) sorted by variant."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "conv": (df["event_type"].to_numpy() == "purchase")
+            .astype(np.int64)})
+            .groupby("user_id", as_index=False).agg(conv=("conv",
+                                                          "max")))
+
+    users = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"conv": ("conv", "max")}, num_parts=16)
+
+    def to_variant(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            var = ((u.astype(np.uint64) * np.uint64(2654435761))
+                   % np.uint64(1 << 32) % np.uint64(2)).astype(np.int64)
+        return (pd.DataFrame({"variant": var,
+                              "n_users": np.int64(1),
+                              "n_converted": df["conv"].to_numpy(
+                                  dtype=np.int64)})
+                .groupby("variant", as_index=False).sum())
+
+    agg = hash_groupby_agg(
+        users.map_batches(to_variant, batch_format="pandas"),
+        ["variant"],
+        {"n_users": ("n_users", "sum"),
+         "n_converted": ("n_converted", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_users"] = df["n_users"].astype(np.int64)
+        df["n_converted"] = df["n_converted"].astype(np.int64)
+        df["conv_rate"] = round_half_up(
+            df["n_converted"].to_numpy(dtype=np.float64)
+            / df["n_users"].to_numpy(dtype=np.float64), 6)
+        return df[["variant", "n_users", "n_converted", "conv_rate"]]
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("variant"))
+
+
+def daily_value_percentiles(sf_dir: str) -> rd.Dataset:
+    """GROUPED exact interpolated percentiles — percentile_cont(.5/.9/
+    .99) of event value PER DAY, the latency-dashboard shape — without
+    sorting anything: values are exact at 2 decimals, so each day's
+    distribution reduces to an integer-cents histogram ((day, cents)
+    keyed two-phase aggregate, sized by days x value domain, never by
+    events); the per-day interpolated selection then runs inside a
+    |days|-cardinality map_groups (native per-key dispatch is fine at
+    calendar cardinality — the footgun is per-USER keys). Output:
+    (day, n_events, p50, p90, p99) by day, values rounded to 4."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.rint(df["value"].to_numpy() * 100)
+            .astype(np.int64)})
+            .groupby(["day", "cents"], as_index=False).size()
+            .rename(columns={"size": "c"}))
+
+    hist = hash_groupby_agg(
+        ds.map_batches(counts, batch_format="pandas"),
+        ["day", "cents"], {"c": ("c", "sum")}, num_parts=8)
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["cents"].to_numpy(dtype=np.float64) / 100.0
+
+        def at(rank0: int) -> float:
+            return float(vals[int(np.searchsorted(cum, rank0 + 1))])
+
+        out = {"day": g["day"].iloc[0], "n_events": np.int64(n)}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            p = q * (n - 1)
+            k = int(np.floor(p))
+            lo, hi = at(k), at(min(k + 1, n - 1))
+            out[name] = float(round_half_up(lo + (p - k) * (hi - lo), 4))
+        return pd.DataFrame([out])
+
+    return (hist.groupby("day").map_groups(select,
+                                           batch_format="pandas")
+            .repartition(1).sort("day"))
