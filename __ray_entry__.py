@@ -456,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": events.ab_test_report,
         "bigram_logprob_scores": analysis.bigram_logprob_scores,
         "daily_value_percentiles": events.daily_value_percentiles,
+        # --- round-3 wave 12: cadence + embedding-class audits ---
+        "customer_reorder_gaps": relational.customer_reorder_gaps,
+        "label_centroid_stats": similarity.label_centroid_stats,
     }
 
 
@@ -3468,6 +3471,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "customer_reorder_gaps": """
+            WITH g AS (
+              SELECT date_diff('day',
+                       lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+              FROM orders)
+            SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(avg(gap), 4) AS mean_gap_days,
+                   round(percentile_cont(0.5)
+                         WITHIN GROUP (ORDER BY gap), 4)
+                     AS median_gap_days
+            FROM g WHERE gap IS NOT NULL
+        """,
+        "label_centroid_stats": """
+            WITH e AS (SELECT label,
+                              CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            d AS (SELECT label, CAST(i AS INT) AS dim,
+                         emb[CAST(i AS INT)] AS x
+                  FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)),
+            a AS (SELECT label, dim, avg(x) AS m, sum(x * x) AS sxx
+                  FROM d GROUP BY 1, 2),
+            cn AS (SELECT label, sum(m * m) AS c2, sum(sxx) AS ss
+                   FROM a GROUP BY 1),
+            nn AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+            SELECT nn.label, CAST(nn.n AS BIGINT) AS n_vecs,
+                   round(sqrt(cn.c2), 6) AS centroid_norm,
+                   round(cn.ss / nn.n - cn.c2, 6) AS within_var
+            FROM nn JOIN cn USING (label) ORDER BY label
         """,
         "daily_value_percentiles": """
             WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,

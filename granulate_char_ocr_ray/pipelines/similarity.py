@@ -1571,3 +1571,75 @@ def kcenter_coreset(sf_dir: str, k: int = 16) -> pd.DataFrame:
                      "dist_to_centers": best_d})
     return pd.DataFrame(rows, columns=["sel_order", "vec_id",
                                        "dist_to_centers"])
+
+
+def label_centroid_stats(sf_dir: str) -> rd.Dataset:
+    """Per-class embedding geometry audit — centroid norm and
+    within-class variance per label — the class-separability signal a
+    curation pipeline checks before training a classifier on labeled
+    embeddings. Everything is a mergeable vector moment: each block
+    folds per-label (dim-wise Σx, Σ||x||², n) and ships them as
+    (label, dim, s) rows with two sentinel dims (-1 = Σ||x||²,
+    -2 = n), so the ONLY exchange is |labels| x (dim + 2) x blocks —
+    never the vectors. The finish is closed-form on the reduced table:
+    centroid_norm = sqrt(Σ_d (Σx_d / n)²), within_var = Σ||x||²/n −
+    centroid_norm². Output: (label, n_vecs, centroid_norm, within_var)
+    sorted by label, rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dim = len(flat) // max(batch.num_rows, 1)
+        mat = flat.reshape(batch.num_rows, dim)
+        lab = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, mat_s = lab[order], mat[order]
+        starts = np.ones(len(lab_s), dtype=bool)
+        starts[1:] = lab_s[1:] != lab_s[:-1]
+        idx = np.flatnonzero(starts)
+        ulab = lab_s[idx]
+        sums = np.add.reduceat(mat_s, idx, axis=0)       # |labels| x dim
+        sqn = np.add.reduceat((mat_s * mat_s).sum(axis=1), idx)
+        cnt = np.diff(np.append(idx, len(lab_s)))
+        k = len(ulab)
+        return pa.table({
+            "label": pa.array(np.concatenate(
+                [np.repeat(ulab, dim), ulab, ulab])),
+            "dim": pa.array(np.concatenate(
+                [np.tile(np.arange(dim, dtype=np.int64), k),
+                 np.full(k, -1, dtype=np.int64),
+                 np.full(k, -2, dtype=np.int64)])),
+            "s": pa.array(np.concatenate(
+                [sums.ravel(), sqn, cnt.astype(np.float64)]))})
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum")}, num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lab, g in df.groupby("label"):
+            n = float(g.loc[g["dim"] == -2, "s"].iloc[0])
+            ssq = float(g.loc[g["dim"] == -1, "s"].iloc[0])
+            m = g.loc[g["dim"] >= 0].sort_values("dim")["s"] \
+                .to_numpy() / n
+            c2 = float((m * m).sum())
+            out.append({
+                "label": np.int64(lab),
+                "n_vecs": np.int64(n),
+                "centroid_norm": float(round_half_up(np.sqrt(c2), 6)),
+                "within_var": float(round_half_up(ssq / n - c2, 6))})
+        return pd.DataFrame(out, columns=["label", "n_vecs",
+                                          "centroid_norm",
+                                          "within_var"])
+
+    return (agg.repartition(1)
+            .map_batches(finish, batch_format="pandas").sort("label"))
