@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 12: cadence + embedding-class audits ---
         "customer_reorder_gaps": relational.customer_reorder_gaps,
         "label_centroid_stats": similarity.label_centroid_stats,
+        # rows-only: per-row pseudo-random Poisson weights aren't
+        # SQL-expressible (determinism + sanity pytest instead)
+        "bootstrap_mean_ci": relational.bootstrap_mean_ci,
     }
 
 

@@ -1769,9 +1769,11 @@ def purchase_view_band_join(sf_dir: str,
             "n_views_24h": (hi - lo).astype(np.int64),
             "sum_view_value": round_half_up(cumv[hi] - cumv[lo], 2)})
 
+    # coalesce the 16 bucket outputs before the tiny output sort —
+    # a range exchange over near-empty blocks costs seconds (footgun)
     return (_user_bucketed(ds).map_groups(per_bucket,
                                           batch_format="pandas")
-            .sort("event_id"))
+            .repartition(2).sort("event_id"))
 
 
 def markov_removal_effect(sf_dir: str) -> pd.DataFrame:

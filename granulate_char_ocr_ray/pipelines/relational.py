@@ -5300,3 +5300,65 @@ def customer_reorder_gaps(sf_dir: str) -> rd.Dataset:
             "median_gap_days": round_half_up(np.array([med]), 4)})
 
     return hist.map_batches(finish, batch_format="pandas")
+
+
+def bootstrap_mean_ci(sf_dir: str, n_resamples: int = 32) -> pd.DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    l_extendedprice (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams" — the bootstrap that works in one streaming
+    pass because resample membership is drawn PER ROW, Poisson(1), no
+    global n needed). Determinism: the resample weight of row r in
+    replicate b is the inverse-CDF lookup of a splitmix64 mix of
+    (orderkey * 10007 + linenumber, b) — independent of blocking, so
+    any cluster size reproduces the same CI bit-for-bit. Each block
+    folds (Σ w_b·x, Σ w_b) for all B replicates plus the base (n, Σx)
+    — a (2B + 2)-number partial, combined once; the percentile CI runs
+    on the B replicate means. Output: one row (n_items, mean,
+    se_boot, ci_lo, ci_hi) — rows-only (per-row pseudo-random weights
+    are not SQL-expressible; determinism + statistical-sanity pytest)."""
+    # Poisson(1) CDF, enough mass to 1 - 1e-13
+    from math import exp, factorial
+    cdf = np.cumsum([exp(-1.0) / factorial(k) for k in range(18)])
+
+    def mix64(v: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer (public domain, Steele et al.)
+        v = v.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+    B = n_resamples
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        key = (df["l_orderkey"].to_numpy(dtype=np.int64)
+               * np.int64(10007)
+               + df["l_linenumber"].to_numpy(dtype=np.int64))
+        out = {"n": np.float64(len(x)), "sx": x.sum()}
+        for b in range(B):
+            u = mix64(key.astype(np.uint64)
+                      + np.uint64(b) * np.uint64(0x9E3779B97F4A7C15)) \
+                .astype(np.float64) / 18446744073709551616.0
+            w = np.searchsorted(cdf, u).astype(np.float64)
+            out[f"swx_{b}"] = (w * x).sum()
+            out[f"sw_{b}"] = w.sum()
+        return pd.DataFrame([out])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(1).to_pandas().sum())
+    n = float(parts["n"])
+    mean = parts["sx"] / n
+    means = np.array([parts[f"swx_{b}"] / parts[f"sw_{b}"]
+                      for b in range(B)])
+    se = float(means.std(ddof=1))
+    lo, hi = np.percentile(means, [2.5, 97.5])
+    return pd.DataFrame({
+        "n_items": np.array([n], dtype=np.int64),
+        "mean": round_half_up(np.array([mean]), 4),
+        "se_boot": round_half_up(np.array([se]), 4),
+        "ci_lo": round_half_up(np.array([lo]), 4),
+        "ci_hi": round_half_up(np.array([hi]), 4)})

@@ -2250,3 +2250,26 @@ def test_hive_partition_prunes_files():
 
     files = pads.dataset("/tmp/hive_docs_sf0.001/lang=de").files
     assert files and all("lang=de" in f for f in files)
+
+
+def test_bootstrap_mean_ci_deterministic_and_sane():
+    """Poisson bootstrap: bit-identical across runs (blocking-free
+    weights), CI brackets the mean, SE within 3x of the CLT value."""
+    import duckdb
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        bootstrap_mean_ci)
+
+    SF = "/root/testdata/sf0.001"
+    a = bootstrap_mean_ci(SF)
+    b = bootstrap_mean_ci(SF)
+    assert a.equals(b)
+    row = a.iloc[0]
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    got = duckdb.sql(
+        f"SELECT avg(l_extendedprice), stddev_samp(l_extendedprice), "
+        f"count(*) FROM '{SF}/lineitem.parquet'").fetchone()
+    import numpy as np
+    clt_se = got[1] / np.sqrt(got[2])
+    assert row["mean"] == pytest.approx(got[0], abs=0.01)
+    assert clt_se / 3 < row["se_boot"] < clt_se * 3
