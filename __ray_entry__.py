@@ -462,6 +462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: per-row pseudo-random Poisson weights aren't
         # SQL-expressible (determinism + sanity pytest instead)
         "bootstrap_mean_ci": relational.bootstrap_mean_ci,
+        # --- round-3 wave 14: calibration + time-series rollup ---
+        "length_pct_rank_by_source": analysis.length_pct_rank_by_source,
+        "daily_value_ohlc": events.daily_value_ohlc,
+        # rows-only: prefix-iterative ranking agreement (pytest oracle)
+        "rbo_rankings": analysis.rbo_rankings,
     }
 
 
@@ -3474,6 +3479,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "length_pct_rank_by_source": """
+            SELECT doc_id, source,
+                   round(percent_rank() OVER (
+                     PARTITION BY source ORDER BY n_chars), 6)
+                     AS pct_rank
+            FROM documents ORDER BY doc_id
+        """,
+        "daily_value_ohlc": """
+            WITH t AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+                     value,
+                     row_number() OVER (
+                       PARTITION BY strftime(ts, '%Y-%m-%d')
+                       ORDER BY ts, event_id) AS rf,
+                     row_number() OVER (
+                       PARTITION BY strftime(ts, '%Y-%m-%d')
+                       ORDER BY ts DESC, event_id DESC) AS rl
+              FROM events)
+            SELECT day,
+                   round(max(CASE WHEN rf = 1 THEN value END), 2)
+                     AS open,
+                   round(max(value), 2) AS high,
+                   round(min(value), 2) AS low,
+                   round(max(CASE WHEN rl = 1 THEN value END), 2)
+                     AS close,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM t GROUP BY day ORDER BY day
         """,
         "customer_reorder_gaps": """
             WITH g AS (

