@@ -467,6 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_ohlc": events.daily_value_ohlc,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,
+        # --- round-3 wave 15: graph structure ---
+        "copurchase_degree_powerlaw":
+            relational.copurchase_degree_powerlaw,
+        # rows-only: iterative peeling fixpoint (brute-force pytest)
+        "copurchase_kcore": relational.copurchase_kcore,
     }
 
 
@@ -3479,6 +3484,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "copurchase_degree_powerlaw": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            v AS (SELECT p1 AS v FROM e UNION ALL
+                  SELECT p2 FROM e),
+            deg AS (SELECT v, CAST(count(*) AS DOUBLE) AS d
+                    FROM v GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(max(d) AS BIGINT) AS max_degree,
+                   round(1.0 + count(*) / sum(ln(d / 0.5)), 6) AS alpha
+            FROM deg
         """,
         "length_pct_rank_by_source": """
             SELECT doc_id, source,

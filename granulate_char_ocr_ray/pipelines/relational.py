@@ -5362,3 +5362,119 @@ def bootstrap_mean_ci(sf_dir: str, n_resamples: int = 32) -> pd.DataFrame:
         "se_boot": round_half_up(np.array([se]), 4),
         "ci_lo": round_half_up(np.array([lo]), 4),
         "ci_hi": round_half_up(np.array([hi]), 4)})
+
+
+def copurchase_degree_powerlaw(sf_dir: str, min_count: int = 2
+                               ) -> rd.Dataset:
+    """Power-law fit of the co-purchase degree distribution: the
+    continuous MLE alpha = 1 + n / Σ ln(d / (dmin − 0.5)) of
+    Clauset–Shalizi–Newman (SIAM Rev. 2009) at dmin = 1 — the
+    graph-health diagnostic (heavy-tail exponent) run before any
+    degree-sensitive algorithm (the wedge phase of triangle_count is
+    quadratic in degree, so alpha IS the skew forecast). Degrees fold
+    from the shared edge table through ONE vertex-keyed exchange (both
+    endpoints exploded, partial-counted per block); the MLE is a
+    mergeable (n, Σ ln d) fold on the |vertices| table. Output: one
+    row (n_nodes, max_degree, alpha) rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    edges = _co_purchase_edges(sf_dir, min_count)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([df["p1"].to_numpy(dtype=np.int64),
+                            df["p2"].to_numpy(dtype=np.int64)])
+        return (pd.DataFrame({"v": v}).groupby("v", as_index=False)
+                .size().rename(columns={"size": "d"}))
+
+    deg = hash_groupby_agg(
+        edges.map_batches(explode, batch_format="pandas"),
+        ["v"], {"d": ("d", "sum")}, num_parts=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy(dtype=np.float64)
+        return pd.DataFrame([{
+            "n": np.float64(len(d)),
+            "slnd": np.log(d / 0.5).sum(),
+            "dmax": d.max() if len(d) else 0.0}])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].sum()
+        return pd.DataFrame({
+            "n_nodes": np.array([n], dtype=np.int64),
+            "max_degree": np.array([df["dmax"].max()], dtype=np.int64),
+            "alpha": round_half_up(
+                np.array([1.0 + n / df["slnd"].sum()]), 6)})
+
+    return (deg.map_batches(partial, batch_format="pandas")
+            .repartition(1).map_batches(finish, batch_format="pandas"))
+
+
+def copurchase_kcore(sf_dir: str, k: int = 3,
+                     min_count: int = 2) -> pd.DataFrame:
+    """k-core decomposition of the co-purchase graph by iterative
+    peeling (Matula & Beck 1983): repeatedly delete vertices with
+    degree < k until the residual graph is stable — the standard
+    dense-substructure extractor (community seeds, spam rings).
+    Distributed shape: each round is ONE vertex-keyed degree exchange
+    over the CURRENT edge set plus a broadcast drop-set filter; the
+    edge table is already reduced (distinct co-ordered pairs) and only
+    SHRINKS, and each round's survivor set is materialized so the next
+    round never re-executes prior lineage. Peeling rounds are
+    inherently sequential (each depends on the previous residual);
+    driver state is one shrinking vertex drop-set per round — at true
+    scale the drop-set filter takes the partitioned-join path like
+    every anti-join here. Output: one row (k, n_rounds,
+    core_vertices, core_edges) — rows-only (iterative fixpoint is not
+    SQL-expressible; brute-force peeling pytest)."""
+    import ray as _ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    def _explode_deg(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([df["p1"].to_numpy(dtype=np.int64),
+                            df["p2"].to_numpy(dtype=np.int64)])
+        return (pd.DataFrame({"v": v}).groupby("v", as_index=False)
+                .size().rename(columns={"size": "d"}))
+
+    edges = _co_purchase_edges(sf_dir, min_count) \
+        .select_columns(["p1", "p2"]).materialize()
+    rounds = 0
+    while True:
+        if edges.count() == 0:
+            break
+        # degrees fold DISTRIBUTED; only the |vertices| reduced table
+        # (and from it the even smaller drop-set) reaches the driver
+        deg = hash_groupby_agg(
+            edges.map_batches(_explode_deg, batch_format="pandas"),
+            ["v"], {"d": ("d", "sum")}, num_parts=4).to_pandas()
+        drop = deg.loc[deg["d"] < k, "v"].to_numpy(dtype=np.int64)
+        if len(drop) == 0:
+            break
+        rounds += 1
+        drop_ref = _ray.put(np.sort(drop))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dr = _ray.get(drop_ref)
+            p1 = batch.column("p1").to_numpy(zero_copy_only=False)
+            p2 = batch.column("p2").to_numpy(zero_copy_only=False)
+
+            def hit(x):
+                pos = np.searchsorted(dr, x)
+                pos[pos >= len(dr)] = len(dr) - 1 if len(dr) else 0
+                return (dr[pos] == x) if len(dr) else np.zeros(
+                    len(x), bool)
+
+            return batch.filter(pa.array(~(hit(p1) | hit(p2))))
+
+        edges = edges.map_batches(keep,
+                                  batch_format="pyarrow").materialize()
+
+    ne = edges.count()
+    nv = hash_groupby_agg(
+        edges.map_batches(_explode_deg, batch_format="pandas"),
+        ["v"], {"d": ("d", "sum")}, num_parts=4).count() if ne else 0
+    return pd.DataFrame({
+        "k": np.array([k], dtype=np.int64),
+        "n_rounds": np.array([rounds], dtype=np.int64),
+        "core_vertices": np.array([nv], dtype=np.int64),
+        "core_edges": np.array([ne], dtype=np.int64)})

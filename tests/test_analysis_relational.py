@@ -2302,3 +2302,36 @@ def test_rbo_rankings_closed_form():
     assert got["rbo_ext"] == pytest.approx(
         want_min + agr[-1] * 0.9 ** d, abs=1e-6)
     assert 0.0 <= got["rbo_min"] <= got["rbo_ext"] <= 1.0
+
+
+def test_copurchase_kcore_matches_bruteforce_peeling():
+    import duckdb
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        copurchase_kcore)
+
+    SF = "/root/testdata/sf0.001"
+    k = 3
+    got = copurchase_kcore(SF, k=k).iloc[0]
+
+    e = duckdb.sql(f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{SF}/lineitem.parquet'),
+        e AS (SELECT a.l_partkey p1, b.l_partkey p2
+              FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p1, p2 FROM e""").fetchnumpy()
+    p1, p2 = e["p1"].astype(np.int64), e["p2"].astype(np.int64)
+    while len(p1):
+        v, d = np.unique(np.concatenate([p1, p2]), return_counts=True)
+        drop = set(v[d < k].tolist())
+        if not drop:
+            break
+        keep = np.array([a not in drop and b not in drop
+                         for a, b in zip(p1, p2)])
+        p1, p2 = p1[keep], p2[keep]
+    nv = len(np.unique(np.concatenate([p1, p2]))) if len(p1) else 0
+    assert int(got["core_edges"]) == len(p1)
+    assert int(got["core_vertices"]) == nv
