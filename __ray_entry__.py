@@ -472,6 +472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.copurchase_degree_powerlaw,
         # rows-only: iterative peeling fixpoint (brute-force pytest)
         "copurchase_kcore": relational.copurchase_kcore,
+        # --- round-3 wave 16: itemsets + model calibration ---
+        "frequent_triples": relational.frequent_triples,
+        # rows-only: scores come from the iteratively trained
+        # classifier (not SQL-expressible); sanity pytest
+        "classifier_calibration_bins":
+            analysis.classifier_calibration_bins,
     }
 
 
@@ -3484,6 +3490,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "frequent_triples": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            t AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                         c.l_partkey AS p3,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM d a
+                  JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+                  JOIN d c ON a.l_orderkey = c.l_orderkey
+                       AND b.l_partkey < c.l_partkey
+                  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+            SELECT * FROM t
+            ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
         """,
         "copurchase_degree_powerlaw": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey

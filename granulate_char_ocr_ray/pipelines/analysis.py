@@ -2950,3 +2950,55 @@ def rbo_rankings(sf_dir: str, p: float = 0.9, depth: int = 20
         "p": np.array([p]),
         "rbo_min": _r(np.array([rbo_min]), 6),
         "rbo_ext": _r(np.array([rbo_ext]), 6)})
+
+
+def classifier_calibration_bins(sf_dir: str, nbins: int = 10
+                                ) -> rd.Dataset:
+    """Reliability diagram of the distilled quality classifier: the
+    corpus bucketed by predicted probability, each bin reporting how
+    often the teacher label is actually positive — the calibration
+    audit (Guo et al. 2017 shape) every learned gating model needs
+    before its threshold is trusted on 100 TB. Composition: the
+    deterministic quantized-gradient trainer
+    (:func:`train_quality_classifier`) yields (mu, w) as a tiny row
+    table; ONE streaming scoring pass re-featurizes each block,
+    applies the sigmoid, and folds per-bin (n, n_pos, Σp) partials —
+    the exchange is nbins x blocks rows. Output: (bin, n_docs,
+    frac_positive, mean_pred) sorted by bin, rounded to 6."""
+    from ..functions.linear import linear_z
+    from ..stages.hashagg import hash_groupby_agg
+
+    model = train_quality_classifier(sf_dir).to_pandas() \
+        .set_index("feature")["value"]
+    d = len(QUALITY_CLF_FEATURES)
+    mu = np.array([model[f"mu_{f}"] for f in QUALITY_CLF_FEATURES])
+    w = np.array([model[f"w_{f}"] for f in QUALITY_CLF_FEATURES]
+                 + [model["bias"]])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X, y = _quality_clf_xy(batch.column("text"))
+        p = 1.0 / (1.0 + np.exp(-linear_z(X - mu, w)))
+        b = np.minimum((p * nbins).astype(np.int64), nbins - 1)
+        g = (pd.DataFrame({"bin": b, "n": np.int64(1),
+                           "n_pos": y.astype(np.int64), "sp": p})
+             .groupby("bin", as_index=False).sum())
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum"),
+                  "sp": ("sp", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "bin": df["bin"].astype(np.int64),
+            "n_docs": df["n"].astype(np.int64),
+            "frac_positive": round_half_up(
+                df["n_pos"].to_numpy(dtype=np.float64) / n, 6),
+            "mean_pred": round_half_up(
+                df["sp"].to_numpy(dtype=np.float64) / n, 6)})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .repartition(1).sort("bin"))

@@ -5478,3 +5478,64 @@ def copurchase_kcore(sf_dir: str, k: int = 3,
         "n_rounds": np.array([rounds], dtype=np.int64),
         "core_vertices": np.array([nv], dtype=np.int64),
         "core_edges": np.array([ne], dtype=np.int64)})
+
+
+def frequent_triples(sf_dir: str, min_count: int = 2,
+                     k: int = 20) -> rd.Dataset:
+    """Frequent-itemset mining at size 3: part triples co-ordered in
+    at least ``min_count`` orders, top-k by support — one Apriori rung
+    above :func:`co_purchase_pairs`. Same single-exchange basket plan:
+    distinct (orderkey, partkey) pairs dedup AND co-locate through ONE
+    orderkey-bucket shuffle; each bucket expands its baskets' triples
+    with a vectorized three-way self-merge ordered p1 < p2 < p3
+    (cubic only in basket width, bounded — order width caps at tens);
+    triple supports reduce through the two-phase hash aggregate with
+    the HAVING prune in the finish and a per-block partial top-k ahead
+    of the tiny output sort. Output: (p1, p2, p3, n_orders) sorted
+    support desc then triple asc, top-k."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df = df[["l_orderkey", "l_partkey"]].copy()
+        df["_obucket"] = _stable_partition(df, ["l_orderkey"], 32)
+        return df
+
+    def expand_triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        m = m.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_y"] < m["l_partkey"]]
+        return (pd.DataFrame({
+            "p1": m["l_partkey_x"].to_numpy(dtype=np.int64),
+            "p2": m["l_partkey_y"].to_numpy(dtype=np.int64),
+            "p3": m["l_partkey"].to_numpy(dtype=np.int64)})
+            .groupby(["p1", "p2", "p3"], as_index=False)
+            .size().rename(columns={"size": "n_orders"}))
+
+    per_bucket = (items.map_batches(distinct_partial,
+                                    batch_format="pandas")
+                  .groupby("_obucket")
+                  .map_groups(expand_triples, batch_format="pandas"))
+
+    counts = hash_groupby_agg(per_bucket, ["p1", "p2", "p3"],
+                              {"n_orders": ("n_orders", "sum")},
+                              num_parts=8)
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_orders"] >= min_count].copy()
+        df = df.sort_values(["n_orders", "p1", "p2", "p3"],
+                            ascending=[False, True, True, True])
+        for c in ("p1", "p2", "p3", "n_orders"):
+            df[c] = df[c].astype(np.int64)
+        return df.head(k)
+
+    return (counts.map_batches(topk_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(topk_partial, batch_format="pandas")
+            .sort(["n_orders", "p1", "p2", "p3"],
+                  descending=[True, False, False, False]))

@@ -2335,3 +2335,23 @@ def test_copurchase_kcore_matches_bruteforce_peeling():
     nv = len(np.unique(np.concatenate([p1, p2]))) if len(p1) else 0
     assert int(got["core_edges"]) == len(p1)
     assert int(got["core_vertices"]) == nv
+
+
+def test_classifier_calibration_bins_sane():
+    import duckdb
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        classifier_calibration_bins)
+
+    SF = "/root/testdata/sf0.001"
+    got = classifier_calibration_bins(SF).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert got["n_docs"].sum() == n_docs
+    assert ((got["frac_positive"] >= 0) & (got["frac_positive"] <= 1)).all()
+    assert ((got["mean_pred"] >= 0) & (got["mean_pred"] <= 1)).all()
+    assert got["bin"].between(0, 9).all()
+    # mean_pred must sit inside its own bin's probability range
+    for _, r in got.iterrows():
+        assert r["bin"] / 10 - 1e-9 <= r["mean_pred"] <= (
+            r["bin"] + 1) / 10 + 1e-9
