@@ -465,6 +465,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 14: calibration + time-series rollup ---
         "length_pct_rank_by_source": analysis.length_pct_rank_by_source,
         "daily_value_ohlc": events.daily_value_ohlc,
+        # --- round-3 wave 20: sequence/audience/novelty audits ---
+        "transition_entropy": events.transition_entropy,
+        "audience_overlap": events.audience_overlap,
+        "daily_value_acf": events.daily_value_acf,
+        "gram_novelty": analysis.gram_novelty,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,
         # --- round-3 wave 15: graph structure ---
@@ -3549,6 +3554,87 @@ def oracle_sql() -> dict[str, str]:
                      AS close,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM t GROUP BY day ORDER BY day
+        """,
+        "transition_entropy": """
+            WITH pairs AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+              FROM events), cnt AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM pairs WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type), p AS (
+              SELECT from_type, to_type, n,
+                     CAST(n AS DOUBLE)
+                       / sum(n) OVER (PARTITION BY from_type) AS pr
+              FROM cnt)
+            SELECT from_type,
+                   CAST(sum(n) AS BIGINT) AS n_out,
+                   CAST(count(*) AS BIGINT) AS n_dest,
+                   round(sum(-pr * log2(pr)), 6) AS entropy_bits
+            FROM p GROUP BY from_type ORDER BY from_type
+        """,
+        "audience_overlap": """
+            WITH du AS (
+              SELECT DISTINCT user_id, event_type FROM events),
+            singles AS (
+              SELECT event_type, count(*) AS n FROM du
+              GROUP BY event_type),
+            pairs AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_both
+              FROM du a JOIN du b USING (user_id)
+              WHERE a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(CAST(n_both AS DOUBLE)
+                         / (sa.n + sb.n - n_both), 6) AS jaccard
+            FROM pairs
+            JOIN singles sa ON sa.event_type = type_a
+            JOIN singles sb ON sb.event_type = type_b
+            ORDER BY type_a, type_b
+        """,
+        "daily_value_acf": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS day, sum(value) AS v
+              FROM events GROUP BY 1),
+            lags AS (SELECT CAST(i AS BIGINT) AS lag
+                     FROM UNNEST(range(1, 8)) AS t(i))
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(corr(a.v, b.v), 6) AS acf
+            FROM lags, daily a
+            JOIN daily b
+              ON b.day = a.day + (CAST(lag AS INT) * INTERVAL 1 DAY)
+            GROUP BY lag ORDER BY lag
+        """,
+        "gram_novelty": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INT), 12) AS g
+              FROM documents,
+                   UNNEST(range(1, greatest(length(text) - 10, 1)))
+                     AS t(i)
+              WHERE length(text) >= 12),
+            firsts AS (
+              SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+            novel AS (
+              SELECT first_doc AS doc_id, count(*) AS n_novel
+              FROM firsts GROUP BY first_doc),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams
+              GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(s.n_grams AS BIGINT) AS n_grams,
+                   CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+                   round(100.0 * coalesce(n.n_novel, 0) / s.n_grams, 4)
+                     AS novelty_pct
+            FROM sizes s LEFT JOIN novel n USING (doc_id)
+            ORDER BY s.doc_id
         """,
         "customer_reorder_gaps": """
             WITH g AS (

@@ -3002,3 +3002,97 @@ def classifier_calibration_bins(sf_dir: str, nbins: int = 10
 
     return (agg.map_batches(finish, batch_format="pandas")
             .repartition(1).sort("bin"))
+
+
+def gram_novelty(sf_dir: str, k: int = 12) -> rd.Dataset:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct
+    k-character grams whose FIRST corpus appearance (minimum doc_id)
+    is in that doc — the marginal-contribution / data-valuation signal
+    behind greedy source selection (a doc full of already-seen grams
+    adds nothing to a training mix; see source_gram_coverage for the
+    source-level curve). Graft addition (no reference counterpart).
+
+    Plan: two narrow passes over documents. Pass A folds each doc's
+    distinct-gram COUNT locally (a doc lives in one row — no
+    exchange). Pass B emits per-block (gram, min doc_id) partials via
+    the vectorized rolling-hash shingle kernel
+    (``textstats.window_hashes_flat``) and reduces the global min per
+    gram through ONE gram-hash exchange (``hash_groupby_agg``); the
+    (gram, first_doc) table then folds to (doc_id, n_novel) by a
+    doc-cardinality sum. A doc-keyed partitioned join stitches the two
+    reduced tables. Byte windows equal character windows on ASCII
+    corpora and 64-bit window hashes stand in for gram strings (same
+    documented caveats as substring_dups, dedup.py:1075). Output:
+    (doc_id, n_grams, n_novel, novelty_pct) by doc_id."""
+    from ..functions.textstats import string_bytes, window_hashes_flat
+    from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def _distinct(batch: pa.Table) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        data, offsets = string_bytes(batch.column("text"))
+        seg, h = window_hashes_flat(data, offsets, k)
+        order = np.lexsort((h, seg))
+        seg, h = seg[order], h[order]
+        first = np.ones(len(seg), dtype=bool)
+        first[1:] = (seg[1:] != seg[:-1]) | (h[1:] != h[:-1])
+        return ids, seg[first], h[first]
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids, seg, _ = _distinct(batch)
+        n = np.bincount(seg, minlength=len(ids)).astype(np.int64)
+        keep = n > 0
+        return pa.Table.from_pydict(
+            {"doc_id": ids[keep].astype(np.int64), "n_grams": n[keep]},
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_grams", pa.int64())]))
+
+    def gram_min_partial(batch: pa.Table) -> pa.Table:
+        ids, seg, h = _distinct(batch)
+        doc = ids[seg].astype(np.int64)
+        g = h.view(np.int64)
+        # local min per gram before the exchange (grams repeat across
+        # the block's docs): sorted by (g, doc) keeps the first
+        order = np.lexsort((doc, g))
+        g, doc = g[order], doc[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        return pa.Table.from_pydict(
+            {"g": g[first], "first_doc": doc[first]},
+            schema=pa.schema([("g", pa.int64()),
+                              ("first_doc", pa.int64())]))
+
+    size_ds = read_table(path, columns=["doc_id", "text"]) \
+        .map_batches(sizes, batch_format="pyarrow")
+    firsts = hash_groupby_agg(
+        read_table(path, columns=["doc_id", "text"])
+        .map_batches(gram_min_partial, batch_format="pyarrow"),
+        keys=["g"], aggs={"first_doc": ("first_doc", "min")})
+
+    def novel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("first_doc", as_index=False).size()
+        return pd.DataFrame({"doc_id": g["first_doc"].astype(np.int64),
+                             "n_novel": g["size"].astype(np.int64)})
+
+    novel = hash_groupby_agg(
+        firsts.map_batches(novel_partial, batch_format="pandas"),
+        keys=["doc_id"], aggs={"n_novel": ("n_novel", "sum")},
+        num_parts=16)
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="doc_id", how="left")
+        m["n_novel"] = m["n_novel"].fillna(0).astype(np.int64)
+        m["novelty_pct"] = round_half_up(
+            100.0 * m["n_novel"] / m["n_grams"], 4)
+        return m
+
+    out = partitioned_join(
+        size_ds, novel, "doc_id", "doc_id", merge, num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_grams", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_novel", pa.int64())]))
+    return out.repartition(4).sort("doc_id")

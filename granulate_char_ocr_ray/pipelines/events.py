@@ -2079,3 +2079,177 @@ def daily_value_ohlc(sf_dir: str) -> rd.Dataset:
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("day").map_groups(combine, batch_format="pandas")
             .repartition(1).sort("day"))
+
+
+def transition_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-state entropy of the first-order Markov next-event
+    distribution: for each event_type, H(next | current) in bits plus
+    the outgoing-transition count — the sequence-predictability audit
+    run over clickstreams before sequence-model training (a peaked
+    next-event distribution means the state is near-deterministic).
+
+    Plan: identical single coarse user-bucket exchange as
+    :func:`event_transition_probs` (the k x k transition-count table is
+    tiny by construction); entropy folds on the one final block.
+    Output: (from_type, n_out, n_dest, entropy_bits) by from_type.
+    Graft addition (no reference counterpart; SURVEY.md §2.9)."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path,
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=rows_to_blocks(path))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], 16)
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        same_user = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"from_type": et[:-1][same_user],
+                              "to_type": et[1:][same_user]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    part = (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_ubucket")
+            .map_groups(pair_counts, batch_format="pandas")
+            .repartition(1))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        tot = g.groupby("from_type")["n"].transform("sum")
+        p = g["n"] / tot
+        g["_h"] = -p * np.log2(p)
+        out = g.groupby("from_type", as_index=False).agg(
+            n_out=("n", "sum"), n_dest=("to_type", "size"),
+            entropy_bits=("_h", "sum"))
+        out["n_out"] = out["n_out"].astype(np.int64)
+        out["n_dest"] = out["n_dest"].astype(np.int64)
+        out["entropy_bits"] = round_half_up(out["entropy_bits"], 6)
+        return out.sort_values("from_type").reset_index(drop=True)
+
+    return part.map_batches(entropy, batch_format="pandas")
+
+
+def audience_overlap(sf_dir: str) -> rd.Dataset:
+    """Pairwise audience Jaccard between event types: for every
+    unordered pair (type_a < type_b), how many distinct users fired
+    both, each, and the Jaccard |A∩B| / |A∪B| — the audience-overlap
+    matrix used to spot redundant events and build funnels.
+
+    Plan: ONE exchange. Each block folds its distinct (user_id,
+    event_type) pairs; a 64-way user-hash coarse shuffle co-locates
+    each user's pairs; inside a bucket one vectorized sorted scan
+    re-dedupes and expands each user's type set into type-pair credits
+    via a k²-bounded merge (k = |event types|, a constant), emitting
+    at most k + k² partial rows per bucket. The final combine and
+    Jaccard run on one tiny block. Output: (type_a, type_b, n_both,
+    n_a, n_b, jaccard) by (type_a, type_b)."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "event_type"],
+                    num_blocks=rows_to_blocks(path))
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "event_type"]].drop_duplicates()
+        out = out.copy()
+        out["_ubucket"] = _stable_partition(out, ["user_id"], 64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "event_type"]].drop_duplicates()
+        # per-user type sets -> pair credits, vectorized: self-merge on
+        # user_id is bounded by k types per user
+        m = g.merge(g, on="user_id")
+        both = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = both.groupby(["event_type_x", "event_type_y"],
+                             as_index=False).size()
+        pairs.columns = ["type_a", "type_b", "n_both"]
+        singles = g.groupby("event_type", as_index=False)["user_id"] \
+                   .size().rename(columns={"event_type": "t",
+                                           "size": "n"})
+        pairs["kind"] = "pair"
+        singles = pd.DataFrame({"type_a": singles["t"],
+                                "type_b": singles["t"],
+                                "n_both": singles["n"],
+                                "kind": "single"})
+        return pd.concat([pairs, singles], ignore_index=True)
+
+    part = (ds.map_batches(distinct_pairs, batch_format="pandas")
+            .groupby("_ubucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .repartition(1))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["kind", "type_a", "type_b"],
+                         as_index=False)["n_both"].sum()
+        singles = agg[agg["kind"] == "single"].set_index("type_a")[
+            "n_both"]
+        pairs = agg[agg["kind"] == "pair"].copy()
+        pairs["n_a"] = pairs["type_a"].map(singles).astype(np.int64)
+        pairs["n_b"] = pairs["type_b"].map(singles).astype(np.int64)
+        pairs["n_both"] = pairs["n_both"].astype(np.int64)
+        union = pairs["n_a"] + pairs["n_b"] - pairs["n_both"]
+        pairs["jaccard"] = round_half_up(pairs["n_both"] / union, 6)
+        out = pairs[["type_a", "type_b", "n_both", "n_a", "n_b",
+                     "jaccard"]]
+        return out.sort_values(["type_a", "type_b"]).reset_index(
+            drop=True)
+
+    return part.map_batches(final, batch_format="pandas")
+
+
+def daily_value_acf(sf_dir: str, max_lag: int = 7) -> "pa.Table":
+    """Autocorrelation of the daily event-value total at lags
+    1..max_lag: Pearson correlation between (day d, day d+lag) pairs
+    over days where BOTH exist — the seasonality screen run before
+    forecasting (lag-7 spikes mean weekly cycles).
+
+    Plan: per-block partial daily sums fold to a |days|-cardinality
+    table (calendar-bounded, NOT data-bounded — safe to collect);
+    the per-lag pair alignment and sample correlation then run
+    driver-side on the tiny series. Output: (lag, n_pairs, acf)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"))
+        return df.groupby("day", as_index=False).agg(v=("value", "sum"))
+
+    daily = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(4).to_pandas())
+    daily = daily.groupby("day", as_index=False)["v"].sum()
+    days = daily["day"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+    vals = daily["v"].to_numpy(dtype=np.float64)
+    order = np.argsort(days)
+    days, vals = days[order], vals[order]
+
+    lags, n_pairs, acfs = [], [], []
+    for lag in range(1, max_lag + 1):
+        # align day d with day d+lag via sorted-array membership
+        pos = np.searchsorted(days, days + lag)
+        pos_c = np.clip(pos, 0, len(days) - 1)
+        ok = days[pos_c] == days + lag
+        x, y = vals[ok], vals[pos_c[ok]]
+        n = int(ok.sum())
+        if n >= 2:
+            xm, ym = x - x.mean(), y - y.mean()
+            denom = np.sqrt((xm * xm).sum() * (ym * ym).sum())
+            r = float((xm * ym).sum() / denom) if denom > 0 else None
+        else:
+            r = None
+        lags.append(lag)
+        n_pairs.append(n)
+        acfs.append(round_half_up([r], 6)[0] if r is not None else None)
+
+    return pa.Table.from_pydict({
+        "lag": pa.array(lags, pa.int64()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "acf": pa.array(acfs, pa.float64())})
