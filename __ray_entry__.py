@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": events.audience_overlap,
         "daily_value_acf": events.daily_value_acf,
         "gram_novelty": analysis.gram_novelty,
+        "hopping_event_counts": events.hopping_event_counts,
+        "weekday_hour_profile": events.weekday_hour_profile,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,
         # --- round-3 wave 15: graph structure ---
@@ -3635,6 +3637,24 @@ def oracle_sql() -> dict[str, str]:
                      AS novelty_pct
             FROM sizes s LEFT JOIN novel n USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        "hopping_event_counts": """
+            WITH x AS (
+              SELECT CAST(floor(epoch(ts) / 900) AS BIGINT)
+                       - CAST(j AS BIGINT) AS h,
+                     value
+              FROM events, UNNEST(range(0, 4)) AS t(j))
+            SELECT h * 900 AS win_start_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM x GROUP BY h ORDER BY win_start_s
+        """,
+        "weekday_hour_profile": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY dow, hour
         """,
         "customer_reorder_gaps": """
             WITH g AS (

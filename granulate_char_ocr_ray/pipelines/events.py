@@ -2253,3 +2253,86 @@ def daily_value_acf(sf_dir: str, max_lag: int = 7) -> "pa.Table":
         "lag": pa.array(lags, pa.int64()),
         "n_pairs": pa.array(n_pairs, pa.int64()),
         "acf": pa.array(acfs, pa.float64())})
+
+
+def hopping_event_counts(sf_dir: str, window_s: int = 3600,
+                         hop_s: int = 900) -> rd.Dataset:
+    """Hopping (sliding) event-time windows: count and value-sum of
+    events per 1-hour window advancing every 15 minutes — the
+    overlapping-window stream aggregate Ray Data has no primitive for.
+    Each event contributes to exactly window_s / hop_s consecutive
+    windows, so the engine REPLICATES rows by that constant factor
+    (vectorized np.repeat on the derived hop index — no watermark
+    state needed for a bounded batch corpus) and folds per-block
+    partials before ONE hop-keyed exchange whose cardinality is
+    calendar-bounded (windows in the time range), not data-bounded.
+    Output: (win_start_s, n_events, sum_value) by win_start_s; windows
+    with zero events are absent. Graft addition (SURVEY.md §2.9)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    fan = window_s // hop_s
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64) \
+            // 1_000_000_000
+        hop = sec // hop_s
+        hops = np.repeat(hop, fan) - np.tile(
+            np.arange(fan, dtype=np.int64), len(hop))
+        vals = np.repeat(df["value"].to_numpy(dtype=np.float64), fan)
+        g = pd.DataFrame({"h": hops, "v": vals}).groupby(
+            "h", as_index=False).agg(n=("v", "size"), v=("v", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["h"], aggs={"n_events": ("n", "sum"),
+                          "sum_value": ("v", "sum")}, num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "win_start_s": (df["h"] * hop_s).astype(np.int64),
+            "n_events": df["n_events"].astype(np.int64),
+            "sum_value": round_half_up(df["sum_value"], 2)})
+        return out
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .repartition(1).sort("win_start_s"))
+
+
+def weekday_hour_profile(sf_dir: str) -> rd.Dataset:
+    """Seasonality profile: event count and mean value per (ISO
+    weekday, hour-of-day) cell — the 7x24 heatmap behind load-shaping
+    and anomaly baselines. Partial (dow, hour, n, sum) folds per block;
+    the exchange carries at most 168 keys x blocks rows. Output:
+    (dow, hour, n_events, avg_value) by (dow, hour)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "dow": (df["ts"].dt.dayofweek + 1).astype(np.int64),
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "v": df["value"].to_numpy(dtype=np.float64)})
+        g = d.groupby(["dow", "hour"], as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["dow", "hour"], aggs={"n_events": ("n", "sum"),
+                                    "s": ("s", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_events"] = df["n_events"].astype(np.int64)
+        df["avg_value"] = round_half_up(df["s"] / df["n_events"], 4)
+        return df[["dow", "hour", "n_events", "avg_value"]]
+
+    return (agg.map_batches(final, batch_format="pandas")
+            .repartition(1).sort(["dow", "hour"]))
