@@ -366,6 +366,12 @@ def _secondary_list():
          lambda: training.epoch_shuffle_order(SF_DIR).count()),
         ("kcenter_coreset",
          lambda: similarity.kcenter_coreset(SF_DIR, k=8)),
+        ("gram_novelty",
+         lambda: analysis.gram_novelty(SF_DIR).count()),
+        ("hopping_event_counts",
+         lambda: events.hopping_event_counts(SF_DIR).count()),
+        ("audience_overlap",
+         lambda: events.audience_overlap(SF_DIR).to_pandas()),
     ]
 
 
