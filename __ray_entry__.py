@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_acf": events.daily_value_acf,
         "gram_novelty": analysis.gram_novelty,
         "hopping_event_counts": events.hopping_event_counts,
+        # rows-only: KMV/theta sketch estimates (pytest accuracy oracle
+        # vs the exact audience_overlap)
+        "audience_overlap_kmv": events.audience_overlap_kmv,
         "weekday_hour_profile": events.weekday_hour_profile,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,

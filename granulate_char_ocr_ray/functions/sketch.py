@@ -670,3 +670,56 @@ def cms_estimate_hashes(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Sketch of the concatenated streams == elementwise sum."""
     return a + b
+
+
+# --- KMV (k-minimum-values / bottom-k theta) distinct sketch ---------
+#
+# Beyer, Haas, Reinwald, Sismanis, Gemulla, "On synopses for
+# distinct-value estimation under multiset operations" (SIGMOD 2007);
+# bottom-k form of Bar-Yossef et al. 2002. Unlike HLL, a KMV sketch
+# supports SET INTERSECTION estimates (the theta-sketch trick): the
+# union sketch's k-th smallest hash defines a sampling threshold theta,
+# and the fraction of union-sample members present in both inputs is an
+# unbiased Jaccard estimate. Mergeable (union = k smallest of the
+# concatenation), shuffle-free partials.
+
+_KMV_K = 256
+
+
+def kmv_from_hashes(hashes: np.ndarray, k: int = _KMV_K) -> np.ndarray:
+    """Bottom-k sketch of a batch of uint64 element hashes: the k
+    smallest DISTINCT hash values, sorted ascending."""
+    return np.unique(hashes.astype(np.uint64))[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int = _KMV_K) -> np.ndarray:
+    """Union of two sketches (associative, commutative)."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int = _KMV_K) -> float:
+    """Distinct-count estimate: exact count while the sketch is not
+    yet full; else the unbiased (k-1)/U_(k) estimator with U_(k) the
+    k-th smallest hash normalized to (0, 1]."""
+    if len(sk) < k:
+        return float(len(sk))
+    theta = (float(sk[k - 1]) + 1.0) / float(1 << 64)
+    return (k - 1) / theta
+
+
+def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int = _KMV_K) -> float:
+    """Jaccard estimate |A∩B| / |A∪B|: the union sketch is a uniform
+    distinct-element sample of A∪B; count how many of its members both
+    sides retain. Exact when both inputs fit in one sketch."""
+    u = kmv_merge(a, b, k)
+    if len(u) == 0:
+        return 0.0
+    both = np.intersect1d(a, b, assume_unique=True)
+    n_both = int(np.isin(u, both, assume_unique=True).sum())
+    return n_both / len(u)
+
+
+def kmv_intersection(a: np.ndarray, b: np.ndarray,
+                     k: int = _KMV_K) -> float:
+    """Intersection-size estimate: Jaccard(A,B) x |A∪B| estimate."""
+    return kmv_jaccard(a, b, k) * kmv_estimate(kmv_merge(a, b, k), k)

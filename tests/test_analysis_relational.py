@@ -2355,3 +2355,48 @@ def test_classifier_calibration_bins_sane():
     for _, r in got.iterrows():
         assert r["bin"] / 10 - 1e-9 <= r["mean_pred"] <= (
             r["bin"] + 1) / 10 + 1e-9
+
+
+def test_kmv_sketch_accuracy_and_merge():
+    """KMV distinct/Jaccard/intersection estimates within ~1/sqrt(k)
+    of truth; merge of partials equals the whole-stream sketch."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.functions.sketch import (
+        kmv_estimate, kmv_from_hashes, kmv_intersection, kmv_jaccard,
+        kmv_merge)
+
+    rng = np.random.default_rng(11)
+    A = rng.integers(0, 1 << 64, 150_000, dtype=np.uint64)
+    B = np.concatenate([
+        A[:60_000], rng.integers(0, 1 << 64, 90_000, dtype=np.uint64)])
+    a, b = kmv_from_hashes(A), kmv_from_hashes(B)
+    true_a = len(np.unique(A))
+    true_j = len(np.intersect1d(A, B)) / len(np.union1d(A, B))
+    true_i = len(np.intersect1d(A, B))
+    assert abs(kmv_estimate(a) - true_a) / true_a < 0.2
+    assert abs(kmv_jaccard(a, b) - true_j) < 0.12
+    assert abs(kmv_intersection(a, b) - true_i) / true_i < 0.3
+    # mergeability: partial sketches fold to the whole-stream sketch
+    m = kmv_merge(kmv_from_hashes(A[:70_000]),
+                  kmv_from_hashes(A[70_000:]))
+    assert np.array_equal(m, a)
+    # small sets are exact
+    small = rng.integers(0, 1 << 64, 100, dtype=np.uint64)
+    assert kmv_estimate(kmv_from_hashes(small)) == len(np.unique(small))
+
+
+def test_audience_overlap_kmv_matches_exact():
+    """Sketch overlap estimates track the exact audience_overlap
+    within the k=256 error bound on the fixture corpus."""
+    from granulate_char_ocr_ray.pipelines.events import (
+        audience_overlap, audience_overlap_kmv)
+
+    exact = audience_overlap(SF).to_pandas().set_index(
+        ["type_a", "type_b"])
+    approx = audience_overlap_kmv(SF).to_pandas()
+    assert len(approx) == len(exact)
+    for _, r in approx.iterrows():
+        e = exact.loc[(r["type_a"], r["type_b"])]
+        assert abs(r["est_jaccard"] - e["jaccard"]) < 0.15
+        assert abs(r["est_n_a"] - e["n_a"]) / max(e["n_a"], 1) < 0.2
