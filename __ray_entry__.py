@@ -475,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs the exact audience_overlap)
         "audience_overlap_kmv": events.audience_overlap_kmv,
         "weekday_hour_profile": events.weekday_hour_profile,
+        "decayed_user_value": events.decayed_user_value,
+        # rows-only: RFF-MMD embedding drift (pytest local-parity oracle)
+        "label_mmd_rff": similarity.label_mmd_rff,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,
         # --- round-3 wave 15: graph structure ---
@@ -3658,6 +3661,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY dow, hour
+        """,
+        "decayed_user_value": """
+            WITH h AS (SELECT max(ts) AS t FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(value * power(2.0,
+                       -(epoch(t) - epoch(ts)) / (7.0 * 86400))) AS v
+              FROM events, h GROUP BY user_id)
+            SELECT user_id, round(v, 4) AS decayed_value
+            FROM s ORDER BY v DESC, user_id LIMIT 100
         """,
         "customer_reorder_gaps": """
             WITH g AS (

@@ -2413,3 +2413,59 @@ def audience_overlap_kmv(sf_dir: str, k: int = 256) -> "pa.Table":
         "est_intersection": pa.array(out["est_intersection"],
                                      pa.float64()),
         "est_jaccard": pa.array(out["est_jaccard"], pa.float64())})
+
+
+def decayed_user_value(sf_dir: str, half_life_days: float = 7.0,
+                       topk: int = 100) -> rd.Dataset:
+    """Exponentially time-decayed user value at the corpus horizon:
+    score(u) = Σ value_i · 2^(−(T−ts_i)/half_life) with T the global
+    max event time — the recency-weighted LTV behind churn and
+    ranking features. The decayed sum is associative once T is fixed,
+    so the plan is two passes: a tiny max-ts fold to pin T, then
+    per-block decayed partials into ONE user-keyed hash exchange;
+    top-k emits through per-block partial top-k + one tiny sort.
+    Output: (user_id, decayed_value) for the top-k users,
+    by decayed_value desc, user_id asc."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts", "value"])
+
+    def max_ts(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"m": np.array([ts.max()], dtype="datetime64[us]")},
+            schema=pa.schema([("m", pa.timestamp("us"))]))
+
+    part = ds.map_batches(max_ts, batch_format="pyarrow").to_pandas()
+    horizon = part["m"].max().to_datetime64().astype(
+        "datetime64[ns]").view(np.int64)
+    hl_ns = half_life_days * 86_400e9
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        age = (horizon - df["ts"].to_numpy(
+            dtype="datetime64[ns]").view(np.int64)) / hl_ns
+        w = df["value"].to_numpy(dtype=np.float64) * np.exp2(-age)
+        g = pd.DataFrame({"user_id": df["user_id"], "v": w}).groupby(
+            "user_id", as_index=False)["v"].sum()
+        return g
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"], aggs={"v": ("v", "sum")}, num_parts=16)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # keep unrounded values through BOTH selections so the k
+        # boundary matches the SQL ORDER BY on exact sums
+        return df.sort_values(["v", "user_id"],
+                              ascending=[False, True]).head(topk)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = local_topk(df).reset_index(drop=True)
+        return pd.DataFrame({
+            "user_id": d["user_id"].astype(np.int64),
+            "decayed_value": round_half_up(d["v"], 4)})
+
+    return (agg.map_batches(local_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas"))

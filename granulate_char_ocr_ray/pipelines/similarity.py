@@ -1643,3 +1643,82 @@ def label_centroid_stats(sf_dir: str) -> rd.Dataset:
 
     return (agg.repartition(1)
             .map_batches(finish, batch_format="pandas").sort("label"))
+
+
+def label_mmd_rff(sf_dir: str, num_features: int = 512,
+                  bandwidth: float = 8.0) -> "pa.Table":
+    """Pairwise distribution distance between embedding label groups:
+    squared Maximum Mean Discrepancy under a Gaussian kernel,
+    approximated with seeded random Fourier features (Rahimi & Recht,
+    NIPS 2007; MMD per Gretton et al., JMLR 2012) — the two-sample
+    drift test for EMBEDDING populations, complementing the scalar
+    PSI/KL drift audits. With feature map φ, MMD²(X,Y) ≈
+    ‖mean φ(X) − mean φ(Y)‖², so the whole statistic reduces to a MEAN
+    OF FEATURES per group — mergeable, one |labels|·(2D+1)-sized
+    exchange, no pairwise kernel matrix (the O(n²) exact form can
+    never run at 100 TB).
+
+    Plan: each block projects its vectors once (n×D matmul against
+    the broadcast seeded RFF matrix) and folds per-label feature sums;
+    the tiny (label, dim, s) partial table reduces through ONE hash
+    exchange and the k² pair distances run on one block. Output:
+    (label_a, label_b, mmd2) by (label_a, label_b)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["label", "embedding"])
+    rng = np.random.default_rng(20240817)
+    # dims are fixed per corpus; peek one row for d
+    import pyarrow.dataset as pads
+    first = pads.dataset(f"{sf_dir}/embeddings.parquet").head(
+        1, columns=["embedding"])
+    d = len(first.column("embedding")[0])
+    W = rng.normal(0.0, 1.0 / bandwidth, size=(d, num_features))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=num_features)
+    scale = np.sqrt(2.0 / num_features)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mat = flat.reshape(len(batch), d)
+        phi = scale * np.cos(mat @ W + b)          # n x D
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), num_features))
+        np.add.at(sums, inv, phi)
+        cnt = np.bincount(inv).astype(np.float64)
+        k = len(uniq)
+        return pa.Table.from_pydict({
+            "label": pa.array(np.concatenate(
+                [np.repeat(uniq, num_features), uniq]), pa.int64()),
+            "dim": pa.array(np.concatenate(
+                [np.tile(np.arange(num_features, dtype=np.int64), k),
+                 np.full(k, -1, dtype=np.int64)]), pa.int64()),
+            "s": pa.array(np.concatenate(
+                [sums.ravel(), cnt]), pa.float64())})
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum")}, num_parts=4).to_pandas()
+
+    means: dict[int, np.ndarray] = {}
+    for lab, g in agg.groupby("label"):
+        n = float(g.loc[g["dim"] == -1, "s"].iloc[0])
+        m = g.loc[g["dim"] >= 0].sort_values("dim")["s"].to_numpy() / n
+        means[int(lab)] = m
+    labs = sorted(means)
+    out = {"label_a": [], "label_b": [], "mmd2": []}
+    for i, a in enumerate(labs):
+        for bb in labs[i + 1:]:
+            diff = means[a] - means[bb]
+            out["label_a"].append(a)
+            out["label_b"].append(bb)
+            out["mmd2"].append(round(float(diff @ diff), 6))
+    return pa.Table.from_pydict({
+        "label_a": pa.array(out["label_a"], pa.int64()),
+        "label_b": pa.array(out["label_b"], pa.int64()),
+        "mmd2": pa.array(out["mmd2"], pa.float64())})

@@ -1047,3 +1047,39 @@ def test_kcenter_coreset_matches_bruteforce():
     assert got_t == want
     # covering property: every selected center is distinct
     assert len({v for _, v, _ in got_t}) == k
+
+
+def test_label_mmd_rff_matches_local_and_separates():
+    """RFF-MMD from the distributed pipeline equals a local
+    single-pass computation (mergeable partials), is ~0 between
+    same-distribution groups, and grows under a mean shift."""
+    from granulate_char_ocr_ray.pipelines.similarity import label_mmd_rff
+
+    got = label_mmd_rff(SF).to_pandas()
+    # local reference: identical seeded RFF means
+    emb = pads.dataset(f"{SF}/embeddings.parquet").to_table(
+        columns=["label", "embedding"]).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy())
+    d = mat.shape[1]
+    rng = np.random.default_rng(20240817)
+    W = rng.normal(0.0, 1.0 / 8.0, size=(d, 512))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=512)
+    phi = np.sqrt(2.0 / 512) * np.cos(mat @ W + b)
+    labels = emb["label"].to_numpy()
+    means = {int(l): phi[labels == l].mean(axis=0)
+             for l in np.unique(labels)}
+    for _, r in got.iterrows():
+        diff = means[int(r["label_a"])] - means[int(r["label_b"])]
+        assert abs(r["mmd2"] - float(diff @ diff)) < 1e-6
+    # two-sample behavior on synthetic gaussians
+    rng2 = np.random.default_rng(3)
+    X = rng2.normal(0, 1, (400, d))
+    Y_same = rng2.normal(0, 1, (400, d))
+    Y_shift = rng2.normal(0.8, 1, (400, d))
+    def mmd2(A, B):
+        pa_ = np.sqrt(2.0 / 512) * np.cos(A @ W + b)
+        pb_ = np.sqrt(2.0 / 512) * np.cos(B @ W + b)
+        df = pa_.mean(axis=0) - pb_.mean(axis=0)
+        return float(df @ df)
+    assert mmd2(X, Y_same) < 0.01
+    assert mmd2(X, Y_shift) > 5 * mmd2(X, Y_same)
