@@ -476,8 +476,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap_kmv": events.audience_overlap_kmv,
         "weekday_hour_profile": events.weekday_hour_profile,
         "decayed_user_value": events.decayed_user_value,
+        "session_duration_km": events.session_duration_km,
         # rows-only: RFF-MMD embedding drift (pytest local-parity oracle)
         "label_mmd_rff": similarity.label_mmd_rff,
+        # rows-only: PAV isotonic fit (pytest brute-force PAV oracle)
+        "isotonic_calibration": analysis.isotonic_calibration,
         # rows-only: prefix-iterative ranking agreement (pytest oracle)
         "rbo_rankings": analysis.rbo_rankings,
         # --- round-3 wave 15: graph structure ---
@@ -3671,6 +3674,47 @@ def oracle_sql() -> dict[str, str]:
               FROM events, h GROUP BY user_id)
             SELECT user_id, round(v, 4) AS decayed_value
             FROM s ORDER BY v DESC, user_id LIMIT 100
+        """,
+        "session_duration_km": """
+            WITH h AS (SELECT max(ts) AS hz FROM events),
+            o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+              FROM o),
+            ses AS (
+              SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+              FROM s GROUP BY user_id, sid),
+            lif AS (
+              SELECT CAST(floor((epoch(en) - epoch(st)) / 60.0)
+                          AS BIGINT) AS t,
+                     CASE WHEN en >= hz - INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS censored
+              FROM ses, h),
+            agg AS (
+              SELECT t, sum(1 - censored) AS d, sum(censored) AS c
+              FROM lif GROUP BY t),
+            tot AS (SELECT count(*) AS n FROM lif),
+            r AS (
+              SELECT t, d,
+                     n - coalesce(sum(d + c) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+              FROM agg, tot)
+            SELECT t AS t_minutes,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   round(product(1 - CAST(d AS DOUBLE) / n_risk)
+                         OVER (ORDER BY t), 6) AS survival
+            FROM r WHERE d > 0 ORDER BY t_minutes
         """,
         "customer_reorder_gaps": """
             WITH g AS (

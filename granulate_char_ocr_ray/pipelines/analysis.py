@@ -3096,3 +3096,72 @@ def gram_novelty(sf_dir: str, k: int = 12) -> rd.Dataset:
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("n_novel", pa.int64())]))
     return out.repartition(4).sort("doc_id")
+
+
+def isotonic_calibration(sf_dir: str, nbins: int = 50) -> "pa.Table":
+    """Isotonic (PAV) calibration map for the distilled quality
+    classifier (Zadrozny & Elkan 2002; pool-adjacent-violators,
+    Ayer et al. 1955): the monotone step function g(score) that best
+    fits P(label=1 | score) in least squares — the non-parametric
+    upgrade over the fixed-width reliability diagram
+    (:func:`classifier_calibration_bins`), producing the actual
+    calibrated probabilities a gating threshold would use.
+
+    Plan: PAV is sequential, but it only ever needs the
+    SCORE-HISTOGRAM sufficient statistics: one streaming scoring pass
+    folds per-bin (n, n_pos) partials (nbins x blocks exchange, same
+    shape as the reliability diagram), and the driver pools adjacent
+    violators over the nbins-row table — never over docs. Output one
+    row per merged pool: (score_lo, score_hi, n_docs, iso_prob),
+    iso_prob non-decreasing, by score_lo."""
+    from ..functions.linear import linear_z
+    from ..stages.hashagg import hash_groupby_agg
+
+    model = train_quality_classifier(sf_dir).to_pandas() \
+        .set_index("feature")["value"]
+    mu = np.array([model[f"mu_{f}"] for f in QUALITY_CLF_FEATURES])
+    w = np.array([model[f"w_{f}"] for f in QUALITY_CLF_FEATURES]
+                 + [model["bias"]])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X, y = _quality_clf_xy(batch.column("text"))
+        p = 1.0 / (1.0 + np.exp(-linear_z(X - mu, w)))
+        b = np.minimum((p * nbins).astype(np.int64), nbins - 1)
+        g = (pd.DataFrame({"bin": b, "n": np.int64(1),
+                           "n_pos": y.astype(np.int64)})
+             .groupby("bin", as_index=False).sum())
+        return table_from_pandas(g, preserve_index=False)
+
+    agg = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+        num_parts=2).to_pandas().sort_values("bin")
+
+    bins = agg["bin"].to_numpy(dtype=np.int64)
+    n = agg["n"].to_numpy(dtype=np.float64)
+    pos = agg["n_pos"].to_numpy(dtype=np.float64)
+
+    # pool-adjacent-violators over the nbins-row histogram: maintain a
+    # stack of pools (lo_bin, hi_bin, weight, weighted mean); merge
+    # while the tail is non-monotone
+    pools: list[list[float]] = []
+    for i in range(len(bins)):
+        lo = hi = int(bins[i])
+        wt, mean = n[i], pos[i] / n[i]
+        while pools and pools[-1][3] >= mean:
+            plo, _, pwt, pmean = pools.pop()
+            lo = int(plo)
+            mean = (pwt * pmean + wt * mean) / (pwt + wt)
+            wt = pwt + wt
+        pools.append([lo, hi, wt, mean])
+
+    from ..functions.numeric import round_half_up as _r
+    return pa.Table.from_pydict({
+        "score_lo": pa.array(
+            _r([p[0] / nbins for p in pools], 6), pa.float64()),
+        "score_hi": pa.array(
+            _r([(p[1] + 1) / nbins for p in pools], 6), pa.float64()),
+        "n_docs": pa.array([int(p[2]) for p in pools], pa.int64()),
+        "iso_prob": pa.array(_r([p[3] for p in pools], 6),
+                             pa.float64())})

@@ -2469,3 +2469,84 @@ def decayed_user_value(sf_dir: str, half_life_days: float = 7.0,
     return (agg.map_batches(local_topk, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas"))
+
+
+def session_duration_km(sf_dir: str, gap_minutes: int = 30
+                        ) -> "pa.Table":
+    """Kaplan-Meier survival curve of SESSION durations (Kaplan &
+    Meier 1958): S(t) = \u03a0_{u\u2264t} (1 \u2212 d_u / n_u) over observed
+    session-end times in minutes, with sessions still open near the
+    corpus horizon right-censored \u2014 the censoring-aware dwell-time
+    curve (naive mean session length is biased low by truncation).
+
+    Plan: ONE coarse user-bucket exchange sessionizes (the
+    session_conversion pattern \u2014 per-bucket vectorized gap scan); each
+    bucket folds its sessions straight into a MINUTE-cardinality
+    (t, n_churned, n_censored) histogram partial, so the exchange and
+    the driver-side sequential product are bounded by the time domain,
+    never by session count. The horizon is pinned by a tiny max-ts
+    fold first. Output: (t_minutes, n_risk, n_events, survival) for
+    minutes with \u22651 completed session, by t_minutes."""
+    from ..sources.storage import rows_to_blocks
+    from ..stages.hashagg import _stable_partition
+
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["user_id", "ts", "event_id"],
+                    num_blocks=rows_to_blocks(path))
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def max_ts(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"m": np.array([ts.max()], dtype="datetime64[us]")},
+            schema=pa.schema([("m", pa.timestamp("us"))]))
+
+    horizon = int(read_table(path, columns=["ts"])
+                  .map_batches(max_ts, batch_format="pyarrow")
+                  .to_pandas()["m"].max().to_datetime64()
+                  .astype("datetime64[ns]").view(np.int64))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ubucket"] = _stable_partition(df, ["user_id"], 16)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = ((u[1:] != u[:-1])
+                     | (ts[1:] - ts[:-1] > gap_ns)).astype(np.int64)
+        sid = np.cumsum(new_s)
+        per = pd.DataFrame({"sid": sid, "ts": ts}).groupby("sid").agg(
+            st=("ts", "min"), en=("ts", "max"))
+        dur = (per["en"].to_numpy() - per["st"].to_numpy()) \
+            // np.int64(60_000_000_000)
+        censored = per["en"].to_numpy() >= horizon - gap_ns
+        hist = pd.DataFrame({
+            "t": dur, "d": (~censored).astype(np.int64),
+            "c": censored.astype(np.int64)}).groupby(
+            "t", as_index=False).sum()
+        return hist
+
+    part = (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_ubucket")
+            .map_groups(per_bucket, batch_format="pandas").to_pandas())
+
+    hist = part.groupby("t", as_index=False).sum().sort_values("t")
+    n_total = int((hist["d"] + hist["c"]).sum())
+    dropped = np.concatenate(
+        [[0], np.cumsum((hist["d"] + hist["c"]).to_numpy())[:-1]])
+    n_risk = n_total - dropped
+    with np.errstate(divide="ignore", invalid="ignore"):
+        factors = 1.0 - hist["d"].to_numpy(dtype=np.float64) / n_risk
+    surv = np.cumprod(factors)
+    keep = hist["d"].to_numpy() > 0
+    from ..functions.numeric import round_half_up as _r
+    return pa.Table.from_pydict({
+        "t_minutes": pa.array(hist["t"].to_numpy()[keep], pa.int64()),
+        "n_risk": pa.array(n_risk[keep].astype(np.int64), pa.int64()),
+        "n_events": pa.array(
+            hist["d"].to_numpy()[keep].astype(np.int64), pa.int64()),
+        "survival": pa.array(_r(surv[keep], 6), pa.float64())})

@@ -2400,3 +2400,62 @@ def test_audience_overlap_kmv_matches_exact():
         e = exact.loc[(r["type_a"], r["type_b"])]
         assert abs(r["est_jaccard"] - e["jaccard"]) < 0.15
         assert abs(r["est_n_a"] - e["n_a"]) / max(e["n_a"], 1) < 0.2
+
+
+def test_isotonic_calibration_pav_properties():
+    """PAV output is monotone non-decreasing, preserves total
+    positives, and equals a brute-force PAV on the same histogram."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        classifier_calibration_bins, isotonic_calibration)
+
+    got = isotonic_calibration(SF).to_pandas()
+    probs = got["iso_prob"].to_numpy()
+    assert (np.diff(probs) >= -1e-12).all()
+    assert (got["score_lo"].to_numpy() < got["score_hi"].to_numpy()).all()
+    # mass conservation vs the 10-bin reliability diagram's totals
+    bins = classifier_calibration_bins(SF).to_pandas()
+    total_pos = float((bins["frac_positive"] * bins["n_docs"]).sum())
+    got_pos = float((got["iso_prob"] * got["n_docs"]).sum())
+    assert abs(total_pos - got_pos) / max(total_pos, 1.0) < 1e-4
+    # brute-force PAV over the same 50-bin histogram must agree
+    import pandas as pd
+
+    from granulate_char_ocr_ray.functions.linear import linear_z
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        QUALITY_CLF_FEATURES, _docs, _quality_clf_xy,
+        train_quality_classifier)
+    model = train_quality_classifier(SF).to_pandas() \
+        .set_index("feature")["value"]
+    mu = np.array([model[f"mu_{f}"] for f in QUALITY_CLF_FEATURES])
+    w = np.array([model[f"w_{f}"] for f in QUALITY_CLF_FEATURES]
+                 + [model["bias"]])
+    import pyarrow.dataset as pads
+    t = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["text"])
+    X, y = _quality_clf_xy(t.column("text"))
+    p = 1.0 / (1.0 + np.exp(-linear_z(X - mu, w)))
+    b = np.minimum((p * 50).astype(np.int64), 49)
+    h = pd.DataFrame({"b": b, "n": 1, "pos": y.astype(int)}).groupby(
+        "b", as_index=False).sum().sort_values("b")
+    means = (h["pos"] / h["n"]).to_numpy(dtype=float)
+    wts = h["n"].to_numpy(dtype=float)
+    # O(n^2) reference PAV
+    vals = means.copy(); ww = wts.copy(); idx = list(range(len(vals)))
+    changed = True
+    vals = list(vals); ww = list(ww)
+    while changed:
+        changed = False
+        for i in range(len(vals) - 1):
+            if vals[i] >= vals[i + 1] + 1e-15 or (
+                    abs(vals[i] - vals[i + 1]) < 1e-15):
+                m = (vals[i] * ww[i] + vals[i+1] * ww[i+1]) \
+                    / (ww[i] + ww[i+1])
+                vals[i] = m; ww[i] = ww[i] + ww[i+1]
+                del vals[i+1]; del ww[i+1]
+                changed = True
+                break
+    assert len(vals) == len(got)
+    np.testing.assert_allclose(
+        got["iso_prob"].to_numpy(), np.array(vals), atol=5e-7)

@@ -559,3 +559,21 @@ def test_doc_row_numbers_fallback_on_unsorted_blocks(tmp_path):
     got = doc_row_numbers(str(tmp_path)).to_pandas()
     assert list(got["doc_id"]) == sorted(ids.tolist())
     assert list(got["rn"]) == list(range(1, 201))
+
+
+def test_session_duration_km_properties():
+    """KM survival is in [0,1], non-increasing, n_risk strictly
+    decreasing, and the first factor equals 1 - d_0/n_total."""
+    from granulate_char_ocr_ray.pipelines.events import (
+        session_duration_km)
+
+    got = session_duration_km(SF).to_pandas()
+    assert len(got) > 0
+    s = got["survival"].to_numpy()
+    assert (s >= 0).all() and (s <= 1).all()
+    assert (np.diff(s) <= 1e-12).all()
+    nr = got["n_risk"].to_numpy()
+    assert (np.diff(nr) < 0).all()
+    assert (got["n_events"].to_numpy() > 0).all()
+    d0, n0 = got["n_events"].iloc[0], got["n_risk"].iloc[0]
+    assert s[0] == pytest.approx(1.0 - d0 / n0, abs=1e-6)
