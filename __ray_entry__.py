@@ -494,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classifier (not SQL-expressible); sanity pytest
         "classifier_calibration_bins":
             analysis.classifier_calibration_bins,
+        # --- round-3 wave 22: rank-based statistical tests ---
+        "qty_discount_kendall": relational.qty_discount_kendall,
+        "price_mannwhitney": relational.price_mannwhitney,
     }
 
 
@@ -3887,6 +3890,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
                      AS rn
             FROM documents ORDER BY doc_id
+        """,
+        "qty_discount_kendall": """
+            WITH h AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            cd AS (
+              SELECT sum(CASE WHEN b.d > a.d
+                              THEN a.n * b.n ELSE 0 END) AS c,
+                     sum(CASE WHEN b.d < a.d
+                              THEN a.n * b.n ELSE 0 END) AS dd
+              FROM h a JOIN h b ON b.q > a.q),
+            tot AS (SELECT sum(n) AS n FROM h),
+            tx AS (SELECT sum(t * (t - 1) / 2.0) AS n1
+                   FROM (SELECT sum(n) AS t FROM h GROUP BY q)),
+            ty AS (SELECT sum(t * (t - 1) / 2.0) AS n2
+                   FROM (SELECT sum(n) AS t FROM h GROUP BY d))
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   round((c - dd)
+                         / sqrt((n * (n - 1) / 2.0 - n1)
+                                * (n * (n - 1) / 2.0 - n2)), 6)
+                     AS kendall_tau_b
+            FROM cd, tot, tx, ty
+        """,
+        "price_mannwhitney": """
+            WITH h AS (
+              SELECT l_returnflag AS f,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            flags AS (SELECT DISTINCT f FROM h),
+            pairs AS (
+              SELECT a.f AS fa, b.f AS fb
+              FROM flags a JOIN flags b ON a.f < b.f),
+            sub AS (
+              SELECT p.fa, p.fb, h.f, h.v, h.n
+              FROM pairs p JOIN h ON h.f IN (p.fa, p.fb)),
+            comb AS (
+              SELECT fa, fb, v, sum(n) AS cn,
+                     sum(CASE WHEN f = fa THEN n ELSE 0 END) AS na_v
+              FROM sub GROUP BY fa, fb, v),
+            rk AS (
+              SELECT fa, fb, v, na_v, cn,
+                     coalesce(sum(cn) OVER (
+                       PARTITION BY fa, fb ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                       + (cn + 1) / 2.0 AS ravg
+              FROM comb),
+            st AS (
+              SELECT fa, fb,
+                     sum(na_v) AS n_a,
+                     sum(cn) - sum(na_v) AS n_b,
+                     sum(na_v * ravg) AS r_a,
+                     sum(cn * cn * cn - cn) AS tie3
+              FROM rk GROUP BY fa, fb)
+            SELECT fa AS flag_a, fb AS flag_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_stat,
+                   round((r_a - n_a * (n_a + 1) / 2.0
+                          - n_a * n_b / 2.0)
+                         / sqrt(n_a * n_b / 12.0
+                                * ((n_a + n_b + 1)
+                                   - tie3 / ((n_a + n_b)
+                                             * (n_a + n_b - 1.0)))),
+                         6) AS z_score
+            FROM st ORDER BY flag_a, flag_b
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

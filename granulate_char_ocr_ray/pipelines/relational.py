@@ -5539,3 +5539,140 @@ def frequent_triples(sf_dir: str, min_count: int = 2,
             .map_batches(topk_partial, batch_format="pandas")
             .sort(["n_orders", "p1", "p2", "p3"],
                   descending=[True, False, False, False]))
+
+
+def qty_discount_kendall(sf_dir: str) -> rd.Dataset:
+    """Exact Kendall tau-b rank correlation between l_quantity and
+    l_discount WITHOUT any pairwise join over rows: both columns live
+    on tiny bounded domains (integer quantities, percent-step
+    discounts), so the full 2-D CONTINGENCY TABLE is the sufficient
+    statistic. One keyed exchange folds per-block (q, d) cell counts
+    (<= |Q|x|D| rows per block); the driver computes concordant /
+    discordant pair counts from 2-D suffix sums over the cell matrix
+    and the tie corrections from the marginals — tau-b = (C - D) /
+    sqrt((n0 - n1)(n0 - n2)) (Kendall 1945 tie-adjusted form; same
+    histogram-not-rows trick as qty_price_spearman above). Output:
+    (n_items, kendall_tau_b) rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_discount"])
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"q": q, "d": d})
+                .groupby(["q", "d"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cells = hash_groupby_agg(
+        ds.map_batches(cell_partial, batch_format="pandas"),
+        ["q", "d"], {"n": ("n", "sum")},
+        num_parts=4).to_pandas()
+
+    qs = np.sort(cells["q"].unique())
+    dvs = np.sort(cells["d"].unique())
+    M = np.zeros((len(qs), len(dvs)), dtype=np.int64)
+    M[np.searchsorted(qs, cells["q"].to_numpy()),
+      np.searchsorted(dvs, cells["d"].to_numpy())] = \
+        cells["n"].to_numpy(dtype=np.int64)
+
+    # suffix sums: G[i,j] = sum of M over (i' > i, j' > j); H over
+    # (i' > i, j' < j). Each unordered pair is counted exactly once.
+    below = np.cumsum(M[::-1], axis=0)[::-1]  # rows >= i
+    strict_rows = np.vstack([below[1:], np.zeros((1, M.shape[1]),
+                                                 dtype=np.int64)])
+    csum = np.cumsum(strict_rows, axis=1)
+    G = strict_rows.sum(axis=1, keepdims=True) - csum  # j' > j
+    H = csum - strict_rows                             # j' < j
+    C = int((M * G).sum())
+    D = int((M * H).sum())
+
+    n = int(M.sum())
+    n0 = n * (n - 1) / 2.0
+    tq = M.sum(axis=1).astype(np.float64)
+    td = M.sum(axis=0).astype(np.float64)
+    n1 = float((tq * (tq - 1) / 2.0).sum())
+    n2 = float((td * (td - 1) / 2.0).sum())
+    tau = (C - D) / np.sqrt((n0 - n1) * (n0 - n2))
+
+    out = pa.Table.from_pydict({
+        "n_items": pa.array([n], pa.int64()),
+        "kendall_tau_b": pa.array(
+            round_half_up(np.array([tau]), 6), pa.float64())})
+    return rd.from_arrow(out)
+
+
+def price_mannwhitney(sf_dir: str) -> rd.Dataset:
+    """Mann-Whitney U rank-sum test of l_extendedprice between every
+    pair of l_returnflag groups — the non-parametric two-sample
+    location test (Mann & Whitney 1947), with tie-corrected normal
+    approximation. No global sort: prices are exact at cents, so one
+    keyed exchange folds the (flag, cents) histogram (domain-bounded,
+    the order_price_cume_dist trick); the driver derives PER-PAIR
+    tie-aware average ranks from the two groups' merged histograms
+    (vectorized over the value domain, never over rows) and computes
+    U_a = R_a - n_a(n_a+1)/2 and z = (U_a - mu) / sigma with the
+    tie-corrected sigma. Output: (flag_a, flag_b, n_a, n_b, u_stat,
+    z_score) by (flag_a, flag_b), rounded to 6 / u to 2."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        return (pd.DataFrame({"f": df["l_returnflag"].to_numpy(),
+                              "v": v})
+                .groupby(["f", "v"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    hist = hash_groupby_agg(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["f", "v"], {"n": ("n", "sum")},
+        num_parts=8).to_pandas().sort_values(["f", "v"])
+
+    flags = sorted(hist["f"].unique())
+    by_flag = {f: (g["v"].to_numpy(dtype=np.int64),
+                   g["n"].to_numpy(dtype=np.int64))
+               for f, g in hist.groupby("f", sort=True)}
+
+    rows = []
+    for i in range(len(flags)):
+        for j in range(i + 1, len(flags)):
+            fa, fb = flags[i], flags[j]
+            va, na_ = by_flag[fa]
+            vb, nb_ = by_flag[fb]
+            vs = np.union1d(va, vb)
+            ca = np.zeros(len(vs), dtype=np.int64)
+            cb = np.zeros(len(vs), dtype=np.int64)
+            ca[np.searchsorted(vs, va)] = na_
+            cb[np.searchsorted(vs, vb)] = nb_
+            cn = ca + cb
+            cum_less = np.cumsum(cn) - cn
+            ravg = cum_less + (cn + 1) / 2.0
+            n_a = int(ca.sum())
+            n_b = int(cb.sum())
+            r_a = float((ca * ravg).sum())
+            u_a = r_a - n_a * (n_a + 1) / 2.0
+            nn = n_a + n_b
+            tie3 = float((cn.astype(np.float64) ** 3 - cn).sum())
+            mu = n_a * n_b / 2.0
+            sig = np.sqrt(n_a * n_b / 12.0
+                          * ((nn + 1) - tie3 / (nn * (nn - 1.0))))
+            rows.append({"flag_a": fa, "flag_b": fb,
+                         "n_a": n_a, "n_b": n_b,
+                         "u_stat": u_a, "z": (u_a - mu) / sig})
+
+    df = pd.DataFrame(rows)
+    out = pa.Table.from_pydict({
+        "flag_a": pa.array(df["flag_a"], pa.string()),
+        "flag_b": pa.array(df["flag_b"], pa.string()),
+        "n_a": pa.array(df["n_a"], pa.int64()),
+        "n_b": pa.array(df["n_b"], pa.int64()),
+        "u_stat": pa.array(
+            round_half_up(df["u_stat"].to_numpy(), 2), pa.float64()),
+        "z_score": pa.array(
+            round_half_up(df["z"].to_numpy(), 6), pa.float64())})
+    return rd.from_arrow(out)

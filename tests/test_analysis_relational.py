@@ -2459,3 +2459,61 @@ def test_isotonic_calibration_pav_properties():
     assert len(vals) == len(got)
     np.testing.assert_allclose(
         got["iso_prob"].to_numpy(), np.array(vals), atol=5e-7)
+
+
+def test_qty_discount_kendall_matches_bruteforce():
+    """Contingency-table tau-b equals the O(n^2) sign-sum definition
+    (vectorized outer products on the 6k-row fixture)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        qty_discount_kendall)
+
+    got = qty_discount_kendall(SF).to_pandas()
+    t = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_quantity", "l_discount"])
+    q = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+    d = np.rint(t.column("l_discount").to_numpy() * 100).astype(
+        np.int64)
+    n = len(q)
+    sq = np.sign(q[:, None] - q[None, :]).astype(np.int64)
+    sd = np.sign(d[:, None] - d[None, :]).astype(np.int64)
+    cmd = int((sq * sd).sum()) // 2  # C - D over unordered pairs
+    n0 = n * (n - 1) / 2.0
+    _, tq = np.unique(q, return_counts=True)
+    _, td = np.unique(d, return_counts=True)
+    n1 = float((tq * (tq - 1) / 2.0).sum())
+    n2 = float((td * (td - 1) / 2.0).sum())
+    want = cmd / np.sqrt((n0 - n1) * (n0 - n2))
+    assert got["n_items"].iloc[0] == n
+    assert got["kendall_tau_b"].iloc[0] == pytest.approx(want,
+                                                         abs=1e-6)
+
+
+def test_price_mannwhitney_matches_bruteforce():
+    """Histogram-rank U equals the pairwise definition
+    U_a = #(x>y) + 0.5 #(x==y) computed via searchsorted."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        price_mannwhitney)
+
+    got = price_mannwhitney(SF).to_pandas()
+    t = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_returnflag", "l_extendedprice"])
+    f = np.asarray(t.column("l_returnflag"))
+    v = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(
+        np.int64)
+    for _, row in got.iterrows():
+        a = np.sort(v[f == row["flag_a"]])
+        b = np.sort(v[f == row["flag_b"]])
+        lo = np.searchsorted(b, a, side="left")
+        hi = np.searchsorted(b, a, side="right")
+        u_a = float(lo.sum()) + 0.5 * float((hi - lo).sum())
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["u_stat"] == pytest.approx(u_a, abs=0.01)
+        # z-score sign should match the direction of the mean shift
+        mu = len(a) * len(b) / 2.0
+        assert np.sign(row["z_score"]) == np.sign(u_a - mu)
