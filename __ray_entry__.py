@@ -497,6 +497,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 22: rank-based statistical tests ---
         "qty_discount_kendall": relational.qty_discount_kendall,
         "price_mannwhitney": relational.price_mannwhitney,
+        # --- round-3 wave 23: model evaluation + recommendation ---
+        # rows-only: scores come from the iteratively trained
+        # classifier (not SQL-expressible); rank-identity pytest
+        "classifier_auc": analysis.classifier_auc,
+        # rows-only: iterative alternating least-squares (pytest
+        # local-reference parity)
+        "als_recommendations": relational.als_recommendations,
     }
 
 

@@ -3165,3 +3165,56 @@ def isotonic_calibration(sf_dir: str, nbins: int = 50) -> "pa.Table":
         "n_docs": pa.array([int(p[2]) for p in pools], pa.int64()),
         "iso_prob": pa.array(_r([p[3] for p in pools], 6),
                              pa.float64())})
+
+
+def classifier_auc(sf_dir: str) -> "pa.Table":
+    """Exact ROC-AUC of the distilled quality classifier against its
+    teacher labels, computed from a SCORE HISTOGRAM instead of a
+    global sort: scores are quantized to 1e-6 (a bounded <=1e6+1-value
+    domain), one streaming scoring pass folds per-value (n, n_pos)
+    partials, and the driver applies the rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with tie-aware
+    average ranks over the value domain — the Mann-Whitney/AUC
+    equivalence, never materializing per-doc scores. Exact w.r.t. the
+    quantized scores (documented; 1e-6 << the score resolution the
+    8-feature model produces). Output: (n_docs, n_pos, auc) rounded
+    to 6."""
+    from ..functions.linear import linear_z
+    from ..stages.hashagg import hash_groupby_agg
+
+    model = train_quality_classifier(sf_dir).to_pandas() \
+        .set_index("feature")["value"]
+    mu = np.array([model[f"mu_{f}"] for f in QUALITY_CLF_FEATURES])
+    w = np.array([model[f"w_{f}"] for f in QUALITY_CLF_FEATURES]
+                 + [model["bias"]])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X, y = _quality_clf_xy(batch.column("text"))
+        p = 1.0 / (1.0 + np.exp(-linear_z(X - mu, w)))
+        sq = np.rint(p * 1e6).astype(np.int64)
+        g = (pd.DataFrame({"s": sq, "n": np.int64(1),
+                           "n_pos": y.astype(np.int64)})
+             .groupby("s", as_index=False).sum())
+        return table_from_pandas(g, preserve_index=False)
+
+    hist = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["s"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+        num_parts=4).to_pandas().sort_values("s")
+
+    cn = hist["n"].to_numpy(dtype=np.int64)
+    npos_v = hist["n_pos"].to_numpy(dtype=np.int64)
+    cum_less = np.cumsum(cn) - cn
+    ravg = cum_less + (cn + 1) / 2.0
+    n = int(cn.sum())
+    n_pos = int(npos_v.sum())
+    n_neg = n - n_pos
+    r_pos = float((npos_v * ravg).sum())
+    auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+    from ..functions.numeric import round_half_up as _r
+    return pa.Table.from_pydict({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "auc": pa.array(_r(np.array([auc]), 6), pa.float64())})

@@ -5676,3 +5676,150 @@ def price_mannwhitney(sf_dir: str) -> rd.Dataset:
         "z_score": pa.array(
             round_half_up(df["z"].to_numpy(), 6), pa.float64())})
     return rd.from_arrow(out)
+
+
+def _init_factors_for_test(ids: np.ndarray, nf: int) -> np.ndarray:
+    """Deterministic splitmix64-style ALS factor init: per-(id, dim)
+    hash mapped to uniform [0, 0.1] — reproducible across workers and
+    parallelism levels (module-level so the pytest local reference can
+    share it verbatim)."""
+    j = np.arange(nf, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64)[:, None]
+             * np.uint64(0x9E3779B97F4A7C15)
+             + (j + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9))
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(29)
+    return (h / np.float64(2 ** 64)) * 0.1
+
+
+def als_recommendations(sf_dir: str, f: int = 8, alpha: float = 40.0,
+                        lam: float = 0.1, iters: int = 3, k: int = 3,
+                        n_users_out: int = 20) -> rd.Dataset:
+    """Implicit-feedback ALS matrix factorization (Hu, Koren &
+    Volinsky 2008) over the customer x part purchase matrix, emitting
+    top-k unseen-part recommendations for a deterministic user panel.
+    The reference has no recommender; this is the canonical iterative
+    alternating-solve workload a training-data platform runs on
+    interaction logs.
+
+    Plan: the (custkey, partkey, qty) interaction table is built with
+    ONE orderkey-partitioned join (lineitem x orders) + a (cust, part)
+    hash aggregate, then MATERIALIZED once (reduced table — one row
+    per distinct pair, not per lineitem). Each ALS half-step is a
+    single keyed exchange: interactions hash-bucketed by the side
+    being solved, each bucket folding per-key normal equations
+    A_u = YtY + lam*I + alpha Σ r y yᵀ, b_u = Σ (1+alpha r) y with
+    np.add.at over f x f outer products and ONE batched
+    np.linalg.solve per bucket — no per-user Python loop. The fixed
+    side's factors + its precomputed f x f Gram ship once per step via
+    ray.put. Factors here are driver-collected between steps (n_keys x
+    f reduced tables); at 10^9-key scale the same loop holds factors
+    as Datasets and attaches them with partitioned_join instead of the
+    broadcast — the exchange structure is unchanged. Init is
+    deterministic (splitmix-style hash of the item id), so results are
+    reproducible across runs and parallelism levels. Output:
+    (c_custkey, rec_rank, p_partkey, score) for the n_users_out
+    smallest custkeys, scores rounded to 4, ties broken by partkey."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+    from ..stages.join import partitioned_join
+
+    items = read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey",
+                                "l_quantity"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def merge(o_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        m = o_df.merge(l_df, left_on="o_orderkey",
+                       right_on="l_orderkey")
+        return (m.groupby(["o_custkey", "l_partkey"], as_index=False)
+                .agg(r=("l_quantity", "sum")))
+
+    inter = hash_groupby_agg(
+        partitioned_join(
+            orders, items, "o_orderkey", "l_orderkey", merge,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("l_partkey", pa.int64()),
+                                    ("l_quantity", pa.float64())])),
+        ["o_custkey", "l_partkey"], {"r": ("r", "sum")},
+        num_parts=16).materialize()
+
+    _init_factors = _init_factors_for_test
+
+    def _solve_side(ds: rd.Dataset, key: str, other: str,
+                    fixed_ids: np.ndarray, fixed_fac: np.ndarray
+                    ) -> pd.DataFrame:
+        gram = fixed_fac.T @ fixed_fac + lam * np.eye(f)
+        ref = ray.put((fixed_ids, fixed_fac, gram))
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_b"] = _stable_partition(df, [key], 16)
+            return df
+
+        def solve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            fids, ffac, gr = ray.get(ref)
+            g = g.sort_values([key, other])
+            keys_ = g[key].to_numpy(dtype=np.int64)
+            oth = g[other].to_numpy(dtype=np.int64)
+            r = g["r"].to_numpy(dtype=np.float64)
+            uk, idx = np.unique(keys_, return_inverse=True)
+            yr = ffac[np.searchsorted(fids, oth)]
+            cw = alpha * r
+            A = np.broadcast_to(gr, (len(uk), f, f)).copy()
+            contrib = np.einsum("nf,ng->nfg", yr * cw[:, None], yr)
+            np.add.at(A, idx, contrib)
+            B = np.zeros((len(uk), f))
+            np.add.at(B, idx, yr * (1.0 + cw)[:, None])
+            X = np.linalg.solve(A, B)
+            out = pd.DataFrame(X, columns=[f"f{i}" for i in range(f)])
+            out.insert(0, "id", uk)
+            return out
+
+        return (ds.map_batches(tag, batch_format="pandas")
+                .groupby("_b")
+                .map_groups(solve_bucket, batch_format="pandas")
+                .to_pandas().sort_values("id"))
+
+    ids_df = inter.select_columns(["o_custkey", "l_partkey"]).to_pandas()
+    item_ids = np.sort(ids_df["l_partkey"].unique()).astype(np.int64)
+    Y = _init_factors(item_ids, f)
+
+    fcols = [f"f{i}" for i in range(f)]
+    for _ in range(iters):
+        xdf = _solve_side(inter, "o_custkey", "l_partkey",
+                          item_ids, Y)
+        user_ids = xdf["id"].to_numpy(dtype=np.int64)
+        X = xdf[fcols].to_numpy()
+        ydf = _solve_side(inter, "l_partkey", "o_custkey",
+                          user_ids, X)
+        item_ids = ydf["id"].to_numpy(dtype=np.int64)
+        Y = ydf[fcols].to_numpy()
+
+    panel = user_ids[:n_users_out]
+    Xp = X[:n_users_out]
+    scores = Xp @ Y.T
+    seen = ids_df[ids_df["o_custkey"].isin(panel)]
+    u_idx = np.searchsorted(panel, seen["o_custkey"].to_numpy())
+    i_idx = np.searchsorted(item_ids, seen["l_partkey"].to_numpy())
+    scores[u_idx, i_idx] = -np.inf
+
+    rows = []
+    for ui, u in enumerate(panel):
+        order = np.lexsort((item_ids, -scores[ui]))[:k]
+        for rank, ii in enumerate(order, 1):
+            rows.append((int(u), rank, int(item_ids[ii]),
+                         float(scores[ui, ii])))
+    df = pd.DataFrame(rows, columns=["c_custkey", "rec_rank",
+                                     "p_partkey", "score"])
+    out = pa.Table.from_pydict({
+        "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+        "rec_rank": pa.array(df["rec_rank"], pa.int64()),
+        "p_partkey": pa.array(df["p_partkey"], pa.int64()),
+        "score": pa.array(round_half_up(df["score"].to_numpy(), 4),
+                          pa.float64())})
+    return rd.from_arrow(out)

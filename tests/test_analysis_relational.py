@@ -2517,3 +2517,103 @@ def test_price_mannwhitney_matches_bruteforce():
         # z-score sign should match the direction of the mean shift
         mu = len(a) * len(b) / 2.0
         assert np.sign(row["z_score"]) == np.sign(u_a - mu)
+
+
+def test_classifier_auc_matches_bruteforce():
+    """Histogram rank-sum AUC equals the pairwise definition
+    P(score_pos > score_neg) + 0.5 P(==) on the quantized scores."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.functions.linear import linear_z
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        QUALITY_CLF_FEATURES, _quality_clf_xy, classifier_auc,
+        train_quality_classifier)
+
+    got = classifier_auc(SF).to_pandas()
+    model = train_quality_classifier(SF).to_pandas() \
+        .set_index("feature")["value"]
+    mu = np.array([model[f"mu_{f}"] for f in QUALITY_CLF_FEATURES])
+    w = np.array([model[f"w_{f}"] for f in QUALITY_CLF_FEATURES]
+                 + [model["bias"]])
+    t = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["text"])
+    X, y = _quality_clf_xy(t.column("text"))
+    p = 1.0 / (1.0 + np.exp(-linear_z(X - mu, w)))
+    sq = np.rint(p * 1e6).astype(np.int64)
+    pos = np.sort(sq[y.astype(bool)])
+    neg = np.sort(sq[~y.astype(bool)])
+    lo = np.searchsorted(neg, pos, side="left")
+    hi = np.searchsorted(neg, pos, side="right")
+    want = (lo.sum() + 0.5 * (hi - lo).sum()) / (len(pos) * len(neg))
+    assert got["n_docs"].iloc[0] == len(sq)
+    assert got["n_pos"].iloc[0] == len(pos)
+    assert got["auc"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_als_recommendations_matches_local_reference():
+    """Distributed ALS equals a single-process reference running the
+    identical update math (same deterministic init, same per-key
+    normal equations) — and never recommends an already-bought part."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        _init_factors_for_test, als_recommendations)
+
+    f, alpha, lam, iters, k, n_out = 8, 40.0, 0.1, 3, 3, 20
+    got = als_recommendations(SF).to_pandas()
+
+    li = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_orderkey", "l_partkey", "l_quantity"]).to_pandas()
+    od = pads.dataset(f"{SF}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey"]).to_pandas()
+    inter = (od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+             .groupby(["o_custkey", "l_partkey"], as_index=False)
+             .agg(r=("l_quantity", "sum")))
+
+    def solve(side_key, other_key, fids, ffac):
+        gram = ffac.T @ ffac + lam * np.eye(f)
+        g = inter.sort_values([side_key, other_key])
+        keys_ = g[side_key].to_numpy(dtype=np.int64)
+        oth = g[other_key].to_numpy(dtype=np.int64)
+        r = g["r"].to_numpy(dtype=np.float64)
+        uk, idx = np.unique(keys_, return_inverse=True)
+        yr = ffac[np.searchsorted(fids, oth)]
+        cw = alpha * r
+        A = np.broadcast_to(gram, (len(uk), f, f)).copy()
+        np.add.at(A, idx, np.einsum("nf,ng->nfg", yr * cw[:, None], yr))
+        B = np.zeros((len(uk), f))
+        np.add.at(B, idx, yr * (1.0 + cw)[:, None])
+        return uk, np.linalg.solve(A, B)
+
+    item_ids = np.sort(inter["l_partkey"].unique()).astype(np.int64)
+    Y = _init_factors_for_test(item_ids, f)
+    for _ in range(iters):
+        user_ids, X = solve("o_custkey", "l_partkey", item_ids, Y)
+        item_ids, Y = solve("l_partkey", "o_custkey", user_ids, X)
+
+    panel = user_ids[:n_out]
+    scores = X[:n_out] @ Y.T
+    seen = inter[inter["o_custkey"].isin(panel)]
+    scores[np.searchsorted(panel, seen["o_custkey"].to_numpy()),
+           np.searchsorted(item_ids, seen["l_partkey"].to_numpy())] \
+        = -np.inf
+    want = []
+    for ui, u in enumerate(panel):
+        order = np.lexsort((item_ids, -scores[ui]))[:k]
+        for rank, ii in enumerate(order, 1):
+            want.append((int(u), rank, int(item_ids[ii]),
+                         scores[ui, ii]))
+    want = pd.DataFrame(want, columns=["c_custkey", "rec_rank",
+                                       "p_partkey", "score"])
+    assert list(got["c_custkey"]) == list(want["c_custkey"])
+    assert list(got["rec_rank"]) == list(want["rec_rank"])
+    assert list(got["p_partkey"]) == list(want["p_partkey"])
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), atol=5e-4)
+    # no recommended pair was already purchased
+    pairs = set(zip(inter["o_custkey"], inter["l_partkey"]))
+    assert not any((u, p) in pairs
+                   for u, p in zip(got["c_custkey"], got["p_partkey"]))
