@@ -504,6 +504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative alternating least-squares (pytest
         # local-reference parity)
         "als_recommendations": relational.als_recommendations,
+        # --- round-3 wave 24: distribution + robust statistics ---
+        "price_ks_test": relational.price_ks_test,
+        "price_anova_f": relational.price_anova_f,
+        "qty_discount_theilsen": relational.qty_discount_theilsen,
     }
 
 
@@ -3966,6 +3970,86 @@ def oracle_sql() -> dict[str, str]:
                                              * (n_a + n_b - 1.0)))),
                          6) AS z_score
             FROM st ORDER BY flag_a, flag_b
+        """,
+        "price_ks_test": """
+            WITH h AS (
+              SELECT l_returnflag AS f,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            flags AS (SELECT DISTINCT f FROM h),
+            pairs AS (
+              SELECT a.f AS fa, b.f AS fb
+              FROM flags a JOIN flags b ON a.f < b.f),
+            sub AS (
+              SELECT p.fa, p.fb, h.f, h.v, h.n
+              FROM pairs p JOIN h ON h.f IN (p.fa, p.fb)),
+            comb AS (
+              SELECT fa, fb, v,
+                     sum(CASE WHEN f = fa THEN n ELSE 0 END) AS na_v,
+                     sum(CASE WHEN f = fb THEN n ELSE 0 END) AS nb_v
+              FROM sub GROUP BY fa, fb, v),
+            tot AS (
+              SELECT fa, fb, sum(na_v) AS n_a, sum(nb_v) AS n_b
+              FROM comb GROUP BY fa, fb),
+            cdf AS (
+              SELECT c.fa, c.fb, t.n_a, t.n_b,
+                     sum(na_v) OVER w / CAST(t.n_a AS DOUBLE)
+                       - sum(nb_v) OVER w / CAST(t.n_b AS DOUBLE)
+                       AS diff
+              FROM comb c JOIN tot t
+                ON c.fa = t.fa AND c.fb = t.fb
+              WINDOW w AS (PARTITION BY c.fa, c.fb ORDER BY v
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT fa AS flag_a, fb AS flag_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(max(abs(diff)), 6) AS ks_stat,
+                   round(sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))
+                         * max(abs(diff)), 6) AS ks_scaled
+            FROM cdf GROUP BY fa, fb, n_a, n_b ORDER BY 1, 2
+        """,
+        "price_anova_f": """
+            WITH g AS (
+              SELECT l_returnflag AS f, count(*) AS n,
+                     sum(l_extendedprice) AS sx,
+                     sum(l_extendedprice * l_extendedprice) AS sxx
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(n) AS nt, count(*) AS k,
+                         sum(sx) AS sall FROM g)
+            SELECT CAST(nt AS BIGINT) AS n_total,
+                   CAST(k AS BIGINT) AS k_groups,
+                   round((sum(n * pow(sx / n - sall / nt, 2))
+                          / (k - 1))
+                         / (sum(sxx - sx * sx / n) / (nt - k)), 6)
+                     AS f_stat
+            FROM g, t GROUP BY nt, k
+        """,
+        "qty_discount_theilsen": """
+            WITH h AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            p AS (
+              SELECT (b.d - a.d) / CAST(b.q - a.q AS DOUBLE) AS s,
+                     a.n * b.n AS w
+              FROM h a JOIN h b ON b.q > a.q),
+            o AS (SELECT s, sum(w) AS w FROM p GROUP BY s),
+            c AS (SELECT s, w,
+                         sum(w) OVER (ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM o),
+            ks AS (SELECT CAST((sum(w) + 1) // 2 AS BIGINT) AS k1,
+                          CAST((sum(w) + 2) // 2 AS BIGINT) AS k2,
+                          CAST(sum(w) AS BIGINT) AS tot
+                   FROM p)
+            SELECT tot AS n_pairs,
+                   round(((SELECT min(s) FROM c, ks WHERE cum >= k1)
+                          + (SELECT min(s) FROM c, ks
+                             WHERE cum >= k2)) / 2.0, 6)
+                     AS theilsen_slope
+            FROM ks
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

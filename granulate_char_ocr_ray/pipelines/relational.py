@@ -5823,3 +5823,166 @@ def als_recommendations(sf_dir: str, f: int = 8, alpha: float = 40.0,
         "score": pa.array(round_half_up(df["score"].to_numpy(), 4),
                           pa.float64())})
     return rd.from_arrow(out)
+
+
+def price_ks_test(sf_dir: str) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov statistic of l_extendedprice
+    between every pair of l_returnflag groups: D = max_v |F_a(v) -
+    F_b(v)| plus the sample-size-scaled statistic
+    sqrt(n_a n_b / (n_a + n_b)) * D (Smirnov 1939). Same
+    domain-bounded plan as price_mannwhitney: ONE (flag, cents)
+    histogram exchange; the driver takes per-pair ECDF differences on
+    the merged value domain — D is a max over <=|domain| exact
+    fractions, never a row scan. Output: (flag_a, flag_b, n_a, n_b,
+    ks_stat, ks_scaled) by pair, rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64)
+        return (pd.DataFrame({"f": df["l_returnflag"].to_numpy(),
+                              "v": v})
+                .groupby(["f", "v"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    hist = hash_groupby_agg(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["f", "v"], {"n": ("n", "sum")},
+        num_parts=8).to_pandas().sort_values(["f", "v"])
+
+    flags = sorted(hist["f"].unique())
+    by_flag = {f: (g["v"].to_numpy(dtype=np.int64),
+                   g["n"].to_numpy(dtype=np.int64))
+               for f, g in hist.groupby("f", sort=True)}
+
+    rows = []
+    for i in range(len(flags)):
+        for j in range(i + 1, len(flags)):
+            fa, fb = flags[i], flags[j]
+            va, na_ = by_flag[fa]
+            vb, nb_ = by_flag[fb]
+            vs = np.union1d(va, vb)
+            ca = np.zeros(len(vs), dtype=np.int64)
+            cb = np.zeros(len(vs), dtype=np.int64)
+            ca[np.searchsorted(vs, va)] = na_
+            cb[np.searchsorted(vs, vb)] = nb_
+            n_a, n_b = int(ca.sum()), int(cb.sum())
+            fa_cdf = np.cumsum(ca) / n_a
+            fb_cdf = np.cumsum(cb) / n_b
+            d = float(np.abs(fa_cdf - fb_cdf).max())
+            rows.append({
+                "flag_a": fa, "flag_b": fb, "n_a": n_a, "n_b": n_b,
+                "ks": d,
+                "kss": np.sqrt(n_a * n_b / (n_a + n_b)) * d})
+
+    df = pd.DataFrame(rows)
+    out = pa.Table.from_pydict({
+        "flag_a": pa.array(df["flag_a"], pa.string()),
+        "flag_b": pa.array(df["flag_b"], pa.string()),
+        "n_a": pa.array(df["n_a"], pa.int64()),
+        "n_b": pa.array(df["n_b"], pa.int64()),
+        "ks_stat": pa.array(round_half_up(df["ks"].to_numpy(), 6),
+                            pa.float64()),
+        "ks_scaled": pa.array(round_half_up(df["kss"].to_numpy(), 6),
+                              pa.float64())})
+    return rd.from_arrow(out)
+
+
+def price_anova_f(sf_dir: str) -> rd.Dataset:
+    """One-way ANOVA F statistic of l_extendedprice across the
+    l_returnflag groups from MERGEABLE MOMENTS only: each block folds
+    per-group (n, Σx, Σx²) rows (|groups| x blocks exchange), and the
+    driver forms SSB = Σ_g n_g (x̄_g - x̄)² and SSW = Σ_g (Σx² -
+    (Σx)²/n_g) — the classic sufficient-statistic decomposition, no
+    second pass and no row retention. Output: (n_total, k_groups,
+    f_stat) rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        g = pd.DataFrame({"f": df["l_returnflag"].to_numpy(),
+                          "n": np.int64(1), "sx": x, "sxx": x * x})
+        return g.groupby("f", as_index=False).sum()
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["f"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                "sxx": ("sxx", "sum")}, num_parts=2).to_pandas()
+
+    n = agg["n"].to_numpy(dtype=np.float64)
+    sx = agg["sx"].to_numpy(dtype=np.float64)
+    sxx = agg["sxx"].to_numpy(dtype=np.float64)
+    nt = float(n.sum())
+    k = len(agg)
+    grand = sx.sum() / nt
+    ssb = float((n * (sx / n - grand) ** 2).sum())
+    ssw = float((sxx - sx * sx / n).sum())
+    f_stat = (ssb / (k - 1)) / (ssw / (nt - k))
+
+    out = pa.Table.from_pydict({
+        "n_total": pa.array([int(nt)], pa.int64()),
+        "k_groups": pa.array([k], pa.int64()),
+        "f_stat": pa.array(round_half_up(np.array([f_stat]), 6),
+                           pa.float64())})
+    return rd.from_arrow(out)
+
+
+def qty_discount_theilsen(sf_dir: str) -> rd.Dataset:
+    """Theil-Sen robust slope of l_discount (in percent steps) on
+    l_quantity — the median of all pairwise slopes (y_j - y_i) /
+    (x_j - x_i) over pairs with distinct x (Theil 1950, Sen 1968) —
+    WITHOUT the O(n²) pair scan: both columns live on tiny bounded
+    domains, so the |Q|x|D| contingency table (one keyed exchange, the
+    qty_discount_kendall plan) carries every pair as a weighted
+    cell-pair. The driver expands <=(|Q||D|)²/2 weighted slopes and
+    takes the exact WEIGHTED median (average of the two straddling
+    positions for even totals, matching the unweighted definition).
+    Output: (n_pairs, theilsen_slope) rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_discount"])
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"q": q, "d": d})
+                .groupby(["q", "d"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cells = hash_groupby_agg(
+        ds.map_batches(cell_partial, batch_format="pandas"),
+        ["q", "d"], {"n": ("n", "sum")},
+        num_parts=4).to_pandas().sort_values(["q", "d"])
+
+    q = cells["q"].to_numpy(dtype=np.int64)
+    d = cells["d"].to_numpy(dtype=np.int64)
+    n = cells["n"].to_numpy(dtype=np.int64)
+    ii, jj = np.triu_indices(len(cells), k=1)
+    keep = q[ii] != q[jj]
+    ii, jj = ii[keep], jj[keep]
+    slopes = (d[jj] - d[ii]) / (q[jj] - q[ii]).astype(np.float64)
+    wts = n[ii] * n[jj]
+
+    order = np.argsort(slopes, kind="stable")
+    slopes = slopes[order]
+    wts = wts[order]
+    cum = np.cumsum(wts)
+    total = int(cum[-1])
+    k1 = (total + 1) // 2
+    k2 = (total + 2) // 2
+    s1 = slopes[np.searchsorted(cum, k1)]
+    s2 = slopes[np.searchsorted(cum, k2)]
+    med = (s1 + s2) / 2.0
+
+    out = pa.Table.from_pydict({
+        "n_pairs": pa.array([total], pa.int64()),
+        "theilsen_slope": pa.array(
+            round_half_up(np.array([med]), 6), pa.float64())})
+    return rd.from_arrow(out)

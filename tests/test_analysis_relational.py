@@ -2617,3 +2617,77 @@ def test_als_recommendations_matches_local_reference():
     pairs = set(zip(inter["o_custkey"], inter["l_partkey"]))
     assert not any((u, p) in pairs
                    for u, p in zip(got["c_custkey"], got["p_partkey"]))
+
+
+def test_price_ks_test_matches_bruteforce():
+    """Histogram ECDF max-gap equals the sorted-array two-sample KS."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        price_ks_test)
+
+    got = price_ks_test(SF).to_pandas()
+    t = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_returnflag", "l_extendedprice"])
+    f = np.asarray(t.column("l_returnflag"))
+    v = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(
+        np.int64)
+    for _, row in got.iterrows():
+        a = np.sort(v[f == row["flag_a"]])
+        b = np.sort(v[f == row["flag_b"]])
+        vs = np.union1d(a, b)
+        fa = np.searchsorted(a, vs, side="right") / len(a)
+        fb = np.searchsorted(b, vs, side="right") / len(b)
+        d = float(np.abs(fa - fb).max())
+        assert row["ks_stat"] == pytest.approx(d, abs=1e-6)
+        assert row["ks_scaled"] == pytest.approx(
+            np.sqrt(len(a) * len(b) / (len(a) + len(b))) * d, abs=1e-5)
+
+
+def test_price_anova_f_matches_bruteforce():
+    """Moments-based F equals the definitional SSB/SSW computation."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        price_anova_f)
+
+    got = price_anova_f(SF).to_pandas()
+    t = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_returnflag", "l_extendedprice"])
+    f = np.asarray(t.column("l_returnflag"))
+    x = t.column("l_extendedprice").to_numpy()
+    groups = [x[f == g] for g in np.unique(f)]
+    grand = x.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    want = (ssb / (len(groups) - 1)) / (ssw / (len(x) - len(groups)))
+    assert got["n_total"].iloc[0] == len(x)
+    assert got["k_groups"].iloc[0] == len(groups)
+    assert got["f_stat"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_qty_discount_theilsen_matches_bruteforce():
+    """Weighted cell-pair median equals np.median over ALL pairwise
+    slopes with distinct x (18M pairs, vectorized)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        qty_discount_theilsen)
+
+    got = qty_discount_theilsen(SF).to_pandas()
+    t = pads.dataset(f"{SF}/lineitem.parquet").to_table(
+        columns=["l_quantity", "l_discount"])
+    q = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+    d = np.rint(t.column("l_discount").to_numpy() * 100).astype(
+        np.int64)
+    ii, jj = np.triu_indices(len(q), k=1)
+    keep = q[ii] != q[jj]
+    ii, jj = ii[keep], jj[keep]
+    # orient pairs so x_j > x_i (slope is orientation-invariant)
+    slopes = (d[jj] - d[ii]) / (q[jj] - q[ii]).astype(np.float64)
+    assert got["n_pairs"].iloc[0] == len(slopes)
+    assert got["theilsen_slope"].iloc[0] == pytest.approx(
+        float(np.median(slopes)), abs=1e-6)
