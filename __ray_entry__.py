@@ -508,6 +508,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_ks_test": relational.price_ks_test,
         "price_anova_f": relational.price_anova_f,
         "qty_discount_theilsen": relational.qty_discount_theilsen,
+        # --- round-3 wave 25: density clustering + forecasting ---
+        # rows-only: grid-density variant of DBSCAN (synthetic-blob +
+        # determinism/partition pytest)
+        "dbscan_embeddings": similarity.dbscan_embeddings,
+        # rows-only: sequential smoothing recursion (synthetic
+        # trend+season pytest)
+        "holt_winters_daily": relational.holt_winters_daily,
     }
 
 

@@ -5986,3 +5986,75 @@ def qty_discount_theilsen(sf_dir: str) -> rd.Dataset:
         "theilsen_slope": pa.array(
             round_half_up(np.array([med]), 6), pa.float64())})
     return rd.from_arrow(out)
+
+
+def holt_winters_daily(sf_dir: str, alpha: float = 0.3,
+                       beta: float = 0.1, gamma: float = 0.2,
+                       m: int = 7, horizon: int = 7,
+                       year: str = "1997") -> rd.Dataset:
+    """Additive Holt-Winters triple exponential smoothing (Holt 1957 /
+    Winters 1960) of one year's daily order revenue, with a weekly
+    (m=7) season — level + trend + seasonality fitted in one pass and
+    an h-step-ahead forecast. The smoothing recursion is inherently
+    sequential but runs over the DAY-CARDINALITY series only: the
+    distributed work is the same fixed-point daily-cents reduce as
+    daily_revenue_delta (exchange bounded by days x blocks), and the
+    driver recursion is O(365). Missing days enter as 0 (explicit
+    reindex over the calendar span). Output: the last `horizon` fitted
+    values and the `horizon` forecasts — (day, kind, value) with kind
+    in {fitted, forecast}, values in dollars rounded to 2, by day."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        filter_expr=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= pd.Timestamp(str(lo)))
+                & (df["o_orderdate"] < pd.Timestamp(str(hi)))].copy()
+        df["day"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+        df["rev"] = np.rint(df["o_totalprice"].to_numpy() * 100)
+        return df.groupby("day", as_index=False).agg(rev=("rev", "sum"))
+
+    daily = hash_groupby_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["day"], {"rev": ("rev", "sum")},
+        num_parts=2).to_pandas().sort_values("day")
+
+    idx = pd.date_range(str(lo)[:10], periods=(hi - lo).astype(
+        "timedelta64[D]").astype(int), freq="D")
+    series = (daily.set_index(pd.to_datetime(daily["day"]))["rev"]
+              .reindex(idx, fill_value=0.0).to_numpy(dtype=np.float64)
+              / 100.0)
+
+    y = series
+    lvl = float(y[:m].mean())
+    trd = float((y[m:2 * m].mean() - y[:m].mean()) / m)
+    season = (y[:m] - lvl).astype(np.float64)
+    fitted = np.empty(len(y))
+    for t in range(len(y)):
+        s_old = season[t % m]
+        fitted[t] = lvl + trd + s_old
+        lvl_new = alpha * (y[t] - s_old) + (1 - alpha) * (lvl + trd)
+        trd = beta * (lvl_new - lvl) + (1 - beta) * trd
+        season[t % m] = gamma * (y[t] - lvl_new) + (1 - gamma) * s_old
+        lvl = lvl_new
+
+    days_fit = [d.strftime("%Y-%m-%d") for d in idx[-horizon:]]
+    days_fc = [(idx[-1] + pd.Timedelta(days=h)).strftime("%Y-%m-%d")
+               for h in range(1, horizon + 1)]
+    vals_fc = [lvl + h * trd + season[(len(y) + h - 1) % m]
+               for h in range(1, horizon + 1)]
+
+    out = pa.Table.from_pydict({
+        "day": pa.array(days_fit + days_fc, pa.string()),
+        "kind": pa.array(["fitted"] * horizon
+                         + ["forecast"] * horizon, pa.string()),
+        "value": pa.array(round_half_up(
+            np.concatenate([fitted[-horizon:], vals_fc]), 2),
+            pa.float64())})
+    return rd.from_arrow(out)

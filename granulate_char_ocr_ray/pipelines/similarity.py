@@ -1722,3 +1722,103 @@ def label_mmd_rff(sf_dir: str, num_features: int = 512,
         "label_a": pa.array(out["label_a"], pa.int64()),
         "label_b": pa.array(out["label_b"], pa.int64()),
         "mmd2": pa.array(out["mmd2"], pa.float64())})
+
+
+def dbscan_embeddings(sf_dir: str, eps_scale: float = 0.25,
+                      min_pts: int = 5) -> rd.Dataset:
+    """Grid-DBSCAN density clustering of the embedding corpus — the
+    scalable density-clustering shape (DBSCAN via cell histograms;
+    the classic eps-graph DBSCAN is an all-pairs join and melts at
+    corpus scale). Points are projected onto the top-2 PCA directions
+    (from the O(d²)-per-block moment fold — no shuffle) and bucketed
+    into eps-side grid cells, where eps = eps_scale * sqrt(λ₁)
+    adapts to the corpus spread. ONE (cx, cy) cell-count exchange
+    (bounded by occupied cells, never points) is the only shuffle;
+    the driver unions adjacent core cells (count >= min_pts,
+    8-neighborhood), attaches border cells to their smallest adjacent
+    core cell, and labels the rest noise. Eigenvector signs are
+    canonicalized (largest-|entry| positive) so cell coordinates are
+    reproducible. Output: (cluster_id, n_points, n_cells) per cluster
+    by cluster_id, with noise as cluster_id -1; cluster ids are
+    assigned in lexicographic order of each cluster's smallest cell."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    n, s, ss = _embedding_moments(sf_dir)
+    mean = s / n
+    cov = (ss - np.outer(s, s) / n) / (n - 1.0)
+    w, V = np.linalg.eigh(cov)
+    P = V[:, [-1, -2]].copy()
+    for c in range(2):
+        if P[np.abs(P[:, c]).argmax(), c] < 0:
+            P[:, c] = -P[:, c]
+    eps = float(eps_scale * np.sqrt(w[-1]))
+    ref = ray.put((mean, P, eps))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        mu, proj, e = ray.get(ref)
+        _, mat = _batch_matrix(batch)
+        pr = (mat - mu) @ proj
+        cx = np.floor(pr[:, 0] / e).astype(np.int64)
+        cy = np.floor(pr[:, 1] / e).astype(np.int64)
+        g = (pd.DataFrame({"cx": cx, "cy": cy})
+             .groupby(["cx", "cy"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = hash_groupby_agg(
+        _embeddings(sf_dir).map_batches(cells, batch_format="pyarrow"),
+        ["cx", "cy"], {"n": ("n", "sum")},
+        num_parts=4).to_pandas().sort_values(["cx", "cy"])
+
+    occupied = {(int(r.cx), int(r.cy)): int(r.n)
+                for r in counts.itertuples()}
+    core = sorted(c for c, cn in occupied.items() if cn >= min_pts)
+
+    parent = {c: c for c in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    core_set = set(core)
+    for (x, y) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb in core_set and nb != (x, y):
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    roots = sorted({find(c) for c in core})
+    cluster_of = {root: i for i, root in enumerate(roots)}
+
+    sizes: dict[int, int] = {}
+    ncells: dict[int, int] = {}
+    noise = 0
+    for cell, cn in occupied.items():
+        if cell in core_set:
+            cid = cluster_of[find(cell)]
+        else:
+            adj = sorted(nb for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                         if (nb := (cell[0] + dx, cell[1] + dy))
+                         in core_set)
+            if adj:
+                cid = cluster_of[find(adj[0])]
+            else:
+                noise += cn
+                continue
+        sizes[cid] = sizes.get(cid, 0) + cn
+        ncells[cid] = ncells.get(cid, 0) + 1
+
+    ids = sorted(sizes)
+    out = pa.Table.from_pydict({
+        "cluster_id": pa.array(ids + [-1], pa.int64()),
+        "n_points": pa.array([sizes[i] for i in ids] + [noise],
+                             pa.int64()),
+        "n_cells": pa.array([ncells[i] for i in ids]
+                            + [len(occupied) - sum(ncells.values())],
+                            pa.int64())})
+    return rd.from_arrow(out)

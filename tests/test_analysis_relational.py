@@ -2691,3 +2691,35 @@ def test_qty_discount_theilsen_matches_bruteforce():
     assert got["n_pairs"].iloc[0] == len(slopes)
     assert got["theilsen_slope"].iloc[0] == pytest.approx(
         float(np.median(slopes)), abs=1e-6)
+
+
+def test_holt_winters_tracks_synthetic_weekly_pattern(tmp_path):
+    """A pure trend + weekly season series is forecast to within a
+    few units after a year of smoothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        holt_winters_daily)
+
+    days = pd.date_range("1997-01-01", "1997-12-31", freq="D")
+    season = np.array([0.0, 100.0, -50.0, 30.0, -80.0, 60.0, -60.0])
+    vals = 1000.0 + 2.0 * np.arange(len(days)) \
+        + season[np.arange(len(days)) % 7]
+    t = pa.table({
+        "o_orderdate": pa.array(days, pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+    got = holt_winters_daily(str(tmp_path)).to_pandas()
+    fc = got[got["kind"] == "forecast"].reset_index(drop=True)
+    assert len(fc) == 7
+    for h in range(7):
+        ti = len(days) + h
+        want = 1000.0 + 2.0 * ti + season[ti % 7]
+        assert abs(fc["value"].iloc[h] - want) < 5.0
+    # fitted tail should also hug the series
+    ft = got[got["kind"] == "fitted"]
+    tail_want = vals[-7:]
+    assert np.abs(ft["value"].to_numpy() - tail_want).max() < 5.0

@@ -1083,3 +1083,50 @@ def test_label_mmd_rff_matches_local_and_separates():
         return float(df @ df)
     assert mmd2(X, Y_same) < 0.01
     assert mmd2(X, Y_shift) > 5 * mmd2(X, Y_same)
+
+
+def test_dbscan_embeddings_two_blobs(tmp_path):
+    """Two well-separated Gaussian blobs -> exactly 2 clusters with
+    the right sizes and zero noise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        dbscan_embeddings)
+
+    rng = np.random.default_rng(0)
+    dim, n_blob = 8, 100
+    a = rng.normal(0.0, 0.5, size=(n_blob, dim))
+    a[:, 0] += 10.0
+    b = rng.normal(0.0, 0.5, size=(n_blob, dim))
+    b[:, 0] -= 10.0
+    mat = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(2 * n_blob, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(2 * n_blob, dtype=np.int32))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    got = dbscan_embeddings(str(tmp_path)).to_pandas()
+    clusters = got[got["cluster_id"] >= 0]
+    noise = got[got["cluster_id"] < 0]
+    assert len(clusters) == 2
+    assert sorted(clusters["n_points"]) == [n_blob, n_blob]
+    assert noise["n_points"].iloc[0] == 0
+
+
+def test_dbscan_embeddings_fixture_partitions_corpus():
+    """On the real fixture: cluster sizes + noise partition all rows,
+    every cluster has >= min_pts points, and the result is stable
+    across two runs (deterministic projection + cell labels)."""
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.similarity import (
+        dbscan_embeddings)
+
+    g1 = dbscan_embeddings(SF).to_pandas()
+    g2 = dbscan_embeddings(SF).to_pandas()
+    pd.testing.assert_frame_equal(g1, g2)
+    n = pads.dataset(f"{SF}/embeddings.parquet").count_rows()
+    assert g1["n_points"].sum() == n
+    assert (g1[g1["cluster_id"] >= 0]["n_points"] >= 5).all()
