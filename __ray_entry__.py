@@ -515,6 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: sequential smoothing recursion (synthetic
         # trend+season pytest)
         "holt_winters_daily": relational.holt_winters_daily,
+        # --- round-3 wave 26: time-series decomposition + lead-lag ---
+        "daily_revenue_stl": relational.daily_revenue_stl,
+        "event_type_lagged_xcorr": events.event_type_lagged_xcorr,
     }
 
 
@@ -4057,6 +4060,60 @@ def oracle_sql() -> dict[str, str]:
                              WHERE cum >= k2)) / 2.0, 6)
                      AS theilsen_slope
             FROM ks
+        """,
+        "daily_revenue_stl": """
+            WITH d AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(strftime(o_orderdate, '%w') AS INTEGER)
+                       AS dow,
+                     sum(round(o_totalprice * 100)) / 100.0 AS rev
+              FROM orders
+              WHERE o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01'
+              GROUP BY 1, 2),
+            s AS (
+              SELECT day, dow, rev,
+                     row_number() OVER (ORDER BY day) AS rn,
+                     count(*) OVER () AS nt,
+                     avg(rev) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS trend
+              FROM d),
+            v AS (SELECT * FROM s WHERE rn > 3 AND rn <= nt - 3),
+            sw AS (SELECT dow, avg(rev - trend) AS sraw
+                   FROM v GROUP BY dow),
+            c AS (SELECT avg(sraw) AS ctr FROM sw),
+            j AS (
+              SELECT v.day, v.rev, v.trend, sw.sraw - c.ctr AS seas
+              FROM v JOIN sw ON v.dow = sw.dow, c),
+            t AS (SELECT * FROM j ORDER BY day DESC LIMIT 28)
+            SELECT day, round(rev, 2) AS revenue,
+                   round(trend, 4) AS trend,
+                   round(seas, 4) AS seasonal,
+                   round(rev - trend - seas, 4) AS resid
+            FROM t ORDER BY day
+        """,
+        "event_type_lagged_xcorr": """
+            WITH cx AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS x
+              FROM events WHERE event_type = 'click' GROUP BY 1),
+            cy AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS y
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            l AS (SELECT unnest(range(0, 8)) AS lag),
+            j AS (
+              SELECT l.lag, cx.x, cy.y
+              FROM l, cx, cy
+              WHERE cy.day = cx.day + CAST(l.lag AS INTEGER))
+            SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                   round((sum(x * y) - sum(x) * sum(y)
+                            / CAST(count(*) AS DOUBLE))
+                         / sqrt((sum(x * x) - sum(x) * sum(x)
+                                   / CAST(count(*) AS DOUBLE))
+                                * (sum(y * y) - sum(y) * sum(y)
+                                   / CAST(count(*) AS DOUBLE))), 6)
+                     AS xcorr
+            FROM j GROUP BY lag ORDER BY lag
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

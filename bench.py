@@ -372,6 +372,28 @@ def _secondary_list():
          lambda: events.hopping_event_counts(SF_DIR).count()),
         ("audience_overlap",
          lambda: events.audience_overlap(SF_DIR).to_pandas()),
+        ("session_duration_km",
+         lambda: events.session_duration_km(SF_DIR)),
+        ("isotonic_calibration",
+         lambda: analysis.isotonic_calibration(SF_DIR)),
+        ("qty_discount_kendall",
+         lambda: relational.qty_discount_kendall(SF_DIR).to_pandas()),
+        ("price_mannwhitney",
+         lambda: relational.price_mannwhitney(SF_DIR).to_pandas()),
+        ("classifier_auc",
+         lambda: analysis.classifier_auc(SF_DIR)),
+        ("als_recommendations",
+         lambda: relational.als_recommendations(SF_DIR).to_pandas()),
+        ("price_ks_test",
+         lambda: relational.price_ks_test(SF_DIR).to_pandas()),
+        ("price_anova_f",
+         lambda: relational.price_anova_f(SF_DIR).to_pandas()),
+        ("qty_discount_theilsen",
+         lambda: relational.qty_discount_theilsen(SF_DIR).to_pandas()),
+        ("dbscan_embeddings",
+         lambda: similarity.dbscan_embeddings(SF_DIR).to_pandas()),
+        ("holt_winters_daily",
+         lambda: relational.holt_winters_daily(SF_DIR).to_pandas()),
     ]
 
 

@@ -2550,3 +2550,63 @@ def session_duration_km(sf_dir: str, gap_minutes: int = 30
         "n_events": pa.array(
             hist["d"].to_numpy()[keep].astype(np.int64), pa.int64()),
         "survival": pa.array(_r(surv[keep], 6), pa.float64())})
+
+
+def event_type_lagged_xcorr(sf_dir: str, type_x: str = "click",
+                            type_y: str = "purchase",
+                            max_lag: int = 7) -> "pa.Table":
+    """Lagged cross-correlation between two event types' daily counts:
+    corr(x_d, y_{d+lag}) for lag 0..max_lag — the lead-lag screen
+    (does click volume predict purchase volume days later?). Sibling
+    of daily_value_acf, but across series. ONE (type, day) count
+    exchange (calendar-bounded); the per-lag alignment joins days
+    where BOTH series exist (inner-join semantics, documented) and
+    the correlation is computed from exact INTEGER count moments —
+    deterministic across block orders. Output: (lag, n_days, xcorr)
+    by lag, rounded to 6."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([type_x, type_y])]
+        df = df.assign(day=df["ts"].dt.floor("D"))
+        return (df.groupby(["event_type", "day"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    daily = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(4).to_pandas())
+    daily = daily.groupby(["event_type", "day"], as_index=False)[
+        "n"].sum()
+
+    def series(t: str) -> tuple[np.ndarray, np.ndarray]:
+        g = daily[daily["event_type"] == t].sort_values("day")
+        return (g["day"].to_numpy(dtype="datetime64[D]").astype(
+            np.int64), g["n"].to_numpy(dtype=np.int64))
+
+    dx, vx = series(type_x)
+    dy, vy = series(type_y)
+
+    lags, n_days, xc = [], [], []
+    for lag in range(0, max_lag + 1):
+        pos = np.searchsorted(dy, dx + lag)
+        pos_c = np.clip(pos, 0, len(dy) - 1)
+        ok = dy[pos_c] == dx + lag
+        x = vx[ok].astype(np.float64)
+        y = vy[pos_c[ok]].astype(np.float64)
+        n = int(ok.sum())
+        if n >= 2:
+            sx, sy = x.sum(), y.sum()
+            sxy = (x * y).sum()
+            sxx, syy = (x * x).sum(), (y * y).sum()
+            den = np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            r = float((sxy - sx * sy / n) / den) if den > 0 else None
+        else:
+            r = None
+        lags.append(lag)
+        n_days.append(n)
+        xc.append(round_half_up([r], 6)[0] if r is not None else None)
+
+    return pa.Table.from_pydict({
+        "lag": pa.array(lags, pa.int64()),
+        "n_days": pa.array(n_days, pa.int64()),
+        "xcorr": pa.array(xc, pa.float64())})

@@ -6058,3 +6058,67 @@ def holt_winters_daily(sf_dir: str, alpha: float = 0.3,
             np.concatenate([fitted[-horizon:], vals_fc]), 2),
             pa.float64())})
     return rd.from_arrow(out)
+
+
+def daily_revenue_stl(sf_dir: str, year: str = "1997",
+                      tail_days: int = 28) -> rd.Dataset:
+    """STL-lite seasonal-trend decomposition of one year's daily order
+    revenue (Cleveland et al. 1990 shape, single-pass moving-average
+    variant): trend = centered 7-day moving average over the observed
+    day series, seasonal = mean-centered weekday averages of the
+    detrended series, residual = the rest. Distributed work is ONE
+    fixed-point daily-cents reduce (day x blocks exchange); the
+    decomposition runs on the day-cardinality series driver-side.
+    Edge days without a full trend window are excluded (standard).
+    Output: the last `tail_days` decomposed days — (day, revenue,
+    trend, seasonal, resid) by day, revenue rounded to 2, the
+    components to 4."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us")
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        filter_expr=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= pd.Timestamp(str(lo)))
+                & (df["o_orderdate"] < pd.Timestamp(str(hi)))].copy()
+        df["day"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+        df["rev"] = np.rint(df["o_totalprice"].to_numpy() * 100)
+        return df.groupby("day", as_index=False).agg(rev=("rev", "sum"))
+
+    daily = hash_groupby_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["day"], {"rev": ("rev", "sum")},
+        num_parts=2).to_pandas().sort_values("day").reset_index(
+        drop=True)
+
+    rev = daily["rev"].to_numpy(dtype=np.float64) / 100.0
+    dow = pd.to_datetime(daily["day"]).dt.strftime("%w").astype(
+        int).to_numpy()
+    n = len(rev)
+    # centered 7-day MA over observed-row positions (matches the SQL
+    # ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING window on full windows)
+    trend = np.convolve(rev, np.ones(7), mode="valid") / 7.0
+    valid = slice(3, n - 3)
+    det = rev[valid] - trend
+    dv = dow[valid]
+    sw = {w: float(det[dv == w].mean()) for w in np.unique(dv)}
+    center = float(np.mean(list(sw.values())))
+    seasonal = np.array([sw[w] - center for w in dv])
+    resid = det - seasonal
+
+    days_v = daily["day"].to_numpy()[valid]
+    k = min(tail_days, len(days_v))
+    out = pa.Table.from_pydict({
+        "day": pa.array(days_v[-k:], pa.string()),
+        "revenue": pa.array(round_half_up(rev[valid][-k:], 2),
+                            pa.float64()),
+        "trend": pa.array(round_half_up(trend[-k:], 4), pa.float64()),
+        "seasonal": pa.array(round_half_up(seasonal[-k:], 4),
+                             pa.float64()),
+        "resid": pa.array(round_half_up(resid[-k:], 4), pa.float64())})
+    return rd.from_arrow(out)

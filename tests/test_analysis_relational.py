@@ -2723,3 +2723,52 @@ def test_holt_winters_tracks_synthetic_weekly_pattern(tmp_path):
     ft = got[got["kind"] == "fitted"]
     tail_want = vals[-7:]
     assert np.abs(ft["value"].to_numpy() - tail_want).max() < 5.0
+
+
+def test_daily_revenue_stl_additivity_and_seasonality():
+    """trend + seasonal + resid reconstructs revenue, seasonal sums
+    to ~0 over a full week, and trend is smooth (bounded day-to-day
+    relative change vs the raw series variance)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        daily_revenue_stl)
+
+    got = daily_revenue_stl(SF).to_pandas()
+    assert len(got) == 28
+    recon = (got["trend"] + got["seasonal"] + got["resid"]).to_numpy()
+    np.testing.assert_allclose(recon, got["revenue"].to_numpy(),
+                               atol=2e-2)
+    # seasonal is a weekday effect: one value per weekday (<= 7)
+    dow = pd.to_datetime(got["day"]).dt.strftime("%w")
+    per_dow = got.groupby(dow)["seasonal"].nunique()
+    assert (per_dow == 1).all()
+    # trend varies less than the raw series
+    assert np.std(np.diff(got["trend"])) < np.std(
+        np.diff(got["revenue"]))
+
+
+def test_event_type_lagged_xcorr_lag0_is_pearson():
+    """Lag-0 cross-correlation equals the direct Pearson correlation
+    of the two aligned daily count series."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.events import (
+        event_type_lagged_xcorr)
+
+    got = event_type_lagged_xcorr(SF).to_pandas()
+    assert list(got["lag"]) == list(range(8))
+    con = duckdb.connect()
+    df = con.execute(f"""
+        WITH cx AS (SELECT CAST(ts AS DATE) d, count(*) x
+                    FROM '{SF}/events.parquet'
+                    WHERE event_type = 'click' GROUP BY 1),
+             cy AS (SELECT CAST(ts AS DATE) d, count(*) y
+                    FROM '{SF}/events.parquet'
+                    WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT corr(x, y) r, count(*) n
+        FROM cx JOIN cy USING (d)
+    """).df()
+    assert got["n_days"].iloc[0] == df["n"].iloc[0]
+    assert got["xcorr"].iloc[0] == pytest.approx(df["r"].iloc[0],
+                                                 abs=1e-6)
