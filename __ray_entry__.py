@@ -518,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 26: time-series decomposition + lead-lag ---
         "daily_revenue_stl": relational.daily_revenue_stl,
         "event_type_lagged_xcorr": events.event_type_lagged_xcorr,
+        # --- round-3 wave 27: agreement + association rules + graph ---
+        "langid_agreement_kappa": analysis.langid_agreement_kappa,
+        "association_rules": relational.association_rules,
     }
 
 
@@ -4114,6 +4117,56 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(count(*) AS DOUBLE))), 6)
                      AS xcorr
             FROM j GROUP BY lag ORDER BY lag
+        """,
+        "langid_agreement_kappa": f"""
+            WITH pred AS (
+              SELECT doc_id, pred_lang FROM ({_lang_id_oracle()}) q
+            ), j AS (
+              SELECT p.pred_lang, d.lang
+              FROM pred p JOIN documents d USING (doc_id)
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM j),
+            po AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM j
+                   WHERE pred_lang = lang),
+            rowm AS (SELECT pred_lang AS k, CAST(count(*) AS DOUBLE)
+                       AS c FROM j GROUP BY 1),
+            colm AS (SELECT lang AS k, CAST(count(*) AS DOUBLE) AS c
+                     FROM j GROUP BY 1),
+            pe AS (SELECT sum(rowm.c * colm.c) AS s
+                   FROM rowm JOIN colm USING (k))
+            SELECT CAST(n.tot AS BIGINT) AS n_docs,
+                   round(po.c / n.tot, 6) AS po,
+                   round(pe.s / (n.tot * n.tot), 6) AS pe,
+                   round((po.c / n.tot - pe.s / (n.tot * n.tot))
+                         / (1 - pe.s / (n.tot * n.tot)), 6) AS kappa
+            FROM n, po, pe
+        """,
+        "association_rules": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            pair AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                            count(*) AS n_pair
+                     FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2 HAVING count(*) >= 3),
+            sup AS (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n
+                    FROM d GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+            rules AS (
+              SELECT p1 AS antecedent, p2 AS consequent, n_pair,
+                     s1.n AS n_ant, s2.n AS n_con
+              FROM pair JOIN sup s1 ON s1.l_partkey = p1
+                        JOIN sup s2 ON s2.l_partkey = p2
+              UNION ALL
+              SELECT p2, p1, n_pair, s2.n, s1.n
+              FROM pair JOIN sup s1 ON s1.l_partkey = p1
+                        JOIN sup s2 ON s2.l_partkey = p2)
+            SELECT antecedent, consequent,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(n_ant AS BIGINT) AS n_ant,
+                   round(n_pair / n_ant, 4) AS confidence,
+                   round(n_pair * tot.n / (n_ant * n_con), 4) AS lift
+            FROM rules, tot
+            ORDER BY lift DESC, confidence DESC, antecedent, consequent
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

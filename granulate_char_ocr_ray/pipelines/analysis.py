@@ -3218,3 +3218,50 @@ def classifier_auc(sf_dir: str) -> "pa.Table":
         "n_docs": pa.array([n], pa.int64()),
         "n_pos": pa.array([n_pos], pa.int64()),
         "auc": pa.array(_r(np.array([auc]), 6), pa.float64())})
+
+
+def langid_agreement_kappa(sf_dir: str) -> rd.Dataset:
+    """Cohen's kappa between the stopword-profile language classifier
+    (lang_id_batch) and the ground-truth ``lang`` column — the
+    chance-corrected inter-rater agreement statistic (Cohen 1960)
+    every labeling/review pipeline reports before trusting a weak
+    labeler. Generalizes the reference's accuracy report
+    (evaluate_new_testdata.py:105-118) to the agreement form that
+    stays meaningful under class imbalance.
+
+    Plan: ONE narrow pass scores each block and folds a
+    (pred_lang, lang) contingency partial (cells bounded by
+    (|langs|+1)^2, never by rows), a tiny combine, then the
+    closed-form finish kappa = (po - pe) / (1 - pe) with po/pe
+    computed from exact integer margins. Output: one row
+    (n_docs, po, pe, kappa) rounded to 6."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        pred, _ = lang_id_batch(batch.column("text"))
+        df = pd.DataFrame({"pred_lang": pred,
+                           "lang": batch.column("lang").to_pylist()})
+        g = df.groupby(["pred_lang", "lang"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "n"}))
+
+    agg = ds.map_batches(cells, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pred_lang", "lang"], as_index=False)["n"].sum()
+        tot = float(g["n"].sum())
+        diag = float(g.loc[g["pred_lang"] == g["lang"], "n"].sum())
+        rows = g.groupby("pred_lang")["n"].sum()
+        cols = g.groupby("lang")["n"].sum()
+        labels = rows.index.union(cols.index)
+        r = rows.reindex(labels, fill_value=0).to_numpy(np.float64)
+        c = cols.reindex(labels, fill_value=0).to_numpy(np.float64)
+        po = diag / tot
+        pe = float((r * c).sum()) / (tot * tot)
+        kappa = (po - pe) / (1.0 - pe)
+        return pd.DataFrame({
+            "n_docs": [np.int64(tot)],
+            "po": round_half_up(np.array([po]), 6),
+            "pe": round_half_up(np.array([pe]), 6),
+            "kappa": round_half_up(np.array([kappa]), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -2772,3 +2772,70 @@ def test_event_type_lagged_xcorr_lag0_is_pearson():
     assert got["n_days"].iloc[0] == df["n"].iloc[0]
     assert got["xcorr"].iloc[0] == pytest.approx(df["r"].iloc[0],
                                                  abs=1e-6)
+
+
+@pytest.mark.parametrize("name", [
+    "langid_agreement_kappa", "association_rules",
+])
+def test_round3_wave27_oracle_parity(con, name):
+    """Round-3 wave-27 queries (Cohen's kappa labeler agreement,
+    Agrawal-Srikant association rules) match their DuckDB oracles at
+    sf0.001 — the same comparison the driver gate runs at sf0.01."""
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_langid_kappa_definition():
+    """kappa == (po - pe)/(1 - pe) recomputed from the raw confusion
+    matrix of lang_id_batch over the whole corpus in one process."""
+    import numpy as np
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.functions.textstats import lang_id_batch
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        langid_agreement_kappa)
+
+    got = langid_agreement_kappa(SF).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["text", "lang"])
+    pred, _ = lang_id_batch(pa.array(df["text"], pa.string()))
+    ct = pd.crosstab(pd.Series(pred, name="p"), df["lang"].rename("t"))
+    tot = float(ct.to_numpy().sum())
+    labels = ct.index.union(ct.columns)
+    m = ct.reindex(index=labels, columns=labels, fill_value=0)\
+        .to_numpy(dtype=np.float64)
+    po = np.trace(m) / tot
+    pe = float((m.sum(1) * m.sum(0)).sum()) / tot ** 2
+    assert got["n_docs"] == int(tot)
+    assert got["po"] == pytest.approx(po, abs=1e-6)
+    assert got["kappa"] == pytest.approx((po - pe) / (1 - pe),
+                                         abs=1e-6)
+
+
+def test_association_rules_definition():
+    """confidence = n_pair/n_ant and lift = n_pair*N/(n_ant*n_con)
+    recomputed from raw basket data; both rule directions present."""
+    from granulate_char_ocr_ray.pipelines.relational import (
+        association_rules)
+
+    got = association_rules(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])\
+        .drop_duplicates()
+    n_orders = len(pd.read_parquet(f"{SF}/orders.parquet",
+                                   columns=["o_orderkey"]))
+    sup = li.groupby("l_partkey").size()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    pc = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    pc = pc[pc >= 3]
+    assert len(got) == 2 * len(pc)
+    for _, r in got.head(20).iterrows():
+        a, c = int(r["antecedent"]), int(r["consequent"])
+        np_ = pc.get((min(a, c), max(a, c)))
+        assert r["n_pair"] == np_
+        assert r["n_ant"] == sup[a]
+        assert r["confidence"] == pytest.approx(np_ / sup[a], abs=1e-4)
+        assert r["lift"] == pytest.approx(
+            np_ * n_orders / (sup[a] * sup[c]), abs=1e-4)
