@@ -521,6 +521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 27: agreement + association rules + graph ---
         "langid_agreement_kappa": analysis.langid_agreement_kappa,
         "association_rules": relational.association_rules,
+        # --- round-3 wave 28: supervised text classification ---
+        "chi2_token_lang": analysis.chi2_token_lang,
+        "naive_bayes_langid": analysis.naive_bayes_langid,
     }
 
 
@@ -4167,6 +4170,71 @@ def oracle_sql() -> dict[str, str]:
                    round(n_pair * tot.n / (n_ant * n_con), 4) AS lift
             FROM rules, tot
             ORDER BY lift DESC, confidence DESC, antecedent, consequent
+        """,
+        "chi2_token_lang": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            lt AS (SELECT d.lang, t.tok, CAST(count(*) AS DOUBLE) AS a
+                   FROM toks t JOIN documents d USING (doc_id)
+                   GROUP BY 1, 2),
+            tt AS (SELECT tok, sum(a) AS ta FROM lt GROUP BY 1),
+            nl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT lt.lang, lt.tok, CAST(lt.a AS BIGINT) AS df_lang,
+                     n.n * (lt.a * (n.n - nl.n - (tt.ta - lt.a))
+                            - (nl.n - lt.a) * (tt.ta - lt.a))
+                         * (lt.a * (n.n - nl.n - (tt.ta - lt.a))
+                            - (nl.n - lt.a) * (tt.ta - lt.a))
+                     / (nl.n * (n.n - nl.n) * tt.ta * (n.n - tt.ta))
+                       AS chi2
+              FROM lt JOIN tt USING (tok) JOIN nl USING (lang), n
+              WHERE tt.ta < n.n)
+            SELECT lang, tok, df_lang, round(chi2, 4) AS chi2
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY lang
+                ORDER BY chi2 DESC, tok) <= 10
+            ORDER BY lang, chi2 DESC, tok
+        """,
+        "naive_bayes_langid": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            cw AS (SELECT d.lang, t.tok, CAST(count(*) AS DOUBLE) AS c
+                   FROM toks t JOIN documents d USING (doc_id)
+                   GROUP BY 1, 2),
+            nl AS (SELECT lang, sum(c) AS n FROM cw GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+                  FROM toks),
+            prior AS (SELECT lang,
+                             ln(CAST(count(*) AS DOUBLE)
+                                / (SELECT CAST(count(*) AS DOUBLE)
+                                   FROM documents)) AS lp
+                      FROM documents GROUP BY 1),
+            dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt
+                   FROM toks GROUP BY 1, 2),
+            scores AS (
+              SELECT dt.doc_id, nl.lang,
+                     any_value(prior.lp)
+                     + sum(dt.cnt * ln((coalesce(cw.c, 0) + 1.0)
+                                       / (nl.n + v.v))) AS s
+              FROM dt CROSS JOIN nl
+              LEFT JOIN cw ON cw.lang = nl.lang AND cw.tok = dt.tok
+              JOIN prior ON prior.lang = nl.lang, v
+              GROUP BY dt.doc_id, nl.lang, nl.n),
+            best AS (SELECT doc_id, lang AS pred_lang FROM scores
+                     QUALIFY row_number() OVER (PARTITION BY doc_id
+                         ORDER BY s DESC, lang) = 1)
+            SELECT b.doc_id, b.pred_lang,
+                   (b.pred_lang = d.lang) AS is_correct
+            FROM best b JOIN documents d USING (doc_id)
+            ORDER BY doc_id
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

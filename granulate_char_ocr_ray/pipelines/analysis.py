@@ -3265,3 +3265,211 @@ def langid_agreement_kappa(sf_dir: str) -> rd.Dataset:
             "kappa": round_half_up(np.array([kappa]), 6)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def _doc_token_lists(batch: pa.Table):
+    """Shared lower/trim/whitespace tokenizer: returns (kept-row mask
+    as numpy bool, Arrow list<string> token lists for kept rows).
+    Matches the SQL form regexp_split_to_array(lower(trim(text)),
+    '\\s+') with empty docs dropped."""
+    trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+    mask = pc.not_equal(trimmed, "")
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.filter(trimmed, mask)), r"\s+")
+    return mask.to_numpy(zero_copy_only=False), lists
+
+
+def chi2_token_lang(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Per-language top-``k`` discriminative tokens by one-vs-rest
+    chi-squared on document-level token presence — the classic
+    feature-selection statistic (Yang-Pedersen ICML'97) a corpus
+    curator runs to see WHICH words drive a language/domain split.
+    Generalizes the reference's per-class frequency report
+    (evaluate_new_testdata.py:120-134) to an association-ranked form.
+
+    Plan: per-block (token, lang) DISTINCT-doc partials (docs are
+    block-local so block distinct == global distinct), ONE two-phase
+    (token, lang)-keyed aggregate, then ONE token-keyed bucket
+    exchange where each bucket derives per-token corpus totals and
+    the closed-form chi2 against broadcast per-lang doc counts.
+    Top-k per lang folds as per-block partial top-k (superset of the
+    global top-k under the (chi2 desc, token asc) total order) + a
+    tiny final select. Tokens present in every document carry no
+    signal and are excluded (denominator zero). Output: (lang, tok,
+    df_lang, chi2) sorted lang, chi2 desc, tok."""
+    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+
+    def presence(batch: pa.Table) -> pa.Table:
+        mask, lists = _doc_token_lists(batch)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch.column("lang").to_pylist(),
+                           dtype=object)[mask]
+        df = pd.DataFrame({
+            "tok": pc.list_flatten(lists).to_pandas(),
+            "lang": np.repeat(langs, lens),
+            "d": np.repeat(np.arange(len(lens)), lens)})
+        df = df.drop_duplicates()
+        g = (df.groupby(["tok", "lang"], as_index=False)
+             .agg(a=("d", "size")))
+        return table_from_pandas(g, preserve_index=False)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    lt = hash_groupby_agg(
+        docs.map_batches(presence, batch_format="pyarrow"),
+        ["tok", "lang"], {"a": ("a", "sum")}, num_parts=16)
+
+    nl_df = (docs.map_batches(
+        lambda b: table_from_pandas(
+            b.to_pandas().groupby("lang", as_index=False)
+            .agg(n=("doc_id", "size"))),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda df: df.groupby("lang", as_index=False)["n"].sum(),
+            batch_format="pandas")
+        .to_pandas())
+    nl_map = dict(zip(nl_df["lang"], nl_df["n"].astype(np.float64)))
+    n_total = float(nl_df["n"].sum())
+
+    def tag_tok(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_tpart"] = _stable_partition(df, ["tok"], 16)
+        return df
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["tok", "lang", "a"]].copy()
+        ta = g.groupby("tok")["a"].transform("sum").to_numpy(
+            np.float64)
+        a = g["a"].to_numpy(dtype=np.float64)
+        nl = g["lang"].map(nl_map).to_numpy(dtype=np.float64)
+        keep = ta < n_total
+        g, a, ta, nl = g[keep], a[keep], ta[keep], nl[keep]
+        b = nl - a
+        c = ta - a
+        d = n_total - nl - c
+        num = a * d - b * c
+        chi2 = n_total * num * num / (
+            nl * (n_total - nl) * ta * (n_total - ta))
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "tok": g["tok"].to_numpy(),
+            "df_lang": g["a"].to_numpy(np.int64),
+            "chi2": chi2})
+
+    scored = (lt.map_batches(tag_tok, batch_format="pandas")
+              .groupby("_tpart")
+              .map_groups(score_bucket, batch_format="pandas"))
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["lang", "chi2", "tok"],
+                               ascending=[True, False, True])
+                .groupby("lang", as_index=False).head(k))
+
+    return (scored.map_batches(topk_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda df: (df.sort_values(
+                    ["lang", "chi2", "tok"],
+                    ascending=[True, False, True])
+                    .groupby("lang", as_index=False).head(k)
+                    .assign(chi2=lambda x: round_half_up(
+                        x["chi2"].to_numpy(), 4))),
+                batch_format="pandas"))
+
+
+def naive_bayes_langid(sf_dir: str, alpha: float = 1.0) -> rd.Dataset:
+    """Multinomial Naive Bayes language identification trained on the
+    corpus's own labels (McCallum-Nigam AAAI'98 workshop form, Laplace
+    smoothing): the supervised step up from the stopword heuristic
+    (:func:`lang_id_scores`) — and the engine-side shape of every
+    fastText-style distributed label scorer: train = one keyed count
+    reduce, score = broadcast model + one streaming pass.
+
+    Plan: (token, lang) term counts reduce through ONE two-phase
+    keyed aggregate (vocabulary x langs cardinality, never rows);
+    class totals, vocabulary size and ln-priors derive from that
+    reduced table plus a tiny lang doc-count fold; the dense
+    (vocab x langs) ln-likelihood matrix broadcasts once via
+    ``ray.put`` (at web scale: top-K vocabulary with an OOV floor,
+    same cap as the unigram-LM path). The scoring pass is one
+    map_batches: per-doc token counts fold via sorted-hash lookup +
+    np.add.at into a (docs, langs) score matrix; argmax ties break
+    to the alphabetically-first lang (matching the SQL
+    row_number ... ORDER BY s DESC, lang oracle). Empty docs are
+    excluded (no tokens to score). Output: (doc_id, pred_lang,
+    is_correct) by doc_id."""
+    import ray
+
+    from ..stages.hashagg import hash_groupby_agg
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        mask, lists = _doc_token_lists(batch)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch.column("lang").to_pylist(),
+                           dtype=object)[mask]
+        df = pd.DataFrame({
+            "tok": pc.list_flatten(lists).to_pandas(),
+            "lang": np.repeat(langs, lens)})
+        g = df.groupby(["tok", "lang"], as_index=False).size()
+        return table_from_pandas(g.rename(columns={"size": "c"}),
+                                 preserve_index=False)
+
+    model = hash_groupby_agg(
+        docs.map_batches(term_counts, batch_format="pyarrow"),
+        ["tok", "lang"], {"c": ("c", "sum")}, num_parts=16).to_pandas()
+
+    langs = sorted(model["lang"].unique())
+    lidx = {g: i for i, g in enumerate(langs)}
+    toks = np.sort(model["tok"].unique())
+    vocab_v = float(len(toks))
+    cmat = np.zeros((len(toks), len(langs)), dtype=np.float64)
+    ti = np.searchsorted(toks, model["tok"].to_numpy())
+    li = model["lang"].map(lidx).to_numpy()
+    cmat[ti, li] = model["c"].to_numpy(dtype=np.float64)
+    n_l = cmat.sum(axis=0)
+    lnp = np.log((cmat + alpha) / (n_l + vocab_v))
+
+    prior_df = (docs.map_batches(
+        lambda b: table_from_pandas(
+            b.to_pandas().groupby("lang", as_index=False)
+            .agg(n=("doc_id", "size"))),
+        batch_format="pyarrow").repartition(1)
+        .map_batches(
+            lambda df: df.groupby("lang", as_index=False)["n"].sum(),
+            batch_format="pandas").to_pandas())
+    nd = prior_df.set_index("lang")["n"].astype(np.float64)
+    ln_prior = np.array([np.log(nd[g] / nd.sum()) for g in langs])
+
+    th = hash64_batch(pa.array(toks, pa.string()))
+    horder = np.argsort(th)
+    ref = ray.put((th[horder], lnp[horder], ln_prior))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vhs, vlp, lp0 = ray.get(ref)
+        mask, lists = _doc_token_lists(batch)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask]
+        true_lang = np.asarray(batch.column("lang").to_pylist(),
+                               dtype=object)[mask]
+        flat = pc.list_flatten(lists)
+        fh = hash64_batch(flat)
+        pos = np.searchsorted(vhs, fh)
+        pos[pos >= len(vhs)] = len(vhs) - 1 if len(vhs) else 0
+        drow = np.repeat(np.arange(len(lens)), lens)
+        scores = np.tile(lp0, (len(lens), 1))
+        np.add.at(scores, drow, vlp[pos])
+        best = np.argmax(scores, axis=1)
+        pred = np.array(langs, dtype=object)[best]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "pred_lang": pa.array(list(pred), pa.string()),
+            "is_correct": pa.array(pred == true_lang)})
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .repartition(4).sort("doc_id"))

@@ -2839,3 +2839,80 @@ def test_association_rules_definition():
         assert r["confidence"] == pytest.approx(np_ / sup[a], abs=1e-4)
         assert r["lift"] == pytest.approx(
             np_ * n_orders / (sup[a] * sup[c]), abs=1e-4)
+
+
+@pytest.mark.parametrize("name", [
+    "chi2_token_lang", "naive_bayes_langid",
+])
+def test_round3_wave28_oracle_parity(con, name):
+    """Round-3 wave-28 queries (chi2 feature selection, multinomial
+    Naive Bayes lang-id) match their DuckDB oracles at sf0.001."""
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_naive_bayes_langid_local_reference():
+    """Engine predictions == a single-process NumPy multinomial NB
+    (Laplace alpha=1) trained on the same corpus; and the classifier
+    beats the majority-class baseline (it is trained on the labels)."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        naive_bayes_langid)
+
+    got = naive_bayes_langid(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    df = df[df["text"].str.strip() != ""]
+    toks = df["text"].str.strip().str.lower().str.split()
+    langs = sorted(df["lang"].unique())
+    vocab = sorted({t for ts in toks for t in ts})
+    vi = {t: i for i, t in enumerate(vocab)}
+    li = {g: i for i, g in enumerate(langs)}
+    cmat = np.zeros((len(vocab), len(langs)))
+    for ts, g in zip(toks, df["lang"]):
+        for t in ts:
+            cmat[vi[t], li[g]] += 1
+    lnp = np.log((cmat + 1.0) / (cmat.sum(0) + len(vocab)))
+    pri = np.log(df["lang"].value_counts()[langs].to_numpy()
+                 / len(df))
+    preds = []
+    for ts in toks:
+        s = pri + sum(lnp[vi[t]] for t in ts)
+        preds.append(langs[int(np.argmax(s))])
+    ref = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                        "pred_lang": preds}).sort_values("doc_id")
+    got = got.sort_values("doc_id")
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert list(got["pred_lang"]) == list(ref["pred_lang"])
+    maj = df["lang"].value_counts().iloc[0] / len(df)
+    assert got["is_correct"].mean() > maj
+
+
+def test_chi2_token_lang_definition():
+    """chi2 of the top-ranked token recomputed from the 2x2
+    document-presence contingency table; k rows per lang."""
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        chi2_token_lang)
+
+    got = chi2_token_lang(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    assert (got.groupby("lang").size() <= 10).all()
+    pres = (df.assign(tok=df["text"].str.strip().str.lower()
+                      .str.split())
+            .explode("tok")[["doc_id", "lang", "tok"]]
+            .drop_duplicates())
+    n = df["doc_id"].nunique()
+    for _, r in got.groupby("lang").head(1).iterrows():
+        sub = pres[pres["tok"] == r["tok"]]
+        a = len(sub[sub["lang"] == r["lang"]])
+        ta = len(sub)
+        nl = (df["lang"] == r["lang"]).sum()
+        b, c = nl - a, ta - a
+        d = n - nl - c
+        chi2 = n * (a * d - b * c) ** 2 / (
+            nl * (n - nl) * ta * (n - ta))
+        assert r["df_lang"] == a
+        assert r["chi2"] == pytest.approx(chi2, rel=1e-3)
