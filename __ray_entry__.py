@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 28: supervised text classification ---
         "chi2_token_lang": analysis.chi2_token_lang,
         "naive_bayes_langid": analysis.naive_bayes_langid,
+        "jarowinkler_name_dups": dedup.jarowinkler_name_dups,
     }
 
 
@@ -4235,6 +4236,15 @@ def oracle_sql() -> dict[str, str]:
                    (b.pred_lang = d.lang) AS is_correct
             FROM best b JOIN documents d USING (doc_id)
             ORDER BY doc_id
+        """,
+        "jarowinkler_name_dups": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name1, b.p_name AS name2,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name),
+                         4) AS jw
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+            ORDER BY jw DESC, name1, name2
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -410,3 +410,82 @@ def levenshtein_batch(a_list, b_list) -> "np.ndarray":
             ins = dp[:, i, j - 1] + 1
             dp[:, i, j] = np.minimum(np.minimum(dele, ins), sub)
     return dp[np.arange(n), la, lb]
+
+
+def jaro_winkler_batch(a_list, b_list) -> "np.ndarray":
+    """Batched Jaro-Winkler similarity over string pairs (Winkler
+    1990): standard parameters — match window floor(max_len/2)-1,
+    floored half-transposition count, prefix bonus up to 4 chars at scale
+    0.1 applied only when the Jaro base exceeds 0.7. Matches DuckDB's
+    ``jaro_winkler_similarity`` (verified on the Winkler reference
+    pairs and randomized cross-checks in tests).
+
+    Vectorized across the BATCH axis: the greedy match scan loops
+    over character POSITIONS only (O(La) iterations, each an
+    (n, Lb) mask + argmax), never over rows; transpositions come
+    from cumsum-compacted matched-character matrices. Intended for
+    short strings (names, vocabulary words); float64 output."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    # DuckDB scores UTF-8 BYTE sequences, not codepoints — encode
+    # first so multibyte text matches bit-for-bit
+    ab = [s.encode("utf-8") if isinstance(s, str) else s
+          for s in a_list]
+    bb = [s.encode("utf-8") if isinstance(s, str) else s
+          for s in b_list]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    La, Lb = max(int(la.max()), 1), max(int(lb.max()), 1)
+    A = np.full((n, La), -1, dtype=np.int64)
+    B = np.full((n, Lb), -2, dtype=np.int64)
+    for r, s in enumerate(ab):
+        if s:
+            A[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for r, s in enumerate(bb):
+        if s:
+            B[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jcol = np.arange(Lb)[None, :]
+    matched_b = np.zeros((n, Lb), dtype=bool)
+    # matched chars of A in i-order, compacted left
+    a_ord = np.full((n, La), -1, dtype=np.int64)
+    m_cnt = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n)
+    for i in range(La):
+        active = i < la
+        lo = i - w
+        hi = i + w
+        cand = ((B == A[:, i: i + 1]) & ~matched_b
+                & (jcol >= lo[:, None]) & (jcol <= hi[:, None])
+                & (jcol < lb[:, None]) & active[:, None])
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        matched_b[rows[has], first[has]] = True
+        a_ord[rows[has], m_cnt[has]] = A[rows[has], i]
+        m_cnt[has] += 1
+    m = m_cnt.astype(np.float64)
+    # matched chars of B in j-order, compacted left
+    b_pos = np.cumsum(matched_b, axis=1) - 1
+    b_ord = np.full((n, Lb), -1, dtype=np.int64)
+    rr, cc = np.nonzero(matched_b)
+    b_ord[rr, b_pos[rr, cc]] = B[rr, cc]
+    k = min(La, Lb)
+    trans = (a_ord[:, :k] != b_ord[:, :k]) & (a_ord[:, :k] >= 0)
+    # DuckDB (jarowinkler-cpp) FLOORS the half-transposition count
+    # (t = mismatches // 2), unlike Winkler's strcmp95 half count —
+    # matched bit-for-bit against jaro_winkler_similarity in tests
+    t = (trans.sum(axis=1) // 2).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    # common prefix up to 4
+    kp = min(4, La, Lb)
+    if kp > 0:
+        eq = A[:, :kp] == B[:, :kp]
+        pref = np.where(eq.all(axis=1), kp, eq.argmin(axis=1))
+    else:
+        pref = np.zeros(n, dtype=np.int64)
+    jw = np.where(jaro > 0.7,
+                  jaro + pref * 0.1 * (1.0 - jaro), jaro)
+    return jw

@@ -2190,3 +2190,80 @@ def merge_upsert(sf_dir: str) -> rd.Dataset:
     return partitioned_join(base, delta, "doc_id", "doc_id", upsert,
                             num_buckets=16, left_schema=sch,
                             right_schema=dsch).sort("doc_id")
+
+
+def jarowinkler_name_dups(sf_dir: str, tau: float = 0.9,
+                          max_names: int = 100_000) -> rd.Dataset:
+    """Fuzzy record-linkage over the part-name domain: every DISTINCT
+    name pair with Jaro-Winkler similarity >= ``tau`` — the classic
+    entity-resolution comparator (Winkler 1990, Census record
+    linkage), the ranked-similarity sibling of the edit-distance
+    blocking join (:func:`fuzzy_token_pairs`). Generalizes the
+    reference's alphabet prototype matching (ocr_service.py:103-160,
+    nearest-prototype by similarity) to free-text name fields.
+
+    Plan: names reduce to the DISTINCT name domain through one
+    two-phase keyed aggregate (dim-scale by construction — the
+    comparison universe is a vocabulary, never the fact table). The
+    sorted name array broadcasts once via ``ray.put``; each block
+    then scores its names against the tail of the domain with the
+    batched bit-exact-vs-DuckDB kernel
+    (functions/textstats.jaro_winkler_batch), expanding candidate
+    pairs in bounded chunks (never the full n^2 at once). JW admits
+    no sound metric-space pruning (prefix boost breaks the triangle
+    inequality), so the exact form is quadratic in the DOMAIN size —
+    guarded by ``max_names`` with a pointer to the FastSS
+    deletion-variant blocking path for vocabulary-scale inputs.
+    Output: (name1, name2, jw) with name1 < name2, jw rounded to 4,
+    sorted jw desc, name1, name2."""
+    from ..functions.textstats import jaro_winkler_batch
+
+    names_ds = hash_groupby_agg(
+        read_table(f"{sf_dir}/part.parquet", columns=["p_name"]),
+        ["p_name"], {"n": ("p_name", "count")}, num_parts=4)
+    names = np.sort(names_ds.to_pandas()["p_name"].to_numpy())
+    if len(names) > max_names:
+        raise ValueError(
+            f"jarowinkler_name_dups: {len(names)} distinct names "
+            f"exceeds max_names={max_names}; exact JW is quadratic "
+            "in the name domain — use fuzzy_token_pairs (FastSS "
+            "deletion-variant blocking) at vocabulary scale")
+    dom_ref = ray.put(names)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dom = ray.get(dom_ref)
+        mine = np.asarray(batch.column("p_name").to_pylist(),
+                          dtype=object)
+        # flat candidate list: each block name against the strictly-
+        # greater tail of the domain (every unordered pair scored
+        # exactly once across all blocks), chunked to bound memory
+        lo = np.searchsorted(dom, mine, side="right")
+        cnt = len(dom) - lo
+        li = np.repeat(np.arange(len(mine)), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        rj = np.arange(int(cnt.sum())) - np.repeat(starts, cnt) \
+            + np.repeat(lo, cnt)
+        out1, out2, outs = [], [], []
+        chunk = 65536
+        for s in range(0, len(li), chunk):
+            a = mine[li[s: s + chunk]]
+            b = dom[rj[s: s + chunk]]
+            jw = jaro_winkler_batch(list(a), list(b))
+            keep = jw >= tau
+            if keep.any():
+                out1.append(a[keep])
+                out2.append(b[keep])
+                outs.append(jw[keep])
+        sims = (np.concatenate(outs) if outs
+                else np.zeros(0, np.float64))
+        n1 = np.concatenate(out1) if out1 else np.zeros(0, object)
+        n2 = np.concatenate(out2) if out2 else np.zeros(0, object)
+        return pa.table({
+            "name1": pa.array(list(n1), pa.string()),
+            "name2": pa.array(list(n2), pa.string()),
+            "jw": pa.array(round_half_up(sims, 4), pa.float64())})
+
+    return (names_ds.map_batches(score, batch_format="pyarrow")
+            .repartition(1)
+            .sort(["jw", "name1", "name2"],
+                  descending=[True, False, False]))

@@ -2916,3 +2916,12 @@ def test_chi2_token_lang_definition():
             nl * (n - nl) * ta * (n - ta))
         assert r["df_lang"] == a
         assert r["chi2"] == pytest.approx(chi2, rel=1e-3)
+
+
+def test_jarowinkler_name_dups_oracle_parity(con):
+    """Engine JW fuzzy-pair join matches the DuckDB cross-join oracle
+    at sf0.001 (bit-exact kernel; same tau filter and ordering)."""
+    import __ray_entry__ as e
+
+    _check(e.queries()["jarowinkler_name_dups"](SF),
+           e.oracle_sql()["jarowinkler_name_dups"], con)

@@ -1130,3 +1130,14 @@ def test_dbscan_embeddings_fixture_partitions_corpus():
     n = pads.dataset(f"{SF}/embeddings.parquet").count_rows()
     assert g1["n_points"].sum() == n
     assert (g1[g1["cluster_id"] >= 0]["n_points"] >= 5).all()
+
+
+def test_jarowinkler_name_dups_scale_guard():
+    """The exact quadratic form refuses domains above max_names."""
+    import pytest as _pytest
+
+    from granulate_char_ocr_ray.pipelines.dedup import (
+        jarowinkler_name_dups)
+
+    with _pytest.raises(ValueError, match="max_names"):
+        jarowinkler_name_dups(SF, max_names=3)

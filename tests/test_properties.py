@@ -292,3 +292,24 @@ def test_ntile_of_rank0_matches_sql_semantics(n, k):
     sizes = np.bincount(tiles)[1:]
     for b, s in enumerate(sizes, start=1):
         assert s == (q + 1 if b <= r else q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=0, max_size=12))
+def test_jaro_winkler_batch_matches_duckdb(pairs):
+    """Bit-exact vs DuckDB's jaro_winkler_similarity (the
+    jarowinkler-cpp semantics: floored half-transpositions, 0.7
+    boost threshold, 4-char prefix cap)."""
+    import duckdb
+
+    from granulate_char_ocr_ray.functions.textstats import (
+        jaro_winkler_batch)
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = jaro_winkler_batch(a, b)
+    con = duckdb.connect()
+    for x, y, s in zip(a, b, got):
+        exp = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                          [x, y]).fetchone()[0]
+        assert s == exp
