@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_token_lang": analysis.chi2_token_lang,
         "naive_bayes_langid": analysis.naive_bayes_langid,
         "jarowinkler_name_dups": dedup.jarowinkler_name_dups,
+        # --- round-3 wave 30: IR evaluation + closed-form OLS ---
+        "ndcg_retrieval_eval": analysis.ndcg_retrieval_eval,
+        "lineitem_price_ols": relational.lineitem_price_ols,
     }
 
 
@@ -4245,6 +4248,112 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.p_name < b.p_name
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
             ORDER BY jw DESC, name1, name2
+        """,
+        "ndcg_retrieval_eval": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(toks, x -> x = 'spark'))
+                          AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(toks, x -> x = 'hash'))
+                          AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(toks, x -> x = 'window'))
+                          AS DOUBLE) AS tf2
+              FROM d),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     ln((count(*) - sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf0 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf0,
+                     ln((count(*) - sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf1 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf1,
+                     ln((count(*) - sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0
+                         END) + 0.5) / (sum(CASE WHEN tf2 > 0 THEN 1
+                         ELSE 0 END) + 0.5) + 1.0) AS idf2
+              FROM tf),
+            scored AS (
+              SELECT doc_id,
+                     CAST(tf0 + tf1 + tf2 AS BIGINT) AS rel,
+                     idf0 * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75
+                         * dl / avgdl))
+                     + idf1 * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75
+                         * dl / avgdl))
+                     + idf2 * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75
+                         * dl / avgdl)) AS score
+              FROM tf CROSS JOIN stats),
+            ranked AS (
+              SELECT rel, row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS r
+              FROM scored
+              QUALIFY row_number() OVER (
+                ORDER BY score DESC, doc_id) <= 20),
+            ideal AS (
+              SELECT rel, row_number() OVER (
+                       ORDER BY rel DESC, doc_id) AS r
+              FROM scored
+              QUALIFY row_number() OVER (
+                ORDER BY rel DESC, doc_id) <= 20),
+            dcg AS (SELECT sum((pow(2, rel) - 1.0) / log2(r + 1.0))
+                      AS v FROM ranked),
+            idcg AS (SELECT sum((pow(2, rel) - 1.0) / log2(r + 1.0))
+                       AS v FROM ideal),
+            mrr AS (SELECT coalesce(1.0 / min(r), 0.0) AS v
+                    FROM ranked WHERE rel > 0),
+            nrel AS (SELECT CAST(count(*) AS BIGINT) AS v
+                     FROM ranked WHERE rel > 0)
+            SELECT CAST(20 AS BIGINT) AS k, nrel.v AS n_rel_at_k,
+                   round(dcg.v / idcg.v, 6) AS ndcg_at_k,
+                   round(mrr.v, 6) AS mrr_at_k
+            FROM dcg, idcg, mrr, nrel
+        """,
+        "lineitem_price_ols": """
+            WITH s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(CAST(l_quantity AS DOUBLE)) AS s1,
+                     sum(CAST(l_discount AS DOUBLE)) AS s2,
+                     sum(CAST(l_quantity AS DOUBLE)
+                         * CAST(l_quantity AS DOUBLE)) AS s11,
+                     sum(CAST(l_quantity AS DOUBLE)
+                         * CAST(l_discount AS DOUBLE)) AS s12,
+                     sum(CAST(l_discount AS DOUBLE)
+                         * CAST(l_discount AS DOUBLE)) AS s22,
+                     sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+                     sum(CAST(l_quantity AS DOUBLE)
+                         * CAST(l_extendedprice AS DOUBLE)) AS s1y,
+                     sum(CAST(l_discount AS DOUBLE)
+                         * CAST(l_extendedprice AS DOUBLE)) AS s2y,
+                     sum(CAST(l_extendedprice AS DOUBLE)
+                         * CAST(l_extendedprice AS DOUBLE)) AS syy
+              FROM lineitem),
+            c AS (
+              SELECT n, sy, s1y, s2y, syy,
+                     n * (s11 * s22 - s12 * s12)
+                     - s1 * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * s12 - s11 * s2) AS det,
+                     sy * (s11 * s22 - s12 * s12)
+                     - s1 * (s1y * s22 - s12 * s2y)
+                     + s2 * (s1y * s12 - s11 * s2y) AS n0,
+                     n * (s1y * s22 - s12 * s2y)
+                     - sy * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * s2y - s1y * s2) AS n1,
+                     n * (s11 * s2y - s1y * s12)
+                     - s1 * (s1 * s2y - s1y * s2)
+                     + sy * (s1 * s12 - s11 * s2) AS n2
+              FROM s)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(n0 / det, 6) AS b0,
+                   round(n1 / det, 6) AS b1,
+                   round(n2 / det, 6) AS b2,
+                   round(1.0 - (syy - (n0 / det) * sy
+                                - (n1 / det) * s1y
+                                - (n2 / det) * s2y)
+                         / (syy - sy * sy / n), 6) AS r2
+            FROM c
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

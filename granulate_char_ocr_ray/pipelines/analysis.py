@@ -3473,3 +3473,114 @@ def naive_bayes_langid(sf_dir: str, alpha: float = 1.0) -> rd.Dataset:
 
     return (docs.map_batches(score, batch_format="pyarrow")
             .repartition(4).sort("doc_id"))
+
+def ndcg_retrieval_eval(sf_dir: str,
+                        terms: tuple[str, ...] = ("spark", "hash",
+                                                  "window"),
+                        k1: float = 1.2, b: float = 0.75,
+                        k: int = 20) -> rd.Dataset:
+    """Ranking-quality evaluation of the BM25 retriever: NDCG@k
+    (Jarvelin-Kekalainen 2002 exponential-gain form) and MRR@k
+    against a graded relevance oracle rel(d) = total query-term
+    occurrences in d — the standard offline IR report an LLM
+    retrieval/data-selection pipeline runs before trusting a ranker.
+    The ranked-overlap sibling (:func:`rbo_rankings`) compares two
+    rankings; this scores one ranking against labels.
+
+    Plan: the same two streaming passes as :func:`bm25_search`
+    (corpus-stats fold, then embarrassingly-parallel scoring), except
+    the scoring pass keeps TWO partial top-k folds per block — by
+    (score desc, doc_id) for the DCG numerator and by (rel desc,
+    doc_id) for the ideal DCG — so the final exchange carries
+    2k x blocks rows and nothing is globally sorted. MRR@k is the
+    reciprocal rank of the first rel>0 doc within the final top-k
+    (0 when none). Output: one row (k, n_rel_at_k, ndcg_at_k,
+    mrr_at_k) rounded to 6."""
+
+    def _tok(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        mask = pc.not_equal(trimmed, "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
+        lists = pc.split_pattern_regex(pc.filter(trimmed, mask),
+                                       r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return ids, lens, pc.list_flatten(lists)
+
+    def _tf(lens: np.ndarray, flat: pa.Array) -> np.ndarray:
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out = np.zeros((len(lens), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            eq = pc.cast(pc.equal(flat, t), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if len(eq):
+                s = np.add.reduceat(eq, starts)
+                s[lens == 0] = 0
+                out[:, j] = s
+        return out
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf(lens, flat)
+        row = {"n": pa.array([len(ids)], pa.int64()),
+               "total": pa.array([int(lens.sum())], pa.int64())}
+        for j in range(len(terms)):
+            row[f"df{j}"] = pa.array([int((tfm[:, j] > 0).sum())],
+                                     pa.int64())
+        return pa.Table.from_pydict(row)
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = float(stats["n"].sum())
+    avgdl = float(stats["total"].sum()) / n_docs
+    idf = np.array([
+        np.log((n_docs - float(stats[f"df{j}"].sum()) + 0.5)
+               / (float(stats[f"df{j}"].sum()) + 0.5) + 1.0)
+        for j in range(len(terms))])
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, flat = _tok(batch)
+        tfm = _tf(lens, flat).astype(np.float64)
+        norm = k1 * (1.0 - b + b * lens.astype(np.float64) / avgdl)
+        score = np.zeros(len(ids))
+        for j in range(len(terms)):  # fixed order == SQL's + chain
+            score = score + idf[j] * tfm[:, j] * (k1 + 1.0) \
+                / (tfm[:, j] + norm)
+        df = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                           "score": score,
+                           "rel": tfm.sum(axis=1).astype(np.int64)})
+        top = df.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(k) \
+            .assign(is_ideal=False)
+        ideal = df.sort_values(["rel", "doc_id"],
+                               ascending=[False, True]).head(k) \
+            .assign(is_ideal=True)
+        return table_from_pandas(pd.concat([top, ideal],
+                                           ignore_index=True),
+                                 preserve_index=False)
+
+    folded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fold_partial, batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ranked = df[~df["is_ideal"]].sort_values(
+            ["score", "doc_id"], ascending=[False, True]).head(k)
+        ideal = df[df["is_ideal"]].sort_values(
+            ["rel", "doc_id"], ascending=[False, True]).head(k)
+        disc = np.log2(np.arange(1, len(ranked) + 1) + 1.0)
+        rrel = ranked["rel"].to_numpy(np.float64)
+        dcg = float(((2.0 ** rrel - 1.0) / disc).sum())
+        idisc = np.log2(np.arange(1, len(ideal) + 1) + 1.0)
+        idcg = float(((2.0 ** ideal["rel"].to_numpy(np.float64)
+                       - 1.0) / idisc).sum())
+        hit = np.nonzero(rrel > 0)[0]
+        mrr = 1.0 / (int(hit[0]) + 1) if len(hit) else 0.0
+        return pd.DataFrame({
+            "k": [np.int64(k)],
+            "n_rel_at_k": [np.int64((rrel > 0).sum())],
+            "ndcg_at_k": round_half_up(
+                np.array([dcg / idcg if idcg > 0 else 0.0]), 6),
+            "mrr_at_k": round_half_up(np.array([mrr]), 6)})
+
+    return folded.map_batches(finish, batch_format="pandas")

@@ -6195,3 +6195,81 @@ def association_rules(sf_dir: str, min_count: int = 3) -> rd.Dataset:
             .repartition(1)
             .sort(["lift", "confidence", "antecedent", "consequent"],
                   descending=[True, True, False, False]))
+
+
+def lineitem_price_ols(sf_dir: str) -> rd.Dataset:
+    """Closed-form multiple linear regression of l_extendedprice on
+    (l_quantity, l_discount) with intercept — distributed ML via
+    sufficient statistics: every worker folds the same ten power
+    sums (X'X and X'y entries for the 3-parameter design), the
+    partials add, and the 3x3 normal equations solve by Cramer's
+    rule in the finish — the textbook "train a linear model with one
+    MapReduce pass" shape (Chu et al. NIPS'06, map-reduce ML), and
+    the multi-feature generalization of the regr_slope folds used by
+    :func:`zipf_fit_by_source`.
+
+    Plan: ONE narrow three-column read; ONE ten-number partial per
+    block; repartition(1) combine; O(1) finish. The Cramer
+    determinant expansion is written identically in the SQL oracle
+    so both engines evaluate the same float expression tree. Output:
+    one row (n, b0, b1, b2, r2) rounded to 6."""
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_discount",
+                             "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x1 = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        x2 = batch.column("l_discount").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "n": pa.array([float(len(y))]),
+            "s1": pa.array([float(x1.sum())]),
+            "s2": pa.array([float(x2.sum())]),
+            "s11": pa.array([float((x1 * x1).sum())]),
+            "s12": pa.array([float((x1 * x2).sum())]),
+            "s22": pa.array([float((x2 * x2).sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "s1y": pa.array([float((x1 * y).sum())]),
+            "s2y": pa.array([float((x2 * y).sum())]),
+            "syy": pa.array([float((y * y).sum())])})
+
+    agg = ds.map_batches(partial,
+                         batch_format="pyarrow").repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = float(df["n"].sum())
+        s1, s2 = float(df["s1"].sum()), float(df["s2"].sum())
+        s11, s12 = float(df["s11"].sum()), float(df["s12"].sum())
+        s22 = float(df["s22"].sum())
+        sy = float(df["sy"].sum())
+        s1y, s2y = float(df["s1y"].sum()), float(df["s2y"].sum())
+        syy = float(df["syy"].sum())
+        # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b =
+        # [sy,s1y,s2y] — the same expansion, term for term, as the
+        # SQL oracle
+        det = (n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        b0 = (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) / det
+        b1 = (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / det
+        b2 = (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / det
+        sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+        sst = syy - sy * sy / n
+        r2 = 1.0 - sse / sst
+        return pd.DataFrame({
+            "n": [np.int64(n)],
+            "b0": round_half_up(np.array([b0]), 6),
+            "b1": round_half_up(np.array([b1]), 6),
+            "b2": round_half_up(np.array([b2]), 6),
+            "r2": round_half_up(np.array([r2]), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -2925,3 +2925,74 @@ def test_jarowinkler_name_dups_oracle_parity(con):
 
     _check(e.queries()["jarowinkler_name_dups"](SF),
            e.oracle_sql()["jarowinkler_name_dups"], con)
+
+
+@pytest.mark.parametrize("name", [
+    "ndcg_retrieval_eval", "lineitem_price_ols",
+])
+def test_round3_wave30_oracle_parity(con, name):
+    """Round-3 wave-30 queries (NDCG@k/MRR@k IR evaluation,
+    closed-form multi-feature OLS) match their DuckDB oracles."""
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_lineitem_price_ols_matches_lstsq():
+    """Cramer-rule coefficients == numpy.linalg.lstsq on the full
+    design matrix; r2 == 1 - SSE/SST recomputed from residuals."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        lineitem_price_ols)
+
+    got = lineitem_price_ols(SF).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount",
+                                  "l_extendedprice"])
+    X = np.column_stack([np.ones(len(df)), df["l_quantity"],
+                         df["l_discount"]])
+    y = df["l_extendedprice"].to_numpy(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["n"] == len(df)
+    assert got["b0"] == pytest.approx(beta[0], abs=1e-4)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-4)
+    resid = y - X @ beta
+    r2 = 1.0 - (resid ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert got["r2"] == pytest.approx(r2, abs=1e-5)
+
+
+def test_ndcg_retrieval_eval_brute_force():
+    """NDCG@k and MRR@k recomputed single-process from the full
+    BM25 scoring of the corpus."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        ndcg_retrieval_eval)
+
+    got = ndcg_retrieval_eval(SF).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = df[df["text"].str.strip() != ""]
+    toks = df["text"].str.strip().str.split()
+    terms = ("spark", "hash", "window")
+    tf = np.array([[ts.count(t) for t in terms] for ts in toks],
+                  dtype=np.float64)
+    dl = toks.map(len).to_numpy(np.float64)
+    n, avgdl = float(len(df)), dl.mean()
+    dfreq = (tf > 0).sum(0).astype(np.float64)
+    idf = np.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    norm = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+    score = (idf * tf * 2.2 / (tf + norm[:, None])).sum(1)
+    rel = tf.sum(1)
+    order = np.lexsort((df["doc_id"].to_numpy(), -score))[:20]
+    iorder = np.lexsort((df["doc_id"].to_numpy(), -rel))[:20]
+    disc = np.log2(np.arange(1, 21) + 1.0)
+    dcg = ((2.0 ** rel[order] - 1) / disc).sum()
+    idcg = ((2.0 ** rel[iorder] - 1) / disc).sum()
+    hits = np.nonzero(rel[order] > 0)[0]
+    mrr = 1.0 / (hits[0] + 1) if len(hits) else 0.0
+    assert got["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+    assert got["mrr_at_k"] == pytest.approx(mrr, abs=1e-6)
+    assert got["n_rel_at_k"] == int((rel[order] > 0).sum())
