@@ -528,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 30: IR evaluation + closed-form OLS ---
         "ndcg_retrieval_eval": analysis.ndcg_retrieval_eval,
         "lineitem_price_ols": relational.lineitem_price_ols,
+        # --- round-3 wave 31: experimentation + conformal audit ---
+        "ab_conversion_ztest": events.ab_conversion_ztest,
+        "conformal_length_bounds": analysis.conformal_length_bounds,
     }
 
 
@@ -4354,6 +4357,77 @@ def oracle_sql() -> dict[str, str]:
                                 - (n2 / det) * s2y)
                          / (syy - sy * sy / n), 6) AS r2
             FROM c
+        """,
+        "ab_conversion_ztest": """
+            WITH u AS (
+              SELECT user_id,
+                     CASE WHEN count(*) FILTER (WHERE event_type
+                            = 'purchase')
+                          > count(*) FILTER (WHERE event_type
+                            = 'view')
+                     THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY 1),
+            v AS (
+              SELECT (user_id * 2654435761) % 4294967296 % 2
+                       AS variant,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(conv) AS DOUBLE) AS c
+              FROM u GROUP BY 1),
+            w AS (
+              SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+                     max(CASE WHEN variant = 1 THEN n END) AS n1,
+                     max(CASE WHEN variant = 0 THEN c END) AS c0,
+                     max(CASE WHEN variant = 1 THEN c END) AS c1
+              FROM v)
+            SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                   CAST(c0 AS BIGINT) AS conv0,
+                   CAST(c1 AS BIGINT) AS conv1,
+                   round(c0 / n0, 6) AS p0, round(c1 / n1, 6) AS p1,
+                   round(CASE WHEN c0 + c1 <= 0
+                              OR c0 + c1 >= n0 + n1 THEN 0.0
+                         ELSE (c0 / n0 - c1 / n1)
+                              / sqrt(((c0 + c1) / (n0 + n1))
+                                     * (1.0 - (c0 + c1) / (n0 + n1))
+                                     * (1.0 / n0 + 1.0 / n1))
+                         END, 6) AS z
+            FROM w
+        """,
+        "conformal_length_bounds": """
+            WITH d AS (
+              SELECT doc_id, lang, n_chars,
+                     (doc_id * 2654435761) % 4294967296 % 2 AS split
+              FROM documents),
+            mu AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_calib,
+                          sum(CAST(n_chars AS DOUBLE)) / count(*)
+                            AS mu
+                   FROM d WHERE split = 0 GROUP BY 1),
+            scores AS (
+              SELECT d.lang,
+                     abs(CAST(d.n_chars AS DOUBLE) - mu.mu) AS s,
+                     row_number() OVER (PARTITION BY d.lang
+                       ORDER BY abs(CAST(d.n_chars AS DOUBLE)
+                                    - mu.mu)) AS rn
+              FROM d JOIN mu USING (lang) WHERE d.split = 0),
+            q AS (
+              SELECT sc.lang, sc.s AS q_hat
+              FROM scores sc JOIN mu USING (lang)
+              WHERE sc.rn = CAST(least(ceil((mu.n_calib + 1.0) * 0.9),
+                                       mu.n_calib) AS BIGINT)),
+            cov AS (
+              SELECT d.lang, CAST(count(*) AS DOUBLE) AS n_test,
+                     CAST(sum(CASE WHEN
+                         abs(CAST(d.n_chars AS DOUBLE) - mu.mu)
+                           <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS covered
+              FROM d JOIN mu USING (lang) JOIN q USING (lang)
+              WHERE d.split = 1 GROUP BY 1)
+            SELECT mu.lang, CAST(mu.n_calib AS BIGINT) AS n_calib,
+                   CAST(cov.n_test AS BIGINT) AS n_test,
+                   round(mu.mu, 6) AS mu,
+                   round(q.q_hat, 6) AS q_hat,
+                   round(cov.covered / cov.n_test, 6) AS coverage
+            FROM mu JOIN q USING (lang) JOIN cov USING (lang)
+            ORDER BY mu.lang
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

@@ -3584,3 +3584,78 @@ def ndcg_retrieval_eval(sf_dir: str,
             "mrr_at_k": round_half_up(np.array([mrr]), 6)})
 
     return folded.map_batches(finish, batch_format="pandas")
+
+
+def conformal_length_bounds(sf_dir: str,
+                            alpha: float = 0.1) -> rd.Dataset:
+    """Split-conformal prediction intervals for document length by
+    language (Vovk et al. 2005; Lei et al. JASA'18 split form): the
+    calibration half (Knuth-hash doc split, consistent with
+    train_test_split) fits the trivial per-lang mean predictor and
+    takes the ceil((n+1)(1-alpha))-th smallest absolute residual as
+    the conformal radius q_hat; the held-out half reports empirical
+    coverage — the finite-sample-valid uncertainty audit a data-
+    quality pipeline runs before trusting per-group tolerance bands.
+
+    Plan: ONE narrow pass folds a (lang, split, n_chars) VALUE
+    histogram (domain-bounded: langs x 2 x |length domain|, never
+    rows); every downstream quantity — calibration mean, the exact
+    k-th order statistic of |y - mu| (weighted selection over the
+    value domain), and test-side coverage — derives from that one
+    reduced table in the finish. No sort of the corpus, no second
+    pass. Output: (lang, n_calib, n_test, mu, q_hat, coverage)
+    sorted by lang, floats rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            split = ((u.astype(np.uint64) * np.uint64(2654435761))
+                     % np.uint64(1 << 32) % np.uint64(2)).astype(
+                         np.int64)
+        return (pd.DataFrame({"lang": df["lang"].to_numpy(),
+                              "split": split,
+                              "n_chars": df["n_chars"].to_numpy(
+                                  np.int64),
+                              "c": np.int64(1)})
+                .groupby(["lang", "split", "n_chars"],
+                         as_index=False).sum())
+
+    h = hash_groupby_agg(
+        ds.map_batches(hist, batch_format="pandas"),
+        ["lang", "split", "n_chars"], {"c": ("c", "sum")},
+        num_parts=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang"):
+            cal = g[g["split"] == 0]
+            tst = g[g["split"] == 1]
+            v = cal["n_chars"].to_numpy(np.float64)
+            c = cal["c"].to_numpy(np.float64)
+            n_cal = c.sum()
+            mu = float((v * c).sum()) / n_cal
+            score = np.abs(v - mu)
+            order = np.argsort(score, kind="stable")
+            k = float(np.ceil((n_cal + 1.0) * (1.0 - alpha)))
+            k = min(k, n_cal)
+            cum = np.cumsum(c[order])
+            q_hat = float(score[order][np.searchsorted(
+                cum, k, side="left")])
+            tv = tst["n_chars"].to_numpy(np.float64)
+            tc = tst["c"].to_numpy(np.float64)
+            n_tst = tc.sum()
+            cov = float(tc[np.abs(tv - mu) <= q_hat].sum()) / n_tst
+            out.append((lang, int(n_cal), int(n_tst), mu, q_hat,
+                        cov))
+        r = pd.DataFrame(out, columns=["lang", "n_calib", "n_test",
+                                       "mu", "q_hat", "coverage"])
+        r["mu"] = round_half_up(r["mu"].to_numpy(), 6)
+        r["q_hat"] = round_half_up(r["q_hat"].to_numpy(), 6)
+        r["coverage"] = round_half_up(r["coverage"].to_numpy(), 6)
+        return r.sort_values("lang").reset_index(drop=True)
+
+    return h.repartition(1).map_batches(finish,
+                                        batch_format="pandas")

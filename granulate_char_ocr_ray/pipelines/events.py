@@ -2610,3 +2610,81 @@ def event_type_lagged_xcorr(sf_dir: str, type_x: str = "click",
         "lag": pa.array(lags, pa.int64()),
         "n_days": pa.array(n_days, pa.int64()),
         "xcorr": pa.array(xc, pa.float64())})
+
+
+def ab_conversion_ztest(sf_dir: str) -> rd.Dataset:
+    """Two-proportion pooled z-test on the deterministic A/B split of
+    :func:`ab_test_report` — the significance statistic every
+    experimentation pipeline reports next to the raw conversion
+    rates: z = (p0 - p1) / sqrt(p_pool (1 - p_pool) (1/n0 + 1/n1)).
+
+    Conversion is the scale-free per-user flag "more purchases than
+    views" (an everyone-purchases corpus makes the has-any-purchase
+    flag of ab_test_report degenerate at every scale).
+
+    Plan: identical single user-cardinality exchange as
+    ab_test_report (per-user count pair), a |variants| fold, and
+    the closed-form finish on four integers. The normal-CDF p-value
+    is deliberately left to the caller (no erf in ANSI SQL — the z
+    statistic itself is the oracle-checkable surface). Output: one
+    row (n0, n1, conv0, conv1, p0, p1, z) rounded to 6."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        return (pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "np_": (et == "purchase").astype(np.int64),
+            "nv": (et == "view").astype(np.int64)})
+            .groupby("user_id", as_index=False).sum())
+
+    users = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"np_": ("np_", "sum"), "nv": ("nv", "sum")},
+        num_parts=16)
+
+    def to_variant(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            var = ((u.astype(np.uint64) * np.uint64(2654435761))
+                   % np.uint64(1 << 32) % np.uint64(2)).astype(
+                       np.int64)
+        conv = (df["np_"].to_numpy(np.int64)
+                > df["nv"].to_numpy(np.int64)).astype(np.int64)
+        return (pd.DataFrame({"variant": var,
+                              "n_users": np.int64(1),
+                              "n_converted": conv})
+                .groupby("variant", as_index=False).sum())
+
+    agg = hash_groupby_agg(
+        users.map_batches(to_variant, batch_format="pandas"),
+        ["variant"],
+        {"n_users": ("n_users", "sum"),
+         "n_converted": ("n_converted", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("variant")
+        n0, n1 = df["n_users"].to_numpy(np.float64)
+        c0, c1 = df["n_converted"].to_numpy(np.float64)
+        p0, p1 = c0 / n0, c1 / n1
+        pp = (c0 + c1) / (n0 + n1)
+        # degenerate pools (all or none converted) have zero pooled
+        # variance — report z = 0 instead of 0/0 (same CASE guard as
+        # the SQL oracle)
+        if pp <= 0.0 or pp >= 1.0:
+            z = 0.0
+        else:
+            z = (p0 - p1) / np.sqrt(pp * (1.0 - pp)
+                                    * (1.0 / n0 + 1.0 / n1))
+        return pd.DataFrame({
+            "n0": [np.int64(n0)], "n1": [np.int64(n1)],
+            "conv0": [np.int64(c0)], "conv1": [np.int64(c1)],
+            "p0": round_half_up(np.array([p0]), 6),
+            "p1": round_half_up(np.array([p1]), 6),
+            "z": round_half_up(np.array([z]), 6)})
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")

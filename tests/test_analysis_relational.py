@@ -2996,3 +2996,59 @@ def test_ndcg_retrieval_eval_brute_force():
     assert got["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
     assert got["mrr_at_k"] == pytest.approx(mrr, abs=1e-6)
     assert got["n_rel_at_k"] == int((rel[order] > 0).sum())
+
+
+@pytest.mark.parametrize("name", [
+    "ab_conversion_ztest", "conformal_length_bounds",
+])
+def test_round3_wave31_oracle_parity(con, name):
+    """Round-3 wave-31 queries (two-proportion z-test, split-conformal
+    length bounds) match their DuckDB oracles at sf0.001."""
+    import __ray_entry__ as e
+
+    _check(e.queries()[name](SF), e.oracle_sql()[name], con)
+
+
+def test_conformal_coverage_guarantee():
+    """Split-conformal marginal validity: per-lang held-out coverage
+    is near 1 - alpha (finite-sample: >= 1 - alpha - slack with the
+    plus side bounded too; slack sized for the small fixture)."""
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        conformal_length_bounds)
+
+    got = conformal_length_bounds(SF).to_pandas()
+    assert len(got) >= 3
+    # small-n fixtures: allow a generous band around 0.9
+    assert (got["coverage"] >= 0.75).all()
+    assert (got["q_hat"] > 0).all()
+    assert (got["n_calib"] + got["n_test"] > 0).all()
+
+
+def test_ab_ztest_pooled_definition():
+    """z recomputed from the raw per-user conversion flags and the
+    Knuth split."""
+    import numpy as np
+
+    from granulate_char_ocr_ray.pipelines.events import (
+        ab_conversion_ztest)
+
+    got = ab_conversion_ztest(SF).to_pandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    g = ev.groupby("user_id")["event_type"]
+    conv = (g.apply(lambda s: (s == "purchase").sum()
+                    > (s == "view").sum()))
+    u = conv.index.to_numpy(np.uint64)
+    var = (u * np.uint64(2654435761)) % np.uint64(1 << 32) \
+        % np.uint64(2)
+    n0, n1 = float((var == 0).sum()), float((var == 1).sum())
+    c0 = float(conv.to_numpy()[var == 0].sum())
+    c1 = float(conv.to_numpy()[var == 1].sum())
+    pp = (c0 + c1) / (n0 + n1)
+    if pp <= 0.0 or pp >= 1.0:
+        z = 0.0  # degenerate pool: engine reports z = 0 by contract
+    else:
+        z = (c0 / n0 - c1 / n1) / np.sqrt(
+            pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert got["n0"] == n0 and got["n1"] == n1
+    assert got["z"] == pytest.approx(z, abs=1e-6)
