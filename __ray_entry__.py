@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 31: experimentation + conformal audit ---
         "ab_conversion_ztest": events.ab_conversion_ztest,
         "conformal_length_bounds": analysis.conformal_length_bounds,
+        # --- round-3 wave 32: zone-map pruned range scan ---
+        "pruned_orderkey_revenue": relational.pruned_orderkey_revenue,
     }
 
 
@@ -4428,6 +4430,16 @@ def oracle_sql() -> dict[str, str]:
                    round(cov.covered / cov.n_test, 6) AS coverage
             FROM mu JOIN q USING (lang) JOIN cov USING (lang)
             ORDER BY mu.lang
+        """,
+        "pruned_orderkey_revenue": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 100.0, 2) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 3000 AND 8999
+            GROUP BY 1 ORDER BY 1
         """,
         # no oracle_sql for: fingerprints / simhash_* / minhash_lsh_dups
         # / ann_lsh_topk / ann_ivf_topk / media_thumbnails /

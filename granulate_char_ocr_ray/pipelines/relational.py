@@ -6273,3 +6273,73 @@ def lineitem_price_ols(sf_dir: str) -> rd.Dataset:
             "r2": round_half_up(np.array([r2]), 6)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def pruned_orderkey_revenue(sf_dir: str, lo: int = 3000,
+                            hi: int = 8999) -> rd.Dataset:
+    """Key-range revenue scan through a zone-map-pruned clustered
+    layout: lineitem is written ONCE clustered on l_orderkey with
+    small row groups (`sources/storage.write_clustered` — the
+    Iceberg/Delta sort-order + zone-map pattern), then the range
+    query touches ONLY the row groups whose min/max zone intersects
+    [lo, hi] (`read_rowgroups_pruned`: one Ray task per surviving
+    group, zero data pages read elsewhere). At 100 TB this is the
+    difference between a full-table scan and a handful of tasks.
+    Rows are re-filtered exactly inside the surviving groups; the
+    aggregate is a |returnflags|-bounded fold on fixed-point cents.
+    Output: (l_returnflag, n_items, sum_price) sorted by flag."""
+    import os
+
+    from ..sources.storage import read_rowgroups_pruned, \
+        write_clustered
+    from ..stages.hashagg import hash_groupby_agg
+
+    base = f"/tmp/clustered_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = f"{base}/lineitem_by_orderkey"
+    if not os.path.exists(out):
+        write_clustered(
+            read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_extendedprice"]),
+            out, "l_orderkey", row_group_size=5_000)
+
+    ds, _stats = read_rowgroups_pruned(
+        out, "l_orderkey", lo, hi,
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    if _stats["selected_row_groups"] == 0:
+        # schema-carrying empty result (zone map proved the range
+        # empty without reading a page)
+        from ..sources.storage import from_arrow
+        return from_arrow(pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "sum_price": pa.array([], pa.float64())}))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(dtype=np.int64)
+        m = (k >= lo) & (k <= hi)
+        df = df[m]
+        cents = np.rint(df["l_extendedprice"].to_numpy()
+                        * 100).astype(np.int64)
+        return (pd.DataFrame({"l_returnflag": df["l_returnflag"]
+                              .to_numpy(),
+                              "n_items": np.int64(1),
+                              "cents": cents})
+                .groupby("l_returnflag", as_index=False).sum())
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n_items": ("n_items", "sum"), "cents": ("cents", "sum")},
+        num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n_items": df["n_items"].astype(np.int64),
+            "sum_price": round_half_up(
+                df["cents"].to_numpy(np.float64) / 100.0, 2)})
+
+    return (agg.repartition(1)
+            .map_batches(finish, batch_format="pandas")
+            .sort("l_returnflag"))

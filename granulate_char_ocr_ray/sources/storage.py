@@ -440,3 +440,69 @@ def read_hive_partition(root: str, col: str, value: str,
             col, pa.array([value] * len(batch), pa.string()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def rowgroup_minmax_index(path: str, column: str) -> "pa.Table":
+    """Zone-map / min-max secondary index over a parquet layout: one
+    row per (file, row_group) with the column's metadata min/max —
+    the statistics block every lakehouse (Iceberg/Delta zone maps,
+    ORC stripe stats) consults before touching data. Built ENTIRELY
+    from parquet footers; zero data pages are read. Accepts a single
+    file or a directory of parts."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    files = pads.dataset(path).files
+    paths, rgs, nrows, vmin, vmax = [], [], [], [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().names.index(column)
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ci).statistics
+            paths.append(f)
+            rgs.append(i)
+            nrows.append(md.row_group(i).num_rows)
+            vmin.append(st.min)
+            vmax.append(st.max)
+    return pa.table({"file": pa.array(paths, pa.string()),
+                     "row_group": pa.array(rgs, pa.int64()),
+                     "n_rows": pa.array(nrows, pa.int64()),
+                     "vmin": pa.array(vmin),
+                     "vmax": pa.array(vmax)})
+
+
+def read_rowgroups_pruned(path: str, column: str, lo, hi,
+                          columns: "list[str] | None" = None
+                          ) -> "tuple[rd.Dataset, dict]":
+    """Range scan through the min-max index: only row groups whose
+    [vmin, vmax] zone intersects [lo, hi] become read TASKS (one Ray
+    task per surviving row group — a clustered layout turns a key-
+    range query into a handful of tasks regardless of table size).
+    Rows inside a surviving group can still fall outside the range —
+    callers re-filter (zone maps prune GROUPS, not rows). Returns
+    (dataset, stats) with selected/total group counts so callers can
+    assert the prune actually happened."""
+    import pyarrow.parquet as pq
+
+    idx = rowgroup_minmax_index(path, column).to_pandas()
+    keep = idx[(idx["vmax"] >= lo) & (idx["vmin"] <= hi)]
+    stats = {"total_row_groups": int(len(idx)),
+             "selected_row_groups": int(len(keep)),
+             "selected_rows": int(keep["n_rows"].sum())}
+    items = [{"file": f, "rg": int(r)}
+             for f, r in zip(keep["file"], keep["row_group"])]
+
+    def read_one(df: "pd.DataFrame") -> "pa.Table":
+        tabs = [pq.ParquetFile(f).read_row_group(int(i),
+                                                 columns=columns)
+                for f, i in zip(df["file"], df["rg"])]
+        return pa.concat_tables(tabs)
+
+    if not items:
+        # empty selection: schema-carrying empty table
+        empty = pq.read_table(idx["file"].iloc[0] if len(idx)
+                              else path, columns=columns).slice(0, 0)
+        return from_arrow(empty), stats
+    ds = rd.from_items(items).map_batches(read_one,
+                                          batch_format="pandas")
+    return ds, stats

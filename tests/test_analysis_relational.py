@@ -3052,3 +3052,60 @@ def test_ab_ztest_pooled_definition():
             pp * (1 - pp) * (1 / n0 + 1 / n1))
     assert got["n0"] == n0 and got["n1"] == n1
     assert got["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_pruned_orderkey_revenue_oracle_parity(con):
+    """Zone-map-pruned range scan matches the plain WHERE oracle."""
+    import __ray_entry__ as e
+
+    _check(e.queries()["pruned_orderkey_revenue"](SF),
+           e.oracle_sql()["pruned_orderkey_revenue"], con)
+
+
+def test_rowgroup_pruning_actually_prunes():
+    """The min-max index selects a strict subset of row groups on a
+    clustered layout, the pruned read returns exactly the range's
+    rows, and the empty-range read returns a schema-carrying empty
+    dataset."""
+    import os
+
+    from granulate_char_ocr_ray.sources.storage import (
+        read_rowgroups_pruned, read_table, rowgroup_minmax_index,
+        write_clustered)
+
+    out = "/tmp/test_zonemap/lineitem"
+    if not os.path.exists(out):
+        write_clustered(
+            read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"]),
+            out, "l_orderkey", row_group_size=500)
+    idx = rowgroup_minmax_index(out, "l_orderkey").to_pandas()
+    assert len(idx) > 3
+    ds, stats = read_rowgroups_pruned(out, "l_orderkey", 100, 299)
+    assert stats["selected_row_groups"] < stats["total_row_groups"]
+    df = ds.to_pandas()
+    k = df["l_orderkey"]
+    exact = pd.read_parquet(f"{SF}/lineitem.parquet",
+                            columns=["l_orderkey"])["l_orderkey"]
+    want = int(((exact >= 100) & (exact <= 299)).sum())
+    assert int(((k >= 100) & (k <= 299)).sum()) == want
+    empty, st2 = read_rowgroups_pruned(out, "l_orderkey",
+                                       10**9, 2 * 10**9)
+    assert st2["selected_row_groups"] == 0
+    edf = empty.to_pandas()
+    assert len(edf) == 0 and "l_orderkey" in edf.columns
+
+
+def test_pruned_orderkey_revenue_small_range(con):
+    """A range that exists at sf0.001 matches the parameterized
+    oracle row-for-row."""
+    from granulate_char_ocr_ray.pipelines.relational import (
+        pruned_orderkey_revenue)
+
+    _check(pruned_orderkey_revenue(SF, 100, 299), """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS sum_price
+        FROM lineitem WHERE l_orderkey BETWEEN 100 AND 299
+        GROUP BY 1 ORDER BY 1""", con)
