@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = extract.reassemble_docs(spans)
         return docs.select_columns(["doc_id", "text", "n_spans"]).sort("doc_id")
 
-    return {
+    q = {
         # --- extraction engine (flagship) ---
         "extract_spans": extract_spans,
         "extract_spans_fanout": extract_spans_fanout,
@@ -534,6 +534,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 wave 32: zone-map pruned range scan ---
         "pruned_orderkey_revenue": relational.pruned_orderkey_revenue,
     }
+    # The driver's correctness gate samples the FIRST 50 entries
+    # (VERDICT r03 #6: the r03 sample never reached the relational /
+    # events / training / media modules). Front-load a curated
+    # 50-query prefix spanning every pipeline family; the remaining
+    # ~240 keep their original relative order after it.
+    prefix = [
+        # extraction + evaluation
+        "extract_spans", "extract_spans_fanout", "extract_docs_text",
+        "html_main_extract", "pdf_layout_extract",
+        "ocr_char_accuracy", "ocr_eval_stats",
+        # dedup
+        "exact_dedup", "minhash_lsh_dups", "substring_dups",
+        "paragraph_dedup", "dup_clusters", "dedup_survivors",
+        "leakage_safe_split",
+        # similarity / ANN
+        "ann_cosine_topk", "ann_ivf_topk", "embedding_cosine_dups",
+        "knn_join", "semantic_decontaminate",
+        # text analysis / quality
+        "doc_quality", "gopher_quality_rules",
+        "dsir_importance_weights", "lm_quality_tiers", "bm25_search",
+        "rrf_hybrid_search", "dup_rate_by_source",
+        "hive_partition_stats", "naive_bayes_langid",
+        # relational / TPC-H / lakehouse layouts
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q9_product_type_profit",
+        "q21_waiting_suppliers", "bucketed_segment_revenue",
+        "pruned_orderkey_revenue", "order_price_cume_dist",
+        # events / sessions / experiments
+        "user_sessions", "funnel_counts", "user_event_windows",
+        "event_transition_probs", "ab_conversion_ztest",
+        # training-data prep
+        "chunk_docs", "pii_redact", "pack_sequences",
+        "bpe_token_counts", "ngram_repetition",
+        # media / multimodal
+        "media_dimensions", "media_dimensions_png",
+        "media_dimensions_jpeg", "docs_without_media",
+    ]
+    return {**{k: q[k] for k in prefix}, **q}
 
 
 def _lang_id_oracle() -> str:

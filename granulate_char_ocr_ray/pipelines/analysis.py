@@ -358,7 +358,10 @@ def _unigram_scores_unsorted(sf_dir: str,
     ref = ray.put((vh, vlogp))
 
     def score(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         mask_np = mask.to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(
@@ -415,7 +418,10 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         mask_np = mask.to_numpy(zero_copy_only=False)
         lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
@@ -442,7 +448,10 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
     ref = ray.put((vh[order], lnr))
 
     def score(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         mask_np = mask.to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[mask_np]
@@ -535,7 +544,10 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def term_freq(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -606,7 +618,10 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "hash",
     evaluate_new_testdata.py:137-163 upgraded to a ranked retrieval."""
 
     def _tok(batch: pa.Table):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -702,7 +717,10 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 30,
     docs = _docs(sf_dir, ["text"])
 
     def _flat(batch: pa.Table):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
         lens = pc.list_value_length(lists).to_numpy(
@@ -1009,7 +1027,10 @@ def kwic_snippets(sf_dir: str, term: str = "spark", window: int = 3
     the 1-based token position of the hit."""
 
     def snip(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -1060,7 +1081,10 @@ def lang_vocab_overlap(sf_dir: str) -> rd.Dataset:
     docs = _docs(sf_dir, ["lang", "text"])
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         langs = batch.column("lang").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -1128,7 +1152,10 @@ def next_token_stats(sf_dir: str, min_count: int = 5) -> rd.Dataset:
     docs = _docs(sf_dir, ["text"])
 
     def _flat(batch: pa.Table):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
         lens = pc.list_value_length(lists).to_numpy(
@@ -1370,7 +1397,10 @@ def rrf_hybrid_search(sf_dir: str,
     top-k by rrf desc; rank 0 = absent from that scorer's top list."""
 
     def _tok(batch: pa.Table):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -2605,16 +2635,14 @@ def hive_partition_stats(sf_dir: str, lang: str = "en") -> rd.Dataset:
     language move (the partition-pruning half of "prune at the
     read"; row-group pruning inside a partition is write_clustered's
     job). Output: (lang, n_docs, total_chars)."""
-    import os
-
-    from ..sources.storage import (read_hive_partition,
+    from ..sources.storage import (cached_layout, read_hive_partition,
                                    write_hive_partitioned)
 
-    base = "/tmp/hive_docs_" + os.path.basename(sf_dir.rstrip("/"))
-    if not os.path.exists(base):
-        write_hive_partitioned(
+    base = cached_layout(
+        "hive_docs_lang", [f"{sf_dir}/documents.parquet"],
+        lambda d: write_hive_partitioned(
             _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
-            base, ["lang"])
+            d, ["lang"]))
 
     ds = read_hive_partition(base, "lang", lang,
                              columns=["doc_id", "n_chars"])
@@ -2791,7 +2819,10 @@ def bigram_logprob_scores(sf_dir: str) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def _doc_bigram_parts(batch: pa.Table, with_ids: bool):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         lists = pc.split_pattern_regex(pc.filter(trimmed, mask), r"\s+")
         lens = pc.list_value_length(lists).to_numpy(
@@ -3272,7 +3303,8 @@ def _doc_token_lists(batch: pa.Table):
     as numpy bool, Arrow list<string> token lists for kept rows).
     Matches the SQL form regexp_split_to_array(lower(trim(text)),
     '\\s+') with empty docs dropped."""
-    trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+    # DuckDB trim() strips spaces only — match it exactly (ADVICE r03)
+    trimmed = pc.utf8_trim(batch.column("text"), " ")
     mask = pc.not_equal(trimmed, "")
     lists = pc.split_pattern_regex(
         pc.utf8_lower(pc.filter(trimmed, mask)), r"\s+")
@@ -3445,6 +3477,12 @@ def naive_bayes_langid(sf_dir: str, alpha: float = 1.0) -> rd.Dataset:
     ln_prior = np.array([np.log(nd[g] / nd.sum()) for g in langs])
 
     th = hash64_batch(pa.array(toks, pa.string()))
+    # ADVICE r03: likelihood lookup is keyed by 64-bit token hash; a
+    # vocabulary collision would silently merge two tokens' rows.
+    # Astronomically unlikely at any real vocab size (birthday bound
+    # ~2^32 tokens) — assert so a collision fails loud, not wrong.
+    assert len(np.unique(th)) == len(toks), \
+        "64-bit vocabulary hash collision; langid needs exact keying"
     horder = np.argsort(th)
     ref = ray.put((th[horder], lnp[horder], ln_prior))
 
@@ -3498,7 +3536,10 @@ def ndcg_retrieval_eval(sf_dir: str,
     mrr_at_k) rounded to 6."""
 
     def _tok(batch: pa.Table):
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        # DuckDB trim() strips spaces only — match it exactly so a
+        # tab/newline-edged doc tokenizes identically to the oracle
+        # (ADVICE r03)
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         mask = pc.not_equal(trimmed, "")
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[mask.to_numpy(zero_copy_only=False)]
@@ -3633,6 +3674,11 @@ def conformal_length_bounds(sf_dir: str,
         for lang, g in df.groupby("lang"):
             cal = g[g["split"] == 0]
             tst = g[g["split"] == 1]
+            # ADVICE r03: a language with an empty calibration or
+            # test split has no conformal bound — skip it, mirroring
+            # the oracle's inner-join semantics (its rows drop out)
+            if len(cal) == 0 or len(tst) == 0:
+                continue
             v = cal["n_chars"].to_numpy(np.float64)
             c = cal["c"].to_numpy(np.float64)
             n_cal = c.sum()

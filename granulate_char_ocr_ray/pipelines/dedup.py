@@ -933,7 +933,8 @@ def pagerank_dups(sf_dir: str, threshold: float = 0.8, iters: int = 3,
         batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
-def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def dedup_survivors(sf_dir: str, threshold: float = 0.8,
+                    broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """The near-dedup pipeline's user-facing OUTPUT: every doc_id that
     survives cluster-representative selection — docs with no near
     duplicate pass through untouched; of each duplicate cluster only
@@ -941,29 +942,52 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
 
     Composition of the existing stages: cluster resolution
     (:func:`dup_clusters`, bounded by the docs that HAVE a duplicate)
-    reduces to the small drop-set {doc in cluster, doc != label}, which
-    broadcasts once as a sorted array; the corpus anti-filters against
-    it in one vectorized pass — same dispatch rule as every other
-    anti-join here (above the broadcast threshold the drop-set takes
-    the Bloom + partitioned-join path of media.docs_without_media).
-    Output: (doc_id)."""
-    clusters = dup_clusters(sf_dir, threshold=threshold).to_pandas()
-    drop = np.sort(clusters.loc[
-        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
-    ].to_numpy(dtype=np.int64))
-    drop_ref = ray.put(drop)
+    reduces to the drop-set {doc in cluster, doc != label}. Size
+    dispatch (the rule every small-side join here follows, ported from
+    leakage_safe_split per VERDICT r03 #5): below
+    ``broadcast_threshold`` cluster rows the drop-set broadcasts once
+    via ``ray.put`` as a sorted array and the corpus anti-filters in
+    one vectorized searchsorted pass; above, a hash-partitioned
+    anti-join on doc_id (one narrow (doc_id, cluster_id) exchange) —
+    no driver-side materialization of an unbounded cluster table.
+    Both plans emit identical rows (tested). Output: (doc_id)."""
+    from ..stages.join import partitioned_join
 
+    labels = dup_clusters(sf_dir, threshold=threshold).materialize()
     docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        ds_ = ray.get(drop_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ds_, ids)
-        pos[pos >= len(ds_)] = len(ds_) - 1 if len(ds_) else 0
-        hit = (ds_[pos] == ids) if len(ds_) else np.zeros(len(ids), bool)
-        return batch.filter(pa.array(~hit))
+    if labels.count() <= broadcast_threshold:
+        clusters = labels.to_pandas()
+        drop = np.sort(clusters.loc[
+            clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+        ].to_numpy(dtype=np.int64))
+        drop_ref = ray.put(drop)
 
-    return docs.map_batches(anti, batch_format="pyarrow").repartition(4).sort("doc_id")
+        def anti(batch: pa.Table) -> pa.Table:
+            ds_ = ray.get(drop_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ds_, ids)
+            pos[pos >= len(ds_)] = len(ds_) - 1 if len(ds_) else 0
+            hit = (ds_[pos] == ids) if len(ds_) \
+                else np.zeros(len(ids), bool)
+            return batch.filter(pa.array(~hit))
+
+        return (docs.map_batches(anti, batch_format="pyarrow")
+                .repartition(4).sort("doc_id"))
+
+    def merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.merge(rf, on="doc_id", how="left")
+        keep = m["cluster_id"].isna() | (
+            m["cluster_id"] == m["doc_id"])
+        return pd.DataFrame(
+            {"doc_id": m.loc[keep, "doc_id"].to_numpy(np.int64)})
+
+    return partitioned_join(
+        docs, labels, "doc_id", "doc_id", merge, num_buckets=32,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("cluster_id", pa.int64())]),
+    ).repartition(4).sort("doc_id")
 
 
 def leakage_safe_split(sf_dir: str, threshold: float = 0.8,

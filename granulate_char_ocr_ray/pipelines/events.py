@@ -2666,9 +2666,21 @@ def ab_conversion_ztest(sf_dir: str) -> rd.Dataset:
          "n_converted": ("n_converted", "sum")}, num_parts=2)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("variant")
+        # ADVICE r03: a tiny/skewed corpus can hash every user to one
+        # parity — reindex to both variants with NULL fill so the
+        # missing arm's columns come out NULL (the oracle's
+        # max(CASE...) semantics) instead of a ValueError unpack
+        df = df.set_index("variant").reindex([0, 1])
         n0, n1 = df["n_users"].to_numpy(np.float64)
         c0, c1 = df["n_converted"].to_numpy(np.float64)
+        if np.isnan(n0) or np.isnan(n1):
+            return pd.DataFrame({
+                "n0": [n0], "n1": [n1], "conv0": [c0], "conv1": [c1],
+                "p0": [np.nan if np.isnan(n0) else
+                       round_half_up(np.array([c0 / n0]), 6)[0]],
+                "p1": [np.nan if np.isnan(n1) else
+                       round_half_up(np.array([c1 / n1]), 6)[0]],
+                "z": [np.nan]})
         p0, p1 = c0 / n0, c1 / n1
         pp = (c0 + c1) / (n0 + n1)
         # degenerate pools (all or none converted) have zero pooled

@@ -4840,24 +4840,26 @@ def bucketed_segment_revenue(sf_dir: str,
     the final aggregate is a |segments|-bounded reduce. Fixed-point
     cents keep the sum bit-identical. Output: (c_mktsegment, n_orders,
     revenue)."""
-    import os
-
-    from ..sources.storage import bucket_aligned_join, write_bucketed
+    from ..sources.storage import (bucket_aligned_join, cached_layout,
+                                   write_bucketed)
     from ..stages.hashagg import hash_groupby_agg
 
-    base = f"/tmp/bucketed_{os.path.basename(sf_dir.rstrip('/'))}"
+    osrc = f"{sf_dir}/orders.parquet"
+    csrc = f"{sf_dir}/customer.parquet"
+
+    def build(d: str) -> None:
+        # bucket layout is a persistent artifact, written once per
+        # (corpus fingerprint, bucket count)
+        write_bucketed(
+            read_table(osrc, columns=["o_custkey", "o_totalprice"]),
+            f"{d}/orders", "o_custkey", num_buckets)
+        write_bucketed(
+            read_table(csrc, columns=["c_custkey", "c_mktsegment"]),
+            f"{d}/customer", "c_custkey", num_buckets)
+
+    base = cached_layout(f"bucketed_custkey_b{num_buckets}",
+                         [osrc, csrc], build)
     od, cd = f"{base}/orders", f"{base}/customer"
-    # write once per sf_dir (bucket layout is a persistent artifact)
-    if not os.path.exists(od):
-        write_bucketed(
-            read_table(f"{sf_dir}/orders.parquet",
-                       columns=["o_custkey", "o_totalprice"]),
-            od, "o_custkey", num_buckets)
-    if not os.path.exists(cd):
-        write_bucketed(
-            read_table(f"{sf_dir}/customer.parquet",
-                       columns=["c_custkey", "c_mktsegment"]),
-            cd, "c_custkey", num_buckets)
 
     def merge(left: pd.DataFrame, right: pd.DataFrame
               ) -> pd.DataFrame:
@@ -6288,20 +6290,19 @@ def pruned_orderkey_revenue(sf_dir: str, lo: int = 3000,
     Rows are re-filtered exactly inside the surviving groups; the
     aggregate is a |returnflags|-bounded fold on fixed-point cents.
     Output: (l_returnflag, n_items, sum_price) sorted by flag."""
-    import os
-
-    from ..sources.storage import read_rowgroups_pruned, \
-        write_clustered
+    from ..sources.storage import (cached_layout,
+                                   read_rowgroups_pruned,
+                                   write_clustered)
     from ..stages.hashagg import hash_groupby_agg
 
-    base = f"/tmp/clustered_{os.path.basename(sf_dir.rstrip('/'))}"
-    out = f"{base}/lineitem_by_orderkey"
-    if not os.path.exists(out):
-        write_clustered(
-            read_table(f"{sf_dir}/lineitem.parquet",
+    src = f"{sf_dir}/lineitem.parquet"
+    out = cached_layout(
+        "clustered_lineitem_orderkey_rg5000", [src],
+        lambda d: write_clustered(
+            read_table(src,
                        columns=["l_orderkey", "l_returnflag",
                                 "l_extendedprice"]),
-            out, "l_orderkey", row_group_size=5_000)
+            d, "l_orderkey", row_group_size=5_000))
 
     ds, _stats = read_rowgroups_pruned(
         out, "l_orderkey", lo, hi,

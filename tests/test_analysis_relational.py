@@ -2211,11 +2211,13 @@ def test_bucketed_segment_revenue_parity_and_reuse(con):
     """Bucketed-storage join: matches the SQL oracle AND the second
     run (reusing the bucket layout on disk) returns the identical
     frame."""
+    import glob
     import shutil
 
     import __ray_entry__ as e
 
-    shutil.rmtree("/tmp/bucketed_sf0.001", ignore_errors=True)
+    for d in glob.glob("/tmp/graft_layouts/bucketed_custkey_*"):
+        shutil.rmtree(d, ignore_errors=True)
     q = e.queries()["bucketed_segment_revenue"]
     first = q(SF).to_pandas()
     _check(q(SF), e.oracle_sql()["bucketed_segment_revenue"], con)
@@ -2240,16 +2242,62 @@ def test_hive_partition_prunes_files():
 
     from granulate_char_ocr_ray.pipelines.analysis import \
         hive_partition_stats
+    from granulate_char_ocr_ray.sources.storage import (
+        cached_layout, source_fingerprint)
 
-    shutil.rmtree("/tmp/hive_docs_sf0.001", ignore_errors=True)
+    for d in glob.glob("/tmp/graft_layouts/hive_docs_lang_*"):
+        shutil.rmtree(d, ignore_errors=True)
     hive_partition_stats(SF, lang="de").to_pandas()
+    base = ("/tmp/graft_layouts/hive_docs_lang_"
+            + source_fingerprint([f"{SF}/documents.parquet"]))
     parts = sorted(p.split("=")[-1] for p in
-                   glob.glob("/tmp/hive_docs_sf0.001/lang=*"))
+                   glob.glob(f"{base}/lang=*"))
     assert "de" in parts and len(parts) >= 3
     import pyarrow.dataset as pads
 
-    files = pads.dataset("/tmp/hive_docs_sf0.001/lang=de").files
+    files = pads.dataset(f"{base}/lang=de").files
     assert files and all("lang=de" in f for f in files)
+
+
+def test_cached_layout_fingerprint_and_crash_safety(tmp_path):
+    """The layout cache rebuilds when the SOURCE changes (fingerprint
+    key, not basename), and a crashed build never poisons the cache
+    (tmp-then-rename)."""
+    import os
+
+    src = tmp_path / "t.parquet"
+    pd.DataFrame({"a": [1, 2]}).to_parquet(src)
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        os.makedirs(d)
+        (pd.DataFrame({"a": [0]})).to_parquet(f"{d}/part.parquet")
+
+    d1 = cached_layout_helper("t_layout", [str(src)], build)
+    d2 = cached_layout_helper("t_layout", [str(src)], build)
+    assert d1 == d2 and len(calls) == 1  # reused, not rebuilt
+    # mutate the source -> new fingerprint -> rebuild
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(src)
+    d3 = cached_layout_helper("t_layout", [str(src)], build)
+    assert d3 != d1 and len(calls) == 2
+    # a crashing build leaves nothing visible; the retry rebuilds
+    def boom(d):
+        os.makedirs(d)
+        raise RuntimeError("simulated OutOfDisk")
+    pd.DataFrame({"a": [9]}).to_parquet(src)
+    with pytest.raises(RuntimeError):
+        cached_layout_helper("t_layout", [str(src)], boom)
+    d4 = cached_layout_helper("t_layout", [str(src)], build)
+    assert os.path.exists(f"{d4}/part.parquet") and len(calls) == 3
+    for d in (d1, d3, d4):
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def cached_layout_helper(tag, paths, build):
+    from granulate_char_ocr_ray.sources.storage import cached_layout
+    return cached_layout(tag, paths, build)
 
 
 def test_bootstrap_mean_ci_deterministic_and_sane():
@@ -3060,6 +3108,23 @@ def test_pruned_orderkey_revenue_oracle_parity(con):
 
     _check(e.queries()["pruned_orderkey_revenue"](SF),
            e.oracle_sql()["pruned_orderkey_revenue"], con)
+
+
+def test_from_arrow_empty_keeps_schema():
+    """Regression (round-3 red gate): Ray 2.49 drops 0-row blocks in
+    Dataset.to_pandas(), collapsing empty results to (0, 0) frames.
+    sources/storage.from_arrow must keep the columns."""
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.sources.storage import from_arrow
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.string())})
+    df = from_arrow(empty).to_pandas()
+    assert df.shape == (0, 2) and list(df.columns) == ["a", "b"]
+    # non-empty tables are untouched plain Datasets
+    one = pa.table({"a": [1]})
+    assert from_arrow(one).to_pandas().shape == (1, 1)
 
 
 def test_rowgroup_pruning_actually_prunes():

@@ -345,6 +345,20 @@ def test_dedup_survivors_composition():
     assert len(dropped) > 0
 
 
+def test_dedup_survivors_both_plans_identical():
+    """Broadcast anti-filter vs partitioned anti-join (VERDICT r03 #5:
+    no unconditional driver-side pull of the cluster table) emit
+    identical survivor sets."""
+    from granulate_char_ocr_ray.pipelines.dedup import dedup_survivors
+
+    bc = dedup_survivors(SF).to_pandas()
+    pj = dedup_survivors(SF, broadcast_threshold=0).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                  pj.reset_index(drop=True))
+
+
 def test_dup_clusters_both_plans_identical():
     from granulate_char_ocr_ray.pipelines.dedup import dup_clusters
 
