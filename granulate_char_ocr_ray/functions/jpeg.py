@@ -325,6 +325,50 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+_SOF_MODES = {0xC0: "baseline", 0xC1: "extended-sequential",
+              0xC2: "progressive", 0xC3: "lossless",
+              0xC5: "diff-sequential", 0xC6: "diff-progressive",
+              0xC7: "diff-lossless", 0xC9: "arith-sequential",
+              0xCA: "arith-progressive", 0xCB: "arith-lossless",
+              0xCD: "diff-arith-sequential",
+              0xCE: "diff-arith-progressive",
+              0xCF: "diff-arith-lossless"}
+
+
+def jpeg_info(data: bytes) -> dict:
+    """Header-only JPEG metadata — (height, width, n_components,
+    precision, mode) from the first SOFn marker, NO entropy decode.
+
+    Every SOF variant shares the frame-header layout (T.81 §B.2.2),
+    so this reads dimensions for progressive/arithmetic streams that
+    ``decode_jpeg_gray`` deliberately refuses (VERDICT r03 #9: detect
+    and describe non-baseline JPEGs instead of a generic failure).
+    Metadata pipelines can report any JPEG; pixel decode remains an
+    explicit baseline-only seam."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2                               # standalone marker
+            continue
+        if marker in (0xD9, 0xDA):                 # EOI / scan start
+            break
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if marker in _SOF_MODES:
+            body = data[pos + 4:pos + 2 + seg_len]
+            return {"precision": body[0],
+                    "height": int.from_bytes(body[1:3], "big"),
+                    "width": int.from_bytes(body[3:5], "big"),
+                    "n_components": body[5],
+                    "mode": _SOF_MODES[marker]}
+        pos += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF frame header found")
+
+
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Baseline grayscale JPEG bytes -> (h, w) uint8 array."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
@@ -374,10 +418,16 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             if body[7] != 0x11:
                 raise ValueError("only 1x1 sampling supported")
             qid = body[8]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) unsupported: this decoder is "
+                "baseline-sequential only — re-encode as baseline "
+                "(e.g. cjpeg without -progressive / PIL progressive="
+                "False); jpeg_info() still reads its dimensions")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) "
-                             "unsupported")
+            raise ValueError("non-baseline JPEG (hierarchical/"
+                             "arithmetic/lossless) unsupported")
         elif marker == 0xDD:                       # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:                       # SOS

@@ -329,6 +329,55 @@ def test_expr_to_sql_matches_pyarrow_semantics():
         expr_to_sql(pads.field("a").isin([1, 2, 3]))
 
 
+def test_expr_to_sql_covers_every_repo_filter_form():
+    """Contract (VERDICT r03 #8): the lance pushdown translator must
+    round-trip EVERY filter form the repo's own reads emit. Forms
+    enumerated from all `read_table(filter_expr=...)` call sites
+    (relational.py:42,245,317,334,995,1575,1695,1744,1774,1908,2106,
+    2222,2283,2495,2691,3165,6015,6085): ts <=, ts-range & ts-range,
+    ts < / >, string == / !=, and conjunctions thereof. If a new
+    call-site form appears, add it here — an untranslatable predicate
+    must raise, never silently full-scan."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from granulate_char_ocr_ray.sources.storage import expr_to_sql
+
+    lo = np.datetime64("1994-01-01", "us")
+    hi = np.datetime64("1995-01-01", "us")
+    site_forms = [
+        # q1: field <= fractional-seconds cutoff (relational.py:42)
+        pads.field("ts") <= np.datetime64("1998-09-02T23:59:59.999999"),
+        # q6/q5/...: (field >= lo) & (field < hi) (relational.py:245)
+        (pads.field("ts") >= lo) & (pads.field("ts") < hi),
+        # field < ts / field > ts (relational.py:317,334)
+        pads.field("ts") < hi,
+        pads.field("ts") > lo,
+        # string equality / inequality (relational.py:1575,2222,2495)
+        pads.field("flag") == "R",
+        pads.field("flag") != "1-URGENT",
+    ]
+    n = 500
+    rng = np.random.default_rng(11)
+    tbl = pa.table({
+        "flag": rng.choice(["R", "N", "A"], n),
+        "ts": pa.array(
+            np.datetime64("1993-01-01", "us")
+            + rng.integers(0, 6 * 365, n) * np.timedelta64(1, "D"),
+            pa.timestamp("us")),
+    })
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for e in site_forms:
+        sql = expr_to_sql(e)
+        want = pads.dataset(tbl).to_table(filter=e).num_rows
+        got = con.sql(
+            f"SELECT count(*) AS c FROM t WHERE {sql}").df()["c"][0]
+        assert got == want, (str(e), sql, got, want)
+
+
 def test_profile_stats_parses_operators(ray_session):
     import ray.data as rd
 
