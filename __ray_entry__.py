@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dimensions": media.media_dimensions,
         "media_dimensions_png": media.media_dimensions_png,
         "media_dimensions_jpeg": media.media_dimensions_jpeg,
+        "media_jpeg_metadata": media.media_jpeg_metadata,
         "media_thumbnails": media.media_thumbnails,
         "media_frame_sample": media.media_frame_sample,
         # rows-only: keyframe choice is pixel-domain (no SQL form)
@@ -1181,6 +1182,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS BIGINT) AS height,
                    CAST(80 * length(w) + 16 AS BIGINT) AS width,
                    CAST(length(w) AS BIGINT) AS n_glyphs
+            FROM (SELECT doc_id,
+                         translate(CAST(doc_id AS VARCHAR),
+                                   '0123456789', 'ABCDEFGHIJ') AS w
+                  FROM documents WHERE doc_id % 3 = 0)
+            ORDER BY doc_id
+        """,
+        "media_jpeg_metadata": """
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   CAST(64 AS BIGINT) AS height,
+                   CAST(80 * length(w) + 16 AS BIGINT) AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 'progressive'
+                        ELSE 'baseline' END AS mode
             FROM (SELECT doc_id,
                          translate(CAST(doc_id AS VARCHAR),
                                    '0123456789', 'ABCDEFGHIJ') AS w

@@ -118,6 +118,22 @@ def test_media_dimensions_closed_form():
     assert (got["n_glyphs"] == n).all()
 
 
+def test_media_jpeg_metadata_detects_modes():
+    """Header-only JPEG metadata (VERDICT r03 #9): progressive-framed
+    payloads (even doc ids) are detected with exact dimensions — no
+    pixel decode, no empty-result swallow."""
+    from granulate_char_ocr_ray.pipelines.media import media_jpeg_metadata
+
+    got = media_jpeg_metadata(SF).to_pandas()
+    ids = got["doc_id"].str[4:].astype(int)
+    assert (ids % 3 == 0).all() and len(got) > 0
+    assert (got["mode"] == np.where(ids % 2 == 0, "progressive",
+                                    "baseline")).all()
+    assert (got["height"] == 64).all()
+    n = ids.astype(str).str.len()
+    assert (got["width"] == 80 * n + 16).all()
+
+
 def test_docs_without_media_anti_join():
     from granulate_char_ocr_ray.pipelines.media import docs_without_media
 
