@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data preparation (chunk / scrub / filter / pack) ---
         "chunk_docs": training.chunk_docs,
         "pii_redact": training.pii_redact,
+        "pii_stats_by_source": training.pii_stats_by_source,
+        "sanitize_text": training.sanitize_text,
+        "interleave_sources": training.interleave_sources,
+        "word_blocklist_filter": analysis.word_blocklist_filter,
         "collapse_repeat_tokens": training.collapse_repeat_tokens,
         "repetition_stats": training.repetition_stats,
         "ngram_repetition": training.ngram_repetition,
@@ -1714,6 +1718,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(after_email,
                      '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
             FROM emails ORDER BY doc_id
+        """,
+        "pii_stats_by_source": """
+            WITH pii AS (
+              SELECT source,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || rpad(substr(CAST(doc_id AS VARCHAR), 1, 4), 4, '0')
+                       AS text
+              FROM documents
+            ), c AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS ne,
+                     len(regexp_extract_all(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'), '\\+1-555-[0-9]{4}')) AS np
+              FROM pii
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ne) AS BIGINT) AS n_emails,
+                   CAST(sum(np) AS BIGINT) AS n_phones,
+                   round(CAST(sum(ne) AS DOUBLE) / count(*), 4)
+                     AS emails_per_doc
+            FROM c GROUP BY source ORDER BY source
+        """,
+        "sanitize_text": """
+            WITH messy AS (
+              SELECT doc_id,
+                     text || chr(9) || 'e' || chr(769) || chr(7) AS t
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id, t,
+                     regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                       'g') AS nc
+              FROM messy
+            )
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(nc, '\\s+', ' ',
+                                                     'g'))) AS clean_text,
+                   CAST(length(t) - length(nc) AS BIGINT) AS n_ctrl
+            FROM stripped ORDER BY doc_id
+        """,
+        "interleave_sources": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1
+                          AS BIGINT) AS rank_in_source
+              FROM documents
+            )
+            SELECT doc_id, source, rank_in_source,
+                   CAST(row_number() OVER (ORDER BY rank_in_source,
+                                           source, doc_id) - 1
+                        AS BIGINT) AS interleave_order
+            FROM r ORDER BY doc_id
+        """,
+        "word_blocklist_filter": """
+            WITH base AS (
+              SELECT doc_id, trim(text) AS t FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(t), '\\s+'))
+                       AS tok
+              FROM base WHERE t != ''
+            ), cnt AS (
+              SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE tok IN
+                       ('dup', 'slow', 'spark')) AS BIGINT) AS n_banned
+              FROM toks GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(coalesce(c.n_banned, 0) AS BIGINT) AS n_banned,
+                   coalesce(c.n_banned, 0) = 0 AS keep
+            FROM base b LEFT JOIN cnt c USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "repetition_stats": """
             WITH base AS (

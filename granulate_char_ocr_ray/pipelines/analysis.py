@@ -55,6 +55,52 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
 
 
+def word_blocklist_filter(sf_dir: str,
+                          blocklist: tuple[str, ...] = ("dup", "slow",
+                                                        "spark")
+                          ) -> rd.Dataset:
+    """C4-style banned-word page filter (Raffel et al. 2020 §2.2
+    removed any page containing a blocklist word; RefinedWeb keeps the
+    same gate): per document, count token-level blocklist hits and
+    emit the keep decision — the report form, so curators can audit
+    what a hard filter WOULD drop before enabling it.
+
+    Plan: tokenize per batch (same space-only trim + ``\\s+`` split as
+    every SQL-paired tokenizer here), flatten, one vectorized ``isin``
+    probe against the broadcast-in-closure blocklist, segment-sum back
+    to docs. Embarrassingly parallel — no shuffle; the blocklist ships
+    once in the task closure (bytes, not a table), exactly how a real
+    50k-word list would ship via ``ray.put``. Output: (doc_id,
+    n_banned, keep) sorted by doc_id."""
+    blockset = pa.array(sorted(blocklist), pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
+        mask = pc.not_equal(trimmed, "")
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(pc.filter(trimmed, mask)), r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hit = pc.cast(pc.is_in(pc.list_flatten(lists),
+                               value_set=blockset),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        n_banned = np.zeros(len(batch), dtype=np.int64)
+        kept_rows = np.flatnonzero(
+            mask.to_numpy(zero_copy_only=False))
+        if len(lens):
+            seg = np.repeat(np.arange(len(lens)), lens)
+            n_banned[kept_rows] = np.bincount(
+                seg, weights=hit, minlength=len(lens)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_banned": pa.array(n_banned),
+            "keep": pa.array(n_banned == 0)})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .repartition(4).sort("doc_id"))
+
+
 def doc_quality(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_chars, n_tokens, digit_ratio, upper_ratio) quality
     signals, ratios rounded to 4 decimals (SQL-reproducible)."""

@@ -132,6 +132,191 @@ def pii_redact(sf_dir: str) -> rd.Dataset:
         scrub, batch_format="pyarrow").repartition(4).sort("doc_id")
 
 
+def pii_stats_by_source(sf_dir: str) -> rd.Dataset:
+    """Typed PII audit rolled up per source — the report a curation
+    pipeline reads before deciding which crawl sources need heavier
+    scrubbing (pii_redact is the per-doc scrub; this is its
+    monitoring sibling). Same injected-PII convention and RE2
+    patterns as pii_redact, so both stay oracle-identical.
+
+    Plan: per-batch count fold -> |sources|-bounded two-phase
+    aggregate — the exchange carries one row per (source, block),
+    never documents. Output: (source, n_docs, n_emails, n_phones,
+    emails_per_doc) sorted by source."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    def counts(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        pii = _with_pii(pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("text")],
+            names=["doc_id", "text"]))
+        text = pii.column("text")
+        n_email = pc.cast(pc.count_substring_regex(text, EMAIL_RE),
+                          pa.int64())
+        cleaned = pc.replace_substring_regex(text, EMAIL_RE, "[EMAIL]")
+        n_phone = pc.cast(pc.count_substring_regex(cleaned, PHONE_RE),
+                          pa.int64())
+        return table_from_pandas(pd.DataFrame({
+            "source": src.to_pandas(),
+            "n_docs": np.int64(1),
+            "n_emails": n_email.to_numpy(zero_copy_only=False),
+            "n_phones": n_phone.to_numpy(zero_copy_only=False),
+        }).groupby("source", as_index=False).sum())
+
+    agg = hash_groupby_agg(
+        _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+            counts, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_emails": ("n_emails", "sum"),
+         "n_phones": ("n_phones", "sum")}, num_parts=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_docs": "int64", "n_emails": "int64",
+                        "n_phones": "int64"})
+        df["emails_per_doc"] = round_half_up(
+            df["n_emails"].to_numpy(np.float64)
+            / df["n_docs"].to_numpy(np.float64), 4)
+        return df.sort_values("source").reset_index(drop=True)
+
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pandas")
+
+
+# control characters stripped by sanitize_text: C0 minus \t \n \r,
+# plus DEL — the bytes no text corpus should carry into a tokenizer
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+# rows where NFC can differ from identity: combining diacritics /
+# marks, or Hangul jamo (composition targets). Everything else is
+# NFC-invariant, so normalization skips it entirely.
+_NFC_TRIGGER_RE = (r"[\x{0300}-\x{036F}\x{1AB0}-\x{1AFF}"
+                   r"\x{1DC0}-\x{1DFF}\x{20D0}-\x{20FF}"
+                   r"\x{FE20}-\x{FE2F}\x{1100}-\x{11FF}"
+                   r"\x{3130}-\x{318F}\x{A960}-\x{A97F}]")
+
+
+def sanitize_text(sf_dir: str) -> rd.Dataset:
+    """Unicode hygiene pass (the C4/CCNet-style cleanup every crawl
+    corpus runs before tokenization): strip control characters
+    (C0 minus tab/newline/CR, plus DEL), collapse whitespace runs to
+    single spaces, trim, and NFC-normalize so visually-identical
+    combining sequences unify. Deterministic mess is injected per doc
+    (tab + 'e' + U+0301 combining acute + BEL) since the synthetic
+    corpus is already clean — reproduced verbatim in the SQL oracle
+    (chr() concatenation), whose nfc_normalize() must agree with
+    DuckDB's nfc_normalize() codepoint-for-codepoint.
+
+    Strip/collapse/trim are Arrow kernels; NFC composition is NOT
+    (this pyarrow build's ``utf8_normalize`` fails to compose
+    e+U+0301 -> U+00E9 — verified), so normalization runs
+    ``unicodedata.normalize`` ONLY on rows a vectorized regex flags
+    as carrying combining marks or Hangul jamo — NFC is the identity
+    everywhere else, so the Python cost is proportional to the rare
+    rows that need it, not the corpus. Embarrassingly parallel, no
+    shuffle. Output: (doc_id, clean_text, n_ctrl) sorted by doc_id."""
+    import unicodedata
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            batch.column("text"),
+            pa.array(["\te\u0301\x07"] * len(batch)), "")
+        no_ctrl = pc.replace_substring_regex(text, _CTRL_RE, "")
+        n_ctrl = pc.subtract(pc.utf8_length(text),
+                             pc.utf8_length(no_ctrl))
+        collapsed = pc.replace_substring_regex(no_ctrl, r"\s+", " ")
+        trimmed = pc.utf8_trim(collapsed, " ")
+        need = pc.match_substring_regex(
+            trimmed, _NFC_TRIGGER_RE).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(need)
+        if len(idx):
+            vals = trimmed.to_pandas().to_numpy(dtype=object)
+            vals[idx] = [unicodedata.normalize("NFC", v)
+                         for v in vals[idx]]
+            clean = pa.array(vals, pa.string())
+        else:
+            clean = trimmed
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), clean,
+             pc.cast(n_ctrl, pa.int64())],
+            names=["doc_id", "clean_text", "n_ctrl"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow").repartition(4).sort("doc_id")
+
+
+def interleave_sources(sf_dir: str, block: int = 4096) -> rd.Dataset:
+    """Deterministic round-robin source interleaving — the mixture
+    SCHEDULE for training: doc k of every source sits before doc k+1
+    of any source, so a sequential reader consumes sources as evenly
+    as their sizes allow (the interleaving step of mixture sampling;
+    the weighted sibling is mixture_manifest, which decides COUNTS
+    while this decides ORDER).
+
+    Exact and sort-free: (1) the same contiguous ``doc_id // block``
+    range keying as pack_sequences gives per-(range, source) counts —
+    an O(ranges x sources) reduce, never doc rows; (2) the driver
+    prefix-sums each source's counts over ranges and broadcasts the
+    offset table; each range places its docs by local cumcount +
+    offset = exact rank_in_source; (3) the global interleave position
+    is CLOSED-FORM from the per-source totals c_s:
+    pos(r, s) = sum_s' min(c_s', r) + |{s' < s : c_s' > r}| — no
+    global sort, no second exchange. Output: (doc_id, source,
+    rank_in_source, interleave_order) sorted by doc_id."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        rng = pc.divide(batch.column("doc_id"),
+                        pa.scalar(block, pa.int64()))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("source"),
+             pc.cast(rng, pa.int64()), pa.array([1] * len(batch),
+                                                pa.int64())],
+            names=["doc_id", "source", "rng", "one"])
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    # O(ranges x sources) rows to the driver — the prefix exchange
+    cnt = hash_groupby_agg(
+        keyed, ["rng", "source"], {"c": ("one", "sum")}, num_parts=4
+    ).to_pandas().sort_values(["source", "rng"])
+    cnt["c"] = cnt["c"].astype(np.int64)
+    offs = {}
+    for s, g in cnt.groupby("source"):
+        ex = np.concatenate([[0], g["c"].cumsum().to_numpy()[:-1]])
+        offs.update({(s, int(r)): int(o)
+                     for r, o in zip(g["rng"], ex)})
+    totals = cnt.groupby("source")["c"].sum()
+    srcs = sorted(totals.index)
+    c_vec = totals.reindex(srcs).to_numpy(dtype=np.int64)
+    s_idx = {s: i for i, s in enumerate(srcs)}
+    ref = ray.put((offs, c_vec, s_idx))
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        offs_, c_vec_, s_idx_ = ray.get(ref)
+        g = g.sort_values("doc_id")
+        out = []
+        for s, gg in g.groupby("source", sort=False):
+            base = offs_[(s, int(gg["rng"].iloc[0]))]
+            r = base + np.arange(len(gg), dtype=np.int64)
+            si = s_idx_[s]
+            # pos(r, s): every source contributes its first min(c, r)
+            # docs (full earlier rounds), plus this round's earlier
+            # sources that still have a doc r to place
+            pos = np.minimum(c_vec_[None, :], r[:, None]).sum(axis=1) \
+                + (c_vec_[:si][None, :] > r[:, None]).sum(axis=1)
+            out.append(pd.DataFrame({
+                "doc_id": gg["doc_id"].to_numpy(np.int64),
+                "source": s,
+                "rank_in_source": r,
+                "interleave_order": pos.astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    placed = keyed.groupby("rng").map_groups(place,
+                                             batch_format="pandas")
+    return placed.repartition(4).sort("doc_id")
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition signals per document: token count,
     distinct-token count, duplicate-token fraction and top-token

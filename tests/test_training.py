@@ -364,3 +364,74 @@ def test_epoch_shuffle_order_permutation_and_determinism():
     # same epoch -> identical order; different epoch -> different order
     assert e1a.equals(e1b)
     assert not e1a["pos"].equals(e2["pos"])
+
+
+def test_sanitize_text_properties():
+    """Unicode hygiene: control chars gone, whitespace single-spaced,
+    combining sequences NFC-composed (é not e+U+0301), counts exact."""
+    import unicodedata
+
+    from granulate_char_ocr_ray.pipelines.training import sanitize_text
+
+    got = sanitize_text(SF).to_pandas()
+    assert (got["n_ctrl"] == 1).all()  # exactly the injected BEL
+    joined = "".join(got["clean_text"])
+    assert not re.search(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", joined)
+    assert not re.search(r"\s\s|\t|\n", joined)
+    assert "́" not in joined          # composed away
+    assert got["clean_text"].iloc[0].endswith(" é")
+    for v in got["clean_text"].head(20):
+        assert unicodedata.is_normalized("NFC", v)
+        assert v == v.strip(" ")
+
+
+def test_interleave_sources_round_robin():
+    """Round-robin schedule: positions are a permutation; doc k of any
+    source precedes doc k+1 of every source; within a round, sources
+    order alphabetically."""
+    from granulate_char_ocr_ray.pipelines.training import (
+        interleave_sources)
+
+    got = interleave_sources(SF).to_pandas()
+    n = len(got)
+    assert sorted(got["interleave_order"]) == list(range(n))
+    order = got.sort_values("interleave_order")
+    # rank_in_source is non-decreasing along the schedule, and ties
+    # (same round) are in source order
+    r = order["rank_in_source"].to_numpy()
+    assert (np.diff(r) >= 0).all()
+    same_round = np.diff(r) == 0
+    srcs = order["source"].to_numpy()
+    assert all(srcs[i] < srcs[i + 1]
+               for i in np.flatnonzero(same_round))
+    # per-source ranks are 0..c_s-1 in doc_id order
+    for s, g in got.groupby("source"):
+        g = g.sort_values("doc_id")
+        assert list(g["rank_in_source"]) == list(range(len(g)))
+
+
+def test_interleave_sources_block_invariance():
+    """The prefix-sum range size never changes the result."""
+    from granulate_char_ocr_ray.pipelines.training import (
+        interleave_sources)
+
+    a = interleave_sources(SF, block=4096).to_pandas()
+    b = interleave_sources(SF, block=64).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_word_blocklist_filter_bruteforce():
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        word_blocklist_filter)
+
+    got = word_blocklist_filter(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bl = {"dup", "slow", "spark"}
+    want = docs["text"].map(
+        lambda t: sum(tok in bl for tok in t.strip(" ").lower().split()))
+    merged = docs.assign(want=want).merge(got, on="doc_id")
+    assert (merged["n_banned"] == merged["want"]).all()
+    assert (merged["keep"] == (merged["want"] == 0)).all()
+    assert (~got["keep"]).sum() > 0  # the filter actually fires
