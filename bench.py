@@ -455,6 +455,25 @@ def _secondary_list():
          lambda: similarity.dbscan_embeddings(SF_DIR).to_pandas()),
         ("holt_winters_daily",
          lambda: relational.holt_winters_daily(SF_DIR).to_pandas()),
+        # --- round 4: lakehouse layouts + curation ops ---
+        ("pruned_orderkey_revenue",
+         lambda: relational.pruned_orderkey_revenue(SF_DIR).to_pandas()),
+        ("bucketed_segment_revenue",
+         lambda: relational.bucketed_segment_revenue(SF_DIR).to_pandas()),
+        ("hive_partition_stats",
+         lambda: analysis.hive_partition_stats(SF_DIR).to_pandas()),
+        ("word_blocklist_filter",
+         lambda: analysis.word_blocklist_filter(SF_DIR).count()),
+        ("sanitize_text",
+         lambda: training.sanitize_text(SF_DIR).count()),
+        ("interleave_sources",
+         lambda: training.interleave_sources(SF_DIR).count()),
+        ("pii_stats_by_source",
+         lambda: training.pii_stats_by_source(SF_DIR).to_pandas()),
+        ("media_jpeg_metadata",
+         lambda: media.media_jpeg_metadata(SF_DIR).count()),
+        ("dedup_survivors",
+         lambda: dedup.dedup_survivors(SF_DIR).count()),
     ]
 
 

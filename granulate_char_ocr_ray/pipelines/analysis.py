@@ -42,7 +42,7 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     strings count 0."""
 
     def count(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch.column("text"))
+        text = pc.utf8_trim(batch.column("text"), " ")
         toks = pc.split_pattern_regex(text, r"\s+")
         n = pc.list_value_length(toks)
         # empty string -> split yields [""] -> force 0
@@ -265,7 +265,7 @@ def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"token": flat})
@@ -297,7 +297,7 @@ def approx_distinct_tokens(sf_dir: str) -> pa.Table:
     )
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         regs = hll_create()
@@ -329,7 +329,7 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
     from ..functions.sketch import mg_add_counts, mg_create, mg_merge
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         vc = pd.Series(flat.to_pylist()).value_counts()
@@ -384,7 +384,7 @@ def _unigram_scores_unsorted(sf_dir: str,
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"token": flat})
@@ -554,7 +554,7 @@ def token_freq_of_freq(sf_dir: str) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"token": flat})
@@ -615,7 +615,7 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
                               num_parts=16)
 
     def ndocs_partial(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         n = pc.sum(pc.cast(pc.not_equal(trimmed, ""), pa.int64()))
         return pa.Table.from_pydict(
             {"n": pa.array([n.as_py() or 0], pa.int64())})
@@ -884,7 +884,7 @@ def vocab_coverage(sf_dir: str,
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"token": flat})
@@ -1374,7 +1374,7 @@ def source_token_entropy(sf_dir: str) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         src = pc.filter(batch.column("source"), keep)
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
@@ -1550,7 +1550,7 @@ def source_topp_vocab(sf_dir: str, p: float = 0.9) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         src = pc.filter(batch.column("source"), keep)
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
@@ -1617,7 +1617,7 @@ def lexicon_score(sf_dir: str) -> rd.Dataset:
         [w for _, w in SCORING_LEXICON], dtype=np.float64)[order]
 
     def score(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch.column("text"))
+        text = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.not_equal(text, "")
         batch = batch.filter(nonempty)
         text = text.filter(nonempty)
@@ -1786,7 +1786,7 @@ def source_kl_divergence(sf_dir: str, token_buckets: int = 64
     from ..stages.hashagg import _stable_partition, hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         src = pc.filter(batch.column("source"), keep)
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
@@ -1940,7 +1940,7 @@ class RerankStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         lists = pc.split_pattern_regex(trimmed, r"\s+")
         lens = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -2213,7 +2213,7 @@ def oov_rate_per_doc(sf_dir: str, top_n: int = 20) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
         flat = pc.list_flatten(toks)
@@ -2237,7 +2237,7 @@ def oov_rate_per_doc(sf_dir: str, top_n: int = 20) -> rd.Dataset:
     vocab = set(vocab_df["token"].tolist())
 
     def score(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         did = pc.filter(batch.column("doc_id"), keep).to_numpy(
             zero_copy_only=False)
@@ -2285,7 +2285,7 @@ def cms_token_counts(sf_dir: str, depth: int = 4, width: int = 1024,
     from ..stages.hashagg import hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
         flat = pc.list_flatten(toks)
@@ -2477,7 +2477,7 @@ def token_fertility_by_lang(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         empty = pc.equal(trimmed, "")
         words = pc.list_value_length(
             pc.split_pattern_regex(trimmed, r"\s+"))
@@ -2584,7 +2584,7 @@ def cluster_top_terms(sf_dir: str, top: int = 3) -> rd.Dataset:
                                 ("label", pa.int64())]))
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         lab = pc.filter(batch.column("label"), keep)
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
@@ -2638,7 +2638,7 @@ def temperature_mix_weights(sf_dir: str, alpha: float = 0.7
     ds = _docs(sf_dir, ["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         empty = pc.equal(trimmed, "")
         n = pc.list_value_length(
             pc.split_pattern_regex(trimmed, r"\s+"))
@@ -2728,7 +2728,7 @@ def zipf_fit_by_source(sf_dir: str, top_k: int = 100) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         keep = pc.not_equal(trimmed, "")
         src = pc.filter(batch.column("source"), keep)
         toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")

@@ -1185,7 +1185,7 @@ def fuzzy_token_pairs(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"token": flat})
@@ -1887,7 +1887,7 @@ def snm_candidate_pairs(sf_dir: str, window: int = 3, max_lev: int = 4,
                       columns=["doc_id", "text"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         key = pc.utf8_slice_codeunits(trimmed, 0, klen)
         ks = key.to_pandas()
         rng = np.array([ord(s[0]) if s else 0 for s in ks],
@@ -2089,7 +2089,7 @@ def cross_source_dup_matrix(sf_dir: str, prefix: int = 32
 
     def hashed(batch: pa.Table) -> pa.Table:
         fp = pc.utf8_slice_codeunits(
-            pc.utf8_trim_whitespace(batch.column("text")), 0, prefix)
+            pc.utf8_trim(batch.column("text"), " "), 0, prefix)
         h = hash64_batch(fp).view(np.int64)
         out = pd.DataFrame({
             "h": h,

@@ -327,7 +327,7 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     top_ratio)."""
 
     def stats(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch.column("text"))
+        text = pc.utf8_trim(batch.column("text"), " ")
         toks = pc.split_pattern_regex(text, r"\s+")
         raw_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
@@ -414,7 +414,7 @@ def ngram_repetition(sf_dir: str) -> rd.Dataset:
         return n_grams, top, dup
 
     def stats(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch.column("text"))
+        text = pc.utf8_trim(batch.column("text"), " ")
         toks = pc.split_pattern_regex(text, r"\s+")
         raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         empty = pc.equal(text, "").to_numpy(zero_copy_only=False)
@@ -462,7 +462,7 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def tokens(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_trim_whitespace(batch.column("text"))
+        text = pc.utf8_trim(batch.column("text"), " ")
         toks = pc.split_pattern_regex(text, r"\s+")
         n = pc.list_value_length(toks)
         n = pc.if_else(pc.equal(text, ""), pa.scalar(0, pa.int32()), n)
@@ -756,7 +756,7 @@ def learn_bpe_merges(sf_dir: str, n_merges: int = 12) -> rd.Dataset:
     from ..stages.hashagg import hash_groupby_agg
 
     def explode_words(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        trimmed = pc.utf8_trim(batch.column("text"), " ")
         nonempty = pc.filter(trimmed, pc.not_equal(trimmed, ""))
         flat = pc.list_flatten(pc.split_pattern_regex(nonempty, r"\s+"))
         return pa.Table.from_pydict({"word": flat})

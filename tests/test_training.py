@@ -435,3 +435,39 @@ def test_word_blocklist_filter_bruteforce():
     assert (merged["n_banned"] == merged["want"]).all()
     assert (merged["keep"] == (merged["want"] == 0)).all()
     assert (~got["keep"]).sum() > 0  # the filter actually fires
+
+
+def test_tokenizers_match_sql_on_whitespace_edges(tmp_path):
+    """Regression for ADVICE r03: DuckDB trim() strips spaces only, so
+    a tab/newline-edged document must tokenize identically in the
+    engine (space-only utf8_trim) and the SQL oracle — including the
+    phantom '' token a leading tab produces and the kept/dropped
+    decision for whitespace-only docs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from granulate_char_ocr_ray.pipelines.analysis import (
+        word_blocklist_filter)
+
+    texts = ["\tdup foo", "bar baz\n", "  x  ", "", "\t", " \n ",
+             "dup\tdup", "plain words"]
+    sf = tmp_path
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s0"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), sf / "documents.parquet")
+
+    got = word_blocklist_filter(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet'")
+    import __ray_entry__ as e
+
+    want = con.sql(e.oracle_sql()["word_blocklist_filter"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
