@@ -70,11 +70,17 @@ def _best_of(fn, trials: int = TRIALS) -> float:
     return round(best, 3)
 
 
-MIN_FREE_GB = float(os.environ.get("GRAFT_BENCH_MIN_FREE_GB", "8"))
-
-
 def _free_gb(path: str = "/tmp") -> float:
     return shutil.disk_usage(path).free / 2**30
+
+
+# Ray kills tasks outright at 95% fs utilization (OutOfDiskError), so
+# the guard must trip FIRST: 7% of the filesystem (or 8 GB if larger).
+# Measured in this sandbox: ~95 queries in one session accumulate tens
+# of GB of spilled objects; the guard's session restart reclaims them.
+MIN_FREE_GB = float(os.environ.get(
+    "GRAFT_BENCH_MIN_FREE_GB",
+    str(max(8.0, shutil.disk_usage("/tmp").total / 2**30 * 0.07))))
 
 
 def _cleanup_tmp() -> None:
@@ -91,19 +97,28 @@ def _cleanup_tmp() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _restart_ray() -> None:
+    """Fresh Ray session: reclaims every spilled object accumulated by
+    earlier queries (the cause of mid-bench OutOfDiskError)."""
+    import gc
+
+    import ray
+
+    gc.collect()
+    ray.shutdown()
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+
+
 def _disk_guard(queries: dict, errors: dict, name: str) -> bool:
     """True = enough disk to run the next query. Below MIN_FREE_GB the
     Ray session restarts once (frees spilled objects); still below ->
     the query is recorded as skipped and the bench emits partial JSON
     instead of dying at Ray's 95% disk kill."""
-    import ray
-
     if _free_gb() >= MIN_FREE_GB:
         return True
-    ray.shutdown()
-    ray.init(address="local", num_cpus=NUM_CPUS,
-             include_dashboard=False, ignore_reinit_error=True,
-             logging_level="ERROR")
+    _restart_ray()
     if _free_gb() >= MIN_FREE_GB:
         return True
     errors[name] = "skipped_low_disk(%.1fGB)" % _free_gb()
@@ -253,13 +268,30 @@ def run_benchmarks() -> dict:
     # failure (or a filling disk) costs one entry, never the JSON ---
     entries = [("extract_spans_fanout", _fanout),
                ("reassemble_docs", _reassemble)] + _secondary_list()
+    import gc
+
     for name, fn in entries:
         if not _disk_guard(queries, errors, name):
             continue
         try:
             queries[name] = _best_of(fn)
         except Exception as exc:  # noqa: BLE001
-            errors[name] = repr(exc)[:300]
+            if "OutOfDisk" in repr(exc):
+                # spill refusal (object store + disk over Ray's 95%
+                # threshold): accumulated spill from earlier queries
+                # is the usual cause — a fresh session reclaims every
+                # spilled object; retry the query once
+                _restart_ray()
+                try:
+                    queries[name] = _best_of(fn, trials=1)
+                except Exception as exc2:  # noqa: BLE001
+                    errors[name] = repr(exc2)[:300]
+            else:
+                errors[name] = repr(exc)[:300]
+        # drop the query's Dataset refs NOW so Ray can GC their
+        # spilled objects — without this, spill accumulates across
+        # the ~95 queries until Ray's 95% disk kill fires
+        gc.collect()
 
     # clean-log check (VERDICT r02 #6): the unhashable-schema warning
     # must never reappear — it silently disables Ray's block schema

@@ -79,6 +79,130 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id"])
 
 
+# vocabulary bound for the dense bitmask plan of ngram_jaccard_dups:
+# 4096 grams = 64 uint64 words = 512 B/doc of mask
+DENSE_VOCAB_MAX = 4096
+
+# byte popcount table for the packed-mask intersection kernel
+_POP8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(
+        np.int64)
+
+
+def _popcount_matrix(A: np.ndarray, B: np.ndarray,
+                     budget_bytes: int = 32 << 20) -> np.ndarray:
+    """Pairwise popcount(A_i & B_j) over packed uint64 masks:
+    (na, W) x (nb, W) -> (na, nb) int64, row-chunked so the temporary
+    AND tensor stays under ``budget_bytes``."""
+    na, W = A.shape
+    nb = B.shape[0]
+    out = np.empty((na, nb), dtype=np.int64)
+    step = max(1, budget_bytes // max(1, nb * W * 8))
+    for lo in range(0, na, step):
+        hi = min(na, lo + step)
+        andv = A[lo:hi, None, :] & B[None, :, :]
+        out[lo:hi] = _POP8[andv.view(np.uint8)].reshape(
+            hi - lo, nb, W * 8).sum(axis=2)
+    return out
+
+
+def _ngram_pairs_dense(grams: rd.Dataset, vocab: np.ndarray,
+                       threshold: float, score: str, score_of,
+                       col: str, num_blocks: int = 8) -> rd.Dataset:
+    """Dense lowering of the exact n-gram similarity join for SMALL
+    gram vocabularies (see the dispatch comment in ngram_jaccard_dups):
+    each doc's distinct-gram set packs into ceil(G/64) uint64 words;
+    the B(B+1)/2 block-pair exchange + per-group popcount matrix
+    computes every pairwise intersection exactly — no inverted index,
+    no df^2 pair explosion. ``num_blocks`` scales with cluster size
+    exactly as in similarity.embedding_cosine_dups."""
+    G = len(vocab)
+    W = (G + 63) // 64
+    vref = ray.put(vocab)
+    out_schema = pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                            (col, pa.float64())])
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        # a doc's grams never split across batches: to_grams emits
+        # per-input-block tables and the fused chain preserves block
+        # boundaries (batch_size unset)
+        v = ray.get(vref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = batch.column("gram").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        colx = np.searchsorted(v, g)
+        bits = np.zeros((len(uids), W), dtype=np.uint64)
+        np.bitwise_or.at(
+            bits, (inv, colx >> 6),
+            np.uint64(1) << (colx & 63).astype(np.uint64))
+        ng = np.bincount(inv, minlength=len(uids)).astype(np.int64)
+        blk = (uids % num_blocks).astype(np.int64)
+        others = np.arange(num_blocks, dtype=np.int64)
+        lo = np.minimum(blk[:, None], others[None, :])
+        hi = np.maximum(blk[:, None], others[None, :])
+        return pa.Table.from_pydict({
+            "pairkey": (lo * num_blocks + hi).ravel(),
+            "doc_id": np.repeat(uids, num_blocks),
+            "block": np.repeat(blk, num_blocks),
+            "n_grams": np.repeat(ng, num_blocks),
+            "bits": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(bits, num_blocks, axis=0).ravel(),
+                         pa.uint64()), W),
+        })
+
+    def group_pairs(g_tbl: pa.Table) -> pa.Table:
+        ids = g_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        blk = g_tbl.column("block").to_numpy(zero_copy_only=False)
+        ng = g_tbl.column("n_grams").to_numpy(zero_copy_only=False)
+        bcol = g_tbl.column("bits")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        bits = bcol.flatten().to_numpy(
+            zero_copy_only=False).astype(np.uint64).reshape(
+                len(ids), W)
+        empty = pa.Table.from_pydict(
+            {"d1": np.empty(0, np.int64), "d2": np.empty(0, np.int64),
+             col: np.empty(0, np.float64)}, schema=out_schema)
+        if not len(ids):
+            return empty
+        key = int(g_tbl.column("pairkey")[0].as_py())
+        bi, bj = key // num_blocks, key % num_blocks
+        if bi == bj:
+            uids, keep_idx = np.unique(ids, return_index=True)
+            bits_u, ng_u = bits[keep_idx], ng[keep_idx]
+            if len(uids) < 2:
+                return empty
+            inter = _popcount_matrix(bits_u, bits_u)
+            s = score_of(inter.astype(np.float64),
+                         ng_u[:, None].astype(np.float64),
+                         ng_u[None, :].astype(np.float64))
+            mask = (s >= threshold) & (uids[:, None] < uids[None, :])
+            r, c = np.nonzero(mask)
+            d1, d2, vals = uids[r], uids[c], s[r, c]
+        else:
+            left, right = blk == bi, blk == bj
+            li, ri = ids[left], ids[right]
+            if not len(li) or not len(ri):
+                return empty
+            inter = _popcount_matrix(bits[left], bits[right])
+            s = score_of(inter.astype(np.float64),
+                         ng[left][:, None].astype(np.float64),
+                         ng[right][None, :].astype(np.float64))
+            r, c = np.nonzero(s >= threshold)
+            a, b = li[r], ri[c]
+            d1, d2 = np.minimum(a, b), np.maximum(a, b)
+            vals = s[r, c]
+        return pa.Table.from_pydict(
+            {"d1": d1.astype(np.int64), "d2": d2.astype(np.int64),
+             col: round_half_up(vals, 4)}, schema=out_schema)
+
+    return (grams.map_batches(to_bits, batch_format="pyarrow")
+            .groupby("pairkey")
+            .map_groups(group_pairs, batch_format="pyarrow"))
+
+
 def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
                        max_doc_freq: int | None = None,
                        broadcast_threshold: int = 1_000_000,
@@ -148,6 +272,32 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     docs = read_table(path, columns=["doc_id", "text"],
                       num_blocks=max(rows_to_blocks(path), 32))
     grams = docs.map_batches(to_grams, batch_format="pyarrow")
+
+    # --- plan dispatch on gram-vocabulary size (round 4) ---------------
+    # The inverted-index plan below generates O(sum df^2) pair rows.
+    # On a DEGENERATE vocabulary (few distinct grams, each shared by
+    # ~every doc — e.g. the synthetic word-salad corpora) df ~ n_docs
+    # for every gram, and the pair exchange explodes quadratically:
+    # measured 145 GB of object spill from a 1.5 MB corpus at sf0.1
+    # (the root cause of the round-3 driver bench OutOfDiskError).
+    # When the vocabulary is small the exact computation has a far
+    # better lowering: pack each doc's gram SET into a G-bit mask and
+    # run the same B(B+1)/2 block-pair popcount join the exact
+    # embedding tier uses (similarity.embedding_cosine_dups) — work
+    # O(n^2 * G/64 / B^2) per task, shuffle O(n * B * G/8) bytes, and
+    # NO df^2 term. Realistic diverse corpora (vocab >> dense_vocab_max)
+    # keep the inverted index, whose df buckets are then genuinely
+    # small. Both plans are exact and emit identical pairs (tested).
+    vocab_ds = hash_groupby_agg(
+        grams, ["gram"], {"_c": ("gram", "count")},
+        num_parts=16).materialize()
+    # (max_doc_freq deliberately changes semantics — stop-gram capped
+    # results must come from the inverted-index plan that implements it)
+    if max_doc_freq is None and vocab_ds.count() <= DENSE_VOCAB_MAX:
+        vocab = np.sort(vocab_ds.to_pandas()["gram"]
+                        .to_numpy(np.int64))
+        return _ngram_pairs_dense(grams, vocab, threshold, score,
+                                  score_of, col)
 
     # shingle-set sizes: distributed aggregate kept as a DATASET and
     # hash-partition-joined onto the pair set below — one row per doc

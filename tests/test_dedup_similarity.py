@@ -1155,3 +1155,27 @@ def test_jarowinkler_name_dups_scale_guard():
 
     with _pytest.raises(ValueError, match="max_names"):
         jarowinkler_name_dups(SF, max_names=3)
+
+
+def test_ngram_jaccard_dense_and_sparse_plans_identical(monkeypatch):
+    """Round-4 vocab-size dispatch: the dense bitmask block-pair plan
+    (small gram vocabularies — the degenerate regime where the
+    inverted index explodes O(sum df^2); 145 GB of spill at sf0.1
+    pre-fix) and the inverted-index plan emit IDENTICAL pairs, for
+    both jaccard and containment kernels."""
+    import pandas as pd
+
+    import granulate_char_ocr_ray.pipelines.dedup as d
+
+    def run(score, thr):
+        return (d.ngram_jaccard_dups(SF, threshold=thr, score=score)
+                .to_pandas().sort_values(["d1", "d2"])
+                .reset_index(drop=True))
+
+    for score, thr in (("jaccard", 0.8), ("containment", 0.9)):
+        dense = run(score, thr)
+        monkeypatch.setattr(d, "DENSE_VOCAB_MAX", 0)
+        sparse = run(score, thr)
+        monkeypatch.undo()
+        pd.testing.assert_frame_equal(dense, sparse)
+        assert len(dense) > 0
