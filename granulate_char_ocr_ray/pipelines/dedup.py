@@ -223,6 +223,14 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     long one scores 1.0 where Jaccard dilutes toward |A|/|B| (the
     reason RefinedWeb-style pipelines gate on containment as well as
     Jaccard). Same exchange plan; only the finish arithmetic differs.
+
+    Scale position: this is the EXACT tier. When grams discriminate
+    (real web text: df << n_docs) the inverted index is near-linear;
+    when they don't, the computation is inherently Omega(n^2) no
+    matter the plan — at corpus scale run minhash_lsh_dups as the
+    front door and reserve this op for small corpora or as the
+    candidate-verify stage. The dense dispatch below removes the
+    worst degenerate case (tiny vocabulary), not the n^2 lower bound.
     """
     if score not in ("jaccard", "containment"):
         raise ValueError(f"unknown score {score!r}")
