@@ -83,6 +83,12 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 # 4096 grams = 64 uint64 words = 512 B/doc of mask
 DENSE_VOCAB_MAX = 4096
 
+# inverted-index pair-row budget (sum over grams of df^2) past which
+# ngram_jaccard_dups refuses instead of spill-exploding: 2e9 rows
+# x 24 B ~ 48 GB of exchange — the honest ceiling for an exact
+# all-pairs verify on one cluster
+EXACT_NGRAM_PAIR_BUDGET = 2e9
+
 # byte popcount table for the packed-mask intersection kernel
 _POP8 = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(
@@ -306,6 +312,23 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
                         .to_numpy(np.int64))
         return _ngram_pairs_dense(grams, vocab, threshold, score,
                                   score_of, col)
+
+    # fail-loud pair-mass guard: vocab_ds carries each gram's exact
+    # document frequency, so the inverted plan's pair-row mass
+    # sum(df^2) is known BEFORE the exchange. Past the budget the job
+    # would spill-explode (the r3 failure mode) — refuse with the
+    # remedy instead of dying hours in. O(vocab) driver work.
+    if max_doc_freq is None:
+        df_sq = float((vocab_ds.to_pandas()["_c"]
+                       .to_numpy(np.float64) ** 2).sum())
+        if df_sq > EXACT_NGRAM_PAIR_BUDGET:
+            raise ValueError(
+                "ngram_jaccard_dups: grams are non-discriminative on "
+                f"this corpus (sum df^2 ~ {df_sq:.2e} pair rows > "
+                f"budget {EXACT_NGRAM_PAIR_BUDGET:.0e}); the exact "
+                "tier is Omega(n^2) here. Use minhash_lsh_dups as the "
+                "front door, raise k, or pass max_doc_freq to cap "
+                "stop-grams (changes semantics).")
 
     # shingle-set sizes: distributed aggregate kept as a DATASET and
     # hash-partition-joined onto the pair set below — one row per doc

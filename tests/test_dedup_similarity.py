@@ -1179,3 +1179,20 @@ def test_ngram_jaccard_dense_and_sparse_plans_identical(monkeypatch):
         monkeypatch.undo()
         pd.testing.assert_frame_equal(dense, sparse)
         assert len(dense) > 0
+
+
+def test_ngram_jaccard_pair_mass_guard(monkeypatch):
+    """The inverted plan refuses (fail-loud, with remedy) when
+    sum(df^2) exceeds the pair budget, instead of spill-exploding —
+    and the guard does NOT fire through the dense plan."""
+    import granulate_char_ocr_ray.pipelines.dedup as d
+
+    # force the inverted plan and a tiny budget -> must raise
+    monkeypatch.setattr(d, "DENSE_VOCAB_MAX", 0)
+    monkeypatch.setattr(d, "EXACT_NGRAM_PAIR_BUDGET", 10.0)
+    with pytest.raises(ValueError, match="minhash_lsh_dups"):
+        d.ngram_jaccard_dups(SF, threshold=0.8).to_pandas()
+    monkeypatch.undo()
+    # dense plan path: same corpus, no guard, still exact
+    assert len(d.ngram_jaccard_dups(SF, threshold=0.8)
+               .to_pandas()) > 0
