@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type":
             events.approx_distinct_users_by_type,
         "inter_event_gap_stats": events.inter_event_gap_stats,
+        "interarrival_exp_fit": events.interarrival_exp_fit,
         "events_with_last_order": events.events_with_last_order,
         # rows-only: the reranker is the model seam (deterministic
         # stand-in scorer; brute-force pytest)
@@ -2495,6 +2496,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN od
               ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
             ORDER BY e.event_id
+        """,
+        "interarrival_exp_fit": """
+            WITH g AS (
+              SELECT CAST(floor(epoch(ts - lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))
+                     AS BIGINT) AS sec
+              FROM events
+              QUALIFY lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NOT NULL
+            ), p AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     avg(sec) AS mean_gap FROM g
+            ), e AS (
+              SELECT sec, count(*) AS c FROM g GROUP BY sec
+            ), w AS (
+              SELECT sec, c, sum(c) OVER (ORDER BY sec) AS cum FROM e
+            ), k AS (
+              SELECT max(greatest(
+                abs(CAST(w.cum AS DOUBLE) / p.n
+                    - (1 - exp(-(w.sec / p.mean_gap)))),
+                abs(CAST(w.cum - w.c AS DOUBLE) / p.n
+                    - (1 - exp(-(w.sec / p.mean_gap)))))) AS ks
+              FROM w, p
+            )
+            SELECT p.n AS n_gaps,
+                   round(p.mean_gap, 6) AS mean_gap_s,
+                   round(1.0 / p.mean_gap, 6) AS lambda_hat,
+                   round(k.ks, 6) AS ks_stat
+            FROM p, k
         """,
         "inter_event_gap_stats": """
             WITH g AS (

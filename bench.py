@@ -506,6 +506,8 @@ def _secondary_list():
          lambda: media.media_jpeg_metadata(SF_DIR).count()),
         ("dedup_survivors",
          lambda: dedup.dedup_survivors(SF_DIR).count()),
+        ("interarrival_exp_fit",
+         lambda: events.interarrival_exp_fit(SF_DIR).to_pandas()),
     ]
 
 

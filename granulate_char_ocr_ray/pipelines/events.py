@@ -1029,6 +1029,64 @@ def inter_event_gap_stats(sf_dir: str) -> rd.Dataset:
     return hist.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def interarrival_exp_fit(sf_dir: str) -> rd.Dataset:
+    """Exponential fit of the per-user inter-event gap distribution
+    plus a Kolmogorov-Smirnov goodness-of-fit statistic — the Poisson-
+    process health check a streaming platform runs on arrival cadence
+    (human traffic is over-dispersed vs exponential; bot bursts are
+    under-dispersed; a KS jump flags either). MLE lambda = 1/mean gap;
+    D = sup_x |ECDF(x) - (1 - e^(-x/mean))| evaluated exactly at every
+    distinct gap value from BOTH ECDF sides.
+
+    Plan: identical ONE user-bucket exchange + integer-seconds gap
+    VALUE HISTOGRAM as :func:`inter_event_gap_stats` (domain-bounded,
+    never corpus-bounded); mean, lambda and the exact KS sup all fold
+    from the histogram on one block. Float ops mirror the SQL oracle
+    operand-for-operand (sec/mean inside exp) so the 6-dp rounding is
+    bit-stable. Output: one row (n_gaps, mean_gap_s, lambda_hat,
+    ks_stat)."""
+    from ..stages.hashagg import hash_groupby_agg
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id"])
+
+    def gap_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"sec": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000
+        same_user = u[1:] == u[:-1]
+        sec, c = np.unique(gaps[same_user], return_counts=True)
+        return pd.DataFrame({"sec": sec.astype(np.int64),
+                             "c": c.astype(np.int64)})
+
+    hist = hash_groupby_agg(
+        _user_bucketed(ds).map_groups(gap_hist, batch_format="pandas"),
+        ["sec"], {"c": ("c", "sum")}, num_parts=4)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sec")
+        sec = df["sec"].to_numpy(dtype=np.int64).astype(np.float64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        mean = float(np.sum(sec * c)) / n
+        cum = np.cumsum(c).astype(np.float64)
+        cdf = 1.0 - np.exp(-(sec / mean))
+        ks = float(np.max(np.maximum(np.abs(cum / n - cdf),
+                                     np.abs((cum - c) / n - cdf))))
+        return pd.DataFrame({
+            "n_gaps": np.array([n], dtype=np.int64),
+            "mean_gap_s": round_half_up(np.array([mean]), 6),
+            "lambda_hat": round_half_up(np.array([1.0 / mean]), 6),
+            "ks_stat": round_half_up(np.array([ks]), 6)})
+
+    return hist.repartition(1).map_batches(final, batch_format="pandas")
+
+
 def events_with_last_order(sf_dir: str) -> rd.Dataset:
     """Cross-table AS-OF join: enrich every event with the same
     customer's most recent order at-or-before the event time — the

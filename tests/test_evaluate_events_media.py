@@ -593,3 +593,29 @@ def test_session_duration_km_properties():
     assert (got["n_events"].to_numpy() > 0).all()
     d0, n0 = got["n_events"].iloc[0], got["n_risk"].iloc[0]
     assert s[0] == pytest.approx(1.0 - d0 / n0, abs=1e-6)
+
+
+def test_interarrival_exp_fit_definition():
+    """KS + MLE match a direct numpy computation on the raw events."""
+    from granulate_char_ocr_ray.pipelines.events import (
+        interarrival_exp_fit)
+
+    got = interarrival_exp_fit(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ts = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    u = ev["user_id"].to_numpy()
+    gaps = ((ts[1:] - ts[:-1]) // 1_000_000)[u[1:] == u[:-1]]
+    n = len(gaps)
+    mean = gaps.sum() / n
+    xs = np.sort(gaps).astype(np.float64)
+    sec, c = np.unique(xs, return_counts=True)
+    cum = np.cumsum(c)
+    cdf = 1.0 - np.exp(-(sec / mean))
+    ks = max(np.abs(cum / n - cdf).max(),
+             np.abs((cum - c) / n - cdf).max())
+    assert int(got["n_gaps"][0]) == n
+    assert abs(got["mean_gap_s"][0] - mean) < 1e-4
+    assert abs(got["ks_stat"][0] - ks) < 1e-6
+    assert 0.0 <= got["ks_stat"][0] <= 1.0
