@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus audits / concentration / skyline ---
         "doc_len_zscore_outliers": analysis.doc_len_zscore_outliers,
         "dup_rate_by_source": analysis.dup_rate_by_source,
+        "dup_length_bias": analysis.dup_length_bias,
         "filter_attrition_report": analysis.filter_attrition_report,
         "source_token_entropy": analysis.source_token_entropy,
         "source_kl_divergence": analysis.source_kl_divergence,
@@ -2475,6 +2476,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN s USING (lang)
             WHERE abs((d.n_chars - s.mu) / s.sd) >= 2.0
             ORDER BY d.doc_id
+        """,
+        "dup_length_bias": """
+            WITH f AS (
+              SELECT n_chars,
+                     CASE WHEN count(*) OVER (
+                            PARTITION BY substr(text, 1, 64)) > 1
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dups,
+                   round(avg(CASE WHEN is_dup = 1
+                             THEN CAST(n_chars AS DOUBLE) END), 6)
+                     AS mean_chars_dup,
+                   round(avg(CASE WHEN is_dup = 0
+                             THEN CAST(n_chars AS DOUBLE) END), 6)
+                     AS mean_chars_uniq,
+                   round((count(*) * sum(CAST(is_dup AS DOUBLE)
+                                         * n_chars)
+                          - sum(is_dup) * sum(CAST(n_chars AS DOUBLE)))
+                         / sqrt((CAST(count(*) AS DOUBLE) * sum(is_dup)
+                                 - sum(is_dup) * sum(is_dup))
+                                * (count(*)
+                                   * sum(CAST(n_chars AS DOUBLE)
+                                         * n_chars)
+                                   - sum(CAST(n_chars AS DOUBLE))
+                                     * sum(n_chars))), 6)
+                     AS corr_dup_len
+            FROM f
         """,
         "dup_rate_by_source": """
             SELECT source,

@@ -55,6 +55,99 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
 
 
+def dup_length_bias(sf_dir: str, prefix: int = 64,
+                    broadcast_threshold: int = 2_000_000
+                    ) -> rd.Dataset:
+    """Does duplication correlate with document length? Point-biserial
+    correlation between prefix-duplicate membership (the doc's first
+    ``prefix`` chars appear in more than one doc — the "same lede"
+    boilerplate signal, the prefix key snm_candidate_pairs blocks on)
+    and n_chars, plus the two group means — the curation audit run
+    before trusting a dedup pass (boilerplate dups skew short;
+    mirrored articles skew long; a strong correlation means dedup
+    will shift the corpus length distribution). Prefix is codepoints
+    (== DuckDB substr on the ASCII fixtures; substring_dups caveat).
+
+    Plan: one (text_hash, count) vocabulary-sized reduce finds dup
+    hashes (bounded by DISTINCT duplicated texts, a small fraction);
+    below ``broadcast_threshold`` they broadcast once as a sorted
+    array and each batch folds exact integer moments (n, sum flag,
+    sum chars, sum flag*chars, sum chars^2) — a 5-number partial per
+    block, no second exchange. corr from the closed form on exact
+    sums. Output: one row (n_docs, n_dups, mean_chars_dup,
+    mean_chars_uniq, corr_dup_len) rounded to 6."""
+    import ray
+
+    from ..functions.textstats import hash64_batch
+    from ..stages.hashagg import hash_groupby_agg
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64_batch(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, prefix)).view(np.int64)
+        return pa.Table.from_pydict({
+            "text_hash": pa.array(h, pa.int64()),
+            "one": pa.array(np.ones(len(batch), np.int64))})
+
+    counts = hash_groupby_agg(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        ["text_hash"], {"c": ("one", "sum")}, num_parts=16)
+    dup_df = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c"), 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(dup_df) > broadcast_threshold:
+        raise ValueError(
+            "dup_length_bias: distinct duplicated texts exceed the "
+            "broadcast budget; partition the moment fold on text_hash "
+            "(the docs_without_media Bloom path) for this corpus")
+    # empty result survives as a (0, 0) frame pre-schema-fix paths
+    dh_col = dup_df["text_hash"] if "text_hash" in dup_df.columns \
+        else pd.Series(dtype=np.int64)
+    dup_ref = ray.put(np.sort(dh_col.to_numpy(np.int64)))
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        dh = ray.get(dup_ref)
+        h = hash64_batch(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, prefix)).view(np.int64)
+        x = np.zeros(len(h), dtype=np.int64)
+        if len(dh):
+            pos = np.searchsorted(dh, h)
+            pos[pos >= len(dh)] = len(dh) - 1
+            x = (dh[pos] == h).astype(np.int64)
+        y = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(h))], "sx": [x.sum()],
+            "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "syy": [(y * y).sum()]})
+
+    part = docs.map_batches(moments, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = float(df["n"].sum())
+        sx = float(df["sx"].sum())
+        sy = float(df["sy"].sum())
+        sxy = float(df["sxy"].sum())
+        syy = float(df["syy"].sum())
+        # flag is 0/1 -> sum x^2 == sum x
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sx - sx * sx) * (n * syy - sy * sy))
+        corr = num / den if den > 0 else np.nan
+        mean_dup = sxy / sx if sx else np.nan
+        mean_uniq = (sy - sxy) / (n - sx) if n > sx else np.nan
+        return pd.DataFrame({
+            "n_docs": np.array([n], np.int64),
+            "n_dups": np.array([sx], np.int64),
+            "mean_chars_dup": round_half_up(np.array([mean_dup]), 6),
+            "mean_chars_uniq": round_half_up(np.array([mean_uniq]), 6),
+            "corr_dup_len": round_half_up(np.array([corr]), 6)})
+
+    return part.repartition(1).map_batches(finish,
+                                           batch_format="pandas")
+
+
 def word_blocklist_filter(sf_dir: str,
                           blocklist: tuple[str, ...] = ("dup", "slow",
                                                         "spark")

@@ -3174,3 +3174,22 @@ def test_pruned_orderkey_revenue_small_range(con):
                      / 100.0, 2) AS sum_price
         FROM lineitem WHERE l_orderkey BETWEEN 100 AND 299
         GROUP BY 1 ORDER BY 1""", con)
+
+
+def test_dup_length_bias_definition():
+    """Point-biserial corr matches a direct pandas computation."""
+    from granulate_char_ocr_ray.pipelines.analysis import dup_length_bias
+
+    got = dup_length_bias(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "n_chars"])
+    flag = docs.groupby(docs["text"].str[:64])["n_chars"] \
+               .transform("size").gt(1).astype(float)
+    y = docs["n_chars"].astype(float)
+    import numpy as np
+
+    want_corr = np.corrcoef(flag, y)[0, 1]
+    assert int(got["n_dups"][0]) == int(flag.sum())
+    assert abs(got["corr_dup_len"][0] - want_corr) < 1e-6
+    assert abs(got["mean_chars_dup"][0] - y[flag == 1].mean()) < 1e-4
+    assert abs(got["mean_chars_uniq"][0] - y[flag == 0].mean()) < 1e-4
