@@ -508,6 +508,8 @@ def _secondary_list():
          lambda: dedup.dedup_survivors(SF_DIR).count()),
         ("interarrival_exp_fit",
          lambda: events.interarrival_exp_fit(SF_DIR).to_pandas()),
+        ("dup_length_bias",
+         lambda: analysis.dup_length_bias(SF_DIR).to_pandas()),
     ]
 
 

@@ -1544,21 +1544,28 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
     join-and-allocate shape (last-touch's fairer sibling).
 
     Plan: ONE coarse hash(user) % 16 exchange; each bucket sorts by
-    (user, ts) once, then for every purchase counts its touch window
-    with two searchsorted probes over composite (user-offset) keys and
-    allocates credit to the touches via a vectorized interval-add
-    (difference array + cumsum) — no per-purchase loop over touches.
-    Output: (channel, n_touches_credited, credit) where channel in
-    {view, click, direct}, credit rounded to 2."""
+    the TOTAL order (user, ts, event_id) once, then for every purchase
+    counts its touch window with two searchsorted probes over
+    composite (user-offset) keys and allocates credit to the touches
+    via a vectorized interval-add (difference array + cumsum) — no
+    per-purchase loop over touches. Credit values (value/n_touch) sit
+    intrinsically near half-cent boundaries, so BOTH summation orders
+    are pinned: the total-order sort fixes the per-bucket fold and the
+    finish sums buckets in (channel, bucket) order — block-arrival
+    order can never flip a rounded cent (a run-to-run flake observed
+    round 4). Output: (channel, n_touches_credited, credit) where
+    channel in {view, click, direct}, credit rounded to 2."""
     from ..functions.numeric import round_half_up
-    from ..stages.hashagg import hash_groupby_agg
 
     ds = read_table(f"{sf_dir}/events.parquet",
-                    columns=["user_id", "event_type", "ts", "value"])
+                    columns=["user_id", "event_type", "ts", "value",
+                             "event_id"])
     win_ns = np.int64(window_minutes) * np.int64(60_000_000_000)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        bucket = int(g["_ubucket"].iloc[0]) if len(g) else -1
+        g = g.sort_values(["user_id", "ts", "event_id"]) \
+             .reset_index(drop=True)
         u = g["user_id"].to_numpy(dtype=np.int64)
         ts = g["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64)
         et = g["event_type"].to_numpy()
@@ -1603,25 +1610,29 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
             "n": [np.int64((n_touch == 0).sum())],
             "credit": [float(pval[n_touch == 0].sum())]})
         out = pd.concat([out, direct], ignore_index=True)
-        return out.groupby("channel", as_index=False).agg(
+        part = out.groupby("channel", as_index=False).agg(
             n_touches_credited=("n", "sum"), credit=("credit", "sum"))
+        part["_b"] = bucket
+        return part
 
     partials = _user_bucketed(ds).map_groups(per_bucket,
                                              batch_format="pandas")
-    agg = hash_groupby_agg(
-        partials, ["channel"],
-        {"n_touches_credited": ("n_touches_credited", "sum"),
-         "credit": ("credit", "sum")}, num_parts=2)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n_touches_credited"] = df["n_touches_credited"].astype(
+        # |channels| x 16 bucket partials: sum in the FIXED
+        # (channel, bucket) order so the float fold is deterministic
+        df = df.sort_values(["channel", "_b"])
+        g = df.groupby("channel", as_index=False, sort=True).agg(
+            n_touches_credited=("n_touches_credited", "sum"),
+            credit=("credit", "sum"))
+        g["n_touches_credited"] = g["n_touches_credited"].astype(
             np.int64)
-        df["credit"] = round_half_up(df["credit"].to_numpy(), 2)
-        return df[["channel", "n_touches_credited", "credit"]]
+        g["credit"] = round_half_up(g["credit"].to_numpy(), 2)
+        return g[["channel", "n_touches_credited", "credit"]]
 
-    return (agg.map_batches(finish, batch_format="pandas")
-            .repartition(1).sort("channel"))
+    return (partials.repartition(1)
+            .map_batches(finish, batch_format="pandas")
+            .sort("channel"))
 
 
 def windowed_funnel_counts(sf_dir: str,
