@@ -351,6 +351,12 @@ def jpeg_info(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker byte — consume them so third-party streams parse.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             pos += 2                               # standalone marker
@@ -366,6 +372,34 @@ def jpeg_info(data: bytes) -> dict:
                     "n_components": body[5],
                     "mode": _SOF_MODES[marker]}
         pos += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF frame header found")
+
+
+def sof_offset(data: bytes) -> int:
+    """Byte offset of the first SOFn marker's 0xFF, found by walking
+    marker segments (never a raw byte search — quant/huffman table
+    payloads may legally contain FF C0). Raises if absent, so callers
+    that patch the frame header fail loud instead of corrupting a
+    table byte (ADVICE r04 #1)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        if marker in _SOF_MODES:
+            return pos
+        pos += 2 + int.from_bytes(data[pos + 2:pos + 4], "big")
     raise ValueError("corrupt JPEG: no SOF frame header found")
 
 

@@ -85,18 +85,32 @@ def dup_length_bias(sf_dir: str, prefix: int = 64,
                       columns=["doc_id", "text", "n_chars"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64_batch(pc.utf8_slice_codeunits(
-            batch.column("text"), 0, prefix)).view(np.int64)
+        pre = pc.utf8_slice_codeunits(batch.column("text"), 0, prefix)
+        h = hash64_batch(pre).view(np.int64)
+        # second independent witness hash (reversed prefix — a
+        # different polynomial, so a forward collision almost surely
+        # splits): lets the dup-group reduce detect 64-bit collisions
+        # and fail loud instead of inflating n_dups (ADVICE r04 #3,
+        # same hazard naive_bayes_langid asserts on).
+        h2 = hash64_batch(pc.utf8_reverse(pre)).view(np.int64)
         return pa.Table.from_pydict({
             "text_hash": pa.array(h, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
             "one": pa.array(np.ones(len(batch), np.int64))})
 
     counts = hash_groupby_agg(
         docs.map_batches(add_hash, batch_format="pyarrow"),
-        ["text_hash"], {"c": ("one", "sum")}, num_parts=16)
+        ["text_hash"], {"c": ("one", "sum"), "h2min": ("h2", "min"),
+                        "h2max": ("h2", "max")}, num_parts=16)
     dup_df = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("c"), 1)),
         batch_format="pyarrow").to_pandas()
+    # a collision that inflates n_dups necessarily lands in a c>1
+    # group with two distinct prefixes -> witness hashes disagree
+    if len(dup_df) and (dup_df["h2min"] != dup_df["h2max"]).any():
+        raise AssertionError(
+            "dup_length_bias: 64-bit prefix-hash collision detected; "
+            "membership needs exact (128-bit) keying for this corpus")
     if len(dup_df) > broadcast_threshold:
         raise ValueError(
             "dup_length_bias: distinct duplicated texts exceed the "

@@ -318,17 +318,37 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
     # sum(df^2) is known BEFORE the exchange. Past the budget the job
     # would spill-explode (the r3 failure mode) — refuse with the
     # remedy instead of dying hours in. O(vocab) driver work.
-    if max_doc_freq is None:
-        df_sq = float((vocab_ds.to_pandas()["_c"]
-                       .to_numpy(np.float64) ** 2).sum())
-        if df_sq > EXACT_NGRAM_PAIR_BUDGET:
-            raise ValueError(
-                "ngram_jaccard_dups: grams are non-discriminative on "
-                f"this corpus (sum df^2 ~ {df_sq:.2e} pair rows > "
-                f"budget {EXACT_NGRAM_PAIR_BUDGET:.0e}); the exact "
-                "tier is Omega(n^2) here. Use minhash_lsh_dups as the "
-                "front door, raise k, or pass max_doc_freq to cap "
-                "stop-grams (changes semantics).")
+    # ADVICE r04 #4: the guard applies to the EFFECTIVE document
+    # frequencies — with max_doc_freq set, capped buckets emit no
+    # pairs, so they contribute 0; the capped path is no longer
+    # unguarded against a loose cap, and the vocab aggregate is
+    # reused (as the stop-gram pre-filter below) instead of wasted.
+    vdf = vocab_ds.to_pandas()
+    dfreq = vdf["_c"].to_numpy(np.float64)
+    eff = dfreq if max_doc_freq is None else dfreq[dfreq <= max_doc_freq]
+    df_sq = float((eff ** 2).sum())
+    if df_sq > EXACT_NGRAM_PAIR_BUDGET:
+        raise ValueError(
+            "ngram_jaccard_dups: grams are non-discriminative on "
+            f"this corpus (sum df^2 ~ {df_sq:.2e} pair rows > "
+            f"budget {EXACT_NGRAM_PAIR_BUDGET:.0e}"
+            + (f" even after the max_doc_freq={max_doc_freq} cap"
+               if max_doc_freq is not None else "")
+            + "); the exact tier is Omega(n^2) here. Use "
+            "minhash_lsh_dups as the front door, raise k, or "
+            + ("tighten max_doc_freq" if max_doc_freq is not None
+               else "pass max_doc_freq to cap stop-grams (changes "
+                    "semantics)") + ".")
+    # stop-gram PRE-filter: drop capped grams before the pair
+    # exchange instead of only inside bucket_pairs — the heavy
+    # hitters are exactly the rows that dominate shuffle payload.
+    # The bucket_pairs m>cap check stays as a correctness backstop.
+    stop_ref = None
+    if max_doc_freq is not None:
+        stop = np.sort(vdf["gram"].to_numpy(np.int64)
+                       [dfreq > max_doc_freq])
+        if len(stop):
+            stop_ref = ray.put(stop)
 
     # shingle-set sizes: distributed aggregate kept as a DATASET and
     # hash-partition-joined onto the pair set below — one row per doc
@@ -349,6 +369,12 @@ def ngram_jaccard_dups(sf_dir: str, k: int = 3, threshold: float = 0.5,
         parquet_data_bytes(f"{sf_dir}/documents.parquet"), 8 << 20)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if stop_ref is not None:
+            stop = ray.get(stop_ref)
+            gram = batch.column("gram").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(stop, gram)
+            pos[pos >= len(stop)] = len(stop) - 1
+            batch = batch.filter(pa.array(stop[pos] != gram))
         gram = batch.column("gram").to_numpy(zero_copy_only=False)
         return batch.append_column(
             "gpart", pa.array((gram % NPART).astype(np.int64)))

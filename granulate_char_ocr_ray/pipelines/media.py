@@ -216,7 +216,8 @@ def media_jpeg_metadata(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
     handle."""
     import base64
 
-    from ..functions.jpeg import encode_jpeg_gray, jpeg_info
+    from ..functions.jpeg import (encode_jpeg_gray, jpeg_info,
+                                  sof_offset as jpeg_sof_offset)
 
     spans = derive_docs(sf_dir).map_batches(explode_spans,
                                             batch_format="pyarrow")
@@ -238,8 +239,10 @@ def media_jpeg_metadata(sf_dir: str, concurrency=(1, 8)) -> rd.Dataset:
                 if int(did[4:]) % 2 == 0:
                     # deterministic progressive-framed variant: flip
                     # SOF0->SOF2 (header layout is identical per T.81
-                    # B.2.2; jpeg_info never touches scan data)
-                    i = bytes(enc).find(b"\xff\xc0")
+                    # B.2.2; jpeg_info never touches scan data).
+                    # Locate the SOF by walking marker segments —
+                    # a raw find() could hit FF C0 inside table data.
+                    i = jpeg_sof_offset(bytes(enc))
                     enc[i + 1] = 0xC2
                 info = jpeg_info(bytes(enc))
                 hs.append(info["height"])

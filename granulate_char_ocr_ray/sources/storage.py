@@ -235,12 +235,33 @@ class _SchemaKeepingDataset(rd.Dataset):
 
 def from_arrow(table: pa.Table) -> rd.Dataset:
     """Dataset from a driver-side Arrow table. Empty tables keep their
-    schema through ``to_pandas()`` (see _SchemaKeepingDataset)."""
+    schema through ``to_pandas()`` (see _SchemaKeepingDataset).
+
+    CONTRACT (ADVICE r04 #5): the empty-schema fix lives on the exact
+    object returned here — any derived Dataset (``map_batches``,
+    ``union``, ...) is a plain ``Dataset`` again and a 0-row
+    ``to_pandas()`` loses its columns. Consume the returned object
+    directly, or collect a derived/arbitrary dataset with
+    :func:`to_pandas_keep_schema`, which takes the schema explicitly
+    instead of relying on the class swap propagating."""
     ds = rd.from_arrow(table)
     if table.num_rows == 0:
         ds.__class__ = _SchemaKeepingDataset
         ds._empty_schema = table.schema
     return ds
+
+
+def to_pandas_keep_schema(ds: rd.Dataset, schema: pa.Schema):
+    """Empty-safe driver collection for ARBITRARY datasets: like
+    ``ds.to_pandas()`` but a 0-row result keeps ``schema``'s columns
+    (Ray 2.49 yields no 0-row batches, so empties collapse to a (0, 0)
+    frame — see _SchemaKeepingDataset). Use this at any call site that
+    collects a dataset DERIVED from :func:`from_arrow` output (the
+    class swap does not survive map_batches/union/etc.)."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        return schema.empty_table().to_pandas()
+    return df
 
 
 def source_fingerprint(paths: "list[str]") -> str:

@@ -3127,6 +3127,31 @@ def test_from_arrow_empty_keeps_schema():
     assert from_arrow(one).to_pandas().shape == (1, 1)
 
 
+def test_to_pandas_keep_schema_survives_derivation():
+    """ADVICE r04 #5: the from_arrow class swap does NOT propagate
+    through derived datasets (map_batches reverts to plain Dataset, so
+    a 0-row to_pandas loses columns again). to_pandas_keep_schema is
+    the explicit-schema collection helper for that case."""
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.sources.storage import (
+        from_arrow, to_pandas_keep_schema)
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.string())})
+    derived = from_arrow(empty).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    # demonstrate the hazard the helper exists for...
+    assert derived.to_pandas().shape[1] == 0
+    # ...and the fix
+    df = to_pandas_keep_schema(derived, empty.schema)
+    assert df.shape == (0, 2) and list(df.columns) == ["a", "b"]
+    # non-empty derived datasets pass through untouched
+    one = from_arrow(pa.table({"a": [1], "b": ["x"]})).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    assert to_pandas_keep_schema(one, empty.schema).shape == (1, 2)
+
+
 def test_rowgroup_pruning_actually_prunes():
     """The min-max index selects a strict subset of row groups on a
     clustered layout, the pruned read returns exactly the range's

@@ -1196,3 +1196,39 @@ def test_ngram_jaccard_pair_mass_guard(monkeypatch):
     # dense plan path: same corpus, no guard, still exact
     assert len(d.ngram_jaccard_dups(SF, threshold=0.8)
                .to_pandas()) > 0
+
+
+def test_ngram_jaccard_capped_path_guarded_and_prefiltered(monkeypatch):
+    """ADVICE r04 #4: with max_doc_freq set, (a) a cap loose enough to
+    drop nothing reproduces the uncapped result exactly (the stop-gram
+    PRE-filter + bucket backstop change nothing when no gram exceeds
+    the cap — cross-plan, since uncapped dispatches dense on this
+    corpus); (b) the pair-mass budget now applies to the POST-cap
+    document frequencies, so a loose cap over a degenerate vocabulary
+    fails loud instead of spill-exploding; (c) a tight cap passes the
+    same budget that the uncapped plan fails, because capped buckets
+    contribute zero pairs."""
+    import pandas as pd
+
+    import granulate_char_ocr_ray.pipelines.dedup as d
+
+    uncapped = (d.ngram_jaccard_dups(SF, threshold=0.8)
+                .to_pandas().sort_values(["d1", "d2"])
+                .reset_index(drop=True))
+    capped = (d.ngram_jaccard_dups(SF, threshold=0.8,
+                                   max_doc_freq=10 ** 9)
+              .to_pandas().sort_values(["d1", "d2"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(uncapped, capped)
+    assert len(uncapped) > 0
+
+    # (b) loose cap, tiny budget -> the capped path refuses too
+    monkeypatch.setattr(d, "EXACT_NGRAM_PAIR_BUDGET", 10.0)
+    with pytest.raises(ValueError, match="max_doc_freq=1000000000"):
+        d.ngram_jaccard_dups(SF, threshold=0.8,
+                             max_doc_freq=10 ** 9).to_pandas()
+    monkeypatch.undo()
+    # (c) a cap of 1 zeroes every pair-capable bucket -> no pairs,
+    # and the (restored) budget sees only singleton mass
+    assert len(d.ngram_jaccard_dups(SF, threshold=0.8,
+                                    max_doc_freq=1).to_pandas()) == 0

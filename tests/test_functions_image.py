@@ -541,6 +541,42 @@ def test_jpeg_info_reads_progressive_headers():
         jpeg_info(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame header
 
 
+def test_jpeg_info_skips_fill_bytes_and_sof_offset_walks_segments():
+    """ADVICE r04 #1/#2: (a) T.81 B.1.1.2 permits any number of 0xFF
+    fill bytes before a marker — jpeg_info must parse third-party
+    streams that use them; (b) sof_offset locates the SOF by WALKING
+    segments, so an FF C0 byte pair inside a table payload is never
+    mistaken for the frame header, and a missing SOF raises instead
+    of silently returning a bogus offset."""
+    import numpy as np
+    import pytest
+
+    from granulate_char_ocr_ray.functions.jpeg import (
+        encode_jpeg_gray, jpeg_info, sof_offset)
+
+    enc = encode_jpeg_gray(np.arange(24 * 57, dtype=np.uint8)
+                           .reshape(24, 57) % 251)
+    # inject fill bytes between SOI and the first segment marker
+    filled = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    info = jpeg_info(filled)
+    assert (info["height"], info["width"]) == (24, 57)
+    assert sof_offset(filled) == sof_offset(enc) + 3
+
+    # a COM segment whose payload contains FF C0 ahead of the real SOF:
+    # naive find() would hit the payload; the segment walk must not.
+    com = b"\xff\xfe\x00\x04\xff\xc0"   # len=4 -> 2 payload bytes
+    tricked = enc[:2] + com + enc[2:]
+    i = sof_offset(tricked)
+    assert tricked[i] == 0xFF and tricked[i + 1] == 0xC0
+    assert i > 2 + len(com)
+    assert bytes(tricked).find(b"\xff\xc0") < i  # find() WOULD be wrong
+    tinfo = jpeg_info(tricked)
+    assert (tinfo["height"], tinfo["width"]) == (24, 57)
+
+    with pytest.raises(ValueError, match="no SOF"):
+        sof_offset(b"\xff\xd8\xff\xfe\x00\x04\xff\xc0\xff\xd9")
+
+
 def test_jpeg_restart_markers_roundtrip():
     """DRI/RSTn handling: a stream with restart intervals decodes to
     exactly the same pixels as the same image without them."""
