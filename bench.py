@@ -132,12 +132,12 @@ class _SchemaWarningCounter:
     - 'Failed to hash the schemas' — was OUR bug (pandas metadata made
       block schemas unhashable); fixed at the source (metadata-free
       read schemas + table_from_pandas), so the bench asserts ZERO.
-    - 'RefBundle with a different schema' — Ray-internal: map_groups
-      yields nothing for an empty range split and the operator emits a
-      schema-less empty bundle (ray/data/grouped_data.py
-      _apply_udf_to_groups); cosmetic, once per operator transition,
-      not addressable from UDF code. Counted and reported, not
-      asserted."""
+    - 'RefBundle with a different schema' — WAS Ray-internal noise
+      (the range sort emits schema-less empty blocks for empty key
+      ranges); fixed at the executor boundary by
+      raycompat.install() — 0-row empty-schema bundles now adopt the
+      stream's schema — so since round 5 the bench asserts ZERO of
+      these too (VERDICT r04 #2)."""
 
     def __init__(self) -> None:
         import logging
@@ -300,6 +300,12 @@ def run_benchmarks() -> dict:
     if schema_warnings.unhashable:
         errors["schema_unhashable_warnings"] = str(
             schema_warnings.unhashable)
+    # same contract for empty-bundle schema divergence since the
+    # raycompat fix (VERDICT r04 #2): any recurrence is a regression
+    # and must show up in the JSON, not turn the run into rc=1.
+    if schema_warnings.empty_bundle:
+        errors["ray_empty_bundle_warnings"] = str(
+            schema_warnings.empty_bundle)
     result["schema_unhashable_warnings"] = schema_warnings.unhashable
     result["ray_empty_bundle_warnings"] = schema_warnings.empty_bundle
     return result

@@ -14,6 +14,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from ..raycompat import install as _install_raycompat
+
+# schema-carrying empty bundles (VERDICT r04 #2) — every pipeline
+# imports this module, so the executor patch is in place before any
+# Dataset executes; see raycompat.py for the full story.
+_install_raycompat()
+
 
 def read_table(path: str, *, columns: list[str] | None = None,
                filter_expr: Any = None,

@@ -104,3 +104,53 @@ def test_hash_groupby_topn_matches_pandas_and_block_invariance():
         got = got[["k", "v"]].sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got.astype(np.int64),
                                       want.astype(np.int64))
+
+
+def test_empty_bundle_schema_adoption_clean_log():
+    """VERDICT r04 #2: Ray's range sort emits schema-less empty blocks
+    for empty key ranges, which used to log 'RefBundle with a
+    different schema ... new schema: .' once per operator (380/bench
+    run). raycompat.install() makes the executor's schema validation
+    symmetric — 0-row empty-schema bundles adopt the stream's schema —
+    so the canonical repro (groupby whose partition count exceeds its
+    distinct-key count) must now produce ZERO divergence warnings, and
+    real schema divergence must still warn."""
+    import logging
+
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.raycompat import install
+
+    assert install()          # idempotent; True = patch active
+
+    msgs = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            m = record.getMessage()
+            if "RefBundle with a different schema" in m:
+                msgs.append(m)
+
+    h = _H()
+    logging.getLogger("ray.data").addHandler(h)
+    try:
+        t = pa.table({"g": [1, 2] * 50, "v": list(range(100))})
+        ds = rd.from_arrow(t).repartition(8)
+        out = (ds.groupby("g")
+                 .map_groups(lambda df: df.head(1), batch_format="pandas")
+                 .to_pandas())
+        assert len(out) == 2
+        assert msgs == []
+
+        # a GENUINE divergence (two different non-empty schemas from
+        # one operator) must still be reported
+        def diverge(batch: pa.Table) -> pa.Table:
+            if batch.column("v")[0].as_py() < 50:
+                return pa.table({"a": [1]})
+            return pa.table({"b": ["x"]})
+
+        rd.from_arrow(t).repartition(2).map_batches(
+            diverge, batch_format="pyarrow").materialize()
+        assert len(msgs) == 1
+    finally:
+        logging.getLogger("ray.data").removeHandler(h)
