@@ -5412,25 +5412,35 @@ def copurchase_degree_powerlaw(sf_dir: str, min_count: int = 2
 
 
 def copurchase_kcore(sf_dir: str, k: int = 3,
-                     min_count: int = 2) -> pd.DataFrame:
+                     min_count: int = 2,
+                     broadcast_threshold: int = 2_000_000
+                     ) -> pd.DataFrame:
     """k-core decomposition of the co-purchase graph by iterative
     peeling (Matula & Beck 1983): repeatedly delete vertices with
     degree < k until the residual graph is stable — the standard
     dense-substructure extractor (community seeds, spam rings).
     Distributed shape: each round is ONE vertex-keyed degree exchange
-    over the CURRENT edge set plus a broadcast drop-set filter; the
-    edge table is already reduced (distinct co-ordered pairs) and only
+    over the CURRENT edge set plus a drop-set anti-filter; the edge
+    table is already reduced (distinct co-ordered pairs) and only
     SHRINKS, and each round's survivor set is materialized so the next
     round never re-executes prior lineage. Peeling rounds are
-    inherently sequential (each depends on the previous residual);
-    driver state is one shrinking vertex drop-set per round — at true
-    scale the drop-set filter takes the partitioned-join path like
-    every anti-join here. Output: one row (k, n_rounds,
-    core_vertices, core_edges) — rows-only (iterative fixpoint is not
-    SQL-expressible; brute-force peeling pytest)."""
+    inherently sequential (each depends on the previous residual).
+
+    The per-round drop-set filter follows the repo's standard size
+    dispatch (VERDICT r04 #3 — this was the one anti-join without it):
+    the degree table stays a DATASET; below ``broadcast_threshold``
+    drop vertices, only the FILTERED drop rows reach the driver and
+    broadcast once via ``ray.put`` (sorted searchsorted anti-filter
+    per batch); above, a hash-partitioned anti-join on each endpoint
+    (two narrow (v) exchanges per round, nothing on the driver). Both
+    plans emit identical residuals (tested). Output: one row (k,
+    n_rounds, core_vertices, core_edges) — rows-only (iterative
+    fixpoint is not SQL-expressible; brute-force peeling pytest)."""
+    import pyarrow.compute as pc
     import ray as _ray
 
     from ..stages.hashagg import hash_groupby_agg
+    from ..stages.join import partitioned_join
 
     def _explode_deg(df: pd.DataFrame) -> pd.DataFrame:
         v = np.concatenate([df["p1"].to_numpy(dtype=np.int64),
@@ -5438,38 +5448,68 @@ def copurchase_kcore(sf_dir: str, k: int = 3,
         return (pd.DataFrame({"v": v}).groupby("v", as_index=False)
                 .size().rename(columns={"size": "d"}))
 
+    edge_schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64())])
+    drop_schema = pa.schema([("v", pa.int64())])
+
     edges = _co_purchase_edges(sf_dir, min_count) \
         .select_columns(["p1", "p2"]).materialize()
     rounds = 0
     while True:
         if edges.count() == 0:
             break
-        # degrees fold DISTRIBUTED; only the |vertices| reduced table
-        # (and from it the even smaller drop-set) reaches the driver
+        # degrees fold DISTRIBUTED and stay distributed; the reduce to
+        # the drop-set (deg < k) happens before anything is collected
         deg = hash_groupby_agg(
             edges.map_batches(_explode_deg, batch_format="pandas"),
-            ["v"], {"d": ("d", "sum")}, num_parts=4).to_pandas()
-        drop = deg.loc[deg["d"] < k, "v"].to_numpy(dtype=np.int64)
-        if len(drop) == 0:
+            ["v"], {"d": ("d", "sum")}, num_parts=4)
+        drop_ds = deg.map_batches(
+            lambda t: t.filter(pc.less(t.column("d"), k)),
+            batch_format="pyarrow").select_columns(["v"]).materialize()
+        n_drop = drop_ds.count()
+        if n_drop == 0:
             break
         rounds += 1
-        drop_ref = _ray.put(np.sort(drop))
 
-        def keep(batch: pa.Table) -> pa.Table:
-            dr = _ray.get(drop_ref)
-            p1 = batch.column("p1").to_numpy(zero_copy_only=False)
-            p2 = batch.column("p2").to_numpy(zero_copy_only=False)
+        if n_drop <= broadcast_threshold:
+            drop_ref = _ray.put(np.sort(
+                drop_ds.to_pandas()["v"].to_numpy(dtype=np.int64)))
 
-            def hit(x):
-                pos = np.searchsorted(dr, x)
-                pos[pos >= len(dr)] = len(dr) - 1 if len(dr) else 0
-                return (dr[pos] == x) if len(dr) else np.zeros(
-                    len(x), bool)
+            def keep(batch: pa.Table) -> pa.Table:
+                dr = _ray.get(drop_ref)
+                p1 = batch.column("p1").to_numpy(zero_copy_only=False)
+                p2 = batch.column("p2").to_numpy(zero_copy_only=False)
 
-            return batch.filter(pa.array(~(hit(p1) | hit(p2))))
+                def hit(x):
+                    pos = np.searchsorted(dr, x)
+                    pos[pos >= len(dr)] = len(dr) - 1 if len(dr) else 0
+                    return (dr[pos] == x) if len(dr) else np.zeros(
+                        len(x), bool)
 
-        edges = edges.map_batches(keep,
-                                  batch_format="pyarrow").materialize()
+                return batch.filter(pa.array(~(hit(p1) | hit(p2))))
+
+            edges = edges.map_batches(
+                keep, batch_format="pyarrow").materialize()
+        else:
+            # partitioned anti-join per endpoint: co-partition edges
+            # with the drop-set on the endpoint key; a bucket-local
+            # left merge marks hits, survivors pass through
+            for col in ("p1", "p2"):
+                def anti(lf: pd.DataFrame, rf: pd.DataFrame,
+                         col=col) -> pd.DataFrame:
+                    rf2 = rf.rename(columns={"v": col})
+                    rf2 = rf2.assign(_hit=np.int64(1))
+                    m = lf.merge(rf2, on=col, how="left")
+                    keep_rows = m["_hit"].isna()
+                    return pd.DataFrame({
+                        "p1": m.loc[keep_rows, "p1"]
+                        .to_numpy(dtype=np.int64),
+                        "p2": m.loc[keep_rows, "p2"]
+                        .to_numpy(dtype=np.int64)})
+
+                edges = partitioned_join(
+                    edges, drop_ds, col, "v", anti, num_buckets=32,
+                    left_schema=edge_schema, right_schema=drop_schema)
+            edges = edges.materialize()
 
     ne = edges.count()
     nv = hash_groupby_agg(

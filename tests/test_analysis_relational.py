@@ -2385,6 +2385,25 @@ def test_copurchase_kcore_matches_bruteforce_peeling():
     assert int(got["core_vertices"]) == nv
 
 
+def test_copurchase_kcore_both_plans_identical():
+    """VERDICT r04 #3: the per-round drop-set filter size-dispatches
+    like every anti-join here — broadcast below threshold, partitioned
+    anti-join above. Forcing the partitioned plan (threshold 0) must
+    reproduce the broadcast plan's result exactly."""
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.relational import (
+        copurchase_kcore)
+
+    SF = "/root/testdata/sf0.001"
+    # k=8 forces at least one peeling round on this corpus, so the
+    # forced-partitioned run genuinely exercises the anti-join
+    broadcast = copurchase_kcore(SF, k=8)
+    partitioned = copurchase_kcore(SF, k=8, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(broadcast, partitioned)
+    assert int(broadcast.iloc[0]["n_rounds"]) > 0
+
+
 def test_classifier_calibration_bins_sane():
     import duckdb
 
