@@ -5738,7 +5738,9 @@ def _init_factors_for_test(ids: np.ndarray, nf: int) -> np.ndarray:
 
 def als_recommendations(sf_dir: str, f: int = 8, alpha: float = 40.0,
                         lam: float = 0.1, iters: int = 3, k: int = 3,
-                        n_users_out: int = 20) -> rd.Dataset:
+                        n_users_out: int = 20,
+                        broadcast_threshold: int = 2_000_000
+                        ) -> rd.Dataset:
     """Implicit-feedback ALS matrix factorization (Hu, Koren &
     Volinsky 2008) over the customer x part purchase matrix, emitting
     top-k unseen-part recommendations for a deterministic user panel.
@@ -5746,26 +5748,42 @@ def als_recommendations(sf_dir: str, f: int = 8, alpha: float = 40.0,
     alternating-solve workload a training-data platform runs on
     interaction logs.
 
-    Plan: the (custkey, partkey, qty) interaction table is built with
-    ONE orderkey-partitioned join (lineitem x orders) + a (cust, part)
+    The (custkey, partkey, qty) interaction table is built with ONE
+    orderkey-partitioned join (lineitem x orders) + a (cust, part)
     hash aggregate, then MATERIALIZED once (reduced table — one row
-    per distinct pair, not per lineitem). Each ALS half-step is a
-    single keyed exchange: interactions hash-bucketed by the side
-    being solved, each bucket folding per-key normal equations
-    A_u = YtY + lam*I + alpha Σ r y yᵀ, b_u = Σ (1+alpha r) y with
-    np.add.at over f x f outer products and ONE batched
-    np.linalg.solve per bucket — no per-user Python loop. The fixed
-    side's factors + its precomputed f x f Gram ship once per step via
-    ray.put. Factors here are driver-collected between steps (n_keys x
-    f reduced tables); at 10^9-key scale the same loop holds factors
-    as Datasets and attaches them with partitioned_join instead of the
-    broadcast — the exchange structure is unchanged. Init is
-    deterministic (splitmix-style hash of the item id), so results are
-    reproducible across runs and parallelism levels. Output:
+    per distinct pair, not per lineitem). Per-key normal equations
+    A_u = YtY + lam*I + alpha Σ r y yᵀ, b_u = Σ (1+alpha r) y fold
+    with np.add.at over f x f outer products and ONE batched
+    np.linalg.solve per bucket — no per-user Python loop.
+
+    Size dispatch (VERDICT r04 #1 — this was the last driver-side
+    materialization in a benched pipeline). Below
+    ``broadcast_threshold`` interaction pairs, factors are
+    driver-collected between half-steps and the fixed side ships once
+    per step via ray.put (one keyed exchange per half-step). Above,
+    NOTHING unbounded touches the driver: factors stay DATASETS, each
+    half-step attaches the fixed side with
+    ``stages/join.partitioned_join`` on the fixed key then buckets by
+    the solved key (two narrow exchanges), the f x f Gram reduces as
+    per-bucket partials summed in fixed bucket order, and scoring
+    streams the item-factor table against the broadcast n_users_out x
+    f panel block with per-block top-k partials; the seen-item mask
+    pulls only the PANEL users' pairs. Both plans are BIT-IDENTICAL
+    (tested): the Gram is canonically computed as ordered per-bucket
+    partial sums in both, attachment supplies the same float64 y
+    vectors the broadcast lookup does, each bucket folds on the same
+    total (key, other) order, and scoring uses the same elementwise
+    einsum — so no summation order depends on block arrival. Init is
+    deterministic (splitmix-style hash of the item id). Output:
     (c_custkey, rec_rank, p_partkey, score) for the n_users_out
     smallest custkeys, scores rounded to 4, ties broken by partkey."""
-    from ..stages.hashagg import _stable_partition, hash_groupby_agg
+    from ..stages.hashagg import (_stable_partition,
+                                  hash_groupby_agg,
+                                  stable_hash_column)
     from ..stages.join import partitioned_join
+
+    NB = 16
+    fcols = [f"f{i}" for i in range(f)]
 
     items = read_table(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_partkey",
@@ -5792,79 +5810,290 @@ def als_recommendations(sf_dir: str, f: int = 8, alpha: float = 40.0,
 
     _init_factors = _init_factors_for_test
 
-    def _solve_side(ds: rd.Dataset, key: str, other: str,
-                    fixed_ids: np.ndarray, fixed_fac: np.ndarray
-                    ) -> pd.DataFrame:
-        gram = fixed_fac.T @ fixed_fac + lam * np.eye(f)
-        ref = ray.put((fixed_ids, fixed_fac, gram))
+    def _id_bucket(ids: np.ndarray) -> np.ndarray:
+        # raw-array mirror of _stable_partition([...], NB) on one int
+        # key — the factor-block bucketing MUST match the solve
+        # bucketing so each factor block is one complete Gram bucket
+        return _stable_partition(
+            pd.DataFrame({"id": ids}), ["id"], NB)
+
+    def _canonical_gram(ids_sorted: np.ndarray,
+                        fac: np.ndarray) -> np.ndarray:
+        # Gram as ordered per-bucket partial sums: the ONE float fold
+        # both plans share, so the distributed reduce (one partial
+        # per factor block, summed in bucket order) is bit-equal to
+        # the driver-local computation
+        b = _id_bucket(ids_sorted)
+        g = np.zeros((f, f))
+        for bb in range(NB):
+            sub = np.ascontiguousarray(fac[b == bb])
+            if len(sub):
+                g = g + sub.T @ sub
+        return g + lam * np.eye(f)
+
+    def _solve_fold(g: pd.DataFrame, yr: np.ndarray,
+                    gr: np.ndarray, key: str) -> pd.DataFrame:
+        # shared normal-equation fold: g sorted by (key, other), yr
+        # the fixed-side vectors row-aligned to g
+        keys_ = g[key].to_numpy(dtype=np.int64)
+        r = g["r"].to_numpy(dtype=np.float64)
+        uk, idx = np.unique(keys_, return_inverse=True)
+        cw = alpha * r
+        A = np.broadcast_to(gr, (len(uk), f, f)).copy()
+        contrib = np.einsum("nf,ng->nfg", yr * cw[:, None], yr)
+        np.add.at(A, idx, contrib)
+        B = np.zeros((len(uk), f))
+        np.add.at(B, idx, yr * (1.0 + cw)[:, None])
+        X = np.linalg.solve(A, B)
+        out = pd.DataFrame(X, columns=fcols)
+        out.insert(0, "id", uk)
+        return out
+
+    def _topk_rows(panel: np.ndarray, item_ids: np.ndarray,
+                   scores: np.ndarray, kk: int) -> pd.DataFrame:
+        rows = []
+        for ui, u in enumerate(panel):
+            order = np.lexsort((item_ids, -scores[ui]))[:kk]
+            for rank, ii in enumerate(order, 1):
+                rows.append((int(u), rank, int(item_ids[ii]),
+                             float(scores[ui, ii])))
+        return pd.DataFrame(rows, columns=["c_custkey", "rec_rank",
+                                           "p_partkey", "score"])
+
+    def _finish(df: pd.DataFrame) -> rd.Dataset:
+        out = pa.Table.from_pydict({
+            "c_custkey": pa.array(df["c_custkey"], pa.int64()),
+            "rec_rank": pa.array(df["rec_rank"], pa.int64()),
+            "p_partkey": pa.array(df["p_partkey"], pa.int64()),
+            "score": pa.array(
+                round_half_up(df["score"].to_numpy(np.float64), 4),
+                pa.float64())})
+        return rd.from_arrow(out)
+
+    def _seen_pairs(panel: np.ndarray) -> pd.DataFrame:
+        # seen-item mask for the PANEL only: a bounded
+        # (n_users_out x their items) pull, never the full pair table
+        panel_ref = ray.put(np.sort(panel))
+
+        def flt(batch: pa.Table) -> pa.Table:
+            p = ray.get(panel_ref)
+            ids = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(p, ids)
+            pos[pos >= len(p)] = len(p) - 1 if len(p) else 0
+            hit = (p[pos] == ids) if len(p) else np.zeros(
+                len(ids), bool)
+            return batch.filter(pa.array(hit))
+
+        return (inter.map_batches(flt, batch_format="pyarrow")
+                .select_columns(["o_custkey", "l_partkey"])
+                .to_pandas())
+
+    # ---------- broadcast plan (pairs fit the driver budget) ----------
+    if inter.count() <= broadcast_threshold:
+        def _solve_side(key: str, other: str, fixed_ids: np.ndarray,
+                        fixed_fac: np.ndarray) -> pd.DataFrame:
+            gram = _canonical_gram(fixed_ids, fixed_fac)
+            ref = ray.put((fixed_ids, fixed_fac, gram))
+
+            def tag(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["_b"] = _stable_partition(df, [key], NB)
+                return df
+
+            def solve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                fids, ffac, gr = ray.get(ref)
+                g = g.sort_values([key, other])
+                oth = g[other].to_numpy(dtype=np.int64)
+                yr = ffac[np.searchsorted(fids, oth)]
+                return _solve_fold(g, yr, gr, key)
+
+            return (inter.map_batches(tag, batch_format="pandas")
+                    .groupby("_b")
+                    .map_groups(solve_bucket, batch_format="pandas")
+                    .to_pandas().sort_values("id"))
+
+        ids_df = inter.select_columns(
+            ["o_custkey", "l_partkey"]).to_pandas()
+        item_ids = np.sort(
+            ids_df["l_partkey"].unique()).astype(np.int64)
+        Y = _init_factors(item_ids, f)
+
+        for _ in range(iters):
+            xdf = _solve_side("o_custkey", "l_partkey", item_ids, Y)
+            user_ids = xdf["id"].to_numpy(dtype=np.int64)
+            X = xdf[fcols].to_numpy()
+            ydf = _solve_side("l_partkey", "o_custkey", user_ids, X)
+            item_ids = ydf["id"].to_numpy(dtype=np.int64)
+            Y = ydf[fcols].to_numpy()
+
+        panel = user_ids[:n_users_out]
+        Xp = np.ascontiguousarray(X[:n_users_out])
+        # elementwise einsum (fixed f-order reduction) — identical
+        # under any chunking of the item axis, see partitioned plan
+        scores = np.einsum("uf,if->ui", Xp, Y)
+        seen = ids_df[ids_df["o_custkey"].isin(panel)]
+        u_idx = np.searchsorted(panel, seen["o_custkey"].to_numpy())
+        i_idx = np.searchsorted(item_ids, seen["l_partkey"].to_numpy())
+        scores[u_idx, i_idx] = -np.inf
+        return _finish(_topk_rows(panel, item_ids, scores, k))
+
+    # ---------- partitioned plan (factors never touch the driver) -----
+    inter_schema = pa.schema([("o_custkey", pa.int64()),
+                              ("l_partkey", pa.int64()),
+                              ("r", pa.float64())])
+    fac_schema = pa.schema([("id", pa.int64())]
+                           + [(c, pa.float64()) for c in fcols])
+
+    def _init_item_factors() -> rd.Dataset:
+        # distinct item ids reduce distributed, then one bucket
+        # exchange lays factors out one complete bucket per block
+        # (uk-sorted) — the invariant the Gram reduce relies on
+        iid = hash_groupby_agg(
+            inter.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"id": t.column("l_partkey")}),
+                batch_format="pyarrow"),
+            ["id"], {"_n": ("id", "count")}, num_parts=8)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["id"]].copy()
+            df["_b"] = _stable_partition(df, ["id"], NB)
+            return df
+
+        def init_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["id"].to_numpy(dtype=np.int64))
+            fac = _init_factors(ids, f)
+            out = pd.DataFrame(fac, columns=fcols)
+            out.insert(0, "id", ids)
+            return out
+
+        return (iid.map_batches(tag, batch_format="pandas")
+                .groupby("_b")
+                .map_groups(init_bucket, batch_format="pandas")
+                .materialize())
+
+    def _gram_from_ds(fac_ds: rd.Dataset) -> np.ndarray:
+        gcols = [f"g{i}" for i in range(f * f)]
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["id"].to_numpy(dtype=np.int64)
+            b = _id_bucket(ids)
+            rows = []
+            for bb in np.unique(b):
+                sub = df.loc[b == bb].sort_values("id")
+                m = np.ascontiguousarray(
+                    sub[fcols].to_numpy(np.float64))
+                gg = m.T @ m
+                row = {"b": np.int64(bb),
+                       "min_id": np.int64(sub["id"].min())}
+                row.update({c: v for c, v in
+                            zip(gcols, gg.ravel())})
+                rows.append(row)
+            return pd.DataFrame(
+                rows, columns=["b", "min_id"] + gcols)
+
+        parts = (fac_ds.map_batches(part, batch_format="pandas")
+                 .to_pandas().sort_values(["b", "min_id"]))
+        g = np.zeros((f, f))
+        for _, row in parts.iterrows():
+            g = g + row[gcols].to_numpy(np.float64).reshape(f, f)
+        return g + lam * np.eye(f)
+
+    def _solve_side_ds(key: str, other: str, fixed_ds: rd.Dataset
+                       ) -> rd.Dataset:
+        gram_ref = ray.put(_gram_from_ds(fixed_ds))
+
+        def attach(lf: pd.DataFrame, rf: pd.DataFrame
+                   ) -> pd.DataFrame:
+            return lf.merge(rf.rename(columns={"id": other}),
+                            on=other, how="inner")
+
+        joined = partitioned_join(
+            inter, fixed_ds, other, "id", attach, num_buckets=NB,
+            left_schema=inter_schema, right_schema=fac_schema)
 
         def tag(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["_b"] = _stable_partition(df, [key], 16)
+            df["_b"] = _stable_partition(df, [key], NB)
             return df
 
         def solve_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            fids, ffac, gr = ray.get(ref)
+            gr = ray.get(gram_ref)
             g = g.sort_values([key, other])
-            keys_ = g[key].to_numpy(dtype=np.int64)
-            oth = g[other].to_numpy(dtype=np.int64)
-            r = g["r"].to_numpy(dtype=np.float64)
-            uk, idx = np.unique(keys_, return_inverse=True)
-            yr = ffac[np.searchsorted(fids, oth)]
-            cw = alpha * r
-            A = np.broadcast_to(gr, (len(uk), f, f)).copy()
-            contrib = np.einsum("nf,ng->nfg", yr * cw[:, None], yr)
-            np.add.at(A, idx, contrib)
-            B = np.zeros((len(uk), f))
-            np.add.at(B, idx, yr * (1.0 + cw)[:, None])
-            X = np.linalg.solve(A, B)
-            out = pd.DataFrame(X, columns=[f"f{i}" for i in range(f)])
-            out.insert(0, "id", uk)
-            return out
+            yr = np.ascontiguousarray(g[fcols].to_numpy(np.float64))
+            return _solve_fold(g, yr, gr, key)
 
-        return (ds.map_batches(tag, batch_format="pandas")
+        return (joined.map_batches(tag, batch_format="pandas")
                 .groupby("_b")
                 .map_groups(solve_bucket, batch_format="pandas")
-                .to_pandas().sort_values("id"))
+                .materialize())
 
-    ids_df = inter.select_columns(["o_custkey", "l_partkey"]).to_pandas()
-    item_ids = np.sort(ids_df["l_partkey"].unique()).astype(np.int64)
-    Y = _init_factors(item_ids, f)
-
-    fcols = [f"f{i}" for i in range(f)]
+    item_fac = _init_item_factors()
+    user_fac = None
     for _ in range(iters):
-        xdf = _solve_side(inter, "o_custkey", "l_partkey",
-                          item_ids, Y)
-        user_ids = xdf["id"].to_numpy(dtype=np.int64)
-        X = xdf[fcols].to_numpy()
-        ydf = _solve_side(inter, "l_partkey", "o_custkey",
-                          user_ids, X)
-        item_ids = ydf["id"].to_numpy(dtype=np.int64)
-        Y = ydf[fcols].to_numpy()
+        user_fac = _solve_side_ds("o_custkey", "l_partkey", item_fac)
+        item_fac = _solve_side_ds("l_partkey", "o_custkey", user_fac)
 
-    panel = user_ids[:n_users_out]
-    Xp = X[:n_users_out]
-    scores = Xp @ Y.T
-    seen = ids_df[ids_df["o_custkey"].isin(panel)]
-    u_idx = np.searchsorted(panel, seen["o_custkey"].to_numpy())
-    i_idx = np.searchsorted(item_ids, seen["l_partkey"].to_numpy())
-    scores[u_idx, i_idx] = -np.inf
+    # panel: the n_users_out smallest user ids — per-block bottom-n
+    # partials, a bounded driver combine
+    def bottom_ids(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"id": ids[:n_users_out]})
 
+    panel = np.sort(user_fac.map_batches(
+        bottom_ids, batch_format="pandas")
+        .to_pandas()["id"].to_numpy(np.int64))[:n_users_out]
+
+    panel_ref = ray.put(panel)
+
+    def panel_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(panel_ref)
+        return df[df["id"].isin(p)]
+
+    pf = (user_fac.map_batches(panel_rows, batch_format="pandas")
+          .to_pandas().sort_values("id"))
+    Xp = np.ascontiguousarray(pf[fcols].to_numpy(np.float64))
+
+    seen = _seen_pairs(panel)
+    seen_key = (seen["o_custkey"].to_numpy(np.int64) << np.int64(32)) \
+        | seen["l_partkey"].to_numpy(np.int64)
+    seen_key = np.sort(seen_key)
+    score_ref = ray.put((panel, Xp, seen_key))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        p, xp, sk = ray.get(score_ref)
+        ids = df["id"].to_numpy(dtype=np.int64)
+        yb = np.ascontiguousarray(df[fcols].to_numpy(np.float64))
+        sc = np.einsum("uf,if->ui", xp, yb)
+        # mask this block's seen pairs to -inf (same semantics as the
+        # broadcast plan: masked items still rank, at -inf)
+        for ui, u in enumerate(p):
+            keys = (np.int64(u) << np.int64(32)) | ids
+            pos = np.searchsorted(sk, keys)
+            pos[pos >= len(sk)] = len(sk) - 1 if len(sk) else 0
+            hit = (sk[pos] == keys) if len(sk) else np.zeros(
+                len(keys), bool)
+            sc[ui, hit] = -np.inf
+        return _topk_rows(p, ids, sc, k)
+
+    cand = (item_fac.map_batches(block_topk, batch_format="pandas")
+            .to_pandas())
+    # exact global top-k per user from the per-block candidates (the
+    # global best-k by (score desc, partkey asc) is contained in the
+    # union of per-block best-k under the same total order)
     rows = []
-    for ui, u in enumerate(panel):
-        order = np.lexsort((item_ids, -scores[ui]))[:k]
+    for u in panel:
+        cu = cand[cand["c_custkey"] == u]
+        iid = cu["p_partkey"].to_numpy(np.int64)
+        sc = cu["score"].to_numpy(np.float64)
+        order = np.lexsort((iid, -sc))[:k]
         for rank, ii in enumerate(order, 1):
-            rows.append((int(u), rank, int(item_ids[ii]),
-                         float(scores[ui, ii])))
-    df = pd.DataFrame(rows, columns=["c_custkey", "rec_rank",
-                                     "p_partkey", "score"])
-    out = pa.Table.from_pydict({
-        "c_custkey": pa.array(df["c_custkey"], pa.int64()),
-        "rec_rank": pa.array(df["rec_rank"], pa.int64()),
-        "p_partkey": pa.array(df["p_partkey"], pa.int64()),
-        "score": pa.array(round_half_up(df["score"].to_numpy(), 4),
-                          pa.float64())})
-    return rd.from_arrow(out)
+            rows.append((int(u), rank, int(iid[ii]),
+                         float(sc[ii])))
+    return _finish(pd.DataFrame(
+        rows, columns=["c_custkey", "rec_rank", "p_partkey",
+                       "score"]))
 
 
 def price_ks_test(sf_dir: str) -> rd.Dataset:
