@@ -1291,7 +1291,7 @@ def oracle_sql() -> dict[str, str]:
               AND trim(text) != ''
             ORDER BY doc_id
         """,
-        "top_tokens": """
+        "top_tokens": r"""
             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
               SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
               FROM documents WHERE trim(text) != ''
@@ -3594,7 +3594,8 @@ def oracle_sql() -> dict[str, str]:
                                 AND t.ts < p.ts) AS n
                    FROM p),
             tc AS (SELECT t.event_type AS channel, t.event_id,
-                          sum(pn.value / pn.n) AS credit
+                          sum(CAST(floor(pn.value / pn.n * 1000000
+                                         + 0.5) AS BIGINT)) AS credit
                    FROM t JOIN pn ON pn.user_id = t.user_id
                         AND t.ts >= pn.ts - INTERVAL 60 MINUTE
                         AND t.ts < pn.ts
@@ -3606,10 +3607,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM tc GROUP BY 1
                    UNION ALL
                    SELECT 'direct', CAST(count(*) AS BIGINT),
-                          COALESCE(sum(value), 0)
+                          COALESCE(sum(CAST(floor(value * 1000000
+                                   + 0.5) AS BIGINT)), 0)
                    FROM pn WHERE n = 0)
             SELECT channel, n_touches_credited,
-                   round(credit, 2) AS credit
+                   round(credit / 1000000.0, 2) AS credit
             FROM ch ORDER BY channel
         """,
         "bucketed_segment_revenue": """

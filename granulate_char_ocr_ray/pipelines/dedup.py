@@ -932,7 +932,8 @@ def _local_min_label(src: np.ndarray, dst: np.ndarray
 
 def dup_clusters(sf_dir: str, threshold: float = 0.8,
                  max_iters: int = 50,
-                 local_threshold: int = 2_000_000) -> rd.Dataset:
+                 local_threshold: int = 2_000_000,
+                 pairs: rd.Dataset | None = None) -> rd.Dataset:
     """Duplicate-cluster resolution: connected components of the
     near-duplicate pair graph, labeled by the component's smallest
     doc_id — the canonical final step of a dedup pipeline (every doc in
@@ -958,10 +959,16 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
     runs. Both plans emit identical labels (tested).
 
     Output: (doc_id, cluster_id) for every doc in the pair graph.
+
+    ``pairs`` injects an alternative near-dup pair Dataset with (d1, d2)
+    columns — e.g. :func:`minhash_lsh_dups` for the checkpointed job
+    (state/checkpoint.run_dedup_job) — defaulting to the exact n-gram
+    Jaccard pairs.
     """
     from ..stages.join import partitioned_join
 
-    pairs = ngram_jaccard_dups(sf_dir, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_dups(sf_dir, threshold=threshold)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         d1 = batch.column("d1").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1548,13 +1548,16 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
     counts its touch window with two searchsorted probes over
     composite (user-offset) keys and allocates credit to the touches
     via a vectorized interval-add (difference array + cumsum) — no
-    per-purchase loop over touches. Credit values (value/n_touch) sit
-    intrinsically near half-cent boundaries, so BOTH summation orders
-    are pinned: the total-order sort fixes the per-bucket fold and the
-    finish sums buckets in (channel, bucket) order — block-arrival
-    order can never flip a rounded cent (a run-to-run flake observed
-    round 4). Output: (channel, n_touches_credited, credit) where
-    channel in {view, click, direct}, credit rounded to 2."""
+    per-purchase loop over touches. Per-touch credit is quantized to
+    EXACT integer micro-dollars (floor(value/n * 1e6 + 0.5), the same
+    IEEE double ops the oracle SQL performs) so every sum is int64 and
+    order-independent: credit values sit intrinsically near half-cent
+    boundaries and float folds on EITHER side can flip a rounded cent —
+    DuckDB's own 16-thread parallel sum was observed flipping
+    406.455±1ulp run-to-run in round 5, so pinning the engine's order
+    (the round-4 fix) was insufficient. Output:
+    (channel, n_touches_credited, credit) where channel in
+    {view, click, direct}, credit = round(micros/1e6, 2)."""
     from ..functions.numeric import round_half_up
 
     ds = read_table(f"{sf_dir}/events.parquet",
@@ -1593,9 +1596,12 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
         # credit each touch in [lo, hi): difference array over touch
         # slots, one weight per purchase
         w = np.where(n_touch > 0, pval / np.maximum(n_touch, 1), 0.0)
-        diff = np.zeros(len(tkey) + 1)
-        np.add.at(diff, lo, w)
-        np.add.at(diff, hi, -w)
+        # exact micro-dollar grid: identical double ops to the oracle's
+        # floor(value / n * 1000000 + 0.5) — all sums below are int64
+        w_int = np.floor(w * 1e6 + 0.5).astype(np.int64)
+        diff = np.zeros(len(tkey) + 1, dtype=np.int64)
+        np.add.at(diff, lo, w_int)
+        np.add.at(diff, hi, -w_int)
         credit = np.cumsum(diff[:-1])
         touched = np.zeros(len(tkey) + 1, dtype=np.int64)
         np.add.at(touched, lo, 1)
@@ -1608,7 +1614,8 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
         direct = pd.DataFrame({
             "channel": ["direct"],
             "n": [np.int64((n_touch == 0).sum())],
-            "credit": [float(pval[n_touch == 0].sum())]})
+            "credit": [np.floor(pval[n_touch == 0] * 1e6 + 0.5)
+                       .astype(np.int64).sum()]})
         out = pd.concat([out, direct], ignore_index=True)
         part = out.groupby("channel", as_index=False).agg(
             n_touches_credited=("n", "sum"), credit=("credit", "sum"))
@@ -1619,15 +1626,15 @@ def linear_attribution(sf_dir: str, window_minutes: int = 60
                                              batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # |channels| x 16 bucket partials: sum in the FIXED
-        # (channel, bucket) order so the float fold is deterministic
-        df = df.sort_values(["channel", "_b"])
+        # partials carry int64 micro-dollars: the fold is exact in any
+        # order (the round-4 float-order pinning became moot in round 5)
         g = df.groupby("channel", as_index=False, sort=True).agg(
             n_touches_credited=("n_touches_credited", "sum"),
             credit=("credit", "sum"))
         g["n_touches_credited"] = g["n_touches_credited"].astype(
             np.int64)
-        g["credit"] = round_half_up(g["credit"].to_numpy(), 2)
+        g["credit"] = round_half_up(
+            g["credit"].to_numpy(np.int64) / 1e6, 2)
         return g[["channel", "n_touches_credited", "credit"]]
 
     return (partials.repartition(1)

@@ -98,9 +98,54 @@ def extract_spans(
             **bs,
         )
     if mode == "fanout":
-        # thread the segmenter choice through (ADVICE r01: fanout used to
-        # silently ignore segmenter="cc")
-        glyphs = spans.map_batches(
+        # PRE-SPLIT topology (VERDICT r04 next-steps #6): only media-span
+        # glyph rows ride the reassembly exchange. Text spans take a
+        # shuffle-free branch (explode -> filter -> extract) and union
+        # with the reassembled media spans. The duplicated lineage is
+        # read+explode only — cheap vectorized Arrow — while the heavy
+        # text payload never shuffles and the classifier actor pool
+        # exists solely in the media branch (so the r02 two-consumer
+        # pool-duplication hazard documented in _reassemble_spans does
+        # not apply: the shared parent is `docs`, upstream of the pool).
+        import pyarrow.compute as pc
+
+        def _explode_text(batch: pa.Table) -> pa.Table:
+            s = explode_spans(batch)
+            return s.filter(pc.not_equal(s.column("kind"), "media"))
+
+        def _explode_media(batch: pa.Table) -> pa.Table:
+            s = explode_spans(batch)
+            s = s.filter(pc.equal(s.column("kind"), "media"))
+            # media rows need only the classifier placeholders; skip the
+            # per-row extractor dispatch entirely on this branch
+            n = len(s)
+            idx = s.schema.get_field_index("text")
+            s = s.set_column(idx, "text",
+                             pa.array([""] * n, type=pa.string()))
+            return s.append_column(
+                "confidence", pa.array(np.zeros(n), type=pa.float64()))
+
+        span_schema = pa.schema([
+            ("doc_id", pa.string()), ("order", pa.int32()),
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("confidence", pa.float64()),
+        ])
+
+        def _normalize(batch: pa.Table) -> pa.Table:
+            # both union arms emit IDENTICAL arrow schemas (the media arm
+            # arrives as pandas blocks from map_groups; a schema mismatch
+            # at the union would spam the RefBundle warnings bench.py
+            # asserts to zero)
+            return pa.Table.from_arrays(
+                [batch.column(f.name).cast(f.type) for f in span_schema],
+                schema=span_schema)
+
+        text_spans = docs.map_batches(
+            _explode_text, batch_format="pyarrow"
+        ).map_batches(extract_text_spans, batch_format="pyarrow"
+        ).map_batches(_normalize, batch_format="pyarrow")
+        media_spans = docs.map_batches(_explode_media, batch_format="pyarrow")
+        glyphs = media_spans.map_batches(
             segment_glyphs, batch_format="pyarrow",
             fn_kwargs={"segmenter": segmenter, "binarizer": binarizer},
         )
@@ -110,7 +155,9 @@ def extract_spans(
             concurrency=concurrency,
             **bs,
         )
-        return _reassemble_spans(classified)
+        media_out = _reassemble_spans(classified).map_batches(
+            _normalize, batch_format="pyarrow")
+        return text_spans.union(media_out)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -129,15 +176,12 @@ def _reassemble_spans(classified: rd.Dataset, num_buckets: int = 64) -> rd.Datas
     lesson; VERDICT r01 next-steps #6). Per-span glyph order still
     restores exactly; bucket count only bounds task granularity.
 
-    Measured-and-rejected variant: routing only MEDIA glyph rows
-    through the groupby and letting text spans bypass the shuffle is
-    ~20% faster in isolation, but the branch makes ``classified`` a
-    TWO-consumer intermediate — Ray re-executes the shared lineage per
-    consumer, duplicating the classifier actor pool (2 x pool size >
-    session CPUs deadlocks a fixed pool, and at best doubles the
-    classify work). Avoiding that needs a mid-pipeline
-    materialization of the full span stream, the wrong trade at this
-    corpus shape; all rows therefore ride the single exchange."""
+    Since round 5 only MEDIA rows reach this exchange: ``extract_spans``
+    pre-splits the branches at the DOCS level (text spans bypass the
+    shuffle entirely; see the fanout branch there). The r02 rejection of
+    branching ``classified`` itself — two consumers duplicate the
+    classifier actor pool via lineage re-execution — still stands; the
+    docs-level split shares only the cheap read+explode lineage."""
 
     def _add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -40,7 +40,12 @@ import pyarrow.parquet as pq
 from ..schema import CHECKPOINT_SCHEMA
 
 
-def partition_of(doc_id: str, num_partitions: int) -> int:
+def partition_of(doc_id, num_partitions: int) -> int:
+    """Stable cross-process partitioner (never Python ``hash()``).
+    Non-string ids (e.g. the documents table's int64 doc_id) key on
+    their decimal string so every caller agrees on the bytes."""
+    if not isinstance(doc_id, str):
+        doc_id = str(doc_id)
     return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
 
 
@@ -84,6 +89,7 @@ def run_extract_job(
     stop_after: int | None = None,
     stage_input: bool = False,
     transform=None,
+    reader=None,
 ) -> dict:
     """Run the extraction pipeline partition-by-partition with commits.
 
@@ -98,6 +104,11 @@ def run_extract_job(
     Lineage metrics degrade gracefully when the output lacks the span
     columns (rows always; distinct docs when a doc_id column exists).
 
+    ``reader`` (path -> Dataset) replaces the interleaved-docs reader so
+    the harness checkpoints jobs over OTHER doc-keyed tables (e.g. the
+    documents table for the dedup job) — any schema with a ``doc_id``
+    column partitions and resumes identically.
+
     ``stage_input=True`` removes the O(P) input rescans (round-1 review
     note): the corpus is read ONCE, tagged with its partition id, and
     written to ``out_dir/_staged/pid=<p>/``; each partition iteration
@@ -108,6 +119,8 @@ def run_extract_job(
     """
     from ..pipelines.extract import extract_spans, read_docs
 
+    if reader is None:
+        reader = read_docs
     run_id = run_id or uuid.uuid4().hex[:12]
     if not resume and os.path.isdir(out_dir):
         # fresh run into an existing out_dir: stale part=*/manifest
@@ -141,12 +154,10 @@ def run_extract_job(
                     type=pa.int64())
                 return batch.append_column("pid", pid_col)
 
-            from ..pipelines.extract import read_docs as _read_docs
-
             shutil.rmtree(staged_dir, ignore_errors=True)
             tmp_staged = os.path.join(out_dir, f".tmp-staged-{run_id}")
             shutil.rmtree(tmp_staged, ignore_errors=True)
-            _read_docs(input_path).map_batches(
+            reader(input_path).map_batches(
                 tag_pid, batch_format="pyarrow"
             ).write_parquet(tmp_staged, partition_cols=["pid"])
             os.makedirs(out_dir, exist_ok=True)
@@ -173,22 +184,32 @@ def run_extract_job(
             # pruning on pid) — input bytes are scanned once per job
             pid_dir = os.path.join(staged_dir, f"pid={pid}")
             if os.path.isdir(pid_dir):
-                docs = read_docs(pid_dir)
+                docs = reader(pid_dir)
             else:
-                # no docs hashed into this partition: empty slice
-                import ray.data as rd
+                # no docs hashed into this partition: empty slice with
+                # the reader's own schema (from the staged layout)
+                from ..sources.storage import from_arrow
 
-                from ..schema import DOCS_SCHEMA
-
-                docs = rd.from_arrow(DOCS_SCHEMA.empty_table())
+                staged_schema = pads.dataset(
+                    staged_dir, partitioning="hive").schema
+                cols = [f for f in staged_schema if f.name != "pid"]
+                docs = from_arrow(pa.schema(cols).empty_table())
         else:
             # unstaged: the input is re-scanned once per partition
             # (O(P) reads) — fine while P is small and scans are cheap;
             # pass stage_input=True when input scans dominate
-            docs = read_docs(input_path).map_batches(
+            docs = reader(input_path).map_batches(
                 in_partition, batch_format="pyarrow")
         if transform is not None:
-            spans = transform(docs)
+            # a 2-arg transform receives the partition id so it can read
+            # co-partitioned side state (e.g. the dedup job's drop-set
+            # slice) instead of the full side table
+            import inspect
+
+            if len(inspect.signature(transform).parameters) >= 2:
+                spans = transform(docs, pid)
+            else:
+                spans = transform(docs)
         else:
             spans = extract_spans(docs, mode=mode, concurrency=concurrency)
 
@@ -247,6 +268,143 @@ def run_extract_job(
         "skipped": skipped,
         "partitions": num_partitions,
     }
+
+
+def run_dedup_job(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    threshold: float = 0.8,
+    pair_source: str = "minhash",
+    num_partitions: int = 8,
+    run_id: str | None = None,
+    resume: bool = True,
+    stop_after: int | None = None,
+) -> dict:
+    """End-to-end CHECKPOINTED near-dedup job (VERDICT r04 #7) — the
+    canonical 100-TB recovery story for the dedup chain, built from the
+    same partition/commit/manifest machinery as extraction.
+
+    Two phases, both resumable:
+
+    1. **Decision** — near-dup pairs (:func:`minhash_lsh_dups` by
+       default; ``pair_source="ngram"`` for the exact n-gram tier) ->
+       :func:`dup_clusters` -> drop-set {doc in cluster, doc != label}.
+       The REDUCED drop-set (bounded by docs-that-have-a-duplicate,
+       orders of magnitude below the corpus) is written WITHOUT a
+       driver pull, hive-partitioned by the SAME
+       ``partition_of(doc_id) % num_partitions`` as phase 2, to
+       ``out_dir/_dedup_state/drop/pid=*`` via tmp-then-rename. A
+       resumed run reuses the committed artifact — pair generation is
+       the expensive half and never re-runs after a crash mid-apply.
+    2. **Apply** — :func:`run_extract_job` partitions the corpus by
+       doc_id; each partition's transform reads ONLY its own drop-set
+       slice (co-partitioned hive pruning, O(|drop|/P) per partition —
+       never the full drop table), anti-filters with one vectorized
+       searchsorted pass, and commits atomically with lineage metrics.
+       A killed run resumes from the last committed partition
+       (``stop_after`` simulates the kill in tests).
+
+    Output rows per partition: the surviving (doc_id, text) documents.
+    Identity: the union over partitions equals
+    :func:`pipelines.dedup.dedup_survivors` on the same corpus and pair
+    tier (kill/resume identity test in tests/test_checkpoint.py)."""
+    import numpy as np
+    import ray
+
+    from ..pipelines import dedup as dd
+    from ..sources.storage import read_table
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    state_dir = os.path.join(out_dir, "_dedup_state")
+    drop_dir = os.path.join(state_dir, "drop")
+    meta_path = os.path.join(state_dir, "meta.json")
+    if not resume:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["num_partitions"] != num_partitions
+                or meta["pair_source"] != pair_source
+                or meta["threshold"] != threshold):
+            raise ValueError(
+                f"dedup decision state at {state_dir} was committed "
+                f"with {meta}; resuming with (num_partitions="
+                f"{num_partitions}, pair_source={pair_source!r}, "
+                f"threshold={threshold}) would apply a mismatched "
+                "drop-set — use a fresh out_dir or resume=False")
+    else:
+        pairs = (dd.minhash_lsh_dups(sf_dir, threshold=threshold)
+                 if pair_source == "minhash" else None)
+        labels = dd.dup_clusters(sf_dir, threshold=threshold,
+                                 pairs=pairs)
+
+        def to_drop(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lab = batch.column("cluster_id").to_numpy(
+                zero_copy_only=False)
+            keep = ids != lab
+            ids = ids[keep]
+            pid_col = np.fromiter(
+                (partition_of(int(d), num_partitions) for d in ids),
+                dtype=np.int64, count=len(ids))
+            return pa.Table.from_pydict(
+                {"doc_id": ids, "pid": pid_col},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("pid", pa.int64())]))
+
+        tmp_drop = os.path.join(out_dir, f".tmp-drop-{run_id}")
+        shutil.rmtree(tmp_drop, ignore_errors=True)
+        labels.map_batches(to_drop, batch_format="pyarrow") \
+              .write_parquet(tmp_drop, partition_cols=["pid"])
+        # a fully-unique corpus yields an empty drop-set: the write may
+        # emit no files, but the committed artifact dir must still exist
+        os.makedirs(tmp_drop, exist_ok=True)
+        os.makedirs(state_dir, exist_ok=True)
+        shutil.rmtree(drop_dir, ignore_errors=True)
+        os.replace(tmp_drop, drop_dir)
+        tmp_meta = os.path.join(state_dir, f".tmp-meta-{run_id}.json")
+        with open(tmp_meta, "w") as f:
+            json.dump({"num_partitions": num_partitions,
+                       "pair_source": pair_source,
+                       "threshold": threshold, "run_id": run_id}, f)
+        os.replace(tmp_meta, meta_path)
+
+    def transform(docs, pid: int):
+        pid_dir = os.path.join(drop_dir, f"pid={pid}")
+        if os.path.isdir(pid_dir):
+            drop = np.sort(pq.read_table(
+                pid_dir, columns=["doc_id"]
+            ).column("doc_id").to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        else:
+            drop = np.empty(0, dtype=np.int64)
+        drop_ref = ray.put(drop)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(d) == 0:
+                return batch
+            pos = np.searchsorted(d, ids)
+            pos[pos >= len(d)] = len(d) - 1
+            return batch.filter(pa.array(~(d[pos] == ids)))
+
+        return docs.map_batches(anti, batch_format="pyarrow")
+
+    summary = run_extract_job(
+        f"{sf_dir}/documents.parquet",
+        out_dir,
+        num_partitions=num_partitions,
+        run_id=run_id,
+        resume=resume,
+        stop_after=stop_after,
+        transform=transform,
+        reader=lambda path: read_table(path, columns=["doc_id", "text"]),
+    )
+    summary["pair_source"] = pair_source
+    return summary
 
 
 def read_job_output(out_dir: str) -> pa.Table:

@@ -155,6 +155,56 @@ def test_generic_transform_job_kill_and_resume(docs_path, tmp_path):
     assert sum(r["docs"] for r in man.values()) == 60
 
 
+def test_dedup_job_kill_and_resume(tmp_path):
+    """VERDICT r04 #7: the end-to-end checkpointed dedup job — decision
+    drop-set committed once, apply phase killed after 1 partition,
+    resumed — equals (a) an uninterrupted dedup job and (b) the
+    non-checkpointed dedup_survivors pipeline on the same pair tier;
+    the decision artifact is NOT recomputed on resume."""
+    import pandas as pd
+
+    from granulate_char_ocr_ray.pipelines.dedup import dedup_survivors
+    from granulate_char_ocr_ray.state.checkpoint import run_dedup_job
+
+    sf = "/root/testdata/sf0.001"
+    out_clean = str(tmp_path / "d_clean")
+    out_killed = str(tmp_path / "d_killed")
+
+    s0 = run_dedup_job(sf, out_clean, pair_source="ngram",
+                       num_partitions=4)
+    assert sorted(s0["processed"]) == [0, 1, 2, 3]
+
+    s1 = run_dedup_job(sf, out_killed, pair_source="ngram",
+                       num_partitions=4, stop_after=1)
+    assert len(s1["processed"]) == 1
+    meta = str(tmp_path / "d_killed" / "_dedup_state" / "meta.json")
+    mtime = os.path.getmtime(meta)
+    s2 = run_dedup_job(sf, out_killed, pair_source="ngram",
+                       num_partitions=4)
+    assert s2["skipped"] == s1["processed"]
+    assert sorted(s1["processed"] + s2["processed"]) == [0, 1, 2, 3]
+    assert os.path.getmtime(meta) == mtime  # decision reused, not redone
+
+    a = read_job_output(out_clean).to_pandas()
+    b = read_job_output(out_killed).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    want = dedup_survivors(sf).to_pandas()["doc_id"].tolist()
+    assert sorted(a["doc_id"].tolist()) == want
+    # surviving rows keep their text payload
+    assert a["text"].notna().all()
+
+
+def test_dedup_job_state_mismatch_rejected(tmp_path):
+    from granulate_char_ocr_ray.state.checkpoint import run_dedup_job
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "d_mismatch")
+    run_dedup_job(sf, out, pair_source="ngram", num_partitions=4,
+                  stop_after=0)
+    with pytest.raises(ValueError, match="mismatched drop-set"):
+        run_dedup_job(sf, out, pair_source="ngram", num_partitions=8)
+
+
 def test_clustered_write_prunes_row_groups(tmp_path):
     """write_clustered sorts by the key before writing, so a range
     predicate selects a small fraction of row groups; the same data
