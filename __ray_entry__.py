@@ -120,6 +120,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spans = extract.extract_spans(extract.derive_docs(sf_dir))
         return extract.reassemble_docs(spans).sort("doc_id")
 
+    def checkpointed_dedup_survivors(sf_dir: str):
+        # the END-TO-END checkpointed dedup job (VERDICT r04 #7):
+        # decision drop-set committed to _dedup_state, apply phase
+        # partition-committed via the extraction job harness — the
+        # union of committed partitions must equal the
+        # non-checkpointed dedup_survivors pipeline (same SQL oracle)
+        import os as _os
+        import shutil as _sh
+
+        from granulate_char_ocr_ray.state.checkpoint import (
+            read_job_output,
+            run_dedup_job,
+        )
+
+        out = f"/tmp/ckpt_dedup_q_{_os.getpid()}"
+        _sh.rmtree(out, ignore_errors=True)
+        try:
+            run_dedup_job(sf_dir, out, pair_source="ngram",
+                          num_partitions=4, resume=False)
+            return read_job_output(out).select(["doc_id"])
+        finally:
+            _sh.rmtree(out, ignore_errors=True)
+
     def _order_item_totals_native(sf_dir: str):
         # the native join spawns one aggregator ACTOR per partition;
         # size to the session so a small CPU budget cannot deadlock
@@ -245,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dups": dedup.pagerank_dups,
         "contamination_check": dedup.contamination_check,
         "dedup_survivors": dedup.dedup_survivors,
+        "checkpointed_dedup_survivors": checkpointed_dedup_survivors,
         # --- mergeable sketches (shuffle-free scale paths) ---
         "approx_quantity_deciles": relational.approx_quantity_deciles,
         "approx_quantity_deciles_by_flag":
@@ -1620,6 +1644,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 ORDER BY doc_id
         """,
         "dedup_survivors": _DUP_CTE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT node FROM (
+                SELECT node, min(root) AS r FROM reach GROUP BY node
+              ) WHERE node != r
+            ) ORDER BY doc_id
+        """,
+        "checkpointed_dedup_survivors": _DUP_CTE + """
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (
               SELECT node FROM (
