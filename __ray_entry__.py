@@ -107,6 +107,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract.derive_docs(sf_dir), mode="fanout"
         )
 
+    def extract_spans_auto(sf_dir: str):
+        # detected-skew topology (north rule: "media-heavy documents
+        # detected and salted"): whale docs' media spans take the
+        # salted fanout arm, everything else runs fused — identical
+        # output, same SQL oracle
+        return extract.extract_spans_sorted(
+            extract.derive_docs(sf_dir), mode="auto",
+            whale_media_spans=1,
+        )
+
     def text_normalize(sf_dir: str):
         return extract.extract_kind(extract.derive_docs(sf_dir), "text")
 
@@ -163,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction engine (flagship) ---
         "extract_spans": extract_spans,
         "extract_spans_fanout": extract_spans_fanout,
+        "extract_spans_auto": extract_spans_auto,
         "text_normalize": text_normalize,
         "html_main_extract": html_main_extract,
         "pdf_layout_extract": pdf_layout_extract,
@@ -715,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _EXTRACT_ORACLE,
         "extract_spans_fanout": _EXTRACT_ORACLE,
+        "extract_spans_auto": _EXTRACT_ORACLE,
         "text_normalize": (
             "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
             f"{_NORM} AS text FROM documents ORDER BY doc_id"

@@ -7,16 +7,23 @@
       -> [fanout mode only] groupby span-key reassembly of salted glyphs
       -> final sort by (doc_id, order) only at the consumption edge
 
-Two classifier topologies:
+Three classifier topologies:
 
 - ``mode="fused"`` (default): decode+segment+classify per media span in
   one actor call. No extra shuffle; span-level parallelism from explode.
 - ``mode="fanout"``: segmentation explodes per-glyph rows (the salt),
   classification runs on fixed-width feature rows, one
   ``groupby(span_key)`` restores span text. Use when single media spans
-  are themselves huge (north-rule skew path).
+  are themselves huge (north-rule skew path). Pre-split since round 5:
+  text spans take a shuffle-free branch; only media glyph rows ride the
+  reassembly exchange.
+- ``mode="auto"``: DETECTS media-heavy whale documents (vectorized
+  per-doc media-span count >= ``whale_media_spans``) and salts only
+  their media spans through the fanout arm; all text spans and normal
+  docs' media spans run fused with zero shuffle (north rule:
+  "media-heavy documents detected and salted to defeat skew").
 
-Both produce identical results (tests/test_invariant.py) under the
+All modes produce identical results (tests/test_invariant.py) under the
 schema precondition that span ``offset`` values are unique within a
 document (fanout reassembly keys on (doc_id, order); two MEDIA spans
 sharing an offset would merge there while fused mode keeps them
@@ -57,6 +64,54 @@ def read_docs(path: str) -> rd.Dataset:
     return read_table(path, columns=["doc_id", "spans"])
 
 
+_SPAN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("order", pa.int32()),
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("confidence", pa.float64()),
+])
+
+
+def _normalize_spans(batch: pa.Table) -> pa.Table:
+    """Cast to the one canonical span schema: every union arm emits
+    IDENTICAL arrow schemas (the media arm arrives as pandas blocks
+    from map_groups; a schema mismatch at the union would spam the
+    RefBundle warnings bench.py asserts to zero)."""
+    return pa.Table.from_arrays(
+        [batch.column(f.name).cast(f.type) for f in _SPAN_SCHEMA],
+        schema=_SPAN_SCHEMA)
+
+
+def _media_placeholders(s: pa.Table) -> pa.Table:
+    """Blank text + zero confidence on media-only span rows — the
+    classifier fills both; skips the per-row extractor dispatch."""
+    n = len(s)
+    idx = s.schema.get_field_index("text")
+    s = s.set_column(idx, "text", pa.array([""] * n, type=pa.string()))
+    if "confidence" in s.schema.names:
+        return s
+    return s.append_column(
+        "confidence", pa.array(np.zeros(n), type=pa.float64()))
+
+
+def _whale_flags(batch: pa.Table, threshold: int) -> np.ndarray:
+    """Per-doc media-heavy ("whale") detector: True where a document
+    carries >= ``threshold`` media spans. Fully vectorized: list
+    lengths -> flat kind comparison -> per-doc segment sums via
+    cumulative-sum differencing (no Python row loop)."""
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans")
+    spans = spans.combine_chunks() if spans.num_chunks != 1 else spans.chunk(0)
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    flat = pc.list_flatten(spans)
+    m = pc.equal(pc.struct_field(flat, "kind"), "media") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(m)])
+    ends = np.cumsum(lengths)
+    return (cs[ends] - cs[ends - lengths]) >= threshold
+
+
 def extract_spans(
     docs: rd.Dataset,
     *,
@@ -67,6 +122,7 @@ def extract_spans(
     binarizer: str = "fixed",
     cascade: bool = False,
     normalize_chain: bool = False,
+    whale_media_spans: int = 16,
 ) -> rd.Dataset:
     """docs Dataset -> flat extracted span rows (unordered; order is an
     explicit column). Columns: doc_id, order, kind, text, media_ref,
@@ -84,9 +140,11 @@ def extract_spans(
     an explicit batch_size re-batches the fused chain's INPUT rows
     (docs, not spans), which can silently collapse parallelism."""
     bs = {} if batch_size is None else {"batch_size": batch_size}
-    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
-    spans = spans.map_batches(extract_text_spans, batch_format="pyarrow")
-    if mode == "fused":
+
+    def _fused(src: rd.Dataset) -> rd.Dataset:
+        spans = src.map_batches(explode_spans, batch_format="pyarrow")
+        spans = spans.map_batches(extract_text_spans,
+                                  batch_format="pyarrow")
         return spans.map_batches(
             GlyphClassifierStage,
             batch_format="pyarrow",
@@ -97,6 +155,37 @@ def extract_spans(
                                    "normalize_chain": normalize_chain},
             **bs,
         )
+
+    def _media_arm(media_spans: rd.Dataset,
+                   pool: int | tuple[int, int]) -> rd.Dataset:
+        """media span rows -> reassembled span rows (the SALT path)."""
+        glyphs = media_spans.map_batches(
+            segment_glyphs, batch_format="pyarrow",
+            fn_kwargs={"segmenter": segmenter, "binarizer": binarizer},
+        )
+        classified = glyphs.map_batches(
+            GlyphFeatureClassifier,
+            batch_format="pyarrow",
+            concurrency=pool,
+            **bs,
+        )
+        # Coalesce the classified glyph rows before the reassembly
+        # groupby: Ray's sort exchange pays a fixed per-block cost, and
+        # the media-only stream arrives as input-block-count near-empty
+        # blocks (the repo's tiny-sort lesson — 10.2 s -> 7.9 s measured
+        # on the branch at sf0.1/32 CPUs). Half the cluster's cores
+        # keeps the regroup stage fully parallel while bounding the
+        # exchange's task count proportionally on any cluster size.
+        import ray as _ray
+
+        ncpu = (int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized() else 8)
+        classified = classified.repartition(max(16, ncpu // 2))
+        return _reassemble_spans(classified).map_batches(
+            _normalize_spans, batch_format="pyarrow")
+
+    if mode == "fused":
+        return _fused(docs)
     if mode == "fanout":
         # PRE-SPLIT topology (VERDICT r04 next-steps #6): only media-span
         # glyph rows ride the reassembly exchange. Text spans take a
@@ -115,61 +204,60 @@ def extract_spans(
 
         def _explode_media(batch: pa.Table) -> pa.Table:
             s = explode_spans(batch)
-            s = s.filter(pc.equal(s.column("kind"), "media"))
-            # media rows need only the classifier placeholders; skip the
-            # per-row extractor dispatch entirely on this branch
-            n = len(s)
-            idx = s.schema.get_field_index("text")
-            s = s.set_column(idx, "text",
-                             pa.array([""] * n, type=pa.string()))
-            return s.append_column(
-                "confidence", pa.array(np.zeros(n), type=pa.float64()))
-
-        span_schema = pa.schema([
-            ("doc_id", pa.string()), ("order", pa.int32()),
-            ("kind", pa.string()), ("text", pa.string()),
-            ("media_ref", pa.string()), ("confidence", pa.float64()),
-        ])
-
-        def _normalize(batch: pa.Table) -> pa.Table:
-            # both union arms emit IDENTICAL arrow schemas (the media arm
-            # arrives as pandas blocks from map_groups; a schema mismatch
-            # at the union would spam the RefBundle warnings bench.py
-            # asserts to zero)
-            return pa.Table.from_arrays(
-                [batch.column(f.name).cast(f.type) for f in span_schema],
-                schema=span_schema)
+            return _media_placeholders(
+                s.filter(pc.equal(s.column("kind"), "media")))
 
         text_spans = docs.map_batches(
             _explode_text, batch_format="pyarrow"
         ).map_batches(extract_text_spans, batch_format="pyarrow"
-        ).map_batches(_normalize, batch_format="pyarrow")
-        media_spans = docs.map_batches(_explode_media, batch_format="pyarrow")
-        glyphs = media_spans.map_batches(
-            segment_glyphs, batch_format="pyarrow",
-            fn_kwargs={"segmenter": segmenter, "binarizer": binarizer},
-        )
-        classified = glyphs.map_batches(
-            GlyphFeatureClassifier,
+        ).map_batches(_normalize_spans, batch_format="pyarrow")
+        media_spans = docs.map_batches(_explode_media,
+                                       batch_format="pyarrow")
+        return text_spans.union(_media_arm(media_spans, concurrency))
+    if mode == "auto":
+        # DETECTED skew (north rule: "media-heavy documents detected
+        # and salted"): per-doc whale flags route ONLY whale documents'
+        # media spans through the salted fanout arm; everything else —
+        # all text spans plus normal docs' media spans — runs the fused
+        # path with zero shuffle. Both branches compute the SAME
+        # vectorized flags, so every span lands in exactly one arm.
+        import pyarrow.compute as pc
+
+        def _explode_regular(batch: pa.Table) -> pa.Table:
+            w = _whale_flags(batch, whale_media_spans)
+            s = explode_spans(batch)
+            lengths = pc.list_value_length(batch.column("spans")) \
+                .to_numpy(zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+            w_rows = np.repeat(w, lengths)
+            is_media = pc.equal(s.column("kind"), "media") \
+                .to_numpy(zero_copy_only=False)
+            return s.filter(pa.array(~(w_rows & is_media)))
+
+        def _explode_whale_media(batch: pa.Table) -> pa.Table:
+            w = _whale_flags(batch, whale_media_spans)
+            s = explode_spans(batch.filter(pa.array(w)))
+            return _media_placeholders(
+                s.filter(pc.equal(s.column("kind"), "media")))
+
+        regular = docs.map_batches(
+            _explode_regular, batch_format="pyarrow"
+        ).map_batches(extract_text_spans, batch_format="pyarrow"
+        ).map_batches(
+            GlyphClassifierStage,
             batch_format="pyarrow",
             concurrency=concurrency,
+            fn_constructor_kwargs={"segmenter": segmenter,
+                                   "binarizer": binarizer,
+                                   "cascade": cascade,
+                                   "normalize_chain": normalize_chain},
             **bs,
-        )
-        # Coalesce the classified glyph rows before the reassembly
-        # groupby: Ray's sort exchange pays a fixed per-block cost, and
-        # the media-only stream arrives as input-block-count near-empty
-        # blocks (the repo's tiny-sort lesson — 10.2 s -> 7.9 s measured
-        # on the branch at sf0.1/32 CPUs). Half the cluster's cores
-        # keeps the regroup stage fully parallel while bounding the
-        # exchange's task count proportionally on any cluster size.
-        import ray as _ray
-
-        ncpu = (int(_ray.cluster_resources().get("CPU", 8))
-                if _ray.is_initialized() else 8)
-        classified = classified.repartition(max(16, ncpu // 2))
-        media_out = _reassemble_spans(classified).map_batches(
-            _normalize, batch_format="pyarrow")
-        return text_spans.union(media_out)
+        ).map_batches(_normalize_spans, batch_format="pyarrow")
+        whale_media = docs.map_batches(_explode_whale_media,
+                                       batch_format="pyarrow")
+        # whales are by definition rare: a small autoscaling pool
+        # suffices and never competes with the fused pool for cores
+        return regular.union(_media_arm(whale_media, (1, 4)))
     raise ValueError(f"unknown mode {mode!r}")
 
 

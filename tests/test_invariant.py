@@ -44,6 +44,34 @@ def test_engine_matches_oracle_fanout(name):
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.parametrize("name", ["interleaved", "skew", "edge"])
+def test_engine_matches_oracle_auto(name):
+    """mode="auto" detects whale docs and salts only their media spans;
+    identity must hold whether the whale arm is populated (skew: one
+    40-media-span doc clears the threshold), empty (interleaved/edge:
+    nothing clears it), or mixed."""
+    table = FIXTURES[name]()
+    got = _run(table, mode="auto")
+    want = oracle.extract_spans_table(table).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_auto_mode_whale_detection_routes_exactly_once():
+    """Every span of a mixed whale/normal corpus appears exactly once
+    regardless of which arm handled it, including at a threshold that
+    splits the corpus."""
+    table = synth.docs_skew(n=32, whale_spans=40)
+    got = _run(table, mode="auto", whale_media_spans=8)
+    want = oracle.extract_spans_table(table).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # threshold above every doc: the whale arm is empty, still identical
+    got_hi = _run(table, mode="auto", whale_media_spans=10_000)
+    pd.testing.assert_frame_equal(got_hi, want)
+    # threshold of 1: EVERY media span takes the salted arm
+    got_lo = _run(table, mode="auto", whale_media_spans=1)
+    pd.testing.assert_frame_equal(got_lo, want)
+
+
 def test_alpha_sweep_classifies_every_letter():
     got = _run(synth.docs_alpha())
     assert "".join(got.sort_values("doc_id")["text"]) == "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
