@@ -519,7 +519,21 @@ def _secondary_list():
          lambda: events.interarrival_exp_fit(SF_DIR).to_pandas()),
         ("dup_length_bias",
          lambda: analysis.dup_length_bias(SF_DIR).to_pandas()),
+        ("checkpointed_dedup", _checkpointed_dedup),
     ]
+
+
+def _checkpointed_dedup():
+    """End-to-end resumable dedup job (round 5): decision drop-set +
+    partitioned anti-filter apply, fresh run each trial."""
+    import shutil as _sh
+
+    from granulate_char_ocr_ray.state.checkpoint import run_dedup_job
+
+    out = "/tmp/bench_out/ckpt_dedup"
+    _sh.rmtree(out, ignore_errors=True)
+    run_dedup_job(SF_DIR, out, pair_source="minhash",
+                  num_partitions=8, resume=False)
 
 
 def _burn_task(_: int) -> float:
