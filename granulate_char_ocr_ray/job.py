@@ -16,10 +16,17 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="granulate extraction job")
-    p.add_argument("--input", required=True, help="docs table (parquet dir/file)")
+    p.add_argument("--input", required=True, help="docs table (parquet dir/file)"
+                   " — for --job dedup, the sf dir holding documents.parquet")
     p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--job", choices=["extract", "dedup"], default="extract",
+                   help="extract: the flagship span pipeline; dedup: the"
+                   " checkpointed near-dedup job (decision + apply)")
+    p.add_argument("--pair-source", choices=["minhash", "ngram"],
+                   default="minhash", help="dedup pair tier")
     p.add_argument("--partitions", type=int, default=8)
-    p.add_argument("--mode", choices=["fused", "fanout"], default="fused")
+    p.add_argument("--mode", choices=["fused", "fanout", "auto"],
+                   default="fused")
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--stop-after", type=int, default=None,
@@ -41,17 +48,29 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .state.checkpoint import run_extract_job
+    if args.job == "dedup":
+        from .state.checkpoint import run_dedup_job
 
-    summary = run_extract_job(
-        args.input,
-        args.output,
-        num_partitions=args.partitions,
-        resume=not args.no_resume,
-        mode=args.mode,
-        concurrency=args.concurrency,
-        stop_after=args.stop_after,
-    )
+        summary = run_dedup_job(
+            args.input,
+            args.output,
+            pair_source=args.pair_source,
+            num_partitions=args.partitions,
+            resume=not args.no_resume,
+            stop_after=args.stop_after,
+        )
+    else:
+        from .state.checkpoint import run_extract_job
+
+        summary = run_extract_job(
+            args.input,
+            args.output,
+            num_partitions=args.partitions,
+            resume=not args.no_resume,
+            mode=args.mode,
+            concurrency=args.concurrency,
+            stop_after=args.stop_after,
+        )
     print(json.dumps(summary))
     ray.shutdown()
     return 0
