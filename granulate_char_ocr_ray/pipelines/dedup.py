@@ -2203,11 +2203,24 @@ def snm_candidate_pairs(sf_dir: str, window: int = 3, max_lev: int = 4,
                                    np.zeros(0, np.int64))
         return pd.concat(out, ignore_index=True)
 
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("dist", pa.int64())])
+
+    def _to_arrow(batch: pa.Table) -> pa.Table:
+        # the boundary arm arrives as pandas blocks; cast to the pairs
+        # arm's exact arrow schema so the union never mixes block
+        # schemas (bench asserts zero RefBundle warnings)
+        return pa.Table.from_arrays(
+            [batch.column(f.name).cast(f.type) for f in pair_schema],
+            schema=pair_schema)
+
     boundary = (both.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], 1)),
         batch_format="pyarrow")
         .repartition(1)
-        .map_batches(cross_pairs, batch_format="pandas"))
+        .map_batches(cross_pairs, batch_format="pandas")
+        .map_batches(_to_arrow, batch_format="pyarrow"))
 
     return (pairs.union(boundary)
             .repartition(1).sort(["doc_a", "doc_b"]))

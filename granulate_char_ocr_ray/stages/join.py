@@ -102,6 +102,13 @@ def partitioned_join(
                     col = batch.column(name)
                     if isinstance(col, pa.ChunkedArray):
                         col = col.combine_chunks()
+                    # honor the DECLARED schema: a physical column whose
+                    # storage type differs (e.g. an int32 parquet label
+                    # declared int64) must cast, or the two tagged arms
+                    # disagree at the union and Ray logs per-bundle
+                    # schema warnings (bench asserts zero)
+                    if isinstance(typ, pa.DataType) and col.type != typ:
+                        col = col.cast(typ)
                     cols[name] = col
                 else:
                     if not isinstance(typ, pa.DataType):
