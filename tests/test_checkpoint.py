@@ -170,8 +170,10 @@ def test_dedup_job_kill_and_resume(tmp_path):
     out_clean = str(tmp_path / "d_clean")
     out_killed = str(tmp_path / "d_killed")
 
+    # out_clean runs UNSTAGED; out_killed uses the staged default —
+    # their equality below also pins the two input paths identical
     s0 = run_dedup_job(sf, out_clean, pair_source="ngram",
-                       num_partitions=4)
+                       num_partitions=4, stage_input=False)
     assert sorted(s0["processed"]) == [0, 1, 2, 3]
 
     s1 = run_dedup_job(sf, out_killed, pair_source="ngram",
