@@ -81,12 +81,114 @@ class _MainContentParser(HTMLParser):
             self.main_chunks.append(data)
 
 
-def extract_html_main(payload: str) -> str:
-    """Strip boilerplate and return the whitespace-normalized main text."""
+def _extract_html_main_slow(payload: str) -> str:
+    """Reference path: the stdlib HTMLParser stack machine."""
     p = _MainContentParser()
     p.feed(payload)
     p.close()
     chunks = p.main_chunks if p.saw_main else p.all_chunks
+    return normalize_ws(" ".join(chunks))
+
+
+_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)")
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script", re.IGNORECASE),
+    "style": re.compile(r"</style", re.IGNORECASE),
+}
+
+
+def extract_html_main(payload: str) -> str:
+    """Strip boilerplate and return the whitespace-normalized main text.
+
+    Fast path: a compiled-regex tag scanner replacing the stdlib
+    ``HTMLParser`` (~95 us -> ~8 us per synthetic document; the HTML
+    extractor dominated the flagship's text-extraction CPU). It
+    reproduces the stack machine's observable behavior — boilerplate
+    depth, main/article capture, void elements, ``<!...>``/``<?...>``
+    skipping, comment skipping, ``<x/>`` start+end, literal ``<`` as
+    text, charref decoding, script/style CDATA jumps — and BAILS to
+    the stdlib parser whenever a tag token carries unbalanced quotes
+    (the one construct where a naive ``>`` split could misparse, e.g.
+    ``title="a>b"``). Equivalence is pinned by a randomized
+    cross-check test over an adversarial HTML grammar
+    (tests/test_properties.py)."""
+    n = len(payload)
+    pos = 0
+    boiler = 0
+    main_d = 0
+    saw_main = False
+    main_chunks: list[str] = []
+    all_chunks: list[str] = []
+
+    def emit(chunk: str) -> None:
+        if boiler == 0 and chunk:
+            if "&" in chunk:
+                chunk = _html.unescape(chunk)
+            all_chunks.append(chunk)
+            if main_d > 0:
+                main_chunks.append(chunk)
+
+    while pos < n:
+        lt = payload.find("<", pos)
+        if lt == -1:
+            emit(payload[pos:])
+            break
+        if lt > pos:
+            emit(payload[pos:lt])
+        nxt = payload[lt + 1: lt + 2]
+        if not (nxt.isalpha() or nxt in "/!?"):
+            # literal '<' (stdlib emits it as data)
+            emit("<")
+            pos = lt + 1
+            continue
+        if nxt == "!":
+            if payload.startswith("<!--", lt):
+                end = payload.find("-->", lt + 4)
+                if end == -1:
+                    return _extract_html_main_slow(payload)
+                pos = end + 3
+                continue
+            if payload.startswith("<![", lt):
+                # marked section (may contain '>' before ']]>')
+                return _extract_html_main_slow(payload)
+        gt = payload.find(">", lt)
+        if gt == -1:
+            return _extract_html_main_slow(payload)
+        token = payload[lt: gt + 1]
+        if token.count('"') % 2 or token.count("'") % 2:
+            # a '>' inside a quoted attribute split the token early
+            return _extract_html_main_slow(payload)
+        pos = gt + 1
+        if nxt in "!?":
+            continue  # declaration / processing instruction: no data
+        m = _TAG_NAME.match(token)
+        if m is None:
+            continue
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if name in _VOID:
+            continue
+        startend = not closing and token.endswith("/>")
+        if not closing:
+            if name in BOILERPLATE_TAGS:
+                boiler += 1
+            if name in MAIN_TAGS:
+                main_d += 1
+                saw_main = True
+            if name in _RAWTEXT_CLOSE and not startend:
+                # stdlib enters CDATA mode: no tags until the closing
+                # tag (or EOF swallows the rest)
+                mm = _RAWTEXT_CLOSE[name].search(payload, pos)
+                if mm is None:
+                    break
+                emit(payload[pos: mm.start()])
+                pos = mm.start()
+                continue
+        if closing or startend:
+            if name in BOILERPLATE_TAGS and boiler > 0:
+                boiler -= 1
+            if name in MAIN_TAGS and main_d > 0:
+                main_d -= 1
+    chunks = main_chunks if saw_main else all_chunks
     return normalize_ws(" ".join(chunks))
 
 

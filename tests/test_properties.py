@@ -313,3 +313,35 @@ def test_jaro_winkler_batch_matches_duckdb(pairs):
         exp = con.execute("SELECT jaro_winkler_similarity(?, ?)",
                           [x, y]).fetchone()[0]
         assert s == exp
+
+
+# ---- fast HTML extractor == stdlib HTMLParser stack machine ----
+
+_HTML_ATOMS = [
+    "<main>", "</main>", "<article>", "</article>", "<div>", "</div>",
+    "<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+    "<nav>", "</nav>", "<header>", "</header>", "<footer>", "</footer>",
+    "<br>", "<img src='x'>", "<a href='/'>", "</a>", "<main/>",
+    "<div/>", "<!DOCTYPE html>", "<?pi data?>", "<!-- a comment -->",
+    "<P>", "</P>", "<SCRIPT>", "</SCRIPT>", "< ", "<3", "&amp;",
+    "&lt;tag&gt;", "a b", "x", " ", "if (a<b) {}", 'title="a>b"',
+    "<em title=\"a>b\">", "<em title='a>b'>", "</em>",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(_HTML_ATOMS), min_size=0, max_size=30))
+def test_fast_html_extractor_matches_stdlib(atoms):
+    """The regex fast path of extract_html_main must reproduce the
+    stdlib HTMLParser machine on an adversarial grammar (nested and
+    unbalanced tags, boilerplate, main/article, void elements,
+    self-closing, declarations, PIs, comments, literal '<', charrefs,
+    rawtext script bodies, and quoted '>' attributes that force the
+    bail path)."""
+    from granulate_char_ocr_ray.functions.textext import (
+        _extract_html_main_slow,
+        extract_html_main,
+    )
+
+    payload = "".join(atoms)
+    assert extract_html_main(payload) == _extract_html_main_slow(payload)
