@@ -255,6 +255,18 @@ def run_benchmarks() -> dict:
                                 concurrency=(2, max(2, NUM_CPUS - 4)))
         spans_f.write_parquet(out_dir_f)
 
+    # --- auto (detected-skew) topology: whale detection runs on every
+    # doc; the bench corpus has <=1 media span per doc so the whale arm
+    # is empty — this measures the detection dispatch overhead vs fused
+    out_dir_a = f"/tmp/bench_out/extract_auto_cpus{NUM_CPUS}"
+
+    def _auto():
+        shutil.rmtree(out_dir_a, ignore_errors=True)
+        docs = derive_docs_replicated(SF_DIR, REPLICATE)
+        spans_a = extract_spans(docs, mode="auto",
+                                concurrency=max(2, NUM_CPUS - 4))
+        spans_a.write_parquet(out_dir_a)
+
     def _reassemble():
         import ray.data as rd
 
@@ -270,6 +282,7 @@ def run_benchmarks() -> dict:
     # pipelines: each best-of-N, each individually guarded so one
     # failure (or a filling disk) costs one entry, never the JSON ---
     entries = [("extract_spans_fanout", _fanout),
+               ("extract_spans_auto", _auto),
                ("reassemble_docs", _reassemble)] + _secondary_list()
     import gc
 

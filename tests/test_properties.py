@@ -345,3 +345,29 @@ def test_fast_html_extractor_matches_stdlib(atoms):
 
     payload = "".join(atoms)
     assert extract_html_main(payload) == _extract_html_main_slow(payload)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["text", "html", "pdf", "media"]),
+                         min_size=0, max_size=12),
+                min_size=0, max_size=10),
+       st.integers(1, 6))
+def test_whale_flags_match_per_row_count(kind_lists, threshold):
+    """The vectorized whale detector (list-offset cumsum differencing)
+    equals a plain per-row count on arbitrary span-kind layouts,
+    including empty span lists and empty batches."""
+    import pyarrow as pa
+
+    from granulate_char_ocr_ray.pipelines.extract import _whale_flags
+    from granulate_char_ocr_ray.schema import DOCS_SCHEMA
+
+    rows = [{"doc_id": f"d{i}",
+             "spans": [{"kind": k, "text": "", "media_ref": "",
+                        "offset": j}
+                       for j, k in enumerate(kinds)]}
+            for i, kinds in enumerate(kind_lists)]
+    batch = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    got = list(_whale_flags(batch, threshold))
+    want = [sum(k == "media" for k in kinds) >= threshold
+            for kinds in kind_lists]
+    assert got == want
