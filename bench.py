@@ -263,8 +263,10 @@ def run_benchmarks() -> dict:
     def _auto():
         shutil.rmtree(out_dir_a, ignore_errors=True)
         docs = derive_docs_replicated(SF_DIR, REPLICATE)
+        # autoscaling pool like _fanout: a fixed fused pool starves the
+        # concurrent whale-detection branch
         spans_a = extract_spans(docs, mode="auto",
-                                concurrency=max(2, NUM_CPUS - 4))
+                                concurrency=(2, max(2, NUM_CPUS - 4)))
         spans_a.write_parquet(out_dir_a)
 
     def _reassemble():
