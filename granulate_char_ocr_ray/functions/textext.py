@@ -90,7 +90,11 @@ def _extract_html_main_slow(payload: str) -> str:
     return normalize_ws(" ".join(chunks))
 
 
-_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)")
+# name charset mirrors stdlib tagfind_tolerant: a namespaced
+# <svg:rect> must NOT match the bare "svg" boilerplate entry
+_TAG_NAME = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)")
+# stdlib endtagfind shape: "</ p >" closes p
+_ENDTAG_WS = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script", re.IGNORECASE),
     "style": re.compile(r"</style", re.IGNORECASE),
@@ -163,6 +167,17 @@ def extract_html_main(payload: str) -> str:
             continue  # declaration / processing instruction: no data
         m = _TAG_NAME.match(token)
         if m is None:
+            # only reachable for "</..." without an immediate letter:
+            # stdlib allows whitespace after "</"; anything else
+            # (e.g. "</3>") is swallowed as a bogus comment — no data
+            mm = _ENDTAG_WS.match(token)
+            if mm:
+                name = mm.group(1).lower()
+                if name not in _VOID:
+                    if name in BOILERPLATE_TAGS and boiler > 0:
+                        boiler -= 1
+                    if name in MAIN_TAGS and main_d > 0:
+                        main_d -= 1
             continue
         closing, name = m.group(1) == "/", m.group(2).lower()
         if name in _VOID:

@@ -326,6 +326,8 @@ _HTML_ATOMS = [
     "<P>", "</P>", "<SCRIPT>", "</SCRIPT>", "< ", "<3", "&amp;",
     "&lt;tag&gt;", "a b", "x", " ", "if (a<b) {}", 'title="a>b"',
     "<em title=\"a>b\">", "<em title='a>b'>", "</em>",
+    "<svg:rect>", "</svg:rect>", "<o:p>", "</o:p>", "</ p>", "</3>",
+    "<p >", "</p attr>", "<p-x>", "</p-x>",
 ]
 
 
