@@ -95,9 +95,11 @@ def _extract_html_main_slow(payload: str) -> str:
 _TAG_NAME = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)")
 # stdlib endtagfind shape: "</ p >" closes p
 _ENDTAG_WS = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# stdlib set_cdata_mode shape: r'</\s*<elem>' case-insensitively ends
+# the CDATA scan (whitespace after "</" allowed)
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"</script", re.IGNORECASE),
-    "style": re.compile(r"</style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
 
 

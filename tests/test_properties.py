@@ -327,7 +327,8 @@ _HTML_ATOMS = [
     "&lt;tag&gt;", "a b", "x", " ", "if (a<b) {}", 'title="a>b"',
     "<em title=\"a>b\">", "<em title='a>b'>", "</em>",
     "<svg:rect>", "</svg:rect>", "<o:p>", "</o:p>", "</ p>", "</3>",
-    "<p >", "</p attr>", "<p-x>", "</p-x>",
+    "<p >", "</p attr>", "<p-x>", "</p-x>", "</ script>", "</ SCRIPT >",
+    "</ main >", "</scriptx>",
 ]
 
 
