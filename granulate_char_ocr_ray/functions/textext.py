@@ -192,13 +192,29 @@ def extract_html_main(payload: str) -> str:
                 main_d += 1
                 saw_main = True
             if name in _RAWTEXT_CLOSE and not startend:
-                # stdlib enters CDATA mode: no tags until the closing
-                # tag (or EOF swallows the rest)
-                mm = _RAWTEXT_CLOSE[name].search(payload, pos)
-                if mm is None:
-                    break
-                emit(payload[pos: mm.start()])
-                pos = mm.start()
+                # stdlib enters CDATA mode: no tags until a VALID
+                # closing tag of this element (parse_endtag keeps the
+                # cdata open on "</scriptx>" / "</script foo>"; EOF
+                # swallows the rest). Content needs no emit: script/
+                # style are boilerplate, so it is dropped either way.
+                close = _RAWTEXT_CLOSE[name]
+                scan = pos
+                while True:
+                    mm = close.search(payload, scan)
+                    if mm is None:
+                        pos = n     # unterminated: swallow to EOF
+                        break
+                    gt2 = payload.find(">", mm.start() + 1)
+                    if gt2 == -1:
+                        pos = n
+                        break
+                    tm = _ENDTAG_WS.match(payload[mm.start(): gt2 + 1])
+                    if tm is not None and tm.group(1).lower() == name:
+                        pos = mm.start()  # outer loop closes the elem
+                        break
+                    scan = gt2  # wrong-name/malformed endtag: still
+                    #             inside the cdata (stdlib resumes at
+                    #             its '>')
                 continue
         if closing or startend:
             if name in BOILERPLATE_TAGS and boiler > 0:

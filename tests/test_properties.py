@@ -328,7 +328,8 @@ _HTML_ATOMS = [
     "<em title=\"a>b\">", "<em title='a>b'>", "</em>",
     "<svg:rect>", "</svg:rect>", "<o:p>", "</o:p>", "</ p>", "</3>",
     "<p >", "</p attr>", "<p-x>", "</p-x>", "</ script>", "</ SCRIPT >",
-    "</ main >", "</scriptx>",
+    "</ main >", "</scriptx>", "</script foo>", "<script/>", "<>",
+    "</>", "<!x>", "&#65;", "&bogus;", "<title>", "</title>", "\n",
 ]
 
 
