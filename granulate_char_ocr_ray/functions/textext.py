@@ -95,6 +95,38 @@ def _extract_html_main_slow(payload: str) -> str:
 _TAG_NAME = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)")
 # stdlib endtagfind shape: "</ p >" closes p
 _ENDTAG_WS = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# plainly well-formed tag: name + optional name[=value] attributes
+# (values quoted or bare), optional self-close. Tokens outside this
+# shape take the stdlib path wholesale — its tolerant recovery for
+# malformed tags (prefix re-emitted as data, odd stops at '/') is not
+# worth emulating in the fast scanner.
+_SIMPLE_TAG = re.compile(
+    r"</?[a-zA-Z][^\t\n\r\f />\x00]*"
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:'[^'<>]*'|\"[^\"<>]*\"|[^\s'\"<>/]+))?)*"
+    r"\s*/?>\Z")
+
+# token -> (closing, name, startend) | None (= bail to stdlib).
+# Tag tokens repeat heavily (templated markup), so the gate regex +
+# name parse run once per DISTINCT token; capped to bound memory.
+_TOKEN_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 65536
+
+
+def _parse_tag_token(token: str):
+    try:
+        return _TOKEN_CACHE[token]
+    except KeyError:
+        pass
+    if _SIMPLE_TAG.match(token) is None:
+        info = None
+    else:
+        m = _TAG_NAME.match(token)  # guaranteed: "</?letter..."
+        info = (m.group(1) == "/", m.group(2).lower(),
+                token.endswith("/>"))
+    if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
+        _TOKEN_CACHE[token] = info
+    return info
 # stdlib set_cdata_mode shape: r'</\s*<elem>' case-insensitively ends
 # the CDATA scan (whitespace after "</" allowed)
 _RAWTEXT_CLOSE = {
@@ -161,30 +193,21 @@ def extract_html_main(payload: str) -> str:
         if gt == -1:
             return _extract_html_main_slow(payload)
         token = payload[lt: gt + 1]
-        if token.count('"') % 2 or token.count("'") % 2:
-            # a '>' inside a quoted attribute split the token early
-            return _extract_html_main_slow(payload)
         pos = gt + 1
         if nxt in "!?":
             continue  # declaration / processing instruction: no data
-        m = _TAG_NAME.match(token)
-        if m is None:
-            # only reachable for "</..." without an immediate letter:
-            # stdlib allows whitespace after "</"; anything else
-            # (e.g. "</3>") is swallowed as a bogus comment — no data
-            mm = _ENDTAG_WS.match(token)
-            if mm:
-                name = mm.group(1).lower()
-                if name not in _VOID:
-                    if name in BOILERPLATE_TAGS and boiler > 0:
-                        boiler -= 1
-                    if name in MAIN_TAGS and main_d > 0:
-                        main_d -= 1
-            continue
-        closing, name = m.group(1) == "/", m.group(2).lower()
+        info = _parse_tag_token(token)
+        if info is None:
+            # anything beyond a plainly well-formed tag — unterminated
+            # quotes ('>' inside an attribute split the token early),
+            # interior '<', slashes/quotes in odd positions — risks
+            # diverging from stdlib's tolerant recovery: take the
+            # stdlib path for the whole payload
+            return _extract_html_main_slow(payload)
+        closing, name, ends_slash = info
         if name in _VOID:
             continue
-        startend = not closing and token.endswith("/>")
+        startend = not closing and ends_slash
         if not closing:
             if name in BOILERPLATE_TAGS:
                 boiler += 1
